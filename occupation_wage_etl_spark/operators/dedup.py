@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — the standard 100 TB dedup funnel:
+
+1. exact        — md5(normalized text) group-by; one shuffle on a 32-byte key.
+2. simhash      — 64-bit fingerprint; near-dups cluster by fingerprint bands.
+3. minhash_lsh  — shingle → MinHash signature → banded LSH bucket join;
+                  candidate pairs verified by shingle-set Jaccard.
+4. ngram_jaccard— exact Jaccard verification on candidate pairs (the
+                  verify stage of 3, usable standalone for small candidate sets).
+
+Scale design: every stage is expressed so the only shuffles are
+(a) the group-by/self-join on *hash* keys (fixed-width, skew-resistant —
+uniformly distributed digests), never on raw text; (b) signature
+computation is a scan-side projection (per-row ``transform``s, no UDF).
+The LSH band explode multiplies rows by #bands *before* the shuffle, but
+each exploded row is only (band_hash, doc_id) — bytes-per-row tiny by
+construction.  AQE handles residual bucket skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.functions import similarity as S
+from occupation_wage_etl_spark.functions import text as T
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content: keep the min-id row per fingerprint.
+
+    Implemented as groupBy(md5) → min(id) → semi-join back, so the wide
+    payload columns never enter the shuffle — only (digest, id) pairs do.
+    """
+    fp = T.fingerprint(F.col(text_col)).alias("__fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup cluster summary: one row per duplicated fingerprint with
+    group size and representative (min) id."""
+    return (
+        df.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH, verified by
+    exact shingle-set Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Plan shape (the scalable funnel):
+      scan → project (shingles, signature, bands)   [no shuffle]
+      explode bands → shuffle on (band, bucket)     [tiny rows]
+      self-join within bucket → distinct pairs      [hash keys only]
+      re-attach shingle sets (two broadcast-able semi-joins at SF-test
+      size; hash-partitioned joins at scale) → exact Jaccard filter.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)).alias("shingles"),
+    )
+    sig = shingled.select(
+        "id",
+        "shingles",
+        S.minhash_bands(
+            S.minhash_signature(F.col("shingles"), num_hashes),
+            bands,
+            num_hashes // bands,
+        ).alias("bands"),
+    )
+    buckets = sig.select(
+        "id", F.explode("bands").alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = shingled
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # unrounded: an integer-ratio double is bit-identical across engines
+            S.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 64-bit SimHash (id, simhash).  Near-dup candidates = docs
+    whose fingerprints agree on a 16-bit band (4 bands → hamming ≤ 3
+    guaranteed caught by ≥1 band)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        S.simhash64(T.tokens(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), bucket-join,
+    verify by exact hamming distance.  Returns (id_a, id_b, hamming)."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            S.hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    All-pairs Jaccard is O(n²) — at scale ALWAYS pass ``block_col`` (a
+    cheap blocking key: source, lang, length bucket, or an LSH bucket) so
+    the self-join is an equi-join on the block instead of a cross join.
+    Returns (id_a, id_b, jaccard ≥ threshold).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.word_ngrams(F.col(text_col), ngram_n)).alias("grams"),
+        *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            S.jaccard(F.col("l.grams"), F.col("r.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    With ``block_col`` (e.g. an IVF/LSH bucket from
+    ``operators.similarity``) the self-join stays an equi-join; without it
+    this is brute-force O(n²) — fine for verification tiers only.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(S.cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

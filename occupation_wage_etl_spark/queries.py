@@ -1,0 +1,880 @@
+"""Query registry: every operator from SURVEY.md §2 + the training-data
+extension operators, as (PySpark builder, DuckDB oracle SQL) pairs.
+
+Cross-engine determinism rules (validated in tests/test_oracle_parity.py):
+
+- **Averages/sums of 2-decimal data** use the exact-decimal trick:
+  ``CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` — decimal sums are
+  order-independent and exact, the double conversion is exact below 2^53,
+  and double division by a count is IEEE-identical in both engines.  No
+  rounding needed, bit-exact results.
+- **Ratios of integers** (Jaccard, token ratios) are single IEEE double
+  divisions of identical integers — bit-exact unrounded.
+- **Hashes** are md5 (bit-identical hex in Spark/DuckDB/Python); MinHash
+  = lexicographic min over md5s, LSH buckets = md5 of joined slots.
+- **Rounding is avoided** except where a float fold could differ in
+  ULPs (cosine similarity, multi-term score sums) — there we round at
+  6dp (Spark round is decimal-correct, DuckDB's is float-based; they
+  agree except within ~1e-13 of a .xxxxxx5 boundary, which naturally
+  occurring folds essentially never hit).
+- Ordered/limited queries always carry a unique tiebreaker key.
+
+Reference-parity queries (q01–q11) cite SURVEY.md §2 operator ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.functions import cleaning
+from occupation_wage_etl_spark.functions import similarity as S
+from occupation_wage_etl_spark.functions import text as T
+from occupation_wage_etl_spark.operators import dedup, prefix_join, similarity, topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long nanos and convert to µs timestamps
+        # (integer division — double division would lose precision at 1e18).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Order-independent exact sum of 2-decimal data, as double."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+def _davg(col: F.Column) -> F.Column:
+    """Exact mean: decimal sum (exact) / count — bit-identical in DuckDB."""
+    return _dsum(col) / F.count(col)
+
+
+_DSUM = "CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+_DAVG = _DSUM + " / count({x})"
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary: scan S5 + filter P5-style + group-agg A1/A2
+# (TPC-H-Q1-shaped; SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(x='l_quantity')} AS sum_qty,
+       {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       {_DAVG.format(x='l_quantity')} AS avg_qty,
+       {_DAVG.format(x='l_extendedprice')} AS avg_price,
+       {_DAVG.format(x='l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — flagship: broadcast join J1 + grouped mean A2 + top-k O1
+# (the reference's notebook query shape, SURVEY §3.3)
+# ---------------------------------------------------------------------------
+
+def q02_top_parts_by_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.groupBy("p_name").agg(
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    return topk.top_k(agg, [F.desc("avg_price"), F.asc("p_name")], 10)
+
+
+Q02_SQL = f"""
+SELECT p_name,
+       {_DAVG.format(x='l_extendedprice')} AS avg_price,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_name
+ORDER BY avg_price DESC, p_name
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — derived-key broadcast dimension join (J1 exact analog: the SOC-prefix
+# join views.sql:18-27 with split_part F6)
+# ---------------------------------------------------------------------------
+
+def q03_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    key = F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+    dim = (
+        orders.groupBy(key.alias("prio_code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_in_prio"),
+            _davg(F.col("o_totalprice")).alias("avg_prio_price"),
+        )
+    )
+    joined = prefix_join.derived_key_broadcast_join(
+        orders, dim, key, "prio_code", derived_name="o_prio_code"
+    )
+    return joined.select(
+        "o_orderkey", "o_orderpriority", "o_prio_code",
+        "n_orders_in_prio", "avg_prio_price",
+    )
+
+
+Q03_SQL = f"""
+WITH dim AS (
+  SELECT split_part(o_orderpriority, '-', 1) AS prio_code,
+         count(*) AS n_orders_in_prio,
+         {_DAVG.format(x='o_totalprice')} AS avg_prio_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority,
+       split_part(o_orderpriority, '-', 1) AS o_prio_code,
+       n_orders_in_prio, avg_prio_price
+FROM orders JOIN dim ON split_part(o_orderpriority, '-', 1) = dim.prio_code
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — grouped multi-aggregate over a derived key (A1 analog,
+# views.sql:3-14)
+# ---------------------------------------------------------------------------
+
+def q04_avg_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    key = F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+    return (
+        orders.groupBy(key.alias("prio_code"))
+        .agg(
+            _davg(F.col("o_totalprice")).alias("mean_totalprice"),
+            F.min("o_totalprice").alias("min_totalprice"),
+            F.max("o_totalprice").alias("max_totalprice"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q04_SQL = f"""
+SELECT split_part(o_orderpriority, '-', 1) AS prio_code,
+       {_DAVG.format(x='o_totalprice')} AS mean_totalprice,
+       min(o_totalprice) AS min_totalprice,
+       max(o_totalprice) AS max_totalprice,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — the cleaning grammar F1–F4 (suppressed markers, footnote prefixes,
+# currency strip, null-on-error cast) exercised end-to-end on synthesized
+# dirty cells (FIXTURES.md §1 grammar, reference load_data.py:112-132)
+# ---------------------------------------------------------------------------
+
+def q05_cleaning_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dirty = (
+        F.when(
+            F.col("l_orderkey") % 13 == 0,
+            F.concat(F.lit("("), (F.col("l_suppkey") % 9).cast("string"), F.lit(")-")),
+        )
+        .when(
+            F.col("l_orderkey") % 5 == 0,
+            F.concat(F.lit("()$"), F.col("l_extendedprice").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("("), (F.col("l_suppkey") % 4).cast("string"), F.lit(")$"),
+                F.col("l_extendedprice").cast("string"),
+            )
+        )
+    )
+    cleaned = cleaning.to_double(dirty)
+    return (
+        li.select(F.col("l_returnflag"), cleaned.alias("v"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_suppressed"),
+            _dsum(F.col("v")).alias("sum_cleaned"),
+            _davg(F.col("v")).alias("avg_cleaned"),
+        )
+    )
+
+
+Q05_SQL = f"""
+WITH dirty AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 13 = 0
+                THEN '(' || CAST(l_suppkey % 9 AS VARCHAR) || ')-'
+              WHEN l_orderkey % 5 = 0
+                THEN '()$' || CAST(l_extendedprice AS VARCHAR)
+              ELSE '(' || CAST(l_suppkey % 4 AS VARCHAR) || ')$'
+                   || CAST(l_extendedprice AS VARCHAR)
+         END AS cell
+  FROM lineitem
+), cleaned AS (
+  SELECT l_returnflag,
+         TRY_CAST(
+           replace(replace(
+             regexp_replace(
+               CASE WHEN regexp_matches(cell, '^\\(\\d+\\)-$') THEN NULL ELSE cell END,
+               '^\\([^)]*\\)', ''),
+             '$', ''), ',', '')
+           AS DOUBLE) AS v
+  FROM dirty
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_suppressed,
+       {_DSUM.format(x='v')} AS sum_cleaned,
+       {_DAVG.format(x='v')} AS avg_cleaned
+FROM cleaned GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — MM/YYYY month parse F5 (reference load_data.py:231) with
+# null-on-malformed, grouped counts
+# ---------------------------------------------------------------------------
+
+def q06_month_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    mm = F.when(
+        F.col("o_orderkey") % 11 == 0, F.lit("13/2099")  # malformed → NULL
+    ).otherwise(F.date_format("o_orderdate", "MM/yyyy"))
+    return (
+        orders.select(cleaning.parse_month_year(mm).alias("order_month"))
+        .groupBy("order_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q06_SQL = r"""
+WITH raw AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0 THEN '13/2099'
+              ELSE strftime(o_orderdate, '%m/%Y') END AS mm
+  FROM orders
+)
+SELECT CASE WHEN regexp_matches(mm, '^(0[1-9]|1[0-2])/\d{4}$')
+            THEN CAST(strptime(mm, '%m/%Y') AS DATE) END AS order_month,
+       count(*) AS n_orders
+FROM raw GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — filter + projection (P4/P5 shapes; predicate & column pushdown
+# reach the parquet scan — verified via explain in tests)
+# ---------------------------------------------------------------------------
+
+def q07_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+Q07_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_quantity > 45
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — per-group top-k via window (O1 generalized; SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def q08_top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ranked = topk.top_k_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+    return ranked.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+Q08_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — set operation: customers with no orders (EXCEPT)
+# ---------------------------------------------------------------------------
+
+def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    ordered = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.exceptAll(ordered.distinct()).distinct()
+
+
+Q09_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — batch sessionization (lag + running-sum; streaming/events.py has
+# the session_window streaming twin)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP = "12 hours"
+
+
+def q10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP}"), 1
+    ).otherwise(0)
+    sess = ev.withColumn("__b", F.coalesce(boundary, F.lit(0))).withColumn(
+        "__sid", F.sum("__b").over(w)
+    )
+    return sess.groupBy("user_id", "__sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("__sid")
+
+
+Q10_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+), b AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS nb
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM b
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — tumbling-window aggregation (streaming twin in streaming/events.py)
+# ---------------------------------------------------------------------------
+
+def q11_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+Q11_SQL = f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       count(*) AS n_events,
+       {_DSUM.format(x='value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — exact-dedup statistics (md5 content fingerprint; dedup funnel tier 1)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+
+def q12_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
+Q12_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5({_NORM_SQL.format(x='text')})) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — MinHash + banded LSH near-dup pairs, Jaccard-verified
+# (portable md5 minhash — see functions/similarity.py docstring)
+# ---------------------------------------------------------------------------
+
+MINHASH_N, MINHASH_BANDS, SHINGLE_N, JACCARD_T = 16, 8, 3, 0.2
+
+
+def q13_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs,
+        shingle_n=SHINGLE_N,
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        jaccard_threshold=JACCARD_T,
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    rpb = MINHASH_N // MINHASH_BANDS
+    slots = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+        for i in range(MINHASH_N)
+    )
+    bands = ",\n    ".join(
+        "{'band': %d, 'bucket': md5(%s)}"
+        % (b, " || '|' || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb)))
+        for b in range(MINHASH_BANDS)
+    )
+    norm = _NORM_SQL.format(x="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split({norm}, ' ') AS toks FROM documents
+), sh AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ')
+         )) AS shingles
+  FROM d
+), sig AS (
+  SELECT id, shingles, [
+    {slots}
+  ] AS sig FROM sh
+), bnd AS (
+  SELECT id, unnest([
+    {bands}
+  ]) AS b FROM sig
+), bk AS (
+  SELECT id, b.band AS band, b.bucket AS bucket FROM bnd
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+), verified AS (
+  SELECT cand.id_a, cand.id_b,
+         len(list_intersect(a.shingles, b.shingles)) * 1.0
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM cand JOIN sh a ON a.id = cand.id_a JOIN sh b ON b.id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — exact n-gram Jaccard near-dup pairs (blocked self-join)
+# ---------------------------------------------------------------------------
+
+def q14_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, ngram_n=SHINGLE_N, threshold=JACCARD_T, block_col="lang"
+    )
+
+
+Q14_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         string_split({_NORM_SQL.format(x='text')}, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT id, lang, list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ')
+         )) AS grams
+  FROM d
+), pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+         len(list_intersect(l.grams, r.grams)) * 1.0
+           / len(list_distinct(list_concat(l.grams, r.grams))) AS jaccard
+  FROM g l JOIN g r ON l.lang = r.lang AND l.id < r.id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — brute-force cosine top-k over embeddings (similarity-search baseline)
+# ---------------------------------------------------------------------------
+
+KNN_QUERY_ID, KNN_K = 0, 10
+
+
+def q15_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").first()
+    return similarity.brute_force_knn(
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID),
+        list(qrow["embedding"]),
+        k=KNN_K,
+    )
+
+
+Q15_SQL = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+), scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> {KNN_QUERY_ID}
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — token statistics per language (whitespace + BPE-ish regex counting)
+# ---------------------------------------------------------------------------
+
+def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            T.token_count(F.col("text")).alias("tc"),
+            T.regex_token_count(F.col("text")).alias("rtc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.sum("rtc").alias("total_regex_tokens"),
+            (F.sum("tc").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+Q16_SQL = rf"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc,
+         len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS rtc
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS total_tokens,
+       CAST(sum(rtc) AS BIGINT) AS total_regex_tokens,
+       CAST(sum(tc) AS DOUBLE) / count(*) AS avg_tokens
+FROM t GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — document quality scoring (length band + punctuation + diversity)
+# ---------------------------------------------------------------------------
+
+def q17_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_NORM = _NORM_SQL.format(x="text")
+Q17_SQL = rf"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         regexp_replace(text, '\s+', '', 'g') AS nonspace,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id, n,
+         CASE WHEN length(nonspace) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(nonspace, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                   / CAST(length(nonspace) AS DOUBLE) END AS punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         END AS uniq
+  FROM m
+)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                         WHEN n < 100 THEN n / 100.0
+                         ELSE 20000.0 / n END)
+           + 0.3 * (1.0 - least(punct * 4, 1.0))
+           + 0.3 * uniq, 6) AS quality
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — heuristic language identification (stopword-hit argmax)
+# ---------------------------------------------------------------------------
+
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _lang_id_oracle_sql() -> str:
+    hits = []
+    for code in sorted(T.LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[code])
+        hits.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) AS h_{code}"
+        )
+    codes = sorted(T.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    nbest = " + ".join(f"CASE WHEN h_{c} = best THEN 1 ELSE 0 END" for c in codes)
+    argmax = " ".join(f"WHEN h_{c} = best THEN '{c}'" for c in codes)
+    hit_cols = ",\n         ".join(hits)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM t
+), b AS (
+  SELECT doc_id, h.*, {best} AS best FROM h
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN ({nbest}) > 1 THEN 'und'
+            ELSE CASE {argmax} END
+       END AS pred_lang
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — document fingerprinting (portable md5 content hash)
+# ---------------------------------------------------------------------------
+
+def q19_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+Q19_SQL = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# q20 — rolling-fingerprint overlap candidates (16-char windows)
+# ---------------------------------------------------------------------------
+
+ROLL_W = 16
+
+
+def q20_rolling_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(T.rolling_fingerprints(F.col("text"), ROLL_W))
+        ).alias("fp"),
+    )
+    l, r = fps.alias("l"), fps.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+Q20_SQL = f"""
+WITH n AS (
+  SELECT doc_id AS id, {_NORM} AS s FROM documents
+), w AS (
+  SELECT id, list_distinct(list_transform(
+           range(0, greatest(CAST(ceil(length(s) / {ROLL_W}.0) AS INTEGER), 1)),
+           i -> md5(substr(s, i * {ROLL_W} + 1, {ROLL_W}))
+         )) AS fps
+  FROM n
+), e AS (
+  SELECT id, unnest(fps) AS fp FROM w
+)
+SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+FROM e l JOIN e r ON l.fp = r.fp AND l.id < r.id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 — embedding-cosine near-dup pairs (brute force verification tier)
+# ---------------------------------------------------------------------------
+
+COS_T = 0.4
+
+
+def q21_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=COS_T)
+
+
+Q21_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(l.v) + 1), i -> l.v[i] * r.v[i]))
+           / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(r.v, x -> x * x)))),
+         6) AS cosine
+  FROM e l JOIN e r ON l.id < r.id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COS_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate / engine-specific operators — no SQL oracle (driver records
+# rows-only check): SimHash (xxhash64-based), LSH-bucketed ANN probe.
+# ---------------------------------------------------------------------------
+
+def q22_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=16)
+
+
+def q23_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").first()
+    return similarity.lsh_knn(
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID),
+        list(qrow["embedding"]),
+        k=KNN_K,
+    )
+
+
+def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    crows = (
+        emb.filter(F.col("vec_id").isin(list(range(1, 9))))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(r["embedding"]) for r in crows]
+    qrow = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").first()
+    return similarity.ivf_knn(
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID),
+        centroids,
+        list(qrow["embedding"]),
+        k=KNN_K,
+        n_probe=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
+    "q03_prefix_join": q03_prefix_join,
+    "q04_avg_by_prefix": q04_avg_by_prefix,
+    "q05_cleaning_grammar": q05_cleaning_grammar,
+    "q06_month_parse": q06_month_parse,
+    "q07_filter_projection": q07_filter_projection,
+    "q08_top3_orders_per_priority": q08_top3_orders_per_priority,
+    "q09_customers_without_orders": q09_customers_without_orders,
+    "q10_sessionize": q10_sessionize,
+    "q11_windowed_counts": q11_windowed_counts,
+    "q12_dedup_stats": q12_dedup_stats,
+    "q13_minhash_lsh_pairs": q13_minhash_lsh_pairs,
+    "q14_ngram_jaccard_pairs": q14_ngram_jaccard_pairs,
+    "q15_knn_cosine": q15_knn_cosine,
+    "q16_token_stats": q16_token_stats,
+    "q17_quality_scores": q17_quality_scores,
+    "q18_lang_id": q18_lang_id,
+    "q19_fingerprints": q19_fingerprints,
+    "q20_rolling_overlap": q20_rolling_overlap,
+    "q21_embedding_near_dup": q21_embedding_near_dup,
+    "q22_simhash_pairs": q22_simhash_pairs,
+    "q23_lsh_knn": q23_lsh_knn,
+    "q24_ivf_knn": q24_ivf_knn,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_top_parts_by_avg_price": Q02_SQL,
+    "q03_prefix_join": Q03_SQL,
+    "q04_avg_by_prefix": Q04_SQL,
+    "q05_cleaning_grammar": Q05_SQL,
+    "q06_month_parse": Q06_SQL,
+    "q07_filter_projection": Q07_SQL,
+    "q08_top3_orders_per_priority": Q08_SQL,
+    "q09_customers_without_orders": Q09_SQL,
+    "q10_sessionize": Q10_SQL,
+    "q11_windowed_counts": Q11_SQL,
+    "q12_dedup_stats": Q12_SQL,
+    "q13_minhash_lsh_pairs": _minhash_oracle_sql(),
+    "q14_ngram_jaccard_pairs": Q14_SQL,
+    "q15_knn_cosine": Q15_SQL,
+    "q16_token_stats": Q16_SQL,
+    "q17_quality_scores": Q17_SQL,
+    "q18_lang_id": _lang_id_oracle_sql(),
+    "q19_fingerprints": Q19_SQL,
+    "q20_rolling_overlap": Q20_SQL,
+    "q21_embedding_near_dup": Q21_SQL,
+    # q22-q24: approximate/engine-specific — rows-only check by design
+}

@@ -1,0 +1,115 @@
+"""Event-stream operators (Structured Streaming + batch-equivalent plans).
+
+Every operator has the same signature in batch and streaming mode (the
+transformation is identical DataFrame code — the only difference is
+whether the input came from ``read`` or ``readStream``).  Batch mode is
+what the correctness oracle checks; streaming mode is exercised by tests
+with a file source + memory sink.
+
+Operators: tumbling/sliding window aggregation with watermarks,
+sessionization (gap-based session windows), streaming dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling (or sliding) window counts + value sum per event_type.
+
+    Streaming mode adds a watermark so state for windows older than
+    ``watermark`` is evicted — the thing that keeps unbounded streams
+    bounded-memory at scale.  Late rows within the watermark still update
+    their window; beyond it they're dropped.
+    """
+    df = events
+    if streaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    return (
+        df.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    streaming: bool = False,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization.
+
+    Streaming: native ``session_window`` (stateful, watermark-evicted).
+    Batch: the classic lag/cumsum reformulation — window over user,
+    session boundary where gap exceeded, running sum → session id.  Both
+    produce (user_id, session_start, session_end, n_events).
+    """
+    if streaming:
+        sw = F.session_window(F.col(ts_col), gap)
+        return (
+            events.withWatermark(ts_col, watermark)
+            .groupBy(sw.alias("w"), F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col(user_col),
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    from pyspark.sql import Window
+
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    boundary = (
+        F.when(
+            F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr, 1
+        ).otherwise(0)
+    )
+    with_session = (
+        events.withColumn("__new_session", F.coalesce(boundary, F.lit(0)))
+        .withColumn("__session_id", F.sum("__new_session").over(w))
+    )
+    return (
+        with_session.groupBy(user_col, "__session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__session_id")
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps state bounded)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
