@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01...": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect cost).  A tiny warmup query absorbs JVM/codegen JIT so
+per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from occupation_wage_etl_spark.queries import SPARK_QUERIES
+from occupation_wage_etl_spark.session import get_spark
+
+# Headline set: reference-parity lifecycle (scan/clean/join/agg/topk/window)
+# + the training-data extension operators at their scale path.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_parts_by_avg_price",
+    "q03_prefix_join",
+    "q04_avg_by_prefix",
+    "q05_cleaning_grammar",
+    "q06_month_parse",
+    "q07_filter_projection",
+    "q08_top3_orders_per_priority",
+    "q10_sessionize",
+    "q11_windowed_counts",
+    "q12_dedup_stats",
+    "q13_minhash_lsh_pairs",
+    "q15_knn_cosine",
+    "q16_token_stats",
+    "q17_quality_scores",
+    "q18_lang_id",
+    "q19_fingerprints",
+    "q22_simhash_pairs",
+    "q23_lsh_knn",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JIT + codegen + parquet footer caches
+    force(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(SPARK_QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,8 +23,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan up to the cluster's parallelism.
+
+    Small/medium parquet inputs arrive as a handful of partitions
+    (files < maxPartitionBytes → 1 split); the CPU-heavy per-row hashing
+    below would then run on one core.  At 100 TB inputs are already
+    thousands of splits and this is a no-op (guarded), so the extra
+    shuffle only ever costs where it pays for itself.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup(
@@ -80,10 +97,16 @@ def minhash_lsh_pairs(
       re-attach shingle sets (two broadcast-able semi-joins at SF-test
       size; hash-partitioned joins at scale) → exact Jaccard filter.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)).alias("shingles"),
-    )
+    # Materialize shingle sets once: three downstream consumers (signature,
+    # and both sides of the verification join) would otherwise recompute
+    # the full tokenize+shingle+md5 pipeline per consumer.  At cluster
+    # scale this persist becomes a checkpoint of the signature table.
+    shingled = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)).alias("shingles"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = shingled.select(
         "id",
         "shingles",
@@ -146,7 +169,9 @@ def simhash_pairs(
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), bucket-join,
     verify by exact hamming distance.  Returns (id_a, id_b, hamming)."""
-    fps = simhash_fingerprints(df, text_col, id_col)
+    fps = simhash_fingerprints(_spread(df), text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = fps.select(
         "id",
         "simhash",
@@ -198,11 +223,13 @@ def ngram_jaccard_pairs(
     the self-join is an equi-join on the block instead of a cross join.
     Returns (id_a, id_b, jaccard ≥ threshold).
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(T.word_ngrams(F.col(text_col), ngram_n)).alias("grams"),
-        *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
-    )
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(T.word_ngrams(F.col(text_col), ngram_n)).alias("grams"),
+            *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")))
