@@ -98,6 +98,11 @@ def simhash64(token_col: Column) -> Column:
     Not oracle-portable (xxhash64 is Spark-specific); verified by
     metamorphic tests instead (hamming(simhash(x), simhash(x')) small for
     near-identical x').
+
+    NB: higher-order folds are interpreted per element — for whole-table
+    fingerprinting use ``operators.dedup.simhash_fingerprints`` (explode +
+    codegen hash-aggregate, bit-identical output, ~6× faster); this
+    expression form exists for single-column / ad-hoc use.
     """
     nbits = 64
 

@@ -153,11 +153,41 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-doc 64-bit SimHash (id, simhash).  Near-dup candidates = docs
     whose fingerprints agree on a 16-bit band (4 bands → hamming ≤ 3
-    guaranteed caught by ≥1 band)."""
-    return df.select(
+    guaranteed caught by ≥1 band).
+
+    Plan shape: explode distinct tokens → xxhash64 per token (scan-side,
+    codegen) → hash-aggregate per doc with 64 ``sum(bit_i)`` columns +
+    a token count → pack the fingerprint (bit i set ⟺ ones_i > T/2,
+    identical to the sign of the ±1 SimHash fold).  Map-side partial
+    aggregation collapses each partition to one row per doc before the
+    shuffle, so the exchange carries ~#docs rows of 65 longs regardless
+    of document length — the whole hot path stays in whole-stage codegen
+    (a higher-order-function fold over a 64-wide array accumulator is
+    interpreted per element and was ~20× slower).
+    """
+    arr = F.array_distinct(T.tokens(F.col(text_col)))
+    tok = df.select(
         F.col(id_col).alias("id"),
-        S.simhash64(T.tokens(F.col(text_col))).alias("simhash"),
+        # explode_outer + null guard: a zero-token doc keeps one null row
+        # (sum(null)=null → all bits 0 below) instead of vanishing.
+        F.explode_outer(F.when(F.size(arr) > 0, arr)).alias("t"),
+    ).select("id", F.when(F.col("t").isNotNull(), F.xxhash64("t")).alias("h"))
+    counts = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(64)
+        ],
     )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") * 2 > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counts.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(
