@@ -101,24 +101,50 @@ def minhash_lsh_pairs(
     # and both sides of the verification join) would otherwise recompute
     # the full tokenize+shingle+md5 pipeline per consumer.  At cluster
     # scale this persist becomes a checkpoint of the signature table.
-    shingled = _spread(
-        df.select(
+    # _spread the INPUT, not the projection: repartitioning the projected
+    # output would still compute the shingles upstream of the exchange on
+    # however few partitions the file scan produced.
+    shingled = (
+        _spread(df)
+        .select(
             F.col(id_col).alias("id"),
             F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)).alias("shingles"),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = shingled.select(
-        "id",
-        "shingles",
-        S.minhash_bands(
-            S.minhash_signature(F.col("shingles"), num_hashes),
-            bands,
-            num_hashes // bands,
-        ).alias("bands"),
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    buckets = sig.select(
-        "id", F.explode("bands").alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    # Signature via explode + hash-aggregate (one codegen pass; the
+    # higher-order ``transform``+``array_min`` form in
+    # functions.similarity.minhash_signature is interpreted per element —
+    # keep that for ad-hoc column use, not whole-table runs).  Slot i is
+    # min(md5('i:' || shingle)) either way, so the DuckDB oracle replays
+    # exactly.  Zero-shingle docs drop out of candidates here; they could
+    # never pass verification (Jaccard with an empty set is 0).
+    rpb = num_hashes // bands
+    ex = shingled.select("id", F.explode("shingles").alias("s"))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    buckets = mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"m{b * rpb + j}") for j in range(rpb)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -253,13 +279,15 @@ def ngram_jaccard_pairs(
     the self-join is an equi-join on the block instead of a cross join.
     Returns (id_a, id_b, jaccard ≥ threshold).
     """
-    base = _spread(
-        df.select(
+    base = (
+        _spread(df)
+        .select(
             F.col(id_col).alias("id"),
             F.array_distinct(T.word_ngrams(F.col(text_col), ngram_n)).alias("grams"),
             *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")))

@@ -22,8 +22,11 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from occupation_wage_etl_spark.functions import similarity as S
 
@@ -80,18 +83,31 @@ def lsh_signature(
 ) -> DataFrame:
     """Append a random-hyperplane sign signature column ``lsh_sig`` (long).
 
-    bit p = 1 iff dot(vec, plane_p) ≥ 0.  A scan-side projection (dot
-    products against literal arrays) — no shuffle, no UDF.
+    bit p = 1 iff dot(vec, plane_p) ≥ 0.  A scan-side projection — no
+    shuffle.  Dense (n × dim) @ (dim × n_planes) is the one place
+    built-in expressions lose badly: per-plane higher-order folds are
+    interpreted per element AND embed dim-sized literal arrays per plane
+    into the plan (n_planes × dim literal nodes — analysis cost alone is
+    visible).  A vectorized Arrow-batched pandas UDF does the whole batch
+    as one float64 matmul.
     """
-    planes = _pseudo_random_hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        bit = F.when(
-            S.dot_product(F.col(vec_col), _as_double_array(plane)) >= 0,
-            F.shiftleft(F.lit(1).cast("long"), p),
-        ).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    return df.withColumn("lsh_sig", sig)
+    planes_t = np.asarray(
+        _pseudo_random_hyperplanes(dim, n_planes, seed), dtype=np.float64
+    ).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        if vecs.isna().any():  # null vector → zero vector (sign bits all 1)
+            zero = np.zeros(planes_t.shape[0], dtype=np.float64)
+            vecs = vecs.apply(lambda v: zero if v is None else v)
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (m @ planes_t) >= 0.0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return df.withColumn("lsh_sig", _sig(F.col(vec_col)))
 
 
 def lsh_knn(

@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from occupation_wage_etl_spark.functions import cleaning
 from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
-from occupation_wage_etl_spark.operators import dedup, prefix_join, similarity, topk
+from occupation_wage_etl_spark.operators import (
+    dedup,
+    prefix_join,
+    similarity,
+    text_analysis,
+    topk,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -669,7 +675,7 @@ FROM r
 
 def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
+    return text_analysis.lang_id_table(docs)
 
 
 def _lang_id_oracle_sql() -> str:
