@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q19_fingerprints",
     "q22_simhash_pairs",
     "q23_lsh_knn",
+    "q25_multimodal_sniff",
+    "q26_multimodal_features",
 ]
 
 

@@ -34,6 +34,7 @@ from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
 from occupation_wage_etl_spark.operators import (
     dedup,
+    multimodal,
     prefix_join,
     similarity,
     text_analysis,
@@ -830,6 +831,86 @@ def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q25/q26 — multimodal columns: binary payload + typed metadata
+# (mapInPandas plumbing; the decode step is stubbed — see
+#  operators/multimodal.py docstring)
+# ---------------------------------------------------------------------------
+
+_JPEG_PREFIX = b"\xff\xd8\xff"
+_WAV_PREFIX = b"RIFF\x00\x00\x00\x00WAVE"
+
+
+def _payloads(docs: DataFrame) -> DataFrame:
+    """Synthesize a binary media column from documents: a real container
+    magic (by doc_id % 3: PNG / JPEG / WAV-RIFF) + the utf-8 text bytes.
+    Only mime + n_bytes are asserted downstream — deeper header fields
+    would read text bytes and are not meaningful on synthetic payloads."""
+    body = F.coalesce(F.encode(F.col("text"), "UTF-8"), F.lit(b""))
+    content = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(multimodal.PNG_MAGIC), body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(_JPEG_PREFIX), body))
+        .otherwise(F.concat(F.lit(_WAV_PREFIX), body))
+    )
+    return docs.select("doc_id", content.alias("content"))
+
+
+def q25_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    meta = multimodal.sniff_metadata(_payloads(docs), partitions=None)
+    return meta.select("doc_id", "mime", "n_bytes")
+
+
+Q25_SQL = f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'audio/wav' END AS mime,
+       CAST(CASE doc_id % 3 WHEN 0 THEN {len(multimodal.PNG_MAGIC)}
+                            WHEN 1 THEN {len(_JPEG_PREFIX)}
+                            ELSE {len(_WAV_PREFIX)} END
+            + octet_length(coalesce(encode(text), ''::BLOB)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q26_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived feature vectors over raw utf-8 payloads; projected
+    to scalar doubles so the oracle compare is format-free.  The md5
+    keystream is replayed exactly in DuckDB (blob md5 + hex→int)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.coalesce(F.encode(F.col("text"), "UTF-8"), F.lit(b"")).alias("content"),
+    )
+    feats = multimodal.extract_features(payload, dim=8)
+    return feats.select(
+        "doc_id", *[F.col("feature")[i].alias(f"f{i}") for i in range(8)]
+    )
+
+
+def _features_oracle_sql() -> str:
+    slots = []
+    for i in range(8):
+        block = i // 4
+        off = (i % 4) * 8 + 1
+        slots.append(
+            f"('0x' || substr(h{block}, {off}, 8))::UBIGINT / 4294967296.0 AS f{i}"
+        )
+    cols = ",\n       ".join(slots)
+    return f"""
+WITH p AS (
+  SELECT doc_id, coalesce(encode(text), ''::BLOB) AS b FROM documents
+), h AS (
+  SELECT doc_id,
+         md5(hex(b) || ':0') AS h0,
+         md5(hex(b) || ':1') AS h1
+  FROM p
+)
+SELECT doc_id, {cols} FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -858,6 +939,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_simhash_pairs": q22_simhash_pairs,
     "q23_lsh_knn": q23_lsh_knn,
     "q24_ivf_knn": q24_ivf_knn,
+    "q25_multimodal_sniff": q25_multimodal_sniff,
+    "q26_multimodal_features": q26_multimodal_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -883,4 +966,6 @@ ORACLE_SQL: dict[str, str] = {
     "q20_rolling_overlap": Q20_SQL,
     "q21_embedding_near_dup": Q21_SQL,
     # q22-q24: approximate/engine-specific — rows-only check by design
+    "q25_multimodal_sniff": Q25_SQL,
+    "q26_multimodal_features": _features_oracle_sql(),
 }
