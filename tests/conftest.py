@@ -8,10 +8,17 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from occupation_wage_etl_spark.session import get_spark
 
-    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "tests",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.warehouse.dir": str(wh),
+        },
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,126 @@
+"""Source/sink tests: HTML table extraction (driver + distributed),
+Excel adapter, snapshot lake (idempotency + partition pruning), and the
+idempotent warehouse append."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.sources import excel, html_table, lake, warehouse
+
+OEWS_HTML = """
+<html><body>
+<table><tr><th>Unrelated</th></tr><tr><td>x</td></tr></table>
+<table>
+  <thead><tr><th>Occupation (SOC code)</th><th>Employment(1)</th></tr></thead>
+  <tbody>
+    <tr><td>Chief Executives (11-1011)</td><td>()2,091,480</td></tr>
+    <tr><td>Dentists, General (29-1021)</td><td>(8)-</td></tr>
+    <tr><td>(1) Footer junk</td><td></td></tr>
+    <tr><td>SOC code: legend row</td><td></td></tr>
+  </tbody>
+</table>
+</body></html>
+"""
+
+
+def test_extract_table_discovery_and_footer(spark):
+    df = html_table.extract_table(spark, OEWS_HTML)
+    assert df.columns == ["Occupation (SOC code)", "Employment(1)"]
+    rows = df.collect()
+    # the 2 trailing footer rows are dropped positionally (reference :79)
+    assert len(rows) == 2
+    assert rows[0]["Employment(1)"] == "()2,091,480"
+    # all-string raw layer
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_extract_table_errors(spark):
+    with pytest.raises(ValueError, match="no table"):
+        html_table.extract_table(spark, "<html><table><tr><th>Nope</th></tr></table></html>")
+    with pytest.raises(ValueError, match="no data rows"):
+        html_table.extract_table(
+            spark,
+            "<table><tr><th>Occupation (SOC code)</th></tr>"
+            "<tr><td>only</td></tr><tr><td>footers</td></tr></table>",
+        )
+
+
+def test_parse_tables_distributed(spark):
+    pages = spark.createDataFrame(
+        [("u1", OEWS_HTML), ("u2", "<p>no tables here</p>"), ("u3", None)],
+        ["url", "html"],
+    )
+    out = html_table.parse_tables_distributed(pages).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    assert set(by_url) == {"u1"}  # pages without tables contribute nothing
+    # u1 has 2 tables: 1 data row in the unrelated one + 4 in the OEWS one
+    assert len(by_url["u1"]) == 5
+    cells = [r["cells"] for r in by_url["u1"] if r["table_idx"] == 1]
+    assert ["Chief Executives (11-1011)", "()2,091,480"] in cells
+
+
+def test_excel_from_pandas_null_normalization(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, 3.0], "b": pd.array([1, None, 3], dtype="Int64"), "c": ["x", None, "z"]}
+    )
+    df = excel.from_pandas(spark, pdf)
+    rows = df.orderBy("a").collect()
+    assert rows[-1]["a"] is None or rows[0]["a"] is None  # NaN → NULL, not NaN
+    nulls = df.filter(F.col("b").isNull()).count()
+    assert nulls == 1
+
+
+def test_lake_snapshot_idempotent_and_pruned(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    df1 = spark.range(5).withColumn("v", F.lit("day1"))
+    lake.write_snapshot(df1, root, "ds", "2026-01-01")
+    lake.write_snapshot(
+        spark.range(3).withColumn("v", F.lit("day2")), root, "ds", "2026-01-02"
+    )
+    # re-run day1 with different content — must REPLACE, not append
+    lake.write_snapshot(
+        spark.range(2).withColumn("v", F.lit("day1-rerun")), root, "ds", "2026-01-01"
+    )
+    all_rows = lake.read_snapshot(spark, root, "ds")
+    assert all_rows.count() == 5  # 2 (replaced day1) + 3 (day2)
+    day1 = lake.read_snapshot(spark, root, "ds", "2026-01-01")
+    assert day1.count() == 2
+    assert set(r["v"] for r in day1.collect()) == {"day1-rerun"}
+    latest = lake.latest_snapshot(spark, root, "ds")
+    assert set(r["v"] for r in latest.collect()) == {"day2"}
+    # partition pruning: the date filter must reach the scan as a
+    # PartitionFilter, not a post-scan Filter
+    plan = day1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(snapshot_date" in plan
+
+
+def test_warehouse_idempotent_append(spark):
+    table = "t_idem_append"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    warehouse.idempotent_append(df, table, "2026-01-01")
+    warehouse.idempotent_append(df, table, "2026-01-02")
+    # re-run day 1: row count for that partition must not grow
+    warehouse.idempotent_append(df, table, "2026-01-01")
+    got = spark.table(table)
+    assert got.count() == 4
+    assert got.filter(F.col("snapshot_date") == "2026-01-01").count() == 2
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_warehouse_create_if_not_exists(spark):
+    table = "t_ddl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse.create_table_if_not_exists(
+        spark, table, "id BIGINT, v STRING, snapshot_date STRING"
+    )
+    warehouse.create_table_if_not_exists(  # second call: no-op, no raise
+        spark, table, "id BIGINT, v STRING, snapshot_date STRING"
+    )
+    assert spark.catalog.tableExists(table)
+    spark.sql(f"DROP TABLE {table}")

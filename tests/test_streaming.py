@@ -1,0 +1,121 @@
+"""Structured Streaming tests: file source → memory sink with
+``trigger(availableNow=True)``, asserting streaming results equal the
+batch plan on the same data (the module's core contract: one
+transformation, two execution modes)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.streaming import events as SE
+
+
+def _ts(h, m=0, s=0):
+    return datetime.datetime(2026, 1, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    rows = [
+        ("u1", "click", 1.0, _ts(9, 0)),
+        ("u1", "click", 2.0, _ts(9, 10)),
+        ("u1", "view", 3.0, _ts(10, 5)),
+        ("u1", "click", 4.0, _ts(12, 0)),  # > 30 min gap → new session
+        ("u2", "click", 5.0, _ts(9, 59)),
+        ("u2", "click", 5.0, _ts(9, 59)),  # exact duplicate row
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, value double, ts timestamp")
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    df.repartition(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _read_stream(spark, path):
+    schema = "user_id string, event_type string, value double, ts timestamp"
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_windowed_counts_stream_equals_batch(spark, event_dir):
+    batch = SE.windowed_counts(spark.read.parquet(event_dir), "1 hour")
+    stream = SE.windowed_counts(_read_stream(spark, event_dir), "1 hour", streaming=True)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # (9h, click) n=4 [u1×2 + u2×2], (10h, view) n=1, (12h, click) n=1
+    assert len(want) == 3
+    assert want[(_ts(9), "click")][0] == 4
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, event_dir):
+    """Session membership must agree between the native session_window
+    (streaming) and the lag/cumsum reformulation (batch).  session_window
+    ends at last_event+gap by definition, so compare (user, start,
+    n_events) — not end."""
+    batch = SE.sessionize(spark.read.parquet(event_dir), gap="30 minutes")
+    stream = SE.sessionize(_read_stream(spark, event_dir), gap="30 minutes", streaming=True)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # u1: {9:00 ×2-event... wait 9:00→9:10 (gap 10m) then 10:05 (55m → new)}
+    u1_sessions = sorted(n for (u, _s, n) in want if u == "u1")
+    assert u1_sessions == [1, 1, 2]
+
+
+def test_streaming_dedup(spark, event_dir):
+    stream = SE.streaming_dedup(
+        _read_stream(spark, event_dir), ["user_id", "event_type", "value", "ts"]
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("deduped")
+    assert got.count() == 5  # 6 rows - 1 exact duplicate
+    assert got.filter((F.col("user_id") == "u2")).count() == 1
