@@ -5,14 +5,26 @@
 - ``topk``       — top-k global and per-group
 - ``prefix_join``— derived-key dimension equi-join (broadcast)
 - ``text_analysis`` — whole-table text ops (explode + codegen aggregate)
+- ``asof_join``  — point-in-time join (union-merge, one shuffle+sort)
+- ``multimodal`` — binary media columns: sniff/decode/resize/features
 """
 
 from occupation_wage_etl_spark.operators import (
+    asof_join,
     dedup,
+    multimodal,
     prefix_join,
     similarity,
     text_analysis,
     topk,
 )
 
-__all__ = ["dedup", "similarity", "topk", "prefix_join", "text_analysis"]
+__all__ = [
+    "asof_join",
+    "dedup",
+    "multimodal",
+    "similarity",
+    "topk",
+    "prefix_join",
+    "text_analysis",
+]

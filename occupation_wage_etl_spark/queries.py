@@ -33,6 +33,7 @@ from occupation_wage_etl_spark.functions import cleaning
 from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
 from occupation_wage_etl_spark.operators import (
+    asof_join,
     dedup,
     multimodal,
     prefix_join,
@@ -911,6 +912,98 @@ SELECT doc_id, {cols} FROM h
 
 
 # ---------------------------------------------------------------------------
+# q27 — as-of (point-in-time) join: latest click value as of each purchase
+# (operators/asof_join.py — union-merge plan, one shuffle+sort)
+# ---------------------------------------------------------------------------
+
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # unique (user, ts) on the right side — required for deterministic
+    # as-of semantics (see operator docstring)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join.asof_join(purchases, clicks, on="ts", by="user_id")
+
+
+Q27_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.ts, p.event_id, p.value, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — multi-resolution time rollup (hypertable-rollup analog):
+# ROLLUP(day, hour) gives hour-level, day-level, and grand-total rows in
+# one pass — partial aggregates shuffle once, Catalyst expands the sets.
+# ---------------------------------------------------------------------------
+
+def q28_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+Q28_SQL = f"""
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       date_trunc('hour', ts)::TIMESTAMP AS hour,
+       count(*) AS n_events,
+       {_DSUM.format(x='value')} AS total_value
+FROM events
+GROUP BY ROLLUP(day, hour)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — semi-structured props: JSON extraction + aggregate per event_type
+# ---------------------------------------------------------------------------
+
+def q29_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q29_SQL = """
+SELECT event_type,
+       count(json_extract(props, '$.k')::BIGINT) AS n_with_k,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -941,6 +1034,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_ivf_knn": q24_ivf_knn,
     "q25_multimodal_sniff": q25_multimodal_sniff,
     "q26_multimodal_features": q26_multimodal_features,
+    "q27_asof_join": q27_asof_join,
+    "q28_time_rollup": q28_time_rollup,
+    "q29_json_props": q29_json_props,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -968,4 +1064,7 @@ ORACLE_SQL: dict[str, str] = {
     # q22-q24: approximate/engine-specific — rows-only check by design
     "q25_multimodal_sniff": Q25_SQL,
     "q26_multimodal_features": _features_oracle_sql(),
+    "q27_asof_join": Q27_SQL,
+    "q28_time_rollup": Q28_SQL,
+    "q29_json_props": Q29_SQL,
 }

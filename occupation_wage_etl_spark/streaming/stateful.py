@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+When the built-in stateful operators (windowed agg, session_window,
+dropDuplicatesWithinWatermark) can't express the semantics — running
+per-key accumulators, custom eviction, cross-batch machine state — the
+blessed Spark shape is ``groupBy(key).applyInPandasWithState``: state is
+a typed tuple per key, partitioned by the grouping key across executors,
+checkpointed with the query, and evicted by timeout.  Arrow batches keep
+the Python boundary columnar.
+
+Scale notes: state volume is O(#live keys × state row width) spread over
+executors; with ``ProcessingTimeTimeout`` idle keys are dropped, so
+unbounded key spaces (user ids at 100 TB) stay bounded by the active
+set.  The same transformation has a trivial batch equivalent
+(``user_totals_batch``) — the correctness oracle for tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Running (n_events, total_value) per user, one updated row per key
+    per micro-batch.  With ``idle_timeout_ms``, keys idle longer than the
+    timeout emit a final row and release their state."""
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [uid], "n_events": [n], "total_value": [total]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [uid], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, OUT_SCHEMA, STATE_SCHEMA, "update", timeout
+    )
+
+
+def user_totals_batch(
+    events: DataFrame, user_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Batch equivalent of ``running_user_totals``'s final state — the
+    oracle for streaming tests."""
+    return events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col(value_col), F.lit(0.0))).alias("total_value"),
+    )

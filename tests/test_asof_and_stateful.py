@@ -1,0 +1,90 @@
+"""As-of join semantics + custom stateful streaming operator tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators import asof_join
+from occupation_wage_etl_spark.streaming import stateful
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2026, 1, 1, h, m)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "p1"),
+            (1, _ts(12), "p2"),
+            (1, _ts(9), "p0"),   # before any right row → NULL match
+            (2, _ts(10), "p3"),  # key with no right rows at all
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(9, 30), 100.0),
+            (1, _ts(10), 200.0),   # exactly coincident with p1 → matches (>=)
+            (1, _ts(11), 300.0),
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+    got = {r["tag"]: r["price"] for r in asof_join.asof_join(left, right).collect()}
+    assert got == {"p0": None, "p1": 200.0, "p2": 300.0, "p3": None}
+
+
+def test_asof_join_suffixes_collisions(spark):
+    left = spark.createDataFrame([(1, _ts(10), 1.0)], "user_id long, ts timestamp, v double")
+    right = spark.createDataFrame([(1, _ts(9), 2.0)], "user_id long, ts timestamp, v double")
+    out = asof_join.asof_join(left, right)
+    assert set(out.columns) == {"user_id", "ts", "v", "v_r"}
+    row = out.first()
+    assert (row["v"], row["v_r"]) == (1.0, 2.0)
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The union-merge formulation must plan exactly one exchange per
+    side feeding one sort — not a range join."""
+    left = spark.createDataFrame([(1, _ts(10), "x")], "user_id long, ts timestamp, t string")
+    right = spark.createDataFrame([(1, _ts(9), 1.0)], "user_id long, ts timestamp, p double")
+    plan = asof_join.asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # union shuffles once
+
+
+def test_running_user_totals_stream(spark, tmp_path):
+    rows = [
+        (1, 10.0), (1, 20.0), (2, 5.0), (2, None), (3, 7.5),
+    ]
+    df = spark.createDataFrame(
+        [(u, v, _ts(9, i)) for i, (u, v) in enumerate(rows)],
+        "user_id long, value double, ts timestamp",
+    )
+    src = str(tmp_path / "ev")
+    df.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(src)
+    q = (
+        stateful.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user == batch aggregate
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("running_totals").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], pytest.approx(r["total_value"]))
+        for r in stateful.user_totals_batch(df).collect()
+    }
+    assert got == want
+    assert got[2] == (2, pytest.approx(5.0))  # NULL value counted, sums as 0
