@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "q23_lsh_knn",
     "q25_multimodal_sniff",
     "q26_multimodal_features",
+    "q27_asof_join",
+    "q28_time_rollup",
+    "q29_json_props",
 ]
 
 
