@@ -15,6 +15,7 @@ from occupation_wage_etl_spark.operators import (
     multimodal,
     prefix_join,
     similarity,
+    skew,
     text_analysis,
     topk,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "dedup",
     "multimodal",
     "similarity",
+    "skew",
     "topk",
     "prefix_join",
     "text_analysis",

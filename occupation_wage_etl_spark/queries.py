@@ -1004,6 +1004,74 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q30 — the V1/V2 surface: CREATE TEMP VIEW + a WITH-CTE Spark SQL query
+# (views.sql lifecycle §3.2 — the SQL text path through Catalyst)
+# ---------------------------------------------------------------------------
+
+def q30_sql_view_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH cte1 AS (
+          SELECT o_custkey,
+                 split_part(o_orderpriority, '-', 1) AS prio_code,
+                 o_totalprice
+          FROM v_orders
+        )
+        SELECT c_mktsegment, prio_code,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM cte1 JOIN v_customer ON cte1.o_custkey = c_custkey
+        GROUP BY c_mktsegment, prio_code
+        """
+    )
+
+
+Q30_SQL = """
+WITH cte1 AS (
+  SELECT o_custkey,
+         split_part(o_orderpriority, '-', 1) AS prio_code,
+         o_totalprice
+  FROM orders
+)
+SELECT c_mktsegment, prio_code,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM cte1 JOIN customer ON cte1.o_custkey = c_custkey
+GROUP BY c_mktsegment, prio_code
+"""
+
+
+# ---------------------------------------------------------------------------
+# q31 — set operations: UNION / INTERSECT / EXCEPT over customer keysets
+# ---------------------------------------------------------------------------
+
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).withColumn("set_kind", F.lit("both"))
+    # subtract == EXCEPT (set semantics): urgent keys never seen in high
+    urgent_only = urgent.subtract(high).withColumn("set_kind", F.lit("urgent_only"))
+    return both.unionByName(urgent_only).select(
+        F.col("o_custkey").alias("custkey"), "set_kind"
+    )
+
+
+Q31_SQL = """
+WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     high   AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+     in_both AS (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM high)
+SELECT o_custkey AS custkey, 'both' AS set_kind FROM in_both
+UNION ALL
+SELECT DISTINCT o_custkey, 'urgent_only'
+FROM urgent
+WHERE o_custkey NOT IN (SELECT o_custkey FROM high)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1037,6 +1105,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_asof_join": q27_asof_join,
     "q28_time_rollup": q28_time_rollup,
     "q29_json_props": q29_json_props,
+    "q30_sql_view_cte": q30_sql_view_cte,
+    "q31_set_ops": q31_set_ops,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1067,4 +1137,6 @@ ORACLE_SQL: dict[str, str] = {
     "q27_asof_join": Q27_SQL,
     "q28_time_rollup": Q28_SQL,
     "q29_json_props": Q29_SQL,
+    "q30_sql_view_cte": Q30_SQL,
+    "q31_set_ops": Q31_SQL,
 }
