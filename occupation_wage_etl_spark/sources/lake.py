@@ -70,3 +70,29 @@ def latest_snapshot(spark: SparkSession, root: str, dataset: str) -> DataFrame:
     df = spark.read.parquet(f"{root}/{dataset}")
     latest = df.select(F.max(PARTITION_COL).alias("d")).first()["d"]
     return df.filter(F.col(PARTITION_COL) == latest)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a catalog table bucketed (and optionally sorted) by a join
+    key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT an exchange on either side — at 100 TB this turns the
+    nightly fact⋈fact join from the dominant shuffle into a local merge
+    per bucket.  Bucket counts must be chosen once per key domain
+    (power of two; ≈ target parallelism) because only equal counts (or
+    exact multiples, with ``spark.sql.bucketing.coalesceBucketsInJoin``)
+    co-locate.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)

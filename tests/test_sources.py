@@ -124,3 +124,23 @@ def test_warehouse_create_if_not_exists(spark):
     )
     assert spark.catalog.tableExists(table)
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located bucketed tables must join with zero Exchange operators —
+    the 100 TB fact-join contract (lake.write_bucketed docstring)."""
+    spark.sql("DROP TABLE IF EXISTS t_fact_a")
+    spark.sql("DROP TABLE IF EXISTS t_fact_b")
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("va"))
+    b = spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 3).alias("vb"))
+    lake.write_bucketed(a, "t_fact_a", "k", n_buckets=8)
+    lake.write_bucketed(b, "t_fact_b", "k", n_buckets=8)
+    # merge hint: these test tables are broadcast-small, but the contract
+    # under test is the shuffle-join regime (where bucketing matters)
+    joined = spark.table("t_fact_a").hint("merge").join(spark.table("t_fact_b"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 500
+    spark.sql("DROP TABLE t_fact_a")
+    spark.sql("DROP TABLE t_fact_b")
