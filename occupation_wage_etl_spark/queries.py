@@ -352,17 +352,24 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
-    ordered = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    """LEFT ANTI join: customers with no URGENT order.  (The synthetic
+    data gives every customer at least one order, so the plain
+    no-orders-at-all variant returned 0 rows — a vacuous check; the
+    priority predicate makes the anti-join observable.)"""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
     )
-    return cust.exceptAll(ordered.distinct()).distinct()
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti"
+    )
 
 
 Q09_SQL = """
-SELECT c_custkey FROM customer
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 """
 
 
