@@ -1079,6 +1079,76 @@ WHERE o_custkey NOT IN (SELECT o_custkey FROM high)
 
 
 # ---------------------------------------------------------------------------
+# q32 — analytic window functions: running total + lag delta + rank per
+# customer order history (frame-spec coverage beyond q08's rank-topk)
+# ---------------------------------------------------------------------------
+
+def q32_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        # decimal accumulation → running sum independent of fold order
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(run)
+        .cast("double")
+        .alias("running_spend"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w)).alias(
+            "delta_vs_prev"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+Q32_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       o_totalprice - lag(o_totalprice, 1)
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS delta_vs_prev,
+       row_number()
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# q33 — distribution statistics: exact order-stat percentiles per group
+# (bit-exact cross-engine: interpolation of sorted values, not a float fold)
+# ---------------------------------------------------------------------------
+
+def q33_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+Q33_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       quantile_cont(o_totalprice, 0.99) AS p99_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1114,6 +1184,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_json_props": q29_json_props,
     "q30_sql_view_cte": q30_sql_view_cte,
     "q31_set_ops": q31_set_ops,
+    "q32_running_totals": q32_running_totals,
+    "q33_price_distribution": q33_price_distribution,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1146,4 +1218,6 @@ ORACLE_SQL: dict[str, str] = {
     "q29_json_props": Q29_SQL,
     "q30_sql_view_cte": Q30_SQL,
     "q31_set_ops": Q31_SQL,
+    "q32_running_totals": Q32_SQL,
+    "q33_price_distribution": Q33_SQL,
 }
