@@ -6,11 +6,13 @@
 - ``prefix_join``— derived-key dimension equi-join (broadcast)
 - ``text_analysis`` — whole-table text ops (explode + codegen aggregate)
 - ``asof_join``  — point-in-time join (union-merge, one shuffle+sort)
+- ``curation``   — quality→lang→dedup corpus funnel as one plan
 - ``multimodal`` — binary media columns: sniff/decode/resize/features
 """
 
 from occupation_wage_etl_spark.operators import (
     asof_join,
+    curation,
     dedup,
     multimodal,
     prefix_join,
@@ -22,6 +24,7 @@ from occupation_wage_etl_spark.operators import (
 
 __all__ = [
     "asof_join",
+    "curation",
     "dedup",
     "multimodal",
     "similarity",

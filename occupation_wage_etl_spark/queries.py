@@ -34,6 +34,7 @@ from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
 from occupation_wage_etl_spark.operators import (
     asof_join,
+    curation,
     dedup,
     multimodal,
     prefix_join,
@@ -1149,6 +1150,44 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# q34 — the full training-data curation funnel (quality → lang → dedup)
+# as one plan: operators/curation.py.  Oracle composes the q17/q18/q12
+# SQL fragments as CTEs over the same filtered set.
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_Q = 0.5
+
+
+def q34_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.curate_corpus(docs, min_quality=CURATE_MIN_Q, langs=("en",))
+    return out.select("doc_id", "source", "quality", "pred_lang")
+
+
+def _curate_oracle_sql() -> str:
+    quality_cte = Q17_SQL.strip()
+    lang_cte = _lang_id_oracle_sql().strip()
+    return f"""
+WITH q AS ({quality_cte}),
+l AS ({lang_cte}),
+kept AS (
+  SELECT d.doc_id, d.source, d.text, q.quality, l.pred_lang
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN l ON d.doc_id = l.doc_id
+  WHERE q.quality >= {CURATE_MIN_Q} AND l.pred_lang = 'en'
+),
+keep_ids AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5({_NORM})
+)
+SELECT k.doc_id, k.source, k.quality, k.pred_lang
+FROM kept k JOIN keep_ids USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1186,6 +1225,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_set_ops": q31_set_ops,
     "q32_running_totals": q32_running_totals,
     "q33_price_distribution": q33_price_distribution,
+    "q34_curate_corpus": q34_curate_corpus,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1220,4 +1260,5 @@ ORACLE_SQL: dict[str, str] = {
     "q31_set_ops": Q31_SQL,
     "q32_running_totals": Q32_SQL,
     "q33_price_distribution": Q33_SQL,
+    "q34_curate_corpus": _curate_oracle_sql(),
 }
