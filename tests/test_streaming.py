@@ -119,3 +119,32 @@ def test_streaming_dedup(spark, event_dir):
     got = spark.table("deduped")
     assert got.count() == 5  # 6 rows - 1 exact duplicate
     assert got.filter((F.col("user_id") == "u2")).count() == 1
+
+
+def test_stream_to_lake_sink(spark, event_dir, tmp_path):
+    from occupation_wage_etl_spark.streaming import sinks
+
+    out_root = str(tmp_path / "stream_lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = _read_stream(spark, event_dir).filter(F.col("event_type") == "click")
+    q = sinks.stream_to_lake(stream, out_root, "clicks", ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out_root}/clicks")
+    assert got.count() == 5  # the 5 click rows (incl. the duplicate pair)
+    assert "__batch_id" in got.columns
+    # restart with the same checkpoint: no new data → no duplicates
+    q2 = sinks.stream_to_lake(
+        _read_stream(spark, event_dir).filter(F.col("event_type") == "click"),
+        out_root, "clicks", ckpt,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out_root}/clicks").count() == 5
+
+
+def test_approx_count_distinct_tolerance(spark, event_dir):
+    """Approximate aggregates (HLL sketch): must land within rsd of exact.
+    No oracle pair (engine-specific sketch) — tolerance-checked here."""
+    df = spark.read.parquet(event_dir)
+    exact = df.select(F.countDistinct("user_id")).first()[0]
+    approx = df.select(F.approx_count_distinct("user_id", rsd=0.05)).first()[0]
+    assert abs(approx - exact) <= max(1, exact * 0.15)
