@@ -1,0 +1,125 @@
+"""Distribution statistics: exact grouped percentiles at scale.
+
+Spark's built-in exact ``percentile`` aggregate (ObjectHashAggregate)
+buffers a value->count map for EVERY group in a single aggregation
+buffer.  On a 100 TB table that buffer is unbounded — the executor
+holding a popular group OOMs.  This operator computes the same exact,
+linearly-interpolated order statistics (DuckDB ``quantile_cont``
+semantics) as a fully distributed plan:
+
+1. value histogram — ``groupBy(group, value).count()``: one shuffle
+   with map-side partial aggregation; per-task state is bounded by
+   the hash-aggregate's spillable map.
+2. cumulative ranks — running ``sum(cnt)`` over distinct values per
+   group: the per-group task sorts only (value, count) pairs with a
+   spillable external sort, never the raw rows.
+3. rank positions — a tiny (groups x percentiles) table of the two
+   bracketing ranks per percentile; broadcast-joined back (no extra
+   shuffle) and interpolated with the same weighted formula
+   ``(ceil(pos)-pos)*lo + (pos-floor(pos))*hi`` that Spark's
+   ``percentile`` and DuckDB's ``quantile_cont`` evaluate, so results
+   stay bit-exact cross-engine (``lo + (hi-lo)*frac`` is NOT the same
+   double).
+
+Reference analogue: ``analysis.ipynb`` cell 7 (``df.describe`` /
+``quantile`` over wage columns, single-node pandas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per ``group_col``.
+
+    ``percentiles`` maps output column name -> p in [0, 1].  Returns one
+    row per group with the named percentile columns.  NULL values are
+    excluded (matching SQL aggregate semantics).
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    rows = df.filter(v.isNotNull()).select(group_col, value_col)
+
+    hist = rows.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+
+    n = F.col("n")
+
+    def pos(p: float):  # 0-based fractional position of percentile p
+        return (n - 1) * F.lit(p)
+
+    wanted = cum.groupBy(group_col).agg(F.sum("cnt").alias("n")).select(
+        group_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("qname"),
+                        (F.floor(pos(p)) + 1).alias("lo_rank"),
+                        (F.ceil(pos(p)) + 1).alias("hi_rank"),
+                        (pos(p) - F.floor(pos(p))).alias("frac"),
+                        (F.ceil(pos(p)) - pos(p)).alias("inv_frac"),
+                    )
+                    for name, p in percentiles.items()
+                ]
+            )
+        ).alias("q"),
+    ).select(group_col, "q.*")
+
+    # A value covers rank r iff cum >= r and cum - cnt < r.  `wanted` is
+    # groups x percentiles rows — always broadcast, so locating both
+    # bracketing values adds no shuffle on top of the histogram's.
+    j = cum.alias("c").join(
+        F.broadcast(wanted).alias("p"),
+        (F.col(f"c.{group_col}") == F.col(f"p.{group_col}"))
+        & (
+            (
+                (F.col("c.cum") >= F.col("p.lo_rank"))
+                & (F.col("c.cum") - F.col("c.cnt") < F.col("p.lo_rank"))
+            )
+            | (
+                (F.col("c.cum") >= F.col("p.hi_rank"))
+                & (F.col("c.cum") - F.col("c.cnt") < F.col("p.hi_rank"))
+            )
+        ),
+    )
+
+    covers = (
+        lambda rank: (F.col("c.cum") >= rank)
+        & (F.col("c.cum") - F.col("c.cnt") < rank)
+    )
+    vals = j.groupBy(F.col(f"p.{group_col}").alias(group_col), "p.qname").agg(
+        F.max(F.when(covers(F.col("p.lo_rank")), F.col(f"c.{value_col}"))).alias("lo_val"),
+        F.max(F.when(covers(F.col("p.hi_rank")), F.col(f"c.{value_col}"))).alias("hi_val"),
+        F.first("p.frac").alias("frac"),
+        F.first("p.inv_frac").alias("inv_frac"),
+    )
+
+    # Exact-integer positions must return lo_val itself (both weights are
+    # 0 there), matching the `higherIndex == lowerIndex` branch of the
+    # engines' implementations.
+    interpolated = vals.select(
+        group_col,
+        "qname",
+        F.when(F.col("frac") == 0.0, F.col("lo_val"))
+        .otherwise(
+            F.col("inv_frac") * F.col("lo_val")
+            + F.col("frac") * F.col("hi_val")
+        )
+        .alias("qval"),
+    )
+
+    agg_cols = [
+        F.max(F.when(F.col("qname") == name, F.col("qval"))).alias(name)
+        for name in percentiles
+    ]
+    return interpolated.groupBy(group_col).agg(*agg_cols)

@@ -39,6 +39,7 @@ from occupation_wage_etl_spark.operators import (
     multimodal,
     prefix_join,
     similarity,
+    stats,
     text_analysis,
     topk,
 )
@@ -1121,18 +1122,32 @@ FROM orders
 
 # ---------------------------------------------------------------------------
 # q33 — distribution statistics: exact order-stat percentiles per group
-# (bit-exact cross-engine: interpolation of sorted values, not a float fold)
+# (bit-exact cross-engine: interpolation of sorted values, not a float fold).
+# Uses operators/stats.py instead of Spark's built-in `percentile`, whose
+# per-group ObjectHashAggregate buffer is unbounded at 100 TB.
 # ---------------------------------------------------------------------------
 
 def q33_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
+    pct = stats.grouped_exact_percentiles(
+        o,
+        "o_orderpriority",
+        "o_totalprice",
+        {"median_price": 0.5, "p90_price": 0.9, "p99_price": 0.99},
+    )
+    extras = o.groupBy("o_orderpriority").agg(
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return pct.join(extras, "o_orderpriority").select(
+        "o_orderpriority",
+        "median_price",
+        "p90_price",
+        "p99_price",
+        "min_price",
+        "max_price",
+        "n_customers",
     )
 
 

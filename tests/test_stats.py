@@ -1,0 +1,76 @@
+"""Edge cases for operators/stats.grouped_exact_percentiles.
+
+The operator must agree bit-exactly with Spark's built-in exact
+``percentile`` aggregate (which itself bit-matches DuckDB
+``quantile_cont`` — see tests/test_oracle_parity.py for the full-table
+check via q33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators import stats
+
+PS = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+
+
+def _builtin(df, group_col, value_col):
+    return df.groupBy(group_col).agg(
+        *[
+            F.expr(f"percentile({value_col}, {p})").alias(name)
+            for name, p in PS.items()
+        ]
+    )
+
+
+def _assert_matches_builtin(df, group_col="g", value_col="v"):
+    got = {
+        r[group_col]: tuple(r[n] for n in PS)
+        for r in stats.grouped_exact_percentiles(
+            df, group_col, value_col, PS
+        ).collect()
+    }
+    exp = {
+        r[group_col]: tuple(r[n] for n in PS)
+        for r in _builtin(df, group_col, value_col).collect()
+    }
+    assert got == exp  # bit-exact, no tolerance
+
+
+def test_matches_builtin_percentile(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.hash("id").cast("double") / 1000.0).alias("v"),
+    )
+    _assert_matches_builtin(df)
+
+
+def test_single_row_group_and_integral_positions(spark):
+    # 1-row group: every percentile is that value.  5-row group: p25/p50
+    # land on integral positions (frac == 0 branch).
+    rows = [("a", 42.0)] + [("b", float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    _assert_matches_builtin(df)
+    out = {
+        r["g"]: r
+        for r in stats.grouped_exact_percentiles(df, "g", "v", PS).collect()
+    }
+    assert out["a"]["p25"] == out["a"]["p90"] == 42.0
+    assert out["b"]["p50"] == 2.0
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 3.0)], "g string, v double"
+    )
+    _assert_matches_builtin(df)
+
+
+def test_duplicate_values_collapse_in_histogram(spark):
+    # Heavy duplication exercises the cnt>1 rank-cover arithmetic.
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 1, 1, 1, 2, 2, 9]],
+        "g string, v double",
+    )
+    _assert_matches_builtin(df)
