@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     "q29_json_props",
     "q32_running_totals",
     "q33_price_distribution",
+    "q35_train_split",
+    "q36_pii_redaction",
+    "q37_chunk_documents",
+    "q38_vocab",
+    "q39_dup_clusters",
+    "q40_pack_sequences",
 ]
 
 

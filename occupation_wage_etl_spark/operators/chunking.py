@@ -1,0 +1,107 @@
+"""Document chunking and sequence packing for training pipelines.
+
+- ``chunk_tokens``: overlapping fixed-size token windows per document.
+  Pure projection + ``explode`` — no shuffle, no UDF; at 100 TB the
+  chunk explosion happens scan-side and flows straight into the next
+  stage's exchange (if any).  Token split is a plain ``\\s+`` regex so
+  the DuckDB oracle (``str_split_regex`` + ``list_slice`` +
+  ``generate_series``) replays it exactly.
+
+- ``pack_sequences``: greedy first-fit packing of documents into
+  fixed token budgets (sequence packing for LLM pretraining).  The
+  running-capacity reset makes it non-expressible as a window
+  function, so it runs as ``applyInPandas`` per group — each group's
+  docs are packed in deterministic doc-id order.  Groups (e.g.
+  ``source`` shards) partition the work; at scale choose a grouping
+  column with enough cardinality to spread executors evenly.
+
+Reference analogue: none; training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Explode each doc into overlapping windows of ``chunk_size`` tokens.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size).  Documents
+    with <= chunk_size tokens yield exactly one chunk.  Returns
+    (id, chunk_id, chunk_text, n_tokens).
+    """
+    if stride <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # extra full-or-partial windows after the first: ceil((n-size)/stride)
+    # in pure integer math so both engines agree on every boundary.
+    extra = F.when(
+        n > chunk_size,
+        (n - F.lit(chunk_size) + F.lit(stride - 1)).cast("long")
+        / F.lit(stride),
+    ).otherwise(F.lit(0))
+    n_chunks = F.floor(extra).cast("int") + 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        n.alias("n_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1  # 1-based for slice()
+    sliced = F.slice(F.col("toks"), start, chunk_size)
+    return base.select(
+        "id",
+        "chunk_id",
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.least(F.lit(chunk_size), F.col("n_toks") - start + 1).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """Greedy next-fit packing of docs into token-budget bins per group.
+
+    Docs are visited in ascending ``id_col`` within each group; a doc
+    that would overflow the current bin opens a new one.  Docs larger
+    than the budget get a bin of their own.  Returns one row per doc:
+    (group, id, n_tokens, bin_id, bin_fill).
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins, fills = [], []
+        for nt in pdf["n_tokens"]:
+            if fill > 0 and fill + nt > budget:
+                bin_id, fill = bin_id + 1, 0
+            fill += int(nt)
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    sized = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), r"\s+")).alias("n_tokens"),
+    )
+    return sized.groupBy("grp").applyInPandas(
+        pack, schema="grp string, id long, n_tokens int, bin_id long, bin_fill long"
+    )

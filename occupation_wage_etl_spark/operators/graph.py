@@ -1,0 +1,80 @@
+"""Connected components over duplicate-pair edges (cluster dedup).
+
+Near-dup pair lists (MinHash/SimHash output) need to become clusters
+("keep one doc per component") before a corpus can be filtered.  This
+is iterative — not expressible as one SQL query — so it runs as a
+driver-coordinated loop of pure DataFrame joins:
+
+  labels(v) = v initially
+  repeat: labels(v) = min(labels(v), min over neighbors' labels)
+  until no label changes.
+
+Each iteration is one shuffle (join edges->labels + groupBy-min); the
+loop converges in O(component diameter) rounds — near-dup clusters
+are shallow (most are 2-5 docs), so 3-6 rounds in practice.  Each
+round persists its labels and unpersists the previous round, keeping
+lineage short (no exponential plan growth).  For adversarial graphs
+(long chains) the literature's large-star/small-star alternation
+[Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14] halves diameter per round; `min_label_propagation` keeps the
+simpler form because dedup graphs are bounded-diameter.
+
+Reference analogue: none; training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; component = min
+    reachable vertex id.  Vertices not in any edge are absent (callers
+    union singletons back if needed)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("component"))

@@ -1,0 +1,61 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A train/val/test split over 100 TB must be (a) reproducible across
+reruns and engines, (b) computable scan-side with no shuffle, and
+(c) stable under repartitioning.  ``randomSplit`` fails all three (it
+is seed- AND partitioning-dependent), so we derive the split from a
+cryptographic hash of the row's stable id: the assignment is a pure
+projection — Catalyst folds it into the parquet scan, and any engine
+(the DuckDB oracle included) reproduces it bit-for-bit.
+
+Reference analogue: the reference has no split operator (its notebook
+trains nothing); this is part of the training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets) from md5 of the id's decimal form.
+
+    Uses the first 4 hex digits (16 bits — uniform far beyond 100
+    buckets) so the DuckDB oracle can replay it as
+    ``('0x' || substr(md5(id::VARCHAR), 1, 4))::INTEGER % n``.
+    """
+    hx = F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 4)
+    return (F.conv(hx, 16, 10).cast("int") % n_buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Adds a ``split`` column: 'train' / 'val' / 'test' by hash bucket.
+
+    Percentages are integers out of 100; test gets the remainder.
+    """
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, pct: int
+) -> DataFrame:
+    """Deterministic ~pct% sample within every stratum.
+
+    Same hash-bucket trick keyed on (stratum, id) so adding a stratum
+    never reshuffles another stratum's sample.
+    """
+    key = F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))
+    b = hash_bucket(key)
+    return df.filter(b < pct)

@@ -30,18 +30,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.functions import cleaning
+from occupation_wage_etl_spark.functions import pii
 from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
 from occupation_wage_etl_spark.operators import (
     asof_join,
+    chunking,
     curation,
     dedup,
+    graph,
     multimodal,
     prefix_join,
     similarity,
+    splits,
     stats,
     text_analysis,
     topk,
+    vocab,
 )
 
 
@@ -1203,6 +1208,242 @@ FROM kept k JOIN keep_ids USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# q35 — deterministic train/val/test split (operators/splits.py): pure
+# hash-of-id projection, no shuffle, engine-portable.
+# ---------------------------------------------------------------------------
+
+def q35_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return splits.hash_split(docs, "doc_id").select("doc_id", "source", "split")
+
+
+Q35_SQL = """
+SELECT doc_id, source,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100 AS b
+  FROM documents
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q36 — PII redaction (functions/pii.py).  The synthetic corpus carries no
+# PII, so the query deterministically derives a contact string from doc_id
+# (emails/phones/IPs) and redacts THAT — non-vacuous and oracle-replayable.
+# ---------------------------------------------------------------------------
+
+def q36_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    contact = F.concat(
+        F.lit("reach user"), s,
+        F.lit(" at user"), s,
+        F.lit("@mail"), (i % 10).cast("string"),
+        F.lit(".com or +1-202-555-0"),
+        F.lpad((i % 1000).cast("string"), 3, "0"),
+        F.lit(" ip 10.0."), (i % 256).cast("string"),
+        F.lit("."), ((i * 7) % 256).cast("string"),
+    )
+    n_email, n_phone, n_ip = pii.pii_counts(contact)
+    return docs.select(
+        "doc_id",
+        pii.redact_pii(contact).alias("redacted"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+    )
+
+
+Q36_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         'reach user' || doc_id::VARCHAR || ' at user' || doc_id::VARCHAR
+           || '@mail' || (doc_id % 10)::VARCHAR || '.com or +1-202-555-0'
+           || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+           || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.'
+           || ((doc_id * 7) % 256)::VARCHAR AS contact
+  FROM documents
+), r AS (
+  SELECT doc_id, contact,
+         regexp_replace(contact, '{pii.EMAIL_RE}', '<EMAIL>', 'g') AS after_email
+  FROM c
+), r2 AS (
+  SELECT doc_id, contact, after_email,
+         regexp_replace(after_email, '{pii.PHONE_RE}', '<PHONE>', 'g') AS after_phone
+  FROM r
+)
+SELECT doc_id,
+       regexp_replace(after_phone, '{pii.IPV4_RE}', '<IP>', 'g') AS redacted,
+       len(regexp_extract_all(contact, '{pii.EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(after_email, '{pii.PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(after_phone, '{pii.IPV4_RE}')) AS n_ips
+FROM r2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q37 — overlapping token-window chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def q37_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = chunking.chunk_tokens(
+        docs, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+Q37_SQL = f"""
+WITH s AS (
+  SELECT doc_id, str_split_regex(text, '\\s+') AS toks,
+         len(str_split_regex(text, '\\s+')) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n > {CHUNK_SIZE}
+              THEN (n - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+              ELSE 0 END AS extra
+  FROM s
+), r AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, extra)) AS chunk_id
+  FROM e
+)
+SELECT doc_id, chunk_id,
+       array_to_string(
+         list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                    chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ') AS chunk_text,
+       least({CHUNK_SIZE}, n - chunk_id * {CHUNK_STRIDE}) AS n_tokens
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# q38 — corpus vocabulary by document frequency (operators/vocab.py)
+# ---------------------------------------------------------------------------
+
+VOCAB_N = 1000
+
+
+def q38_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = vocab.build_vocab(docs, top_n=VOCAB_N)
+    return out.select(
+        "token",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("token_id").cast("long").alias("token_id"),
+    )
+
+
+Q38_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_distinct(str_split_regex(text, '\\s+'))) AS token
+  FROM documents
+), df_ AS (
+  SELECT token, count(*) AS doc_freq
+  FROM tk WHERE token <> ''
+  GROUP BY token
+)
+SELECT token, doc_freq,
+       row_number() OVER (ORDER BY doc_freq DESC, token) AS token_id
+FROM df_
+QUALIFY token_id <= {VOCAB_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q39 — duplicate clusters: connected components over the q13 MinHash pair
+# list (operators/graph.py).  Iterative min-label propagation in Spark;
+# the DuckDB oracle replays it as a recursive-CTE transitive closure over
+# the SAME edge list, so even the iterative operator is value-checked.
+# ---------------------------------------------------------------------------
+
+def q39_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    cc = graph.connected_components(edges)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _dup_clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) mh
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM edges
+), reach AS (
+  SELECT DISTINCT u AS id, u AS lbl FROM sym
+  UNION
+  SELECT s.u AS id, r.lbl
+  FROM sym s JOIN reach r ON r.id = s.v
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — sequence packing (operators/chunking.py): greedy next-fit token
+# bins per source shard via applyInPandas.  The running-capacity reset is
+# not a window function; the DuckDB oracle replays it as a per-group
+# linear recursion (depth = docs per group at oracle SF).
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256
+
+
+def q40_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = chunking.pack_sequences(docs, budget=PACK_BUDGET)
+    return out.select(
+        F.col("grp").alias("source"),
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
+        "bin_fill",
+    )
+
+
+Q40_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         len(str_split_regex(text, '\\s+'))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT source, doc_id, n_tokens, rn,
+         0::BIGINT AS bin_id, n_tokens AS bin_fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.bin_fill + d.n_tokens > {PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END AS bin_id,
+         CASE WHEN p.bin_fill + d.n_tokens > {PACK_BUDGET}
+              THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END AS bin_fill
+  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1241,6 +1482,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_running_totals": q32_running_totals,
     "q33_price_distribution": q33_price_distribution,
     "q34_curate_corpus": q34_curate_corpus,
+    "q35_train_split": q35_train_split,
+    "q36_pii_redaction": q36_pii_redaction,
+    "q37_chunk_documents": q37_chunk_documents,
+    "q38_vocab": q38_vocab,
+    "q39_dup_clusters": q39_dup_clusters,
+    "q40_pack_sequences": q40_pack_sequences,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1276,4 +1523,10 @@ ORACLE_SQL: dict[str, str] = {
     "q32_running_totals": Q32_SQL,
     "q33_price_distribution": Q33_SQL,
     "q34_curate_corpus": _curate_oracle_sql(),
+    "q35_train_split": Q35_SQL,
+    "q36_pii_redaction": Q36_SQL,
+    "q37_chunk_documents": Q37_SQL,
+    "q38_vocab": Q38_SQL,
+    "q39_dup_clusters": _dup_clusters_oracle_sql(),
+    "q40_pack_sequences": Q40_SQL,
 }

@@ -1,0 +1,136 @@
+"""Edge cases for the training-pipeline operators added alongside q35-q40
+(splits, PII redaction, chunking, vocab, packing, connected components).
+Corpus-level parity is covered by tests/test_oracle_parity.py; these hit
+the branches the synthetic corpus never exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.functions import pii
+from occupation_wage_etl_spark.operators import chunking, graph, splits, vocab
+
+
+def test_redact_pii_all_types(spark):
+    df = spark.createDataFrame(
+        [
+            ("a@b.co and c.d-e%f@sub.domain.org", "<EMAIL> and <EMAIL>"),
+            ("+1-800-555-1234 or 44-020-555-9999", "<PHONE> or <PHONE>"),
+            ("from 192.168.0.1 to 10.0.255.254", "from <IP> to <IP>"),
+            ("clean text stays clean", "clean text stays clean"),
+            # email digits must not leak into phone/ip matching
+            ("x 1.2.3.4 y u7@m1.io", "x <IP> y <EMAIL>"),
+        ],
+        "raw string, want string",
+    )
+    bad = df.filter(pii.redact_pii(F.col("raw")) != F.col("want")).count()
+    assert bad == 0
+
+
+def test_pii_counts_no_double_count(spark):
+    df = spark.createDataFrame(
+        [("u@e.com +1-202-555-0101 10.0.0.1",)], "raw string"
+    )
+    e, p, i = pii.pii_counts(F.col("raw"))
+    row = df.select(
+        e.alias("e"), p.alias("p"), i.alias("i")
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+
+
+def test_hash_split_is_stable_and_partition_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in splits.hash_split(df, "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in splits.hash_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    frac_train = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.75 < frac_train < 0.85  # 16-bit hash ≈ uniform
+
+
+def test_stratified_sample_isolated_strata(spark):
+    df = spark.createDataFrame(
+        [(s, i) for s in ("x", "y") for i in range(500)],
+        "source string, doc_id long",
+    )
+    full = splits.stratified_sample(df, "source", "doc_id", 20)
+    only_x = splits.stratified_sample(
+        df.filter(F.col("source") == "x"), "source", "doc_id", 20
+    )
+    # removing stratum y must not change stratum x's sample
+    got_x = {r["doc_id"] for r in full.filter(F.col("source") == "x").collect()}
+    alone_x = {r["doc_id"] for r in only_x.collect()}
+    assert got_x == alone_x
+
+
+def test_chunk_tokens_boundaries(spark):
+    # 10 tokens, size 4, stride 3 -> starts 0,3,6 fully inside; start 9
+    # covers the 1-token tail: ceil((10-4)/3)+1 = 3 chunks.
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only three tokens"), (3, "one")],
+        "doc_id long, text string",
+    )
+    out = chunking.chunk_tokens(df, chunk_size=4, stride=3)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    assert sum(1 for (i, _) in rows if i == 1) == 3
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert rows[(1, 2)]["n_tokens"] == 4
+    assert rows[(2, 0)]["chunk_text"] == "only three tokens"
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert sum(1 for (i, _) in rows if i == 2) == 1
+    assert rows[(3, 0)]["n_tokens"] == 1
+
+
+def test_pack_sequences_overflow_and_oversize(spark):
+    texts = {
+        1: "a " * 100,   # 101 tokens (trailing empty? no: split \s+ on 'a a ... a ')
+        2: "b " * 100,
+        3: "c " * 100,
+        4: "d " * 500,   # alone over budget -> own bin
+        5: "e",
+    }
+    df = spark.createDataFrame(
+        [("s", k, v.strip()) for k, v in texts.items()],
+        "source string, doc_id long, text string",
+    )
+    out = chunking.pack_sequences(df, budget=256)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["bin_id"] == rows[2]["bin_id"] == 0
+    assert rows[3]["bin_id"] == 1  # 300 > 256 -> new bin
+    assert rows[4]["bin_id"] == 2  # oversize doc gets its own bin
+    assert rows[4]["bin_fill"] == 500
+    assert rows[5]["bin_id"] == 3  # 500-bin is already over budget
+    # bins never exceed budget unless a single doc does
+    for r in rows.values():
+        assert r["bin_fill"] <= 256 or r["n_tokens"] > 256
+
+
+def test_connected_components_chain_and_star(spark):
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter > 1 iteration) + star 10-(11,12,13)
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in graph.connected_components(edges).collect()
+    }
+    assert {got[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {got[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_vocab_tie_break_and_truncation(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {r["token"]: r for r in vocab.build_vocab(df, top_n=2).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["token_id"] == 1 and out["a"]["doc_freq"] == 3
+    assert out["b"]["token_id"] == 2 and out["b"]["doc_freq"] == 2
