@@ -12,8 +12,10 @@ driver-coordinated loop of pure DataFrame joins:
 Each iteration is one shuffle (join edges->labels + groupBy-min); the
 loop converges in O(component diameter) rounds — near-dup clusters
 are shallow (most are 2-5 docs), so 3-6 rounds in practice.  Each
-round persists its labels and unpersists the previous round, keeping
-lineage short (no exponential plan growth).  For adversarial graphs
+round eagerly ``localCheckpoint``s its labels, truncating lineage so
+Catalyst never re-plans the accumulated loop (on a multi-node cluster
+swap in reliable ``checkpoint()`` — localCheckpoint trades executor
+fault-recovery for speed).  For adversarial graphs
 (long chains) the literature's large-star/small-star alternation
 [Kiveris et al., "Connected Components in MapReduce and Beyond",
 SoCC'14] halves diameter per round; `min_label_propagation` keeps the
@@ -47,7 +49,7 @@ def connected_components(
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -63,7 +65,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()  # eager: truncates lineage, one job per round
         )
         changed = (
             new_labels.alias("n")
@@ -72,7 +74,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
