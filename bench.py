@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q38_vocab",
     "q39_dup_clusters",
     "q40_pack_sequences",
+    "q41_embedding_centroids",
 ]
 
 

@@ -211,3 +211,44 @@ def ivf_knn(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def grouped_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid as (group, dim, centroid, n_vectors).
+
+    The scalable shape for vector aggregation: ``posexplode`` turns the
+    array column into (group, dim, value) rows scan-side, and one
+    hash-aggregate shuffle on (group, dim) computes every component mean
+    with map-side partial aggregation -- no per-group array buffering,
+    no UDF.  The mean is a float fold (partition-order-dependent in the
+    last bits), so per this repo's determinism rules it is rounded to
+    6dp -- note a DECIMAL-sum would NOT fix cross-engine equality here,
+    because Spark casts float->decimal through the value's shortest
+    string form while DuckDB converts the exact binary value.  ``dim``
+    is 1-based.
+
+    Reassembling (group, dim, centroid) rows into array form when needed
+    downstream is ``array_sort(collect_list(struct(dim, centroid)))`` --
+    kept out of this operator so the aggregate output stays streamable.
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("i", "v"),
+    )
+    return (
+        ex.groupBy("grp", "i")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("m"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            (F.col("i") + 1).cast("long").alias("dim"),
+            F.round(F.col("m"), 6).alias("centroid"),
+            "n_vectors",
+        )
+    )

@@ -1444,6 +1444,30 @@ SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM p
 
 
 # ---------------------------------------------------------------------------
+# q41 — per-label embedding centroids (operators/similarity.py): distributed
+# vector mean via posexplode + decimal-sum hash aggregate.
+# ---------------------------------------------------------------------------
+
+def q41_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.grouped_centroids(emb, group_col="label")
+
+
+Q41_SQL = """
+WITH x AS (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT label, dim,
+       round(avg(embedding[dim]::DOUBLE), 6) AS centroid,
+       count(*) AS n_vectors
+FROM x
+GROUP BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1488,6 +1512,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_vocab": q38_vocab,
     "q39_dup_clusters": q39_dup_clusters,
     "q40_pack_sequences": q40_pack_sequences,
+    "q41_embedding_centroids": q41_embedding_centroids,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1529,4 +1554,5 @@ ORACLE_SQL: dict[str, str] = {
     "q38_vocab": Q38_SQL,
     "q39_dup_clusters": _dup_clusters_oracle_sql(),
     "q40_pack_sequences": Q40_SQL,
+    "q41_embedding_centroids": Q41_SQL,
 }

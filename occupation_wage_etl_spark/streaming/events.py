@@ -113,3 +113,50 @@ def streaming_dedup(
     """Exactly-once-per-key within the watermark horizon
     (``dropDuplicatesWithinWatermark`` keeps state bounded)."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-stream inner join: right events within ``max_delay`` AFTER
+    the matching left event (click -> conversion attribution shape).
+
+    In streaming mode both sides carry watermarks and the join condition
+    bounds the event-time range, which is what lets Spark evict join
+    state: a left row older than watermark + max_delay can never match
+    again and is dropped.  Without the time bound the state store grows
+    unboundedly -- the join would be rejected by Spark for exactly that
+    reason.  Batch mode runs the identical condition for oracle checks.
+    """
+    lt, rt = f"l_{ts_col}", f"r_{ts_col}"
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias(lt),
+        F.col("event_type").alias("l_type"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias(rt),
+        F.col("event_type").alias("r_type"),
+    )
+    if streaming:
+        l = l.withWatermark(lt, watermark)
+        r = r.withWatermark(rt, watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col(rt) > F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key),
+        F.col(lt).alias("left_ts"),
+        "l_type",
+        F.col(rt).alias("right_ts"),
+        "r_type",
+    )

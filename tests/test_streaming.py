@@ -148,3 +148,29 @@ def test_approx_count_distinct_tolerance(spark, event_dir):
     exact = df.select(F.countDistinct("user_id")).first()[0]
     approx = df.select(F.approx_count_distinct("user_id", rsd=0.05)).first()[0]
     assert abs(approx - exact) <= max(1, exact * 0.15)
+
+
+def test_interval_join_stream_equals_batch(spark, event_dir):
+    # left = clicks, right = views/conversions within 15 min after
+    clicks_b = spark.read.parquet(event_dir).filter(F.col("event_type") == "click")
+    views_b = spark.read.parquet(event_dir).filter(F.col("event_type") != "click")
+    batch = SE.interval_join(clicks_b, views_b, max_delay="1 hour")
+    want = sorted(tuple(r) for r in batch.collect())
+
+    clicks_s = _read_stream(spark, event_dir).filter(F.col("event_type") == "click")
+    views_s = _read_stream(spark, event_dir).filter(F.col("event_type") != "click")
+    stream = SE.interval_join(
+        clicks_s, views_s, max_delay="1 hour", watermark="2 hours", streaming=True
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("ij").collect())
+    assert got == want
+    assert len(got) == 1  # u1 view@10:05 attributes to click@9:10 (55 min)
