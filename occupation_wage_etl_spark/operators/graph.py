@@ -57,6 +57,9 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
+        # carry the previous label through the checkpoint so convergence
+        # detection is a filter over the checkpointed rows (no extra join
+        # or recompute) — one materializing job + one cheap scan per round
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
@@ -64,17 +67,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("prev"),
             )
-            .localCheckpoint()  # eager: truncates lineage, one job per round
+            .localCheckpoint()  # eager: truncates lineage
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") != F.col("prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     sym.unpersist()
