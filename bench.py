@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q39_dup_clusters",
     "q40_pack_sequences",
     "q41_embedding_centroids",
+    "q42_tfidf_top_tokens",
 ]
 
 

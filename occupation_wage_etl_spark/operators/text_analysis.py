@@ -12,7 +12,7 @@ regardless of document length (same design as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.functions import text as T
@@ -58,4 +58,55 @@ def lang_id_table(
         .when(n_best > 1, F.lit("und"))
         .otherwise(argmax)
         .alias("pred_lang"),
+    )
+
+
+def tfidf_top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k tokens per document by smoothed TF-IDF.
+
+    Two shuffles total at any scale:
+      explode tokens -> count per (doc, token)        [shuffle 1]
+      doc-frequency per token from the same counts    [reuses shuffle-1
+        output partitioned by token after a re-key]   [shuffle 2]
+      idf joined back (token-keyed broadcast when the vocabulary is
+      small; hash join otherwise) -> per-doc window top-k.
+
+    tf = occurrences in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    never negative or divide-by-zero).  Scores are float folds ->
+    rounded to 6dp per the repo's determinism rules; ties broken by
+    token text so the result is total-ordered.
+
+    Reference analogue: none; training-data extension surface.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        (
+            F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, "token").select(
+        "id",
+        "token",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
     )

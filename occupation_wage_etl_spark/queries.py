@@ -1468,6 +1468,45 @@ GROUP BY label, dim
 
 
 # ---------------------------------------------------------------------------
+# q42 — per-doc top-k tokens by smoothed TF-IDF (operators/text_analysis.py)
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def q42_tfidf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text_analysis.tfidf_top_tokens(docs, k=TFIDF_K)
+    return out.select(
+        F.col("id").alias("doc_id"), "token", "tfidf", "rank"
+    )
+
+
+Q42_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(str_split_regex(text, '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY id, token
+), df_ AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), idf AS (
+  SELECT token, ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf FROM df_, n
+), scored AS (
+  SELECT id, token, round(tf * idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+)
+SELECT id AS doc_id, token, tfidf,
+       row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, token) AS rank
+FROM scored
+QUALIFY rank <= {TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1513,6 +1552,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_dup_clusters": q39_dup_clusters,
     "q40_pack_sequences": q40_pack_sequences,
     "q41_embedding_centroids": q41_embedding_centroids,
+    "q42_tfidf_top_tokens": q42_tfidf_top_tokens,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1555,4 +1595,5 @@ ORACLE_SQL: dict[str, str] = {
     "q39_dup_clusters": _dup_clusters_oracle_sql(),
     "q40_pack_sequences": Q40_SQL,
     "q41_embedding_centroids": Q41_SQL,
+    "q42_tfidf_top_tokens": Q42_SQL,
 }

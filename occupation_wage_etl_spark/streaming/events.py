@@ -160,3 +160,24 @@ def interval_join(
         F.col(rt).alias("right_ts"),
         "r_type",
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``events`` is
+    joined to the (batch) dimension table ``dim``.
+
+    Stream-static inner joins are stateless -- no watermark or state
+    store needed, the static side is simply looked up per batch -- so
+    this is the cheapest enrichment shape at scale.  With
+    ``broadcast_dim`` the dimension ships to executors once per batch
+    (right for catalog-sized dims); large dims fall back to a shuffled
+    hash join on the key.  The identical expression works in batch mode
+    for oracle checks.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, key, "inner")

@@ -174,3 +174,26 @@ def test_interval_join_stream_equals_batch(spark, event_dir):
     got = sorted(tuple(r) for r in spark.table("ij").collect())
     assert got == want
     assert len(got) == 1  # u1 view@10:05 attributes to click@9:10 (55 min)
+
+
+def test_enrich_with_dimension_stream_equals_batch(spark, event_dir):
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic"), ("u9", "never-matches")],
+        "user_id string, tier string",
+    )
+    batch = SE.enrich_with_dimension(spark.read.parquet(event_dir), dim)
+    want = sorted(tuple(r) for r in batch.collect())
+    assert len(want) == 6  # every fixture event has a dim row
+
+    stream = SE.enrich_with_dimension(_read_stream(spark, event_dir), dim)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("enriched").collect())
+    assert got == want
