@@ -96,3 +96,96 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.saveAsTable(table)
+
+
+def delete_by_key(
+    spark: SparkSession,
+    root: str,
+    dataset: str,
+    key_col: str,
+    keys_df: DataFrame,
+) -> int:
+    """Targeted row deletion (GDPR-style): remove rows whose ``key_col``
+    appears in ``keys_df`` and rewrite ONLY the partitions that contained
+    them.
+
+    Plain parquet has no row-level delete, so deletion is a partition
+    rewrite — the scalable shape is:
+
+      1. semi-join to find which snapshot partitions hold any victim row
+         (partition-pruned scan of just the key + partition columns);
+      2. anti-join those partitions' rows against the key set (broadcast
+         when small);
+      3. dynamic-partition-overwrite the survivors back — untouched
+         partitions are never read or written.
+
+    Returns the number of partitions rewritten.  (Table formats with
+    delete files — Iceberg/Delta — replace step 3 at the metadata layer;
+    the plan shape of steps 1-2 is identical.)
+    """
+    path = f"{root}/{dataset}"
+    keys = keys_df.select(F.col(key_col)).distinct()
+    df = spark.read.parquet(path)
+    hit_parts = [
+        r["p"]
+        for r in df.join(F.broadcast(keys), key_col, "semi")
+        .select(F.col(PARTITION_COL).alias("p"))
+        .distinct()
+        .collect()
+    ]
+    if not hit_parts:
+        return 0
+    # materialize survivors before overwriting the path they were read
+    # from (Spark rejects lazy self-overwrite); cluster variant: stage to
+    # a temp prefix and swap.
+    survivors = (
+        df.filter(F.col(PARTITION_COL).isin(hit_parts))
+        .join(F.broadcast(keys), key_col, "anti")
+        .localCheckpoint()
+    )
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+    return len(hit_parts)
+
+
+def compact_partition(
+    spark: SparkSession,
+    root: str,
+    dataset: str,
+    snapshot_date: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite one snapshot partition into ~target-sized parquet files.
+
+    Streaming sinks and incremental appends leave many small files;
+    at scale the fix is per-partition coalesce to
+    ceil(partition_bytes / target) files — computed from the actual
+    on-disk size, not guessed.  Returns the new file count.
+    """
+    part_dir = f"{root}/{dataset}/{PARTITION_COL}={snapshot_date}"
+    jvm = spark._jvm  # noqa: SLF001 — py4j filesystem access, driver-side
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    statuses = fs.listStatus(jvm.org.apache.hadoop.fs.Path(part_dir))
+    total_bytes = sum(
+        s.getLen()
+        for s in statuses
+        if s.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    # localCheckpoint materializes the partition BEFORE the overwrite —
+    # Spark refuses (or corrupts) a lazy read-then-overwrite of the same
+    # path.  On a cluster, write-to-temp + rename is the durable variant.
+    compacted = (
+        read_snapshot(spark, root, dataset, snapshot_date)
+        .drop(PARTITION_COL)
+        .coalesce(int(n_files))
+        .localCheckpoint()
+    )
+    compacted.write.mode("overwrite").parquet(part_dir)
+    return int(n_files)

@@ -144,3 +144,55 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert joined.count() == 500
     spark.sql("DROP TABLE t_fact_a")
     spark.sql("DROP TABLE t_fact_b")
+
+
+def test_delete_by_key_rewrites_only_hit_partitions(spark, tmp_path):
+    from occupation_wage_etl_spark.sources import lake
+
+    root = str(tmp_path / "lake")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    d2 = spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string")
+    lake.write_snapshot(d1, root, "ds", "2026-01-01")
+    lake.write_snapshot(d2, root, "ds", "2026-01-02")
+
+    import os
+    day2_dir = f"{root}/ds/snapshot_date=2026-01-02"
+    before = {f: os.path.getmtime(f"{day2_dir}/{f}") for f in os.listdir(day2_dir)}
+
+    victims = spark.createDataFrame([(2,)], "k long")
+    n = lake.delete_by_key(spark, root, "ds", "k", victims)
+    assert n == 1  # only day 1 contained key 2
+
+    remaining = sorted(
+        (r["k"], str(r["snapshot_date"]))  # partition col is inferred DATE
+        for r in spark.read.parquet(f"{root}/ds").collect()
+    )
+    assert remaining == [(1, "2026-01-01"), (3, "2026-01-02"), (4, "2026-01-02")]
+    # untouched partition's files were not rewritten
+    after = {f: os.path.getmtime(f"{day2_dir}/{f}") for f in os.listdir(day2_dir)}
+    assert before == after
+
+    # deleting a key that exists nowhere is a no-op
+    assert lake.delete_by_key(
+        spark, root, "ds", "k", spark.createDataFrame([(99,)], "k long")
+    ) == 0
+
+
+def test_compact_partition(spark, tmp_path):
+    from occupation_wage_etl_spark.sources import lake
+
+    root = str(tmp_path / "lake2")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    # force many small files
+    lake.write_snapshot(df.repartition(16), root, "ds", "2026-01-01")
+    import glob
+    part_dir = f"{root}/ds/snapshot_date=2026-01-01"
+    assert len(glob.glob(f"{part_dir}/*.parquet")) == 16
+
+    n_files = lake.compact_partition(spark, root, "ds", "2026-01-01")
+    assert n_files == 1  # tiny data -> one target-size file
+    assert len(glob.glob(f"{part_dir}/*.parquet")) == 1
+    got = sorted(r["k"] for r in lake.read_snapshot(spark, root, "ds", "2026-01-01").collect())
+    assert got == list(range(1000))
