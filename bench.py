@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q40_pack_sequences",
     "q41_embedding_centroids",
     "q42_tfidf_top_tokens",
+    "q43_region_rollup",
 ]
 
 

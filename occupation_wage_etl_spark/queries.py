@@ -1507,6 +1507,64 @@ QUALIFY rank <= {TFIDF_K}
 
 
 # ---------------------------------------------------------------------------
+# q43 — snowflake dimension rollup over region -> nation -> supplier /
+# customer.  The fact-side aggregates reduce BEFORE the joins (map-side
+# partial agg to 25 nation rows), then the tiny dimension chain broadcasts
+# — the canonical star/snowflake shape at any scale.  Exercises the three
+# tables (region, nation, supplier) no other query touches.
+# ---------------------------------------------------------------------------
+
+def q43_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    s = supplier.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_s_acctbal"),
+    )
+    c = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(s, nation.n_nationkey == s.s_nationkey, "left")
+        .join(c, nation.n_nationkey == c.c_nationkey, "left")
+        .select(
+            "r_name",
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            "avg_s_acctbal",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+Q43_SQL = """
+WITH s AS (
+  SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS avg_s_acctbal
+  FROM supplier GROUP BY s_nationkey
+), c AS (
+  SELECT c_nationkey, count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+)
+SELECT r_name, n_name,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       avg_s_acctbal,
+       coalesce(n_customers, 0) AS n_customers
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN s ON n_nationkey = s_nationkey
+LEFT JOIN c ON n_nationkey = c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1553,6 +1611,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_pack_sequences": q40_pack_sequences,
     "q41_embedding_centroids": q41_embedding_centroids,
     "q42_tfidf_top_tokens": q42_tfidf_top_tokens,
+    "q43_region_rollup": q43_region_rollup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1596,4 +1655,5 @@ ORACLE_SQL: dict[str, str] = {
     "q40_pack_sequences": Q40_SQL,
     "q41_embedding_centroids": Q41_SQL,
     "q42_tfidf_top_tokens": Q42_SQL,
+    "q43_region_rollup": Q43_SQL,
 }
