@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q41_embedding_centroids",
     "q42_tfidf_top_tokens",
     "q43_region_rollup",
+    "q44_price_band_join",
 ]
 
 

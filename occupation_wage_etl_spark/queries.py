@@ -41,6 +41,7 @@ from occupation_wage_etl_spark.operators import (
     graph,
     multimodal,
     prefix_join,
+    range_join,
     similarity,
     splits,
     stats,
@@ -1565,6 +1566,49 @@ LEFT JOIN c ON n_nationkey = c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# q44 — price-band range join (operators/range_join.py): lineitem prices
+# into overlapping bands via bucket-grid equi-join (no nested loop), then
+# per-band revenue rollup.
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS = [
+    # (band, lo, hi) — deliberately overlapping at the 30-45k seam
+    ("low", 0.0, 15000.0),
+    ("mid", 15000.01, 45000.0),
+    ("high", 30000.0, 75000.0),
+    ("lux", 75000.01, 1000000.0),
+]
+
+
+def q44_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", F.col("l_quantity")
+    )
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_join.range_join(
+        li, "l_extendedprice", bands, bucket_width=15000.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+def _price_band_oracle_sql() -> str:
+    values = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+    return f"""
+WITH bands(band, lo, hi) AS (VALUES {values})
+SELECT band, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice <= hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1612,6 +1656,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_embedding_centroids": q41_embedding_centroids,
     "q42_tfidf_top_tokens": q42_tfidf_top_tokens,
     "q43_region_rollup": q43_region_rollup,
+    "q44_price_band_join": q44_price_band_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1656,4 +1701,5 @@ ORACLE_SQL: dict[str, str] = {
     "q41_embedding_centroids": Q41_SQL,
     "q42_tfidf_top_tokens": Q42_SQL,
     "q43_region_rollup": Q43_SQL,
+    "q44_price_band_join": _price_band_oracle_sql(),
 }
