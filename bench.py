@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "q42_tfidf_top_tokens",
     "q43_region_rollup",
     "q44_price_band_join",
+    "q45_returns_pivot",
+    "q46_measure_melt",
+    "q47_profile_lineitem",
 ]
 
 

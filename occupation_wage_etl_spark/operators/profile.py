@@ -1,0 +1,71 @@
+"""Single-pass table profiling (per-column statistics).
+
+The reference has no profiling step — its cleaning notebook eyeballs
+``df.describe()`` equivalents by hand (SURVEY.md §2.8 lists data-quality
+tooling as absent).  A lake-scale engine needs a first-class profile
+operator: per-column non-null/null/distinct counts and min/max, computed
+in ONE scan of the table rather than one job per column.
+
+Plan shape
+----------
+All per-column aggregates go into a single ``agg`` (one scan, map-side
+partial aggregation, one row out), and the 1-row result is reshaped to
+one row per column with ``explode(array(struct(...)))`` — a driver-free
+transpose of an already-tiny row.
+
+Scale notes
+-----------
+- ``exact=True`` uses ``count(DISTINCT col)`` per column.  Multiple
+  distinct aggregates make Catalyst plan an Expand (input replicated
+  once per distinct column) — exact but O(n_cols) shuffle volume.
+- ``exact=False`` swaps in ``approx_count_distinct`` (HyperLogLog++),
+  which folds into the same single hash-aggregate as the other stats:
+  one pass, no Expand, constant memory.  That is the 100 TB path; the
+  exact path exists to be oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(
+    df: DataFrame, columns: Sequence[str], *, exact: bool = True
+) -> DataFrame:
+    """Profile numeric ``columns`` in one scan.
+
+    Returns one row per column:
+    ``(column_name, n_nonnull, n_null, n_distinct, min_value, max_value)``
+    with min/max cast to double (engine-portable comparison semantics).
+    """
+    if not columns:
+        raise ValueError("profile_numeric needs at least one column")
+    total = F.count(F.lit(1)).alias("_total")
+    aggs = [total]
+    for i, name in enumerate(columns):
+        col = F.col(name).cast("double")
+        distinct = (
+            F.countDistinct(col) if exact else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(col).alias(f"_nn{i}"),
+            distinct.alias(f"_nd{i}"),
+            F.min(col).alias(f"_mn{i}"),
+            F.max(col).alias(f"_mx{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            F.col(f"_nn{i}").alias("n_nonnull"),
+            (F.col("_total") - F.col(f"_nn{i}")).alias("n_null"),
+            F.col(f"_nd{i}").alias("n_distinct"),
+            F.col(f"_mn{i}").alias("min_value"),
+            F.col(f"_mx{i}").alias("max_value"),
+        )
+        for i, name in enumerate(columns)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

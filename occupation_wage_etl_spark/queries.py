@@ -41,6 +41,7 @@ from occupation_wage_etl_spark.operators import (
     graph,
     multimodal,
     prefix_join,
+    profile,
     range_join,
     similarity,
     splits,
@@ -1609,6 +1610,125 @@ GROUP BY band
 
 
 # ---------------------------------------------------------------------------
+# q45 — pivot (long → wide conditional aggregation): order revenue by
+# priority, one column per order status.  Pivot values are passed
+# EXPLICITLY — omitting them makes Spark run a blocking distinct-collect
+# job over the pivot column first, which at 100 TB is a full extra scan;
+# with the value list, pivot compiles to a single hash-aggregate of
+# sum(CASE WHEN ...) expressions (no extra pass, no wide-row state).
+# ---------------------------------------------------------------------------
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def q45_returns_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(_dsum(F.col("o_totalprice")))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"rev_{s.lower()}") for s in ORDER_STATUSES],
+    )
+
+
+def _pivot_oracle_sql() -> str:
+    cells = ",\n       ".join(
+        "CAST(sum(CASE WHEN o_orderstatus = '{s}' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) "
+        "AS rev_{ls}".format(s=s, ls=s.lower())
+        for s in ORDER_STATUSES
+    )
+    return f"""
+SELECT o_orderpriority,
+       {cells}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q46 — unpivot / melt (wide → long): the four lineitem measures become
+# (measure, value) rows, then a per-measure rollup.  Spark's unpivot is a
+# zero-shuffle Expand (each input row emits one row per measure inside
+# the scan stage) — the long form never materializes outside the
+# pipelined aggregate, so this is safe at any scale.
+# ---------------------------------------------------------------------------
+
+MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q46_measure_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=MELT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("value").alias("n_values"),
+        _dsum(F.col("value")).alias("total"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _melt_oracle_sql() -> str:
+    arms = "\n  UNION ALL ".join(
+        f"SELECT '{m}' AS measure, {m} AS value FROM lineitem"
+        for m in MELT_MEASURES
+    )
+    return f"""
+WITH long AS (
+  {arms}
+)
+SELECT measure,
+       count(value) AS n_values,
+       {_DSUM.format(x='value')} AS total,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM long
+GROUP BY measure
+"""
+
+
+# ---------------------------------------------------------------------------
+# q47 — single-pass table profile (operators/profile.py): per-column
+# non-null/null/distinct/min/max over the lineitem measures + keys, one
+# scan, transposed to long rows driver-free.
+# ---------------------------------------------------------------------------
+
+PROFILE_COLUMNS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+def q47_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return profile.profile_numeric(li, PROFILE_COLUMNS, exact=True)
+
+
+def _profile_oracle_sql() -> str:
+    arms = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count({c}) AS n_nonnull, "
+        f"count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({c}) AS DOUBLE) AS min_value, "
+        f"CAST(max({c}) AS DOUBLE) AS max_value FROM lineitem"
+        for c in PROFILE_COLUMNS
+    )
+    return f"  {arms}"
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1657,6 +1777,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_tfidf_top_tokens": q42_tfidf_top_tokens,
     "q43_region_rollup": q43_region_rollup,
     "q44_price_band_join": q44_price_band_join,
+    "q45_returns_pivot": q45_returns_pivot,
+    "q46_measure_melt": q46_measure_melt,
+    "q47_profile_lineitem": q47_profile_lineitem,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1702,4 +1825,7 @@ ORACLE_SQL: dict[str, str] = {
     "q42_tfidf_top_tokens": Q42_SQL,
     "q43_region_rollup": Q43_SQL,
     "q44_price_band_join": _price_band_oracle_sql(),
+    "q45_returns_pivot": _pivot_oracle_sql(),
+    "q46_measure_melt": _melt_oracle_sql(),
+    "q47_profile_lineitem": _profile_oracle_sql(),
 }

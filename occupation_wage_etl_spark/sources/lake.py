@@ -152,6 +152,77 @@ def delete_by_key(
     return len(hit_parts)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    dataset: str,
+    key_col: str,
+    updates_df: DataFrame,
+    insert_snapshot: str | None = None,
+) -> tuple[int, int]:
+    """MERGE INTO on plain parquet: upsert ``updates_df`` by ``key_col``.
+
+    Semantics (matched → UPDATE in place, unmatched → INSERT):
+
+      1. broadcast-semi-join the update keys against the lake to find
+         which snapshot partitions hold a matched row — only those
+         partitions are ever read in full or rewritten;
+      2. matched keys keep their original partition: hit partitions are
+         rewritten as (old rows minus matched keys) ∪ (updates for keys
+         living there), via dynamic partition overwrite;
+      3. unmatched update rows are appended to the ``insert_snapshot``
+         partition (default: today).
+
+    Returns ``(n_partitions_rewritten, n_inserted)``.  Untouched
+    partitions are never read or written — the same partition-pruned
+    rewrite shape as :func:`delete_by_key`; Iceberg/Delta replace step 2
+    with delete files but keep this plan shape.
+    """
+    path = f"{root}/{dataset}"
+    date = insert_snapshot or today()
+    lake = spark.read.parquet(path)
+    # key → owning partition map; distinct keys only (latest-wins within
+    # a batch is the caller's contract, enforced here defensively).
+    updates = updates_df.dropDuplicates([key_col])
+    owner = (
+        lake.join(F.broadcast(updates.select(key_col)), key_col, "semi")
+        .select(key_col, F.col(PARTITION_COL).alias("_owner_part"))
+        .distinct()
+    )
+    matched = updates.join(F.broadcast(owner), key_col, "inner")
+    # materialize inserts up front: their plan reads the lake (for the
+    # anti-join) and must not re-read it after the overwrite below.
+    inserts = (
+        updates.join(F.broadcast(owner.select(key_col)), key_col, "anti")
+        .withColumn(PARTITION_COL, F.lit(date))
+        .localCheckpoint()
+    )
+    hit_parts = [
+        r["_owner_part"]
+        for r in matched.select("_owner_part").distinct().collect()
+    ]
+    n_inserted = inserts.count()
+    if hit_parts:
+        keep = (
+            lake.filter(F.col(PARTITION_COL).isin(hit_parts))
+            .join(F.broadcast(updates.select(key_col)), key_col, "anti")
+        )
+        replaced = matched.withColumn(
+            PARTITION_COL, F.col("_owner_part")
+        ).drop("_owner_part")
+        # materialize before overwriting the source path (see delete_by_key)
+        merged = keep.unionByName(replaced).localCheckpoint()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL)
+            .parquet(path)
+        )
+    if n_inserted:
+        inserts.write.mode("append").partitionBy(PARTITION_COL).parquet(path)
+    return len(hit_parts), n_inserted
+
+
 def compact_partition(
     spark: SparkSession,
     root: str,

@@ -196,3 +196,46 @@ def test_compact_partition(spark, tmp_path):
     assert len(glob.glob(f"{part_dir}/*.parquet")) == 1
     got = sorted(r["k"] for r in lake.read_snapshot(spark, root, "ds", "2026-01-01").collect())
     assert got == list(range(1000))
+
+
+def test_merge_upsert_updates_in_place_and_appends_inserts(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "lake3")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    d2 = spark.createDataFrame([(3, "c"), (4, "d")], "k long, v string")
+    lake.write_snapshot(d1, root, "ds", "2026-01-01")
+    lake.write_snapshot(d2, root, "ds", "2026-01-02")
+
+    day2_dir = f"{root}/ds/snapshot_date=2026-01-02"
+    before = {f: os.path.getmtime(f"{day2_dir}/{f}") for f in os.listdir(day2_dir)}
+
+    # key 1 → update (lives on day 1); key 9 → insert (new)
+    updates = spark.createDataFrame([(1, "A2"), (9, "new")], "k long, v string")
+    n_parts, n_ins = lake.merge_upsert(
+        spark, root, "ds", "k", updates, insert_snapshot="2026-01-03"
+    )
+    assert (n_parts, n_ins) == (1, 1)
+
+    got = sorted(
+        (r["k"], r["v"], str(r["snapshot_date"]))
+        for r in spark.read.parquet(f"{root}/ds").collect()
+    )
+    assert got == [
+        (1, "A2", "2026-01-01"),  # updated in its original partition
+        (2, "b", "2026-01-01"),
+        (3, "c", "2026-01-02"),
+        (4, "d", "2026-01-02"),
+        (9, "new", "2026-01-03"),  # inserted into the target snapshot
+    ]
+    # unmatched partition (day 2) was never rewritten
+    after = {f: os.path.getmtime(f"{day2_dir}/{f}") for f in os.listdir(day2_dir)}
+    assert before == after
+
+    # pure-insert batch touches no existing partition
+    n_parts, n_ins = lake.merge_upsert(
+        spark, root, "ds", "k",
+        spark.createDataFrame([(10, "x")], "k long, v string"),
+        insert_snapshot="2026-01-03",
+    )
+    assert (n_parts, n_ins) == (0, 1)

@@ -74,3 +74,40 @@ def test_duplicate_values_collapse_in_histogram(spark):
         "g string, v double",
     )
     _assert_matches_builtin(df)
+
+
+def test_profile_numeric_counts_nulls_and_distincts(spark):
+    from occupation_wage_etl_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 10.0), (4, 30.0), (5, None)],
+        "id long, x double",
+    )
+    rows = {
+        r["column_name"]: r
+        for r in profile.profile_numeric(df, ["id", "x"]).collect()
+    }
+    assert rows["id"]["n_nonnull"] == 5
+    assert rows["id"]["n_null"] == 0
+    assert rows["id"]["n_distinct"] == 5
+    assert (rows["id"]["min_value"], rows["id"]["max_value"]) == (1.0, 5.0)
+    assert rows["x"]["n_nonnull"] == 3
+    assert rows["x"]["n_null"] == 2
+    assert rows["x"]["n_distinct"] == 2
+    assert (rows["x"]["min_value"], rows["x"]["max_value"]) == (10.0, 30.0)
+
+
+def test_profile_numeric_approx_mode_single_aggregate(spark):
+    from occupation_wage_etl_spark.operators import profile
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).cast("double").alias("bucket")
+    )
+    out = profile.profile_numeric(df, ["id", "bucket"], exact=False)
+    # approx plan must not use Expand (the exact-distinct replication)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    rows = {r["column_name"]: r for r in out.collect()}
+    assert rows["bucket"]["n_distinct"] == 10  # HLL exact at tiny cardinality
+    # default rsd=0.05 → observed error can reach a few σ; bound loosely
+    assert abs(rows["id"]["n_distinct"] - 1000) <= 200
