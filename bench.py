@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q45_returns_pivot",
     "q46_measure_melt",
     "q47_profile_lineitem",
+    "q48_status_cube",
+    "q49_stat_aggregates",
 ]
 
 

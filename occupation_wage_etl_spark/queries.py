@@ -1585,7 +1585,27 @@ def q44_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_extendedprice", F.col("l_quantity")
     )
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    # literal-expression band table: createDataFrame on a Python list
+    # plans as applySchemaToPythonRDD (spins up Python workers for 4
+    # rows); a literal array fold stays entirely JVM-side.
+    bands = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.lit(lo).alias("lo"),
+                            F.lit(hi).alias("hi"),
+                        )
+                        for b, lo, hi in PRICE_BANDS
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.*")
+    )
     joined = range_join.range_join(
         li, "l_extendedprice", bands, bucket_width=15000.0
     )
@@ -1729,6 +1749,64 @@ def _profile_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q48 — CUBE aggregate: all 2^2 grouping combinations of
+# (returnflag, linestatus) in one pass.  Spark plans cube as a single
+# Expand (+1 row per grouping set per input row) feeding one hash
+# aggregate — one shuffle total, not one job per grouping set.
+# Complements q28 (ROLLUP on event time).
+# ---------------------------------------------------------------------------
+
+def q48_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+Q48_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {_DSUM.format(x='l_extendedprice')} AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 — statistical aggregates per group: stddev / variance / correlation
+# / covariance.  These are float folds (no exact-decimal form exists), so
+# per the module determinism rules they are rounded at 6dp; both engines
+# use numerically-stable one-pass updates, agreeing far below that.
+# ---------------------------------------------------------------------------
+
+def q49_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def r6(col: F.Column) -> F.Column:
+        # + 0.0 canonicalizes IEEE -0.0 (a rounded tiny negative) to
+        # +0.0 — the engines otherwise format it differently ("-0" / "0")
+        return F.round(col, 6) + F.lit(0.0)
+
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("qty_stddev"),
+        r6(F.var_samp("l_extendedprice")).alias("price_var"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        r6(F.covar_samp("l_discount", "l_tax")).alias("disc_tax_covar"),
+    )
+
+
+Q49_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) + 0.0 AS qty_stddev,
+       round(var_samp(l_extendedprice), 6) + 0.0 AS price_var,
+       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1780,6 +1858,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_returns_pivot": q45_returns_pivot,
     "q46_measure_melt": q46_measure_melt,
     "q47_profile_lineitem": q47_profile_lineitem,
+    "q48_status_cube": q48_status_cube,
+    "q49_stat_aggregates": q49_stat_aggregates,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1828,4 +1908,6 @@ ORACLE_SQL: dict[str, str] = {
     "q45_returns_pivot": _pivot_oracle_sql(),
     "q46_measure_melt": _melt_oracle_sql(),
     "q47_profile_lineitem": _profile_oracle_sql(),
+    "q48_status_cube": Q48_SQL,
+    "q49_stat_aggregates": Q49_SQL,
 }
