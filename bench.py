@@ -93,6 +93,18 @@ def main() -> None:
         .withColumn("rn", F.row_number().over(Window.orderBy("r_name")))
     )
     force(warm)
+    # ... the Expand-based shapes (unpivot/melt, cube grouping sets) —
+    # their generated code is distinct from plain groupBy agg
+    force(
+        nation.unpivot(
+            ids=["n_name"],
+            values=["n_nationkey", "n_regionkey"],
+            variableColumnName="m",
+            valueColumnName="v",
+        )
+        .cube("n_name", "m")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     # ... and the text/hash-heavy codegen paths (md5, xxhash64, array
     # ops, explode+wide-agg) on a 50-doc sample, so the dedup queries
     # measure steady-state throughput rather than first-use compilation
