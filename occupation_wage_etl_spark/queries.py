@@ -221,12 +221,17 @@ def q05_cleaning_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             F.col("l_orderkey") % 5 == 0,
-            F.concat(F.lit("()$"), F.col("l_extendedprice").cast("string")),
+            # decimal(12,2)->string renders identically in Spark and DuckDB
+            # (double->string shortest-repr rules differ between engines)
+            F.concat(
+                F.lit("()$"),
+                F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+            ),
         )
         .otherwise(
             F.concat(
                 F.lit("("), (F.col("l_suppkey") % 4).cast("string"), F.lit(")$"),
-                F.col("l_extendedprice").cast("string"),
+                F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
             )
         )
     )
@@ -249,9 +254,9 @@ WITH dirty AS (
          CASE WHEN l_orderkey % 13 = 0
                 THEN '(' || CAST(l_suppkey % 9 AS VARCHAR) || ')-'
               WHEN l_orderkey % 5 = 0
-                THEN '()$' || CAST(l_extendedprice AS VARCHAR)
+                THEN '()$' || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
               ELSE '(' || CAST(l_suppkey % 4 AS VARCHAR) || ')$'
-                   || CAST(l_extendedprice AS VARCHAR)
+                   || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
          END AS cell
   FROM lineitem
 ), cleaned AS (
@@ -267,7 +272,9 @@ WITH dirty AS (
 )
 SELECT l_returnflag,
        count(*) AS n_rows,
-       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_suppressed,
+       -- BIGINT cast: DuckDB sum(int) is HUGEINT (Arrow decimal128), which
+       -- the driver's canonicalizer renders differently from Spark's int64
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
        {_DSUM.format(x='v')} AS sum_cleaned,
        {_DAVG.format(x='v')} AS avg_cleaned
 FROM cleaned GROUP BY l_returnflag
@@ -1011,7 +1018,9 @@ def q29_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q29_SQL = """
 SELECT event_type,
        count(json_extract(props, '$.k')::BIGINT) AS n_with_k,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       -- BIGINT cast: DuckDB sum(BIGINT) is HUGEINT -> Arrow decimal128,
+       -- which hash-mismatches Spark's int64 in the driver's canonicalizer
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        min(json_extract(props, '$.k')::BIGINT) AS min_k,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events
