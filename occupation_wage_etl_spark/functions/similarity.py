@@ -131,6 +131,23 @@ def simhash64(token_col: Column) -> Column:
     return fp
 
 
+def md5_hash64(col: Column) -> Column:
+    """Portable 64-bit hash: the first 16 hex chars of md5 as a signed long.
+
+    Slower than ``xxhash64`` but bit-identical in Spark, DuckDB
+    (``('0x' || substr(md5(x),1,8))::BIGINT`` per 32-bit half) and Python
+    (``int(hashlib.md5(x).hexdigest()[:16], 16)``), so SimHash fingerprints
+    built on it can be replayed exactly by the correctness oracle.
+    ``conv`` parses each 8-hex-char half (fits in a long unsigned);
+    ``shiftleft(hi, 32)`` reassembles the signed 64-bit pattern (Java
+    shifts wrap, so the sign bit lands correctly with no overflow check).
+    """
+    hexs = F.md5(col)
+    hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -175,7 +175,10 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc 64-bit SimHash (id, simhash).  Near-dup candidates = docs
     whose fingerprints agree on a 16-bit band (4 bands → hamming ≤ 3
@@ -190,14 +193,26 @@ def simhash_fingerprints(
     of document length — the whole hot path stays in whole-stage codegen
     (a higher-order-function fold over a 64-wide array accumulator is
     interpreted per element and was ~20× slower).
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5"`` (``S.md5_hash64`` — slower but bit-identical in DuckDB, so
+    the oracle can replay the fingerprints exactly; the registry query
+    uses this one).
     """
+    if hash_fn == "xxhash64":
+        def _h(t: F.Column) -> F.Column:
+            return F.xxhash64(t)
+    elif hash_fn == "md5":
+        _h = S.md5_hash64
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
     arr = F.array_distinct(T.tokens(F.col(text_col)))
     tok = df.select(
         F.col(id_col).alias("id"),
         # explode_outer + null guard: a zero-token doc keeps one null row
         # (sum(null)=null → all bits 0 below) instead of vanishing.
         F.explode_outer(F.when(F.size(arr) > 0, arr)).alias("t"),
-    ).select("id", F.when(F.col("t").isNotNull(), F.xxhash64("t")).alias("h"))
+    ).select("id", F.when(F.col("t").isNotNull(), _h(F.col("t"))).alias("h"))
     counts = tok.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -221,11 +236,12 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), bucket-join,
     verify by exact hamming distance.  Returns (id_a, id_b, hamming)."""
-    fps = simhash_fingerprints(_spread(df), text_col, id_col).persist(
+    fps = simhash_fingerprints(_spread(df), text_col, id_col, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     banded = fps.select(

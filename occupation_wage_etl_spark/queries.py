@@ -816,13 +816,64 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COS_T}
 
 
 # ---------------------------------------------------------------------------
-# Approximate / engine-specific operators — no SQL oracle (driver records
-# rows-only check): SimHash (xxhash64-based), LSH-bucketed ANN probe.
+# q22–q24 — SimHash near-dup pairs + approximate kNN (LSH, IVF).
+# All three are deterministic end-to-end (md5-derived hashes / hyperplanes,
+# literal centroids, unique tiebreakers), so the DuckDB oracle replays the
+# FULL algorithm — fingerprinting, banding, probing, verification — in SQL.
+# The only cross-engine freedom is float fold order inside dot products,
+# which can flip a sign/argmax only when two quantities agree to ~1e-13;
+# with 64-dim random embeddings that never occurs (verified at sf0.01/0.001).
 # ---------------------------------------------------------------------------
 
 def q22_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=16)
+    # hash_fn="md5": S.md5_hash64 token hashes (bit-identical in DuckDB)
+    # instead of the xxhash64 production default, so the oracle below can
+    # replay the exact fingerprints.
+    return dedup.simhash_pairs(docs, max_hamming=16, hash_fn="md5")
+
+
+Q22_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+), tok AS (  -- distinct tokens per doc (Spark: explode(array_distinct(tokens)))
+  SELECT DISTINCT doc_id, unnest(string_split(s, ' ')) AS t
+  FROM norm WHERE s IS NOT NULL
+), th AS (   -- signed 64-bit md5 token hash, two 32-bit halves (md5_hash64)
+  SELECT doc_id,
+         CASE WHEN hi >= 2147483648
+              THEN (hi - 4294967296) * 4294967296 + lo
+              ELSE hi * 4294967296 + lo END AS h
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+        FROM tok)
+), bits AS ( -- per-doc ones count of every bit position
+  SELECT t.doc_id, r.i, sum((t.h >> r.i) & 1) AS ones, count(*) AS n
+  FROM th t, range(0, 64) r(i)
+  GROUP BY 1, 2
+), fp0 AS (  -- majority vote packs the fingerprint (bit 63 via min-long:
+             -- DuckDB checks shift overflow, Spark shiftleft wraps)
+  SELECT doc_id,
+         CAST(sum(CASE WHEN ones * 2 > n THEN
+                    CASE WHEN i = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << CAST(i AS INT)) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), fps AS (  -- docs with NULL text keep fingerprint 0 (Spark explode_outer)
+  SELECT d.doc_id AS id, coalesce(f.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id
+), banded AS (
+  SELECT id, simhash, b.band, (simhash >> (b.band * 16)) & 65535 AS key
+  FROM fps, (VALUES (0), (1), (2), (3)) b(band)
+)
+SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.key = r.key AND l.id < r.id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 16
+"""
 
 
 def q23_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,6 +884,52 @@ def q23_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(qrow["embedding"]),
         k=KNN_K,
     )
+
+
+# Replays lsh_knn end-to-end: the md5-derived hyperplanes (seed "owes",
+# 16 planes — similarity._pseudo_random_hyperplanes), per-vector sign
+# signatures, 4×4-bit band match against the query's signature, then exact
+# cosine top-k over the candidates (Q15's cosine form).
+Q23_SQL = f"""
+WITH hp AS (
+  SELECT p.p, d.d,
+         ('0x' || substr(md5('owes:' || p.p || ':' || (d.d - 1)), 1, 8))::BIGINT
+           / 4294967295.0 * 2.0 - 1.0 AS w
+  FROM range(0, 16) p(p), range(1, 65) d(d)
+), dots AS (
+  SELECT e.vec_id, h.p, sum(e.embedding[h.d]::DOUBLE * h.w) AS dot
+  FROM embeddings e, hp h
+  GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY 1
+), qs AS (
+  SELECT s AS q FROM sig WHERE vec_id = {KNN_QUERY_ID}
+), cand AS (
+  SELECT g.vec_id
+  FROM sig g, qs
+  WHERE g.vec_id <> {KNN_QUERY_ID} AND (
+        ((g.s >> 0) & 15) = ((qs.q >> 0) & 15)
+     OR ((g.s >> 4) & 15) = ((qs.q >> 4) & 15)
+     OR ((g.s >> 8) & 15) = ((qs.q >> 8) & 15)
+     OR ((g.s >> 12) & 15) = ((qs.q >> 12) & 15))
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+), scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS cosine
+  FROM embeddings e, cand c, q WHERE e.vec_id = c.vec_id
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC NULLS LAST, vec_id LIMIT {KNN_K}
+"""
 
 
 def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +949,57 @@ def q24_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KNN_K,
         n_probe=3,
     )
+
+
+# Replays ivf_knn end-to-end: centroids = embeddings vec_id 1..8 (cell =
+# vec_id-1), rank centroids by cosine to the query and keep n_probe=3
+# (Python's stable sort → ties break cell asc), assign every non-query
+# vector to its argmax-cosine cell (Spark array_max over struct(cos, cell):
+# ties break cell DESC), then exact cosine top-k over vectors in probed cells.
+Q24_SQL = f"""
+WITH cent AS (
+  SELECT vec_id - 1 AS cell, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+), cq AS (
+  SELECT c.cell,
+         list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+  FROM cent c, q
+), probe AS (
+  SELECT cell FROM cq ORDER BY cos DESC, cell LIMIT 3
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY (list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                i -> e.embedding[i]::DOUBLE * c.cv[i]))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                        x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(c.cv, x -> x * x))))) DESC,
+                      c.cell DESC
+           ) AS rn
+    FROM embeddings e, cent c
+    WHERE e.vec_id <> {KNN_QUERY_ID}
+  ) WHERE rn = 1
+), cand AS (
+  SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell = p.cell
+), scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS cosine
+  FROM embeddings e, cand c2, q WHERE e.vec_id = c2.vec_id
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC NULLS LAST, vec_id LIMIT {KNN_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1893,7 +2041,9 @@ ORACLE_SQL: dict[str, str] = {
     "q19_fingerprints": Q19_SQL,
     "q20_rolling_overlap": Q20_SQL,
     "q21_embedding_near_dup": Q21_SQL,
-    # q22-q24: approximate/engine-specific — rows-only check by design
+    "q22_simhash_pairs": Q22_SQL,
+    "q23_lsh_knn": Q23_SQL,
+    "q24_ivf_knn": Q24_SQL,
     "q25_multimodal_sniff": Q25_SQL,
     "q26_multimodal_features": _features_oracle_sql(),
     "q27_asof_join": Q27_SQL,
