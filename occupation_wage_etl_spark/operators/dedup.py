@@ -27,6 +27,7 @@ from pyspark import StorageLevel
 
 from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
+from occupation_wage_etl_spark.operators import similarity
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -341,6 +342,78 @@ def embedding_near_dup_pairs(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.round(S.cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: str = "owes",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH banding — the
+    100 TB tier of ``embedding_near_dup_pairs``.
+
+    Funnel (same shape as ``simhash_pairs``/``minhash_lsh_pairs``):
+
+    1. scan-side sign signature per vector (``similarity.lsh_signature``,
+       one Arrow-batched matmul, no shuffle);
+    2. explode ``n_planes//band_bits`` band keys per row → equi-join on
+       (band, key) with id_a < id_b → ``distinct`` candidate pairs.  The
+       shuffle carries (band, key, id) triples only — never the vectors;
+    3. join the two vectors back by id and verify exact cosine ≥ threshold.
+
+    Approximate by design: a qualifying pair is emitted only if it agrees
+    on ≥1 band (recall rises steeply with the threshold — near-dup
+    thresholds ~0.9+ are caught with prob ≈1).  Deterministic end-to-end
+    (md5-seeded hyperplanes), so the DuckDB oracle replays it exactly.
+    ``dim`` must be the (fixed) embedding dimension.
+    """
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    signed = similarity.lsh_signature(_spread(df), dim, n_planes, vec_col, seed)
+    banded = signed.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("lsh_sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -788,28 +788,56 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# q21 — embedding-cosine near-dup pairs (brute force verification tier)
+# q21 — embedding-cosine near-dup pairs, hyperplane-LSH banded (the 100 TB
+# tier: explode band keys → equi-join → verify; no cross join anywhere).
+# The brute-force all-pairs form (`embedding_near_dup_pairs` without a
+# block) is kept as the recall oracle in tests/test_dedup.py only — as a
+# registry query it would be a BroadcastNestedLoopJoin scale-killer.
 # ---------------------------------------------------------------------------
 
 COS_T = 0.4
+EMB_DIM = 64  # fixed embedding dimension of the embeddings table (TESTDATA.md)
 
 
 def q21_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, threshold=COS_T)
+    return dedup.embedding_near_dup_pairs_banded(emb, dim=EMB_DIM, threshold=COS_T)
 
 
+# Replays the banded funnel: hyperplane signatures (shared with Q23), 4×4-bit
+# band-key candidate join, exact-cosine verification at the threshold.
 Q21_SQL = f"""
-WITH e AS (
+WITH hp AS (
+  SELECT p.p, d.d,
+         ('0x' || substr(md5('owes:' || p.p || ':' || (d.d - 1)), 1, 8))::BIGINT
+           / 4294967295.0 * 2.0 - 1.0 AS w
+  FROM range(0, 16) p(p), range(1, 65) d(d)
+), dots AS (
+  SELECT e.vec_id, h.p, sum(e.embedding[h.d]::DOUBLE * h.w) AS dot
+  FROM embeddings e, hp h
+  GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY 1
+), banded AS (
+  SELECT vec_id AS id, b.band, (s >> (b.band * 4)) & 15 AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+), e AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ), p AS (
-  SELECT l.id AS id_a, r.id AS id_b,
+  SELECT c.id_a, c.id_b,
          round(
            list_sum(list_transform(range(1, len(l.v) + 1), i -> l.v[i] * r.v[i]))
            / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
               * sqrt(list_sum(list_transform(r.v, x -> x * x)))),
          6) AS cosine
-  FROM e l JOIN e r ON l.id < r.id
+  FROM cand c JOIN e l ON c.id_a = l.id JOIN e r ON c.id_b = r.id
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {COS_T}
 """

@@ -134,3 +134,32 @@ def test_vocab_tie_break_and_truncation(spark):
     assert set(out) == {"a", "b"}
     assert out["a"]["token_id"] == 1 and out["a"]["doc_freq"] == 3
     assert out["b"]["token_id"] == 2 and out["b"]["doc_freq"] == 2
+
+
+def test_banded_embedding_near_dup_subset_of_brute_force(spark, sf_tiny):
+    """The banded LSH tier emits a subset of the brute-force pairs (same
+    cosines, id_a < id_b), and at near-dup thresholds its recall is high.
+    The brute-force form stays here as the recall oracle — it must NOT be
+    a registry query (O(n²) BroadcastNestedLoopJoin at scale)."""
+    from occupation_wage_etl_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs_banded(
+            emb, dim=64, threshold=0.4
+        ).collect()
+    }
+    assert set(banded) <= set(brute)
+    for pair, cos in banded.items():
+        assert brute[pair] == cos
+    # 16-plane/4-band LSH at threshold 0.4 (~66°) keeps roughly half the
+    # pairs; require a sane floor so a banding bug (e.g. wrong mask) fails.
+    assert len(banded) >= 0.3 * len(brute)
+    # near-dup regime: every almost-parallel pair must survive banding
+    near = {p for p, c in brute.items() if c >= 0.9}
+    assert near <= set(banded)
