@@ -38,6 +38,16 @@ def salted_join(
     ``F.col("some_unique_id")``.  Default: xxhash64 over all probe
     columns, which is deterministic for a given dataset.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        # right/full outer would emit every unmatched BUILD row once per
+        # salt replica — silently corrupt. De-salting those would need a
+        # post-join dedup keyed on the build side; not worth it here.
+        raise ValueError(
+            f"salted_join supports inner/left-ish joins only, got {how!r}: "
+            "the build side is replicated `salt` times, so right/full outer "
+            "joins would duplicate unmatched build rows"
+        )
     if salt_source is None:
         salt_source = F.xxhash64(*[F.col(c) for c in probe.columns])
     p = probe.withColumn("__salt", F.pmod(salt_source, F.lit(salt)).cast("int"))

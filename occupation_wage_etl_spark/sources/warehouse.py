@@ -43,13 +43,24 @@ def idempotent_append(
     """Append one snapshot to a catalog table, replacing any previous rows
     for the same date (dynamic partition overwrite → idempotent re-runs)."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     stamped = df.withColumn(PARTITION_COL, F.lit(snapshot_date))
     if spark.catalog.tableExists(table):
-        # dynamic overwrite: replaces ONLY this snapshot_date's partition
-        stamped.select(*spark.table(table).columns).write.mode(
-            "overwrite"
-        ).insertInto(table)
+        # dynamic overwrite: replaces ONLY this snapshot_date's partition.
+        # The conf is set only for the duration of this write (a session-
+        # wide set would silently flip overwrite semantics of every later
+        # static overwrite in the same session) — insertInto has no
+        # per-writer option for it, so save/restore around the call.
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            stamped.select(*spark.table(table).columns).write.mode(
+                "overwrite"
+            ).insertInto(table)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:
         stamped.write.mode("overwrite").format("parquet").partitionBy(
             PARTITION_COL
