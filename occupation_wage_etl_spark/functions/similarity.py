@@ -131,6 +131,29 @@ def simhash64(token_col: Column) -> Column:
     return fp
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_perm_params(num_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for arithmetic MinHash permutations
+    ``slot_i = (a_i * h + b_i) mod MINHASH_P``.
+
+    Derived from md5 so Spark plans, the DuckDB oracle, and Python tests
+    all embed identical literals.  ``a_i ∈ [1, P-1]`` keeps the map
+    bijective on the field; products stay below 2^62, so the arithmetic
+    never leaves a 64-bit long (no overflow in either engine).
+    """
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(h[8:16], 16) % MINHASH_P
+        params.append((a, b))
+    return params
+
+
 def md5_hash64(col: Column) -> Column:
     """Portable 64-bit hash: the first 16 hex chars of md5 as a signed long.
 

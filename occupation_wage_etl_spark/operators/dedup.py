@@ -116,18 +116,29 @@ def minhash_lsh_pairs(
     # Signature via explode + hash-aggregate (one codegen pass; the
     # higher-order ``transform``+``array_min`` form in
     # functions.similarity.minhash_signature is interpreted per element —
-    # keep that for ad-hoc column use, not whole-table runs).  Slot i is
-    # min(md5('i:' || shingle)) either way, so the DuckDB oracle replays
-    # exactly.  Zero-shingle docs drop out of candidates here; they could
+    # keep that for ad-hoc column use, not whole-table runs).
+    #
+    # Arithmetic MinHash: ONE md5 per shingle folded to a 31-bit integer,
+    # then ``num_hashes`` universal-hash permutations (a_i·h + b_i mod P)
+    # — codegen multiplies instead of 16 per-shingle md5s (the md5s were
+    # ~90% of the signature stage's CPU).  Identical constants are
+    # embedded in the DuckDB oracle, so the replay is still bit-exact.
+    # Zero-shingle docs drop out of candidates here; they could
     # never pass verification (Jaccard with an empty set is 0).
     rpb = num_hashes // bands
+    P = S.MINHASH_P
+    perms = S.minhash_perm_params(num_hashes)
     ex = shingled.select("id", F.explode("shingles").alias("s"))
-    mins = ex.groupBy("id").agg(
+    h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % P
+    hs = ex.select("id", h32.alias("h"))
+    mins = hs.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{i}")
+            for i, (a, b) in enumerate(perms)
         ]
     )
+    # Band keys stay integer structs — the candidate shuffle carries
+    # (band, rpb longs, id) instead of 32-char digest strings.
     buckets = mins.select(
         "id",
         F.explode(
@@ -135,27 +146,24 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"m{b * rpb + j}") for j in range(rpb)]
-                            )
-                        ).alias("bucket"),
+                        *[
+                            F.col(f"m{b * rpb + j}").alias(f"k{j}")
+                            for j in range(rpb)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("id", "bk.*")
 
     left = buckets.alias("l")
     right = buckets.alias("r")
+    key_eq = (F.col("l.band") == F.col("r.band"))
+    for j in range(rpb):
+        key_eq = key_eq & (F.col(f"l.k{j}") == F.col(f"r.k{j}"))
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+        left.join(right, key_eq & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )

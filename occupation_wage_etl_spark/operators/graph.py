@@ -15,11 +15,12 @@ are shallow (most are 2-5 docs), so 3-6 rounds in practice.  Each
 round eagerly ``localCheckpoint``s its labels, truncating lineage so
 Catalyst never re-plans the accumulated loop (on a multi-node cluster
 swap in reliable ``checkpoint()`` — localCheckpoint trades executor
-fault-recovery for speed).  For adversarial graphs
-(long chains) the literature's large-star/small-star alternation
-[Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14] halves diameter per round; `min_label_propagation` keeps the
-simpler form because dedup graphs are bounded-diameter.
+fault-recovery for speed).  Round 0 is seeded with min(id, min
+neighbor) (one aggregation, no join), and every later round combines
+the edge relaxation with a pointer jump (comp ← comp(comp)), the
+shortcutting idea from [Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14] — remaining diameter halves per
+round, so convergence is O(log d) driver round-trips instead of O(d).
 
 Reference analogue: none; training-data extension surface.
 """
@@ -40,15 +41,25 @@ def connected_components(
     """(id, component) for every vertex in ``edges``; component = min
     reachable vertex id.  Vertices not in any edge are absent (callers
     union singletons back if needed)."""
+    # materialize the edge list ONCE before symmetrizing: the union reads
+    # its input twice, and edge lists typically arrive as expensive
+    # pipelines (LSH candidate joins) that must not be recomputed per
+    # branch — or per iteration below.
+    mat = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        mat.union(mat.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # round 0 seeds comp = min(id, min neighbor) with a single aggregation
+    # (every neighbor's label is its own id initially, so the first relax
+    # round needs no join) — saves one full join round.
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("nmin")).alias("comp"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -57,15 +68,25 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
+        # pointer jump: comp(comp(id)) — composing label chains halves the
+        # remaining diameter each round (O(log d) rounds instead of O(d)),
+        # at the cost of one extra equi-join per round.  comp is always a
+        # vertex id, so the self-join key always resolves.
+        jump = labels.select(
+            F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+        )
         # carry the previous label through the checkpoint so convergence
         # detection is a filter over the checkpointed rows (no extra join
         # or recompute) — one materializing job + one cheap scan per round
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .join(jump, labels.comp == jump.pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    F.col("comp"),
+                    F.coalesce(F.col("nmin"), F.col("comp")),
+                    F.coalesce(F.col("pcomp"), F.col("comp")),
                 ).alias("comp"),
                 F.col("comp").alias("prev"),
             )

@@ -518,16 +518,24 @@ def q13_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle_sql() -> str:
+    # Replays operators.dedup.minhash_lsh_pairs' arithmetic MinHash: one
+    # md5 per shingle folded to 31 bits, then (a_i·h + b_i) mod P slots
+    # with the exact literals minhash_perm_params embeds in the Spark plan.
     rpb = MINHASH_N // MINHASH_BANDS
+    P = S.MINHASH_P
+    perms = S.minhash_perm_params(MINHASH_N)
     slots = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
-        for i in range(MINHASH_N)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
+        for (a, b) in perms
     )
-    bands = ",\n    ".join(
-        "{'band': %d, 'bucket': md5(%s)}"
-        % (b, " || '|' || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb)))
+    band_fields = ", ".join(
+        "{'band': %d, %s}"
+        % (b, ", ".join(f"'k{r}': sig[{b * rpb + r + 1}]" for r in range(rpb)))
         for b in range(MINHASH_BANDS)
     )
+    key_eq = " AND ".join(["l.b.band = r.b.band"] + [
+        f"l.b.k{r} = r.b.k{r}" for r in range(rpb)
+    ])
     norm = _NORM_SQL.format(x="text")
     return f"""
 WITH d AS (
@@ -538,19 +546,20 @@ WITH d AS (
            i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ')
          )) AS shingles
   FROM d
+), hsh AS (
+  SELECT id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {P}) AS hs
+  FROM sh
 ), sig AS (
   SELECT id, shingles, [
     {slots}
-  ] AS sig FROM sh
-), bnd AS (
-  SELECT id, unnest([
-    {bands}
-  ]) AS b FROM sig
+  ] AS sig FROM hsh
 ), bk AS (
-  SELECT id, b.band AS band, b.bucket AS bucket FROM bnd
+  SELECT id, unnest([{band_fields}]) AS b FROM sig
 ), cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+  FROM bk l JOIN bk r ON {key_eq} AND l.id < r.id
 ), verified AS (
   SELECT cand.id_a, cand.id_b,
          len(list_intersect(a.shingles, b.shingles)) * 1.0
