@@ -32,24 +32,32 @@ BENCH_QUERIES = [
     "q06_month_parse",
     "q07_filter_projection",
     "q08_top3_orders_per_priority",
+    "q09_customers_without_orders",
     "q10_sessionize",
     "q11_windowed_counts",
     "q12_dedup_stats",
     "q13_minhash_lsh_pairs",
+    "q14_ngram_jaccard_pairs",
     "q15_knn_cosine",
     "q16_token_stats",
     "q17_quality_scores",
     "q18_lang_id",
     "q19_fingerprints",
+    "q20_rolling_overlap",
+    "q21_embedding_near_dup",
     "q22_simhash_pairs",
     "q23_lsh_knn",
+    "q24_ivf_knn",
     "q25_multimodal_sniff",
     "q26_multimodal_features",
     "q27_asof_join",
     "q28_time_rollup",
     "q29_json_props",
+    "q30_sql_view_cte",
+    "q31_set_ops",
     "q32_running_totals",
     "q33_price_distribution",
+    "q34_curate_corpus",
     "q35_train_split",
     "q36_pii_redaction",
     "q37_chunk_documents",
@@ -70,6 +78,40 @@ BENCH_QUERIES = [
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _x33_approx_percentiles(spark, sf_dir):
+    """q33's 100 TB path: one-pass percentile_approx (GK sketch, bounded
+    memory per group) instead of the exact distributed histogram."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("q"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.approx_count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+def _x47_profile_hll(spark, sf_dir):
+    """q47's 100 TB path: HyperLogLog++ distinct counts fold into one
+    Expand-free hash aggregate (single scan, constant memory)."""
+    from occupation_wage_etl_spark.operators import profile
+    from occupation_wage_etl_spark.queries import PROFILE_COLUMNS
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile.profile_numeric(li, PROFILE_COLUMNS, exact=False)
+
+
+# Approximate/scale-path variants of registry queries: benched (so the
+# 100 TB path has numbers) but not oracle-gated — the sketches
+# (GK quantile, HLL++) are engine-specific by design; their exact
+# siblings q33/q47 carry the correctness proof.
+EXTRA_BENCH = {
+    "x33_approx_percentiles": _x33_approx_percentiles,
+    "x47_profile_hll": _x47_profile_hll,
+}
 
 
 def main() -> None:
@@ -115,11 +157,25 @@ def main() -> None:
     force(dedup.simhash_pairs(sample, max_hamming=0))
     spark.catalog.clearCache()  # drop the warmup persists
 
+    runs = [(n, SPARK_QUERIES[n]) for n in BENCH_QUERIES]
+    runs += sorted(EXTRA_BENCH.items())
+
+    # pass 1 (untimed): each query once, absorbing its query-specific
+    # codegen compilation and Python-worker spin-up.  pass 2 (timed):
+    # steady-state execution — the number that scales to a long-running
+    # cluster job, and the one BENCH records.  The host is shared/noisy,
+    # so steady-state is also far less variance-prone than cold numbers.
+    for name, fn in runs:
+        force(fn(spark, sf_dir))
+        spark.catalog.clearCache()  # operator-internal persists must not
+        # carry into the timed pass — each timed query recomputes fully
+
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name, fn in runs:
         t0 = time.perf_counter()
-        force(SPARK_QUERIES[name](spark, sf_dir))
+        force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -385,7 +385,15 @@ def embedding_near_dup_pairs_banded(
     """
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
-    signed = similarity.lsh_signature(_spread(df), dim, n_planes, vec_col, seed)
+    # persist the (id, sig) table: it is tiny (two longs per vector) and
+    # feeds BOTH sides of the band self-join — without it the Arrow matmul
+    # stage runs twice.  At scale this persist becomes a checkpoint of the
+    # signature table (same policy as minhash_lsh_pairs).
+    signed = (
+        similarity.lsh_signature(_spread(df), dim, n_planes, vec_col, seed)
+        .select(id_col, "lsh_sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = signed.select(
         F.col(id_col).alias("id"),
         F.explode(
