@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "q47_profile_lineitem",
     "q48_status_cube",
     "q49_stat_aggregates",
+    "q50_decode_image",
+    "q51_audio_stats",
+    "q52_decontaminate",
+    "q53_repetition_quality",
+    "q54_domain_caps",
 ]
 
 

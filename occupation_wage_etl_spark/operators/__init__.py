@@ -13,6 +13,7 @@
 from occupation_wage_etl_spark.operators import (
     asof_join,
     curation,
+    decontaminate,
     dedup,
     multimodal,
     prefix_join,
@@ -25,6 +26,7 @@ from occupation_wage_etl_spark.operators import (
 __all__ = [
     "asof_join",
     "curation",
+    "decontaminate",
     "dedup",
     "multimodal",
     "similarity",

@@ -37,6 +37,7 @@ from occupation_wage_etl_spark.operators import (
     asof_join,
     chunking,
     curation,
+    decontaminate,
     dedup,
     graph,
     multimodal,
@@ -2013,6 +2014,216 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# q50 — REAL image decode: synthesize an 8×8 grayscale PNG per document
+# (pixel k = (doc_id*31 + (k%8)*7 + (k//8)*13) % 256), push it through the
+# stdlib PNG encoder AND decoder (zlib deflate→inflate, scanline filters),
+# then aggregate the decoded raster JVM-side.  The oracle replays the
+# closed-form pixel function — so a value match proves the encode→decode
+# round-trip reproduced every pixel bit-exactly through real compression.
+# ---------------------------------------------------------------------------
+
+def _synth_png(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): deterministic 8×8 grayscale PNG per doc."""
+    import pandas as _pd  # noqa: F401 — pandas_udf hint resolution
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                px = bytes(
+                    (int(did) * 31 + (k % 8) * 7 + (k // 8) * 13) % 256
+                    for k in range(64)
+                )
+                out.append(multimodal.encode_png_gray(8, 8, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "content": out})
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q50_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = multimodal.decode_image(_synth_png(docs), mode="real", thumb=8)
+    px = F.col("pixels")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.aggregate(px, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("px_sum"),
+        F.array_min(px).cast("long").alias("px_min"),
+        F.array_max(px).cast("long").alias("px_max"),
+    )
+
+
+Q50_SQL = """
+SELECT doc_id, 8 AS width, 8 AS height,
+       CAST(list_sum(pxs) AS BIGINT) AS px_sum,
+       CAST(list_min(pxs) AS BIGINT) AS px_min,
+       CAST(list_max(pxs) AS BIGINT) AS px_max
+FROM (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+                        k -> (doc_id*31 + (k%8)*7 + (k//8)*13) % 256) AS pxs
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q51 — REAL audio decode: synthesize a 64-sample PCM16 WAV per document
+# (sample k = (doc_id*37 + k*115) % 4001 - 2000), decode it with the
+# stdlib WAV parser, emit per-asset stats.  Oracle replays the closed
+# form — a match proves fmt/data chunk walking + PCM16 unpack are exact.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE, _WAV_N = 8000, 64
+
+
+def _synth_wav(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import pandas as pd
+        import struct as _s
+
+        fmt = _s.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                samples = [
+                    (int(did) * 37 + k * 115) % 4001 - 2000 for k in range(_WAV_N)
+                ]
+                data = _s.pack(f"<{_WAV_N}h", *samples)
+                body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                body += b"data" + _s.pack("<I", len(data)) + data
+                out.append(b"RIFF" + _s.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "content": out})
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q51_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_audio_stats(_synth_wav(docs))
+
+
+Q51_SQL = f"""
+SELECT doc_id,
+       {_WAV_RATE} AS sample_rate,
+       CAST({_WAV_N} AS BIGINT) AS n_samples,
+       CAST(list_max(abss) AS INT) AS peak,
+       list_sum(abss) / {_WAV_N}.0 AS mean_abs
+FROM (
+  SELECT doc_id,
+         list_transform(range(0, {_WAV_N}),
+                        k -> abs((doc_id*37 + k*115) % 4001 - 2000)) AS abss
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q52 — train/eval decontamination: training docs (source != 'src0')
+# sharing ≥1 word 5-gram with the eval set (source = 'src0').  Hash-keyed
+# candidate join + string verify (operators/decontaminate.py) — the
+# GPT-3-style n-gram hygiene pass.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+
+
+def q52_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return decontaminate.contamination(train, eval_df, n=_DECON_N)
+
+
+Q52_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, source,
+         array_to_string(t[k + 1 : k + {_DECON_N}], ' ') AS gram
+  FROM toks, unnest(range(0, greatest(len(t) - {_DECON_N - 1}, 0))) AS u(k)
+), tg AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'
+), eg AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+)
+SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM tg JOIN eg USING (gram)
+GROUP BY tg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q53 — Gopher-style repetition quality: per-doc top-token and top-bigram
+# frequency share (degenerate-text signals for corpus filtering).
+# ---------------------------------------------------------------------------
+
+def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate.repetition_metrics(docs)
+
+
+Q53_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tc AS (
+  SELECT doc_id, u.tok, count(*) AS c
+  FROM toks, unnest(t) AS u(tok) GROUP BY doc_id, u.tok
+), ta AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok
+  FROM tc GROUP BY doc_id
+), bgr AS (
+  SELECT doc_id, array_to_string(t[k + 1 : k + 2], ' ') AS bg
+  FROM toks, unnest(range(0, greatest(len(t) - 1, 0))) AS u(k)
+), bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY doc_id, bg
+), ba AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+  FROM bc GROUP BY doc_id
+)
+SELECT ta.doc_id, ta.n_tokens,
+       ta.top_tok / ta.n_tokens AS top_tok_frac,
+       ba.top_bigram / ba.n_bigrams AS top_bigram_frac
+FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q54 — per-domain document caps (C4/RefinedWeb-style: bound every
+# source's contribution).  Deterministic md5 priority so both engines
+# pick identical winners; WindowGroupLimit keeps the shuffle bounded.
+# ---------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 10
+
+
+def q54_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return decontaminate.cap_per_group(
+        docs, "source", _CAP_PER_SOURCE, id_col="doc_id", salt="cap"
+    )
+
+
+Q54_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR))
+         ) AS rk
+  FROM documents
+) WHERE rk <= {_CAP_PER_SOURCE}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2066,6 +2277,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_profile_lineitem": q47_profile_lineitem,
     "q48_status_cube": q48_status_cube,
     "q49_stat_aggregates": q49_stat_aggregates,
+    "q50_decode_image": q50_decode_image,
+    "q51_audio_stats": q51_audio_stats,
+    "q52_decontaminate": q52_decontaminate,
+    "q53_repetition_quality": q53_repetition_quality,
+    "q54_domain_caps": q54_domain_caps,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2118,4 +2334,9 @@ ORACLE_SQL: dict[str, str] = {
     "q47_profile_lineitem": _profile_oracle_sql(),
     "q48_status_cube": Q48_SQL,
     "q49_stat_aggregates": Q49_SQL,
+    "q50_decode_image": Q50_SQL,
+    "q51_audio_stats": Q51_SQL,
+    "q52_decontaminate": Q52_SQL,
+    "q53_repetition_quality": Q53_SQL,
+    "q54_domain_caps": Q54_SQL,
 }

@@ -135,3 +135,184 @@ def test_extract_features(assets):
 def test_partition_rebalance_plumbs(assets):
     df = M.sniff_metadata(assets, partitions=4)
     assert df.rdd.getNumPartitions() == 4
+
+
+# ---------------------------------------------------------------------------
+# real stdlib codecs: PNG/BMP decode, WAV stats, resample round-trips
+# ---------------------------------------------------------------------------
+
+
+def _apply_png_filter(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward PNG filter (encoder side) — used to exercise every
+    unfilter branch with independently-constructed streams."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_with_filters(width, height, pixels, filters, colortype=0):
+    """Build a valid PNG whose scanlines use the given filter types."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[colortype]
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ftype in zip(range(height), filters):
+        line = bytes(pixels[y * stride : (y + 1) * stride])
+        raw.append(ftype)
+        raw += _apply_png_filter(ftype, line, prev, ch)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        M.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters():
+    w, h = 5, 5
+    pixels = bytes((x * 37 + y * 91) % 256 for y in range(h) for x in range(w))
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        png = _png_with_filters(w, h, pixels, filters)
+        gw, gh, gray = M.decode_png_gray(png)
+        assert (gw, gh) == (w, h)
+        assert gray == pixels, f"filters {filters}"
+
+
+def test_png_encoder_decoder_roundtrip():
+    w, h = 7, 3
+    pixels = bytes((x + y * 50) % 256 for y in range(h) for x in range(w))
+    assert M.decode_png_gray(M.encode_png_gray(w, h, pixels)) == (w, h, pixels)
+
+
+def test_png_rgb_luma():
+    # one red, one green, one blue pixel: luma weights 299/587/114
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    png = _png_with_filters(3, 1, rgb, [0], colortype=2)
+    _, _, gray = M.decode_png_gray(png)
+    assert list(gray) == [255 * 299 // 1000, 255 * 587 // 1000, 255 * 114 // 1000]
+
+
+def _bmp_bytes(width, height, gray_fn):
+    """Uncompressed 24-bit bottom-up BMP with r=g=b=gray_fn(x, y)."""
+    stride = (width * 3 + 3) & ~3
+    rows = bytearray()
+    for y in reversed(range(height)):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            v = gray_fn(x, y)
+            row += bytes([v, v, v])
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + dib + rows
+
+
+def test_bmp_decode():
+    w, h = 6, 4
+    fn = lambda x, y: (x * 11 + y * 29) % 256
+    gw, gh, gray = M.decode_bmp_gray(_bmp_bytes(w, h, fn))
+    assert (gw, gh) == (w, h)
+    expect = bytes(fn(x, y) for y in range(h) for x in range(w))
+    # r=g=b=v → luma(v,v,v) = v exactly (299+587+114 = 1000)
+    assert gray == expect
+
+
+def test_nearest_resample_identity_and_downscale():
+    pixels = bytes(range(16))  # 4×4
+    assert M._nearest_resample(pixels, 4, 4, 4, 4) == pixels
+    # floor index map: rows 0,2 / cols 0,2
+    assert list(M._nearest_resample(pixels, 4, 4, 2, 2)) == [0, 2, 8, 10]
+
+
+def test_decode_image_real_spark(spark):
+    rows = []
+    for i in range(6):
+        px = bytes((i * 31 + k) % 256 for k in range(64))
+        rows.append((i, M.encode_png_gray(8, 8, px), px))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], "doc_id long, content binary"
+    )
+    got = {r["doc_id"]: r for r in M.decode_image(df, mode="real").collect()}
+    for i, _, px in rows:
+        assert (got[i]["width"], got[i]["height"]) == (8, 8)
+        assert bytes(got[i]["pixels"]) == px
+
+
+def test_decode_image_real_resamples_large(spark):
+    big = bytes((x // 2 + (y // 2) * 8) % 256 for y in range(16) for x in range(16))
+    df = spark.createDataFrame(
+        [(1, M.encode_png_gray(16, 16, big))], "doc_id long, content binary"
+    )
+    r = M.decode_image(df, mode="real", thumb=8).collect()[0]
+    assert (r["width"], r["height"]) == (16, 16)  # source dims reported
+    assert len(r["pixels"]) == 64
+    # floor map hits even source indices: pixel(2x, 2y) = x + y*8
+    assert list(r["pixels"]) == [x + y * 8 for y in range(8) for x in range(8)]
+
+
+def test_decode_image_real_rejects_jpeg(spark):
+    df = spark.createDataFrame(
+        [(1, jpeg_bytes(10, 10))], "doc_id long, content binary"
+    )
+    with pytest.raises(Exception, match="undecodable|stdlib codecs"):
+        M.decode_image(df, mode="real").collect()
+
+
+def test_resize_image_real_reencodes_png(spark):
+    src = bytes((x * 3 + y * 5) % 256 for y in range(8) for x in range(8))
+    df = spark.createDataFrame(
+        [(7, M.encode_png_gray(8, 8, src))], "doc_id long, content binary"
+    )
+    r = M.resize_image(df, 4, 4, mode="real").collect()[0]
+    w, h, gray = M.decode_png_gray(bytes(r["content"]))
+    assert (w, h) == (4, 4)
+    assert gray == M._nearest_resample(src, 8, 8, 4, 4)
+
+
+def test_decode_audio_stats_real(spark):
+    n, rate = 64, 8000
+    samples = [((k * 997) % 4001) - 2000 for k in range(n)]
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data = struct.pack(f"<{n}h", *samples)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(3, wav)], "doc_id long, content binary")
+    r = M.decode_audio_stats(df).collect()[0]
+    assert r["sample_rate"] == rate and r["n_samples"] == n
+    assert r["peak"] == max(abs(s) for s in samples)
+    assert abs(r["mean_abs"] - sum(abs(s) for s in samples) / n) < 1e-12
+    # non-WAV payload must raise, not silently fake
+    bad = spark.createDataFrame([(1, b"zzz")], "doc_id long, content binary")
+    with pytest.raises(Exception, match="stdlib codecs|ValueError"):
+        M.decode_audio_stats(bad).collect()

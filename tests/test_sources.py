@@ -75,6 +75,110 @@ def test_excel_from_pandas_null_normalization(spark):
     assert nulls == 1
 
 
+def _write_minimal_xlsx(path) -> None:
+    """Hand-built ECMA-376 workbook (zip of XML parts): header row + three
+    data rows mixing shared strings, rich-text runs, inline strings,
+    ints, floats, booleans, and a skipped (sparse) cell."""
+    import zipfile
+
+    content_types = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Skills" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">'
+        "<si><t>soc_code</t></si><si><t>element</t></si><si><t>score</t></si>"
+        "<si><r><t>11-</t></r><r><t>1011</t></r></si>"  # rich-text runs
+        "</sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>0</v></c>'
+        "</row>"
+        '<row r="2">'
+        '<c r="A2" t="s"><v>3</v></c>'
+        '<c r="B2" t="inlineStr"><is><t>Critical Thinking</t></is></c>'
+        '<c r="C2"><v>4.12</v></c><c r="D2" t="b"><v>1</v></c>'
+        "</row>"
+        '<row r="3">'
+        '<c r="A3" t="str"><v>13-2011</v></c>'  # formula-cached text
+        '<c r="C3"><v>3</v></c>'  # B3 skipped → NULL; int-valued number
+        "</row>"
+        '<row r="4">'
+        '<c r="A4" t="s"><v>3</v></c><c r="B4" t="inlineStr"><is><t/></is></c>'
+        '<c r="C4"><v>2.5</v></c><c r="D4" t="b"><v>0</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_xlsx_stdlib_types_and_sparsity(tmp_path):
+    path = str(tmp_path / "skills.xlsx")
+    _write_minimal_xlsx(path)
+    header, rows = excel.read_xlsx_stdlib(path)
+    assert header == ["soc_code", "element", "score", "soc_code"]
+    assert rows[0] == ["11-1011", "Critical Thinking", 4.12, True]
+    assert rows[1] == ["13-2011", None, 3, None]  # sparse cells → NULL
+    assert rows[2] == ["11-1011", "", 2.5, False]
+    # sheet addressing: by name and a clear error otherwise
+    assert excel.read_xlsx_stdlib(path, "Skills")[0] == header
+    with pytest.raises(ValueError, match="not found"):
+        excel.read_xlsx_stdlib(path, "Nope")
+
+
+def test_read_excel_end_to_end(spark, tmp_path):
+    """S3 end-to-end: xlsx file → Spark DataFrame (reference
+    ``load_data.py:282-286``), via openpyxl when installed, else the
+    stdlib engine — this test runs either way."""
+    path = str(tmp_path / "skills.xlsx")
+    _write_minimal_xlsx(path)
+    df = excel.read_excel(spark, path)
+    rows = df.collect()
+    assert len(rows) == 3
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert got["13-2011"] == (None, 3)
+    assert got["11-1011"][0] in ("Critical Thinking", "")
+
+
 def test_lake_snapshot_idempotent_and_pruned(spark, tmp_path):
     root = str(tmp_path / "lake")
     df1 = spark.range(5).withColumn("v", F.lit("day1"))

@@ -163,3 +163,63 @@ def test_banded_embedding_near_dup_subset_of_brute_force(spark, sf_tiny):
     # near-dup regime: every almost-parallel pair must survive banding
     near = {p for p, c in brute.items() if c >= 0.9}
     assert near <= set(banded)
+
+
+# ---------------------------------------------------------------------------
+# decontamination / repetition quality / domain caps
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_hash_verified_join(spark):
+    from occupation_wage_etl_spark.operators import decontaminate as D
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # shares "b c d" with eval doc 10
+            (2, "x y z w v"),      # no overlap
+            (3, "b c d q b c d"),  # "b c d" twice (counted once) + "q b c"
+            (4, "zz"),             # shorter than n → no grams, no row
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(10, "q b c d r"), (11, "m n o p")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in D.contamination(train, eval_df, n=3).collect()
+    }
+    assert got == {1: 1, 3: 2}
+
+
+def test_repetition_metrics_edges(spark):
+    from occupation_wage_etl_spark.operators import decontaminate as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),   # top token a×3/4; top bigram "a a"×2/3
+            (2, "solo"),      # single token: no bigrams → NULL frac
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.repetition_metrics(docs).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["top_tok_frac"] == 3 / 4
+    assert got[1]["top_bigram_frac"] == 2 / 3
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["top_bigram_frac"] is None
+
+
+def test_cap_per_group_deterministic(spark, sf_tiny):
+    from occupation_wage_etl_spark.operators import decontaminate as D
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    a = D.cap_per_group(docs, "source", 3).collect()
+    sizes = {}
+    for r in a:
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+    assert all(v <= 3 for v in sizes.values())
+    b = D.cap_per_group(docs, "source", 3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
