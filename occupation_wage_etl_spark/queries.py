@@ -55,24 +55,12 @@ from occupation_wage_etl_spark.operators import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as long nanos and convert to µs timestamps
-        # (integer division — double division would lose precision at 1e18).
-        # The legacy conf is captured at read/schema-inference time, so it
-        # can be restored immediately — later parquet reads in the same
-        # session keep normal timestamp semantics (verified: the events
-        # scan still executes correctly after the restore).
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # events.ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) —
+        # Spark infers TIMESTAMP_NTZ. Cast to the session (UTC-pinned)
+        # instant type so downstream event-time ops and the DuckDB oracle
+        # (naive timestamps) see identical wall-clock values.
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
