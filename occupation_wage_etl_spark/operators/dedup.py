@@ -477,15 +477,32 @@ def embedding_near_dup_pairs_banded(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+        # the candidate table is byte-small (two longs/row) so AQE
+        # coalesces it to a few partitions — but each row fans out into a
+        # 64-element dot product below.  Re-spread by row count, not
+        # bytes, so the verify tier uses the whole cluster.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # normalize each vector ONCE (|V| rows), so per-pair verification is
+    # a single dot-product fold instead of dot + two norms (3× the work
+    # on the |candidates| >> |V| side of the funnel).  Zero-norm/NULL
+    # vectors normalize to NULL → cosine NULL → filtered, same semantics
+    # as cosine_similarity.
+    inv = F.lit(1.0) / S.l2_norm(F.col(vec_col))
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            S.l2_norm(F.col(vec_col)) > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * inv),
+        ).alias("vec"),
+    )
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b")), "id_b")
+        cand.join(unit.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")), "id_a")
+        .join(unit.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b")), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(S.cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+            F.round(S.dot_product(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -839,13 +839,19 @@ WITH hp AS (
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.key = r.key AND l.id < r.id
 ), e AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  -- normalize once per vector, mirroring the Spark tree exactly:
+  -- unit[i] = v[i] * (1.0 / norm); pair verify is then a single dot
+  SELECT vec_id AS id,
+         CASE WHEN sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+              THEN list_transform(
+                     embedding::DOUBLE[],
+                     x -> x * (1.0 / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))))
+         END AS v
+  FROM embeddings
 ), p AS (
   SELECT c.id_a, c.id_b,
          round(
-           list_sum(list_transform(range(1, len(l.v) + 1), i -> l.v[i] * r.v[i]))
-           / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
-              * sqrt(list_sum(list_transform(r.v, x -> x * x)))),
+           list_sum(list_transform(range(1, len(l.v) + 1), i -> l.v[i] * r.v[i])),
          6) AS cosine
   FROM cand c JOIN e l ON c.id_a = l.id JOIN e r ON c.id_b = r.id
 )
@@ -1975,29 +1981,91 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 # ---------------------------------------------------------------------------
 
 def q49_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / corr / covar from EXACT decimal moment sums.
+
+    The builtin stddev/corr aggregates accumulate doubles, so their
+    last-ulp output depends on partition merge order — fine numerically,
+    but not reproducible across layouts or engines.  All four moments
+    here are computed from order-independent decimal sums (the inputs
+    carry exactly 2 decimals, squares/products exactly 4, so the sums
+    are exact integers in scaled decimal); only the final closed-form
+    per-group scalar arithmetic runs in double, with the same expression
+    tree as the oracle, which makes the result bit-stable regardless of
+    row order, file layout, or partition count — the property a 100 TB
+    engine needs for rerun-identical audits.
+    """
     li = _t(spark, sf_dir, "lineitem")
 
-    def r6(col: F.Column) -> F.Column:
-        # + 0.0 canonicalizes IEEE -0.0 (a rounded tiny negative) to
-        # +0.0 — the engines otherwise format it differently ("-0" / "0")
-        return F.round(col, 6) + F.lit(0.0)
+    def d(c: str) -> F.Column:
+        return F.col(c).cast("decimal(18,2)")
 
-    return li.groupBy("l_returnflag").agg(
-        r6(F.stddev_samp("l_quantity")).alias("qty_stddev"),
-        r6(F.var_samp("l_extendedprice")).alias("price_var"),
-        r6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
-        r6(F.covar_samp("l_discount", "l_tax")).alias("disc_tax_covar"),
+    def dbl(col: F.Column) -> F.Column:
+        # decimal -> STRING -> double: the sums exceed 2^53 as scaled
+        # integers, and a direct decimal->double cast double-rounds in
+        # DuckDB (int128 then /10^scale) while Java rounds once.  The
+        # string of a decimal is its exact digits, and string->double is
+        # correctly rounded in BOTH engines — so this path is bit-equal.
+        return col.cast("string").cast("double")
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dbl(F.sum(d("l_quantity"))).alias("sq"),
+        dbl(F.sum(d("l_quantity") * d("l_quantity"))).alias("sqq"),
+        dbl(F.sum(d("l_extendedprice"))).alias("sp"),
+        dbl(F.sum(d("l_extendedprice") * d("l_extendedprice"))).alias("spp"),
+        dbl(F.sum(d("l_quantity") * d("l_extendedprice"))).alias("sqp"),
+        dbl(F.sum(d("l_discount"))).alias("sd"),
+        dbl(F.sum(d("l_tax"))).alias("st"),
+        dbl(F.sum(d("l_discount") * d("l_tax"))).alias("sdt"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    sp, spp, sqp = F.col("sp"), F.col("spp"), F.col("sqp")
+    sd, st, sdt = F.col("sd"), F.col("st"), F.col("sdt")
+
+    # NO rounding: the moment sums are exact, so identical double
+    # expression trees are bit-equal across engines — a final round()
+    # would REINTRODUCE divergence (Spark rounds via exact BigDecimal
+    # HALF_UP, DuckDB in floating point; tie-boundary values differ).
+    return sums.select(
+        "l_returnflag",
+        F.sqrt((sqq - sq * sq / n) / (n - 1)).alias("qty_stddev"),
+        ((spp - sp * sp / n) / (n - 1)).alias("price_var"),
+        (
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp))
+        ).alias("qty_price_corr"),
+        ((sdt - sd * st / n) / (n - 1)).alias("disc_tax_covar"),
     )
 
 
+# Mirrors q49's expression tree exactly: decimal moment sums (exact,
+# order-independent) cast to double, then the identical closed-form
+# scalar arithmetic — bit-equal output on any file layout.
 Q49_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqq,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sp,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spp,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqp,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sd,
+         CAST(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS st,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                  * CAST(l_tax AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sdt
+  FROM lineitem GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 6) + 0.0 AS qty_stddev,
-       round(var_samp(l_extendedprice), 6) + 0.0 AS price_var,
-       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
-       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar
-FROM lineitem
-GROUP BY l_returnflag
+       sqrt((sqq - sq * sq / n) / (n - 1)) AS qty_stddev,
+       (spp - sp * sp / n) / (n - 1) AS price_var,
+       (n * sqp - sq * sp)
+         / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS qty_price_corr,
+       (sdt - sd * st / n) / (n - 1) AS disc_tax_covar
+FROM s
 """
 
 
