@@ -115,17 +115,26 @@ def ingest_lake(spark, sf_dir: str, cpus: int) -> tuple[str, float]:
     layout (see module docstring).  Returns (lake_dir, seconds)."""
     import pyarrow.parquet as pq
 
+    from concurrent.futures import ThreadPoolExecutor
+
     tag = os.path.basename(sf_dir.rstrip("/"))
     dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".scratch", f"bench_lake_{tag}")
     t0 = time.perf_counter()
-    for t in TABLES:
+
+    def _one(t: str) -> None:
         src = f"{sf_dir}/{t}.parquet"
         rows = pq.ParquetFile(src).metadata.num_rows if os.path.isfile(src) \
             else spark.read.parquet(src).count()
         n = cpus if (rows >= 50_000 or t in EXPLODE_HEAVY) else 1
         (spark.read.parquet(src).repartition(n)
          .write.mode("overwrite").parquet(f"{dst}/{t}.parquet"))
+
+    # one Spark job per table, submitted concurrently: each source read
+    # is a single task (one row group), so serial ingest would idle 31
+    # cores; the scheduler interleaves the jobs instead.
+    with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
+        list(ex.map(_one, TABLES))
     return dst, round(time.perf_counter() - t0, 3)
 
 
