@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "q52_decontaminate",
     "q53_repetition_quality",
     "q54_domain_caps",
+    "q55_bm25_topk",
+    "q56_bigram_familiarity",
+    "q57_pq_adc_knn",
+    "q58_snapshot_diff",
 ]
 
 

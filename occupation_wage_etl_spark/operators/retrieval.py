@@ -1,0 +1,114 @@
+"""Corpus retrieval operators (BM25 scoring / top-k search).
+
+A training-data pipeline needs retrieval for targeted curation (pull
+documents matching a topic), decontamination audits (find the corpus
+docs closest to an eval query), and quality slicing.  BM25 is the
+standard lexical ranking function; this implementation keeps every
+stage in whole-stage codegen and shuffles only fixed-width rows.
+
+Scale design (100 TB corpus, q query terms, q ≪ vocabulary):
+
+- tokenize + explode is scan-fused; the (id, term) stream is filtered
+  to the q query terms BEFORE any shuffle, so the heavy exchange
+  carries only matching postings (≈ Σ_t df_t rows, not corpus tokens);
+- document lengths aggregate map-side to one row per doc;
+- global stats (N, avgdl) and per-term document frequencies are a few
+  rows — broadcast;
+- the final score is a fixed-order sum of per-term partial scores
+  (conditional aggregation, one column per query term), which makes
+  the float result independent of row/partition order — rerunnable
+  bit-identically on any layout;
+- top-k is TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.functions import text as T
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms.
+
+    idf_t = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))      (Robertson-
+    Sparck Jones, always ≥ 0); score = Σ_t idf_t · tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)) with k1=1.2, b=0.75.  N counts docs
+    with non-NULL text; dl counts ALL tokens of a doc.  Scores are
+    rounded to 6dp (float-fold rule) and ties break by ascending id,
+    so the result is total-ordered.
+    """
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(T.tokens(F.col(text_col))).alias("t"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    navg = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(terms))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(navg)).select(
+        "t",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+    part = (
+        tf.join(dl, "id")
+        .join(F.broadcast(idf), "t")
+        .select(
+            "id",
+            "t",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    # fixed-order sum: one conditional-agg column per term, added in
+    # sorted-term order — the result never depends on row order.
+    per_term = part.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("t") == t, F.col("s"))).alias(f"s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    return (
+        per_term.select(
+            F.col("id").alias(id_col),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

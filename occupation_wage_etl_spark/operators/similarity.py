@@ -252,3 +252,179 @@ def grouped_centroids(
             "n_vectors",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 8-byte codes + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+
+def _pq_uniform(seed: str, *idx: int) -> float:
+    """Deterministic uniform in [-1, 1] from md5(seed:i:j:...) — same
+    construction as ``_pseudo_random_hyperplanes`` so the DuckDB oracle
+    replays it with ``('0x' || substr(md5(...), 1, 8))::BIGINT``."""
+    h = hashlib.md5((seed + ":" + ":".join(str(i) for i in idx)).encode()).hexdigest()
+    return int(h[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0
+
+
+def pq_codebook(
+    spark,
+    dim: int,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    seed: str = "pq",
+) -> DataFrame:
+    """(m, c, cent: array<double>) — a deterministic random codebook:
+    centroid j-th coordinate = md5-uniform(seed:m:c:j) in [-1, 1].
+
+    Production PQ trains per-subspace k-means; a seeded random codebook
+    keeps the operator dependency-free and bit-replayable by the oracle
+    while exercising the identical plan shape (the trained codebook
+    would simply replace this literal table — it is broadcast either
+    way).  ``n_cent=16`` → 4 bits/subspace → a dim-64 float32 vector
+    (256 B) compresses to 8 nibbles (4 B), a 64× scan-size reduction
+    for the ANN candidate pass at 100 TB.
+    """
+    sub = dim // n_sub
+    rows = [
+        (m, c, [_pq_uniform(seed, m, c, j) for j in range(sub)])
+        for m in range(n_sub)
+        for c in range(n_cent)
+    ]
+    return spark.createDataFrame(rows, "m int, c int, cent array<double>")
+
+
+def pq_codes(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq",
+) -> DataFrame:
+    """(id, m, c): nearest codebook centroid per subspace for every
+    vector (NULL vectors are dropped).
+
+    Plan: slice each vector into ``n_sub`` subvectors scan-side
+    (explode → (id, m, sv) — fixed-width rows), broadcast-join the
+    ``n_sub·n_cent``-row codebook, compute squared L2 per candidate in
+    codegen, then one hash-aggregate picks ``min(struct(dist, c))`` per
+    (id, m) — ties break toward the smaller code, so assignment is
+    total-ordered and engine-portable.  No shuffle carries a full
+    vector: the exchange rows are (id, m, dist, c).
+    """
+    sub = dim // n_sub
+    cb = pq_codebook(df.sparkSession, dim, n_sub, n_cent, seed)
+    subs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col(vec_col), m * sub + 1, sub).alias("sv"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    dist = subs.join(F.broadcast(cb), "m").select(
+        "id",
+        "m",
+        "c",
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"),
+                F.col("cent"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dist"),
+    )
+    best = dist.groupBy("id", "m").agg(
+        F.min(F.struct(F.col("dist"), F.col("c"))).alias("b")
+    )
+    return best.select("id", "m", F.col("b.c").alias("c"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq",
+    query_seed: str = "pqq",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k nearest vectors to a deterministic query by PQ asymmetric
+    distance (ADC): adc(x) = Σ_m ‖q_m − cent[m][code_m(x)]‖².
+
+    The query vector is md5-uniform(query_seed:d) per coordinate — the
+    oracle replays it; swapping in a real query vector changes only the
+    literal.  The q→centroid lookup table (n_sub·n_cent rows) is
+    computed in-engine on the broadcast codebook, so the scored scan
+    touches ONLY the 8-nibble codes — never the raw vectors; that is
+    the entire point of PQ at 100 TB.  The per-doc sum is a fixed-order
+    add over the ``n_sub`` partial columns (order-independent result),
+    and top-k is TakeOrderedAndProject with id tiebreak.
+
+    Output: (id, pq_code, adc) — ``pq_code`` is the dash-joined code
+    word, ``adc`` rounded to 6dp.
+    """
+    sub = dim // n_sub
+    q = [_pq_uniform(query_seed, d) for d in range(dim)]
+    cb = pq_codebook(df.sparkSession, dim, n_sub, n_cent, seed)
+    # pair cent with the m-th SLICE of q: element_at picks this row's
+    # subspace slice from a literal array-of-slices.
+    qd = cb.select(
+        "m",
+        "c",
+        F.aggregate(
+            F.zip_with(
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(v)) for v in q[m * sub : (m + 1) * sub]])
+                            for m in range(n_sub)
+                        ]
+                    ),
+                    F.col("m") + 1,
+                ),
+                F.col("cent"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("qdist"),
+    )
+    codes = pq_codes(df, dim, n_sub, n_cent, vec_col, id_col, seed)
+    scored = codes.join(F.broadcast(qd), ["m", "c"])
+    per_sub = scored.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("m") == m, F.col("qdist"))).alias(f"d{m}")
+            for m in range(n_sub)
+        ],
+        *[
+            F.sum(F.when(F.col("m") == m, F.col("c"))).alias(f"c{m}")
+            for m in range(n_sub)
+        ],
+    )
+    adc = F.lit(0.0)
+    for m in range(n_sub):
+        adc = adc + F.col(f"d{m}")
+    code = F.concat_ws(
+        "-", *[F.col(f"c{m}").cast("int").cast("string") for m in range(n_sub)]
+    )
+    return (
+        per_sub.select(
+            F.col("id").alias(id_col),
+            code.alias("pq_code"),
+            F.round(adc, 6).alias("adc"),
+        )
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )

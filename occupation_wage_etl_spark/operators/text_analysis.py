@@ -110,3 +110,62 @@ def tfidf_top_tokens(
         .filter(F.col("rank") <= k)
         .select("id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def bigram_familiarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """Language-model-style quality proxy without a language model:
+    the fraction of a document's word bigrams that are "familiar" —
+    i.e. occur in at least ``min_df`` distinct documents of the corpus.
+
+    Gibberish, boilerplate-mangled, and OCR-damaged text scores low
+    (its bigrams appear nowhere else); fluent in-domain text scores
+    high — the same signal an n-gram LM perplexity filter extracts, but
+    with *integer* corpus statistics, so the score is a single exact
+    division (bit-deterministic across engines and partitionings,
+    unlike a sum of per-bigram log-probs whose float fold depends on
+    row order).
+
+    Plan (two shuffles at any scale):
+      explode positional bigrams → count per (doc, bigram)  [shuffle 1]
+      document frequency per bigram from those counts       [shuffle 2]
+      join familiarity flag back on bigram, then per-doc codegen
+      hash-aggregate of (familiar occurrences, total occurrences).
+
+    Output: (id, n_bigrams, n_familiar, familiarity) — familiarity NULL
+    for docs with < 2 tokens (no bigrams).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.when(
+                F.size(T.word_ngrams(F.col(text_col), 2)) > 0,
+                T.word_ngrams(F.col(text_col), 2),
+            )
+        ).alias("g"),
+    )
+    per_doc = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = per_doc.filter(F.col("g").isNotNull()).groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    flagged = per_doc.join(docfreq, "g", "left")
+    out = flagged.groupBy("id").agg(
+        F.sum(F.when(F.col("g").isNotNull(), F.col("tf")).otherwise(0))
+        .alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("df") >= min_df, F.col("tf")).otherwise(0)
+        ).alias("n_familiar"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "n_familiar",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("n_familiar") / F.col("n_bigrams"),
+        ).alias("familiarity"),
+    )

@@ -35,6 +35,7 @@ from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
 from occupation_wage_etl_spark.operators import (
     asof_join,
+    cdc,
     chunking,
     curation,
     decontaminate,
@@ -44,6 +45,7 @@ from occupation_wage_etl_spark.operators import (
     prefix_join,
     profile,
     range_join,
+    retrieval,
     similarity,
     splits,
     stats,
@@ -2280,6 +2282,246 @@ SELECT doc_id, source FROM (
 
 
 # ---------------------------------------------------------------------------
+# q55 — BM25 top-k retrieval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "join", "window", "hash"]
+BM25_K = 20
+
+
+def q55_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+_BM25_SCORE_SQL = " + ".join(
+    f"coalesce(s{i}, 0.0)" for i in range(len(sorted(set(BM25_TERMS))))
+)
+_BM25_CASE_SQL = ",\n         ".join(
+    f"sum(CASE WHEN t = '{t}' THEN s END) AS s{i}"
+    for i, t in enumerate(sorted(set(BM25_TERMS)))
+)
+
+Q55_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL.format(x='text')}, ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+), dl AS (
+  SELECT id, count(*) AS dl FROM tok GROUP BY id
+), navg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT id, t, count(*) AS tf FROM tok
+  WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY id, t
+), dfreq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), idf AS (
+  SELECT t, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM dfreq, navg
+), part AS (
+  SELECT tf.id, tf.t,
+         idf.idf * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl)) AS s
+  FROM tf JOIN dl ON tf.id = dl.id JOIN idf ON tf.t = idf.t
+), per_term AS (
+  SELECT id,
+         {_BM25_CASE_SQL}
+  FROM part GROUP BY id
+)
+SELECT id AS doc_id, round(0.0 + {_BM25_SCORE_SQL}, 6) AS bm25
+FROM per_term
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q56 — bigram-familiarity quality proxy (operators/text_analysis.py)
+# ---------------------------------------------------------------------------
+
+_FAMILIAR_MIN_DF = 3
+
+
+def q56_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.bigram_familiarity(docs, min_df=_FAMILIAR_MIN_DF)
+
+
+Q56_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split({_NORM_SQL.format(x='text')}, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT id, unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+         )) AS g
+  FROM d
+), per_doc AS (
+  SELECT id, g, count(*) AS tf FROM g GROUP BY id, g
+), docfreq AS (
+  SELECT g, count(*) AS df FROM per_doc GROUP BY g
+), agg AS (
+  SELECT p.id,
+         sum(p.tf) AS n_bigrams,
+         sum(CASE WHEN f.df >= {_FAMILIAR_MIN_DF} THEN p.tf ELSE 0 END) AS n_familiar
+  FROM per_doc p LEFT JOIN docfreq f ON p.g = f.g
+  GROUP BY p.id
+)
+SELECT doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.n_familiar, 0) AS BIGINT) AS n_familiar,
+       CASE WHEN a.n_bigrams > 0
+            THEN CAST(a.n_familiar AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+       END AS familiarity
+FROM documents LEFT JOIN agg a ON documents.doc_id = a.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — product-quantization ADC top-k (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def q57_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, dim=EMB_DIM, k=10)
+
+
+_PQ_U = ("('0x' || substr(md5({key}), 1, 8))::BIGINT"
+         " / 4294967295.0 * 2.0 - 1.0")
+
+Q57_SQL = f"""
+WITH cb AS (  -- deterministic codebook: md5-uniform(pq:m:c:j)
+  SELECT m.m, c.c, j.j,
+         {_PQ_U.format(key="'pq:' || m.m || ':' || c.c || ':' || j.j")} AS w
+  FROM range(0, 8) m(m), range(0, 16) c(c), range(0, 8) j(j)
+), cent AS (
+  SELECT m, c, list(w ORDER BY j) AS cent FROM cb GROUP BY m, c
+), subs AS (
+  SELECT e.vec_id AS id, m.m,
+         list_transform(
+           list_slice(e.embedding, m.m * 8 + 1, m.m * 8 + 8),
+           x -> x::DOUBLE) AS sv
+  FROM embeddings e, range(0, 8) m(m)
+  WHERE e.embedding IS NOT NULL
+), dist AS (
+  SELECT s.id, s.m, ct.c,
+         list_sum(list_transform(range(1, 9),
+           i -> (s.sv[i] - ct.cent[i]) * (s.sv[i] - ct.cent[i]))) AS dist
+  FROM subs s JOIN cent ct ON s.m = ct.m
+), code AS (
+  SELECT id, m, c FROM (
+    SELECT id, m, c,
+           row_number() OVER (PARTITION BY id, m ORDER BY dist, c) AS rk
+    FROM dist
+  ) WHERE rk = 1
+), qv AS (  -- deterministic query vector: md5-uniform(pqq:d)
+  SELECT d.d, {_PQ_U.format(key="'pqq:' || d.d")} AS q
+  FROM range(0, 64) d(d)
+), qd AS (   -- q -> centroid lookup table
+  SELECT ct.m, ct.c,
+         list_sum(list_transform(range(1, 9),
+           i -> (qs.qs[i] - ct.cent[i]) * (qs.qs[i] - ct.cent[i]))) AS qdist
+  FROM cent ct JOIN (
+    SELECT m.m, list(qv.q ORDER BY qv.d) AS qs
+    FROM range(0, 8) m(m) JOIN qv ON qv.d >= m.m * 8 AND qv.d < m.m * 8 + 8
+    GROUP BY m.m
+  ) qs ON ct.m = qs.m
+), scored AS (
+  SELECT code.id, code.m, qd.qdist, code.c
+  FROM code JOIN qd ON code.m = qd.m AND code.c = qd.c
+), per_sub AS (
+  SELECT id,
+         {", ".join(f"sum(CASE WHEN m = {m} THEN qdist END) AS d{m}" for m in range(8))},
+         {", ".join(f"sum(CASE WHEN m = {m} THEN c END) AS c{m}" for m in range(8))}
+  FROM scored GROUP BY id
+)
+SELECT id AS vec_id,
+       concat_ws('-', {", ".join(f"CAST(CAST(c{m} AS INT) AS VARCHAR)" for m in range(8))}) AS pq_code,
+       round(0.0 + {" + ".join(f"d{m}" for m in range(8))}, 6) AS adc
+FROM per_sub
+ORDER BY adc, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q58 — snapshot diff / CDC delta (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def q58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta between two synthesized snapshots of ``orders``: keys
+    divisible by 7 are missing from the old snapshot (→ inserts), by 11
+    from the new (→ deletes); keys divisible by 5 carry a price bump
+    and a status flip in the new snapshot (→ updates).  Exact-decimal
+    price arithmetic so both engines compare identical values."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        price.alias("o_totalprice"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    bumped = F.col("o_orderkey") % 5 == 0
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(bumped, price + F.lit("1.00").cast("decimal(3,2)"))
+        .otherwise(price)
+        .alias("o_totalprice"),
+        F.when(bumped, F.lit("X")).otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    return cdc.snapshot_diff(
+        old, new, "o_orderkey",
+        ["o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+Q58_SQL = """
+WITH snap_old AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         o_orderstatus AS status, o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 7 <> 0
+), snap_new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(o_totalprice AS DECIMAL(12,2)) + CAST('1.00' AS DECIMAL(3,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 11 <> 0
+), j AS (
+  SELECT coalesce(o.k, n.k) AS o_orderkey,
+         o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+         concat_ws(',',
+           CASE WHEN NOT (o.prio IS NOT DISTINCT FROM n.prio)
+                THEN 'o_orderpriority' END,
+           CASE WHEN NOT (o.status IS NOT DISTINCT FROM n.status)
+                THEN 'o_orderstatus' END,
+           CASE WHEN NOT (o.price IS NOT DISTINCT FROM n.price)
+                THEN 'o_totalprice' END) AS cc
+  FROM snap_old o FULL OUTER JOIN snap_new n ON o.k = n.k
+), typed AS (
+  SELECT o_orderkey,
+         CASE WHEN NOT in_old THEN 'insert'
+              WHEN NOT in_new THEN 'delete'
+              WHEN cc <> '' THEN 'update' END AS change_type,
+         CASE WHEN in_old AND in_new THEN cc ELSE '' END AS changed_cols
+  FROM j
+)
+SELECT o_orderkey, change_type, changed_cols
+FROM typed WHERE change_type IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2338,6 +2580,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_decontaminate": q52_decontaminate,
     "q53_repetition_quality": q53_repetition_quality,
     "q54_domain_caps": q54_domain_caps,
+    "q55_bm25_topk": q55_bm25_topk,
+    "q56_bigram_familiarity": q56_bigram_familiarity,
+    "q57_pq_adc_knn": q57_pq_adc_knn,
+    "q58_snapshot_diff": q58_snapshot_diff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2395,4 +2641,8 @@ ORACLE_SQL: dict[str, str] = {
     "q52_decontaminate": Q52_SQL,
     "q53_repetition_quality": Q53_SQL,
     "q54_domain_caps": Q54_SQL,
+    "q55_bm25_topk": Q55_SQL,
+    "q56_bigram_familiarity": Q56_SQL,
+    "q57_pq_adc_knn": Q57_SQL,
+    "q58_snapshot_diff": Q58_SQL,
 }

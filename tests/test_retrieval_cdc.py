@@ -1,0 +1,127 @@
+"""Invariant tests for the round-2 additions: BM25 retrieval, bigram
+familiarity, product quantization, and snapshot CDC diff.  (Oracle
+parity for the q55-q58 registry queries lives in test_oracle_parity.py;
+these tests pin operator semantics on constructed inputs.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators import cdc, retrieval, similarity
+from occupation_wage_etl_spark.operators.text_analysis import bigram_familiarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBM25:
+    def test_matching_doc_outranks_nonmatching(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "spark join window hash spark join"),
+                (2, "completely unrelated words only here"),
+                (3, "spark appears once"),
+            ],
+        )
+        out = retrieval.bm25_topk(df, ["spark", "join"], k=3).collect()
+        ids = [r.doc_id for r in out]
+        assert ids[0] == 1  # most matches first
+        assert set(ids[:2]) == {1, 3}  # non-matching doc scores 0, sorts last
+        assert all(r.bm25 >= 0 for r in out)
+
+    def test_k_limit_and_total_order(self, spark):
+        df = _docs(spark, [(i, "spark") for i in range(10)])
+        out = retrieval.bm25_topk(df, ["spark"], k=4).collect()
+        # identical docs -> identical scores -> ascending-id tiebreak
+        assert [r.doc_id for r in out] == [0, 1, 2, 3]
+
+
+class TestBigramFamiliarity:
+    def test_repeated_doc_fully_familiar(self, spark):
+        rows = [(i, "the quick brown fox") for i in range(3)]
+        rows.append((99, "zxqv wlrtk pmnb gggh"))
+        out = {
+            r.doc_id: r
+            for r in bigram_familiarity(_docs(spark, rows), min_df=3).collect()
+        }
+        assert out[0].familiarity == 1.0  # bigrams occur in 3 docs
+        assert out[99].familiarity == 0.0  # unique gibberish
+        assert out[99].n_bigrams == 3
+
+    def test_null_text_yields_null_rate(self, spark):
+        out = bigram_familiarity(
+            _docs(spark, [(1, None), (2, "a b")]), min_df=1
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[1].n_bigrams == 0 and by_id[1].familiarity is None
+        assert by_id[2].familiarity == 1.0
+
+
+class TestPQ:
+    def test_codes_match_numpy_argmin(self, spark):
+        dim, n_sub, n_cent = 16, 4, 8
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(20, dim)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r.id, r.m): r.c
+            for r in similarity.pq_codes(
+                df, dim=dim, n_sub=n_sub, n_cent=n_cent
+            ).collect()
+        }
+        sub = dim // n_sub
+        for i, v in enumerate(vecs):
+            for m in range(n_sub):
+                cents = np.array(
+                    [
+                        [
+                            similarity._pq_uniform("pq", m, c, j)
+                            for j in range(sub)
+                        ]
+                        for c in range(n_cent)
+                    ]
+                )
+                d = ((v[m * sub : (m + 1) * sub].astype("float64") - cents) ** 2).sum(
+                    axis=1
+                )
+                assert got[(i, m)] == int(np.argmin(d)), (i, m)
+
+    def test_adc_topk_shape(self, spark, sf_tiny):
+        emb = spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        out = similarity.pq_adc_topk(emb, dim=64, k=5).collect()
+        assert len(out) == 5
+        assert all(len(r.pq_code.split("-")) == 8 for r in out)
+        adcs = [r.adc for r in out]
+        assert adcs == sorted(adcs)
+
+
+class TestSnapshotDiff:
+    def test_insert_update_delete_and_null_safety(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+            "k long, s string, v long",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 21), (3, "c", 30), (4, "d", 40), (5, "e", 50)],
+            "k long, s string, v long",
+        )
+        out = {
+            r.k: r
+            for r in cdc.snapshot_diff(old, new, "k", ["s", "v"]).collect()
+        }
+        assert out[1].change_type == "delete"
+        assert out[5].change_type == "insert"
+        assert out[2].change_type == "update" and out[2].changed_cols == "v"
+        # NULL -> value is a change under null-safe compare
+        assert out[3].change_type == "update" and out[3].changed_cols == "s"
+        assert 4 not in out  # unchanged rows never materialize
