@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q56_bigram_familiarity",
     "q57_pq_adc_knn",
     "q58_snapshot_diff",
+    "q59_encode_corpus",
 ]
 
 

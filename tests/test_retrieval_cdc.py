@@ -125,3 +125,22 @@ class TestSnapshotDiff:
         # NULL -> value is a change under null-safe compare
         assert out[3].change_type == "update" and out[3].changed_cols == "s"
         assert 4 not in out  # unchanged rows never materialize
+
+
+class TestEncodeCorpus:
+    def test_roundtrip_ids_and_oov(self, spark):
+        from occupation_wage_etl_spark.operators import vocab as V
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c"), (2, "zz a"), (3, None)],
+            "doc_id long, text string",
+        )
+        voc = V.build_vocab(docs, top_n=2)  # keeps 'a' (df 2) and ... 'b'/'c'/'zz' df 1 -> 'b' by tiebreak
+        out = {r.doc_id: r for r in V.encode_corpus(docs, voc).collect()}
+        vmap = {r.token: r.token_id for r in voc.collect()}
+        assert out[1].n_tokens == 4
+        ids1 = [int(x) for x in out[1].ids.split(",")]
+        assert ids1 == [vmap["a"], vmap.get("b", 0), vmap["a"], vmap.get("c", 0)]
+        assert out[1].n_oov == sum(1 for i in ids1 if i == 0)
+        assert out[2].n_oov == 1  # 'zz' out of top-2 vocab
+        assert out[3].n_tokens == 0 and out[3].ids == ""

@@ -343,3 +343,46 @@ def test_merge_upsert_updates_in_place_and_appends_inserts(spark, tmp_path):
         insert_snapshot="2026-01-03",
     )
     assert (n_parts, n_ins) == (0, 1)
+
+
+class TestZOrderWrite:
+    def test_files_cover_hyperrectangles_and_skip(self, spark, tmp_path):
+        """A Z-ordered layout must let a 2-D range predicate prune most
+        files on footer min/max stats, where a shuffled layout cannot."""
+        import pyarrow.parquet as pq
+
+        from occupation_wage_etl_spark.sources import lake
+
+        n = 20_000
+        df = spark.range(n).select(
+            (F.col("id") * 2654435761 % 1000).alias("x"),
+            (F.col("id") * 40503 % 1000).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        zpath = str(tmp_path / "z")
+        lake.write_zordered(df, zpath, ["x", "y"], n_files=16)
+
+        def overlap_count(path):
+            """#files whose (x, y) min/max box intersects x,y ∈ [0, 99]."""
+            hits = 0
+            import glob
+            files = sorted(glob.glob(f"{path}/*.parquet"))
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                rg = md.row_group(0)
+                xs = rg.column(cols["x"]).statistics
+                ys = rg.column(cols["y"]).statistics
+                if xs.min <= 99 and ys.min <= 99:
+                    hits += 1
+            return hits, len(files)
+
+        z_hits, z_files = overlap_count(zpath)
+        assert z_files == 16
+        # a 10% x 10% box covers ~1% of the curve; allow generous slack
+        assert z_hits <= z_files // 2, (z_hits, z_files)
+
+        # round-trip completeness: no rows lost or duplicated
+        back = spark.read.parquet(zpath)
+        assert back.count() == n
+        assert back.agg(F.sum("payload")).first()[0] == n * (n - 1) // 2

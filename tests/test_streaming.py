@@ -197,3 +197,41 @@ def test_enrich_with_dimension_stream_equals_batch(spark, event_dir):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.table("enriched").collect())
     assert got == want
+
+
+def test_stream_apply_cdc(spark, tmp_path):
+    """CDC stream → lake: upserts merge in place, deletes disappear,
+    inserts append — end state equals applying the delta in batch."""
+    from occupation_wage_etl_spark.sources import lake
+    from occupation_wage_etl_spark.streaming import sinks
+
+    root = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 11)], "k long, v long"
+    )
+    lake.write_snapshot(base, root, "tbl", "2026-01-01")
+
+    cdc_dir = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [
+            (2, 99, "update"),
+            (11, 110, "insert"),
+            (5, None, "delete"),
+        ],
+        "k long, v long, change_type string",
+    ).write.parquet(cdc_dir)
+
+    stream = spark.readStream.schema("k long, v long, change_type string").parquet(cdc_dir)
+    q = sinks.stream_apply_cdc(
+        stream, root, "tbl", "k", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.k: r.v
+        for r in spark.read.parquet(f"{root}/tbl").select("k", "v").collect()
+    }
+    assert got[2] == 99          # update applied in place
+    assert got[11] == 110        # insert appended
+    assert 5 not in got          # delete removed
+    assert len(got) == 10
