@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q57_pq_adc_knn",
     "q58_snapshot_diff",
     "q59_encode_corpus",
+    "q60_sample_to_budget",
 ]
 
 

@@ -59,3 +59,63 @@ def stratified_sample(
     key = F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))
     b = hash_bucket(key)
     return df.filter(b < pct)
+
+
+def sample_to_budget(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Dataset mixing: downsample each group (source/domain/language) so
+    the corpus fits a total ``budget`` of ``weight_col`` units (tokens,
+    chars, bytes), allocating the budget EVENLY across groups — the
+    sampling-weights step of corpus assembly (over-represented domains
+    shrink; groups under their allocation keep everything).
+
+    keep_rate(g) = min(1, (budget / n_groups) / total_w(g)); a row
+    survives iff md5-uniform(salt:id) < keep_rate(g).  Fully
+    deterministic and engine-replayable: reruns, repartitions, and the
+    DuckDB oracle all keep the exact same rows.  Expected kept weight
+    per surviving group ≈ its allocation (hash sampling is unbiased).
+
+    Plan: one map-side-combined aggregate computes the per-group totals
+    (#groups rows — broadcast back); the filter itself is a scan-side
+    projection.  Nothing ever shuffles the payload.
+
+    Returns the surviving rows with ``keep_rate`` attached.
+    """
+    totals = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("_total_w")
+    )
+    n_groups = F.count(F.lit(1))
+    alloc = totals.agg(
+        (F.lit(float(budget)) / n_groups.cast("double")).alias("_alloc")
+    )
+    rates = totals.crossJoin(F.broadcast(alloc)).select(
+        "_g",
+        F.least(F.lit(1.0), F.col("_alloc") / F.col("_total_w")).alias("keep_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    return (
+        df.join(F.broadcast(rates), df[group_col] == rates["_g"])
+        .filter(u < F.col("keep_rate"))
+        .drop("_g")
+    )

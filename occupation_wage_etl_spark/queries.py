@@ -2570,6 +2570,40 @@ FROM documents LEFT JOIN enc e ON documents.doc_id = e.id
 
 
 # ---------------------------------------------------------------------------
+# q60 — dataset mixing: sample each source to an even share of a global
+# character budget (operators/splits.py:sample_to_budget)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 60_000  # chars
+
+
+def q60_sample_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = splits.sample_to_budget(docs, "source", "n_chars", _MIX_BUDGET)
+    return out.select("doc_id", "source", "n_chars", "keep_rate")
+
+
+Q60_SQL = f"""
+WITH totals AS (
+  SELECT source AS g, CAST(sum(n_chars) AS DOUBLE) AS total_w
+  FROM documents GROUP BY source
+), alloc AS (
+  SELECT {float(_MIX_BUDGET)} / CAST(count(*) AS DOUBLE) AS alloc FROM totals
+), rates AS (
+  SELECT g, least(1.0, alloc / total_w) AS keep_rate FROM totals, alloc
+), u AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967295.0 AS u
+  FROM documents
+)
+SELECT u.doc_id, u.source, u.n_chars, r.keep_rate
+FROM u JOIN rates r ON u.source = r.g
+WHERE u.u < r.keep_rate
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2633,6 +2667,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_pq_adc_knn": q57_pq_adc_knn,
     "q58_snapshot_diff": q58_snapshot_diff,
     "q59_encode_corpus": q59_encode_corpus,
+    "q60_sample_to_budget": q60_sample_to_budget,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2695,4 +2730,5 @@ ORACLE_SQL: dict[str, str] = {
     "q57_pq_adc_knn": Q57_SQL,
     "q58_snapshot_diff": Q58_SQL,
     "q59_encode_corpus": Q59_SQL,
+    "q60_sample_to_budget": Q60_SQL,
 }

@@ -144,3 +144,25 @@ class TestEncodeCorpus:
         assert out[1].n_oov == sum(1 for i in ids1 if i == 0)
         assert out[2].n_oov == 1  # 'zz' out of top-2 vocab
         assert out[3].n_tokens == 0 and out[3].ids == ""
+
+
+class TestSampleToBudget:
+    def test_rates_and_determinism(self, spark):
+        from occupation_wage_etl_spark.operators.splits import sample_to_budget
+
+        rows = [(i, "big" if i < 80 else "small", 100) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        # budget 4000 over 2 groups -> 2000/group: big (8000) rate .25,
+        # small (2000) keeps everything
+        out = sample_to_budget(df, "source", "n_chars", 4000)
+        a = out.collect()
+        b = sample_to_budget(df.repartition(7), "source", "n_chars", 4000).collect()
+        assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+        by_src = {}
+        for r in a:
+            by_src.setdefault(r.source, []).append(r)
+        assert all(r.keep_rate == 1.0 for r in by_src["small"])
+        assert len(by_src["small"]) == 20  # rate 1 keeps all
+        assert all(r.keep_rate == 0.25 for r in by_src["big"])
+        # unbiased hash sampling: expect ~20 of 80, generous tolerance
+        assert 8 <= len(by_src["big"]) <= 36
