@@ -297,6 +297,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     brute_force: bool = False,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -353,6 +354,8 @@ def ngram_jaccard_pairs(
         F.size("grams").alias("n"),
         F.explode("grams").alias("g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if prefix_filter:
+        return _ngram_jaccard_prefix(base, tok, threshold)
     pairs = (
         tok.alias("l")
         .join(
@@ -376,6 +379,60 @@ def ngram_jaccard_pairs(
             (
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_prefix(base: DataFrame, tok: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered tier of ``ngram_jaccard_pairs`` —
+    same output, built for corpora with pathological stop-grams.
+
+    Lossless pruning: order grams globally by (document frequency asc,
+    gram); a doc with n grams only indexes its first
+    ``n - ceil(t·n) + 1`` grams in that order (its *prefix*).  Two docs
+    with Jaccard ≥ t MUST share a prefix gram (if all shared grams sat
+    outside both prefixes, the overlap would be < t·n on either side),
+    so joining prefixes-only generates every qualifying pair — but
+    frequent grams (the df² fan-out bombs) sort LAST and fall out of
+    prefixes, bounding the join by rare-gram df².  A size filter
+    (t·max(|A|,|B|) ≤ min — necessary for J ≥ t) prunes further, then
+    exact Jaccard over the full gram arrays verifies the few survivors.
+    """
+    from pyspark.sql import Window
+
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+    prefix = (
+        tok.join(dfreq, "g")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("id", "block", "n", "g")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.id") < F.col("r.id"))
+            # size filter: J >= t forces t * max(na, nb) <= min(na, nb)
+            & (
+                F.lit(threshold) * F.greatest(F.col("l.n"), F.col("r.n"))
+                <= F.least(F.col("l.n"), F.col("r.n"))
+            ),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sets = base.select(F.col("id"), F.col("grams"))
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            S.jaccard(F.col("ga"), F.col("gb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -166,3 +166,43 @@ class TestSampleToBudget:
         assert all(r.keep_rate == 0.25 for r in by_src["big"])
         # unbiased hash sampling: expect ~20 of 80, generous tolerance
         assert 8 <= len(by_src["big"]) <= 36
+
+
+class TestNgramPrefixFilter:
+    def test_prefix_tier_equals_count_tier(self, spark, sf_tiny):
+        from occupation_wage_etl_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+        a = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(docs, block_col="lang").collect()
+        )
+        b = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, block_col="lang", prefix_filter=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_stop_gram_corpus(self, spark):
+        """Every doc shares one universal phrase; prefixes exclude it, so
+        the join fans out on rare grams only — result still exact."""
+        from occupation_wage_etl_spark.operators import dedup
+
+        common = "the common header line every page has"
+        rows = [(i, f"{common} unique tail {i} {i+1} {i+2}") for i in range(30)]
+        rows += [(100, f"{common} unique tail 0 1 2")]  # true near-dup of doc 0
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+        )
+        b = sorted(
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.9, prefix_filter=True
+            ).collect()
+        )
+        assert a == b
+        assert (0, 100) in b
