@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "q58_snapshot_diff",
     "q59_encode_corpus",
     "q60_sample_to_budget",
+    "q61_trailing_window",
+    "q62_key_skew",
 ]
 
 

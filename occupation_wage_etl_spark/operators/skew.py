@@ -56,3 +56,27 @@ def salted_join(
     )
     out = p.join(b, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_histogram(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Join-key skew diagnosis: the top-k heaviest keys with their row
+    counts and share of the table — the measurement that decides whether
+    a join needs :func:`salted_join` (and what ``salt`` to use).
+
+    One map-side-combined count aggregate; the global total rides along
+    via a 1-row broadcast, and the top-k is TakeOrderedAndProject —
+    nothing driver-side, nothing quadratic.  ``share`` is an exact
+    integer ratio (single double division, engine-portable).
+    """
+    counts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "cnt",
+            (F.col("cnt") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(k)
+    )

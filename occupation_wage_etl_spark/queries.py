@@ -47,6 +47,7 @@ from occupation_wage_etl_spark.operators import (
     range_join,
     retrieval,
     similarity,
+    skew,
     splits,
     stats,
     text_analysis,
@@ -2604,6 +2605,71 @@ WHERE u.u < r.keep_rate
 
 
 # ---------------------------------------------------------------------------
+# q61 — event-time trailing-range window: per event, that user's count
+# and exact-decimal value sum over the preceding 30 minutes.  RANGE (not
+# ROWS) framing: peers with the same truncated-second timestamp share
+# one frame, so the result is tie-order-independent.
+# ---------------------------------------------------------------------------
+
+
+def q61_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-1800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("trailing_cnt_30m"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum_30m"),
+    )
+
+
+Q61_SQL = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS trailing_cnt_30m,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS trailing_sum_30m
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q62 — join-key skew diagnosis (operators/skew.py:key_histogram)
+# ---------------------------------------------------------------------------
+
+
+def q62_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return skew.key_histogram(li, "l_suppkey", k=10)
+
+
+Q62_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), total AS (
+  SELECT sum(cnt) AS total FROM counts
+)
+SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM counts, total
+ORDER BY cnt DESC, l_suppkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2668,6 +2734,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_snapshot_diff": q58_snapshot_diff,
     "q59_encode_corpus": q59_encode_corpus,
     "q60_sample_to_budget": q60_sample_to_budget,
+    "q61_trailing_window": q61_trailing_window,
+    "q62_key_skew": q62_key_skew,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2731,4 +2799,6 @@ ORACLE_SQL: dict[str, str] = {
     "q58_snapshot_diff": Q58_SQL,
     "q59_encode_corpus": Q59_SQL,
     "q60_sample_to_budget": Q60_SQL,
+    "q61_trailing_window": Q61_SQL,
+    "q62_key_skew": Q62_SQL,
 }
