@@ -34,7 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query.  q22–q24 are approximate /
-    engine-specific (xxhash64 SimHash, hyperplane-LSH, IVF probe) and
-    intentionally have no oracle (rows-only check)."""
+    """DuckDB-equivalent SQL per query — every registry entry has one
+    (the approximate operators q21–q24/q57 use md5-seeded deterministic
+    constructions precisely so DuckDB can replay their funnels
+    bit-exactly)."""
     return dict(ORACLE_SQL)
