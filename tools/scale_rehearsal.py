@@ -117,7 +117,9 @@ def main() -> int:
         print(f"{name:32s} {t_small:7.2f}s {t_big:8.2f}s  x{ratio:5.1f} "
               f"{n_small} -> {n_big} {flag} {e_small or e_big or ''}")
 
-    with open("BENCH_SCALE.md", "w") as f:
+    # partial runs (explicit query args) must not clobber the full record
+    out_md = "BENCH_SCALE.md" if not only else "BENCH_SCALE_partial.md"
+    with open(out_md, "w") as f:
         f.write("# Scale rehearsal: sf0.1 vs 10x replica (sf1-equivalent)\n\n")
         f.write("Built by `tools/scale_rehearsal.py` (perf-only; correctness"
                 " is gated at sf0.01 by `tools/oracle_check.py`).\n"
