@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q60_sample_to_budget",
     "q61_trailing_window",
     "q62_key_skew",
+    "q63_quality_classifier",
 ]
 
 

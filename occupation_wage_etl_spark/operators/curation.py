@@ -48,3 +48,83 @@ def curate_corpus(
             lang.filter(F.col("pred_lang").isin(list(langs))), id_col, "inner"
         )
     return dedup.exact_dedup(kept, text_col=text_col, id_col=id_col)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    weight_scale: int = 1000,
+    seed: str = "qw",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering plumbing: score every document with
+    a hashed bag-of-words linear classifier (the fastText-style model
+    behind most production quality filters), built so the whole pass is
+    codegen + one integer aggregate.
+
+    Features: word unigrams hashed to ``n_buckets`` via md5.  Weights:
+    INTEGERS in [-weight_scale, weight_scale], md5-derived from ``seed``
+    — a deterministic stand-in for trained weights (swap in a trained
+    vector and only the broadcast literal table changes, exactly like
+    the PQ codebook).  Integer weights make the per-doc feature sum
+    EXACT (order- and partition-independent); the logit is then a
+    single rational division — no transcendentals, no float folds, so
+    the DuckDB oracle replays it bit-for-bit.
+
+    Output: (id, n_tokens, logit, keep) — ``logit`` = Σ w[h(tok)] /
+    (weight_scale · n_tokens) ∈ [-1, 1], ``keep`` = logit > 0.
+    NULL-text docs keep a row with NULL logit / keep.
+    """
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        [
+            (b, _weight_int(seed, b, weight_scale))
+            for b in range(n_buckets)
+        ],
+        "bucket int, w long",
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(T.tokens(F.col(text_col))).alias("t"),
+    )
+    bucketed = toks.select(
+        "id",
+        (F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10)
+         .cast("long") % n_buckets).cast("int").alias("bucket"),
+    )
+    summed = (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("s"),
+        )
+    )
+    scored = summed.select(
+        "id",
+        "n_tokens",
+        (
+            F.col("s").cast("double")
+            / (F.lit(float(weight_scale)) * F.col("n_tokens").cast("double"))
+        ).alias("logit"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            "logit",
+            (F.col("logit") > 0).alias("keep"),
+        )
+    )
+
+
+def _weight_int(seed: str, bucket: int, scale: int) -> int:
+    """Deterministic integer weight in [-scale, scale] from md5 — the
+    same '0x'||substr(md5(...),1,8) construction the oracle replays."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{bucket}".encode()).hexdigest()
+    return int(h[:8], 16) % (2 * scale + 1) - scale

@@ -2670,6 +2670,51 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# q63 — hashed-linear quality classifier (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_QCLS_BUCKETS = 1024
+_QCLS_SCALE = 1000
+
+
+def q63_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return curation.hashed_linear_score(
+        docs, n_buckets=_QCLS_BUCKETS, weight_scale=_QCLS_SCALE
+    )
+
+
+Q63_SQL = f"""
+WITH weights AS (
+  SELECT b.b AS bucket,
+         ('0x' || substr(md5('qw:' || b.b), 1, 8))::BIGINT
+           % {2 * _QCLS_SCALE + 1} - {_QCLS_SCALE} AS w
+  FROM range(0, {_QCLS_BUCKETS}) b(b)
+), tok AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL.format(x='text')}, ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+), bucketed AS (
+  SELECT id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT % {_QCLS_BUCKETS} AS bucket
+  FROM tok
+), summed AS (
+  SELECT b.id, count(*) AS n_tokens, sum(w.w) AS s
+  FROM bucketed b JOIN weights w ON b.bucket = w.bucket
+  GROUP BY b.id
+), scored AS (
+  SELECT id, n_tokens,
+         CAST(s AS DOUBLE) / ({float(_QCLS_SCALE)} * CAST(n_tokens AS DOUBLE)) AS logit
+  FROM summed
+)
+SELECT doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.logit AS logit,
+       s.logit > 0 AS keep
+FROM documents LEFT JOIN scored s ON documents.doc_id = s.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2736,6 +2781,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_sample_to_budget": q60_sample_to_budget,
     "q61_trailing_window": q61_trailing_window,
     "q62_key_skew": q62_key_skew,
+    "q63_quality_classifier": q63_quality_classifier,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2801,4 +2847,5 @@ ORACLE_SQL: dict[str, str] = {
     "q60_sample_to_budget": Q60_SQL,
     "q61_trailing_window": Q61_SQL,
     "q62_key_skew": Q62_SQL,
+    "q63_quality_classifier": Q63_SQL,
 }

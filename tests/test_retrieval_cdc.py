@@ -206,3 +206,31 @@ class TestNgramPrefixFilter:
         )
         assert a == b
         assert (0, 100) in b
+
+
+class TestHashedLinearScore:
+    def test_logit_matches_python_replay(self, spark):
+        import hashlib
+
+        from occupation_wage_etl_spark.operators.curation import (
+            _weight_int,
+            hashed_linear_score,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+        # python replay of doc 1
+        toks = "alpha beta gamma alpha".split()
+        s = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024
+            s += _weight_int("qw", b, 1000)
+        assert out[1].n_tokens == 4
+        assert out[1].logit == s / (1000.0 * 4)
+        assert out[1].keep == (out[1].logit > 0)
+        assert out[2].logit is None and out[2].n_tokens == 0
+        # empty text tokenizes to [""] -> one token, scored
+        assert out[3].n_tokens == 1
