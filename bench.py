@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q61_trailing_window",
     "q62_key_skew",
     "q63_quality_classifier",
+    "q64_training_batches",
 ]
 
 

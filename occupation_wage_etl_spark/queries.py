@@ -2715,6 +2715,118 @@ FROM documents LEFT JOIN scored s ON documents.doc_id = s.id
 
 
 # ---------------------------------------------------------------------------
+# q64 — the training-data funnel end-to-end, ONE composed lazy plan:
+# curate (quality → lang → dedup) → overlapping chunks → greedy packing
+# into token-budget bins → per-bin utilization.  Every stage is
+# individually oracle-checked (q34, q37, q40); this query proves the
+# COMPOSITION stays correct and planar (no materialization between
+# stages — Catalyst sees one tree from parquet scan to bin stats).
+# ---------------------------------------------------------------------------
+
+
+def q64_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents")
+    # persisted: the chunker and the source-lookup join both read the
+    # curated slice — without this the whole quality→lang→dedup funnel
+    # computes twice.  At cluster scale this becomes a checkpoint.
+    curated = (
+        curation.curate_corpus(docs, min_quality=CURATE_MIN_Q, langs=("en",))
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    chunks = chunking.chunk_tokens(
+        curated, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+    keyed = chunks.join(
+        curated.select(F.col("doc_id").alias("id"), "source"), "id"
+    ).select(
+        "source",
+        # composite chunk key: chunks per doc are bounded far below 1000
+        # (CHUNK_STRIDE=24 ⇒ <1000 chunks needs <24k tokens/doc)
+        (F.col("id") * 1000 + F.col("chunk_id")).alias("ckey"),
+        "chunk_text",
+    )
+    packed = chunking.pack_sequences(
+        keyed,
+        group_col="source",
+        id_col="ckey",
+        text_col="chunk_text",
+        budget=PACK_BUDGET,
+    )
+    return (
+        packed.groupBy(F.col("grp").alias("source"), "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.max("bin_fill").cast("long").alias("bin_tokens"),
+        )
+        .select(
+            "source",
+            "bin_id",
+            "n_chunks",
+            "bin_tokens",
+            (F.col("bin_tokens") / F.lit(float(PACK_BUDGET))).alias("utilization"),
+        )
+    )
+
+
+def _q64_oracle_sql() -> str:
+    curated_sql = _curate_oracle_sql().strip()
+    return f"""
+WITH RECURSIVE curated AS ({curated_sql}),
+survivors AS (
+  SELECT c.doc_id, c.source, d.text
+  FROM curated c JOIN documents d USING (doc_id)
+), s2 AS (
+  SELECT doc_id, source, str_split_regex(text, '\\s+') AS toks,
+         len(str_split_regex(text, '\\s+')) AS n
+  FROM survivors
+), e2 AS (
+  SELECT doc_id, source, toks, n,
+         CASE WHEN n > {CHUNK_SIZE}
+              THEN (n - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+              ELSE 0 END AS extra
+  FROM s2
+), r2 AS (
+  SELECT doc_id, source, toks, n,
+         unnest(generate_series(0, extra)) AS chunk_id
+  FROM e2
+), c AS (  -- n_tokens by re-splitting chunk_text, mirroring pack_sequences
+  SELECT source, doc_id * 1000 + chunk_id AS ckey,
+         len(str_split_regex(array_to_string(
+           list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '),
+           '\\s+'))::BIGINT AS n_tokens
+  FROM r2
+), d2 AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the recursive step below references
+  -- d2 once per iteration, and DuckDB inlines plain CTEs — without it
+  -- the whole curate→chunk pipeline re-evaluates per recursion step
+  -- (~200s); materialized it runs once (~2s).
+  SELECT source, ckey, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY ckey) AS rn
+  FROM c
+), p AS (
+  SELECT source, ckey, n_tokens, rn, 0::BIGINT AS bin_id, n_tokens AS bin_fill
+  FROM d2 WHERE rn = 1
+  UNION ALL
+  SELECT d2.source, d2.ckey, d2.n_tokens, d2.rn,
+         CASE WHEN p.bin_fill + d2.n_tokens > {PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END AS bin_id,
+         CASE WHEN p.bin_fill + d2.n_tokens > {PACK_BUDGET}
+              THEN d2.n_tokens ELSE p.bin_fill + d2.n_tokens END AS bin_fill
+  FROM p JOIN d2 ON d2.source = p.source AND d2.rn = p.rn + 1
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(max(bin_fill) AS BIGINT) AS bin_tokens,
+       CAST(max(bin_fill) AS BIGINT) / {float(PACK_BUDGET)} AS utilization
+FROM p GROUP BY source, bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2782,6 +2894,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_trailing_window": q61_trailing_window,
     "q62_key_skew": q62_key_skew,
     "q63_quality_classifier": q63_quality_classifier,
+    "q64_training_batches": q64_training_batches,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2848,4 +2961,5 @@ ORACLE_SQL: dict[str, str] = {
     "q61_trailing_window": Q61_SQL,
     "q62_key_skew": Q62_SQL,
     "q63_quality_classifier": Q63_SQL,
+    "q64_training_batches": _q64_oracle_sql(),
 }
