@@ -234,3 +234,41 @@ class TestHashedLinearScore:
         assert out[2].logit is None and out[2].n_tokens == 0
         # empty text tokenizes to [""] -> one token, scored
         assert out[3].n_tokens == 1
+
+
+class TestSnapshotDiffRoundtrip:
+    def test_apply_delta_reconstructs_new(self, spark):
+        """Property: new == (old minus deletes/updates) + (update/insert
+        payloads from the new side). Exercised over a generated pair of
+        snapshots with all four row fates."""
+        from pyspark.sql import functions as F
+
+        from occupation_wage_etl_spark.operators import cdc
+
+        n = 500
+        base = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 17).cast("string").alias("s"),
+            (F.col("id") * 3).alias("v"),
+        )
+        old = base.filter(F.col("k") % 11 != 0)            # %11 → inserts
+        new = base.filter(F.col("k") % 13 != 0).select(    # %13 → deletes
+            "k",
+            F.when(F.col("k") % 7 == 0, F.lit("CHANGED")).otherwise(F.col("s")).alias("s"),
+            F.when(F.col("k") % 5 == 0, F.col("v") + 1).otherwise(F.col("v")).alias("v"),
+        )
+        delta = cdc.snapshot_diff(old, new, "k", ["s", "v"])
+
+        # apply: drop deleted+updated keys from old, add new-side payloads
+        touched = delta.filter(F.col("change_type").isin("delete", "update", "insert"))
+        gone = touched.select("k")
+        add = new.join(
+            delta.filter(F.col("change_type").isin("update", "insert")).select("k"),
+            "k",
+            "semi",
+        )
+        rebuilt = old.join(gone, "k", "anti").unionByName(add)
+
+        got = sorted(tuple(r) for r in rebuilt.collect())
+        want = sorted(tuple(r) for r in new.collect())
+        assert got == want
