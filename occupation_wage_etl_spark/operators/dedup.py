@@ -98,40 +98,37 @@ def minhash_lsh_pairs(
       re-attach shingle sets (two broadcast-able semi-joins at SF-test
       size; hash-partitioned joins at scale) → exact Jaccard filter.
     """
-    # Signature via codegen-only gram explode + hash-aggregate.  Two
-    # structural choices keep Python AND interpreted expressions out of
-    # the whole-corpus path:
+    # Materialize shingle sets once: three downstream consumers (signature,
+    # and both sides of the verification join) would otherwise recompute
+    # the full tokenize+shingle+md5 pipeline per consumer.  At cluster
+    # scale this persist becomes a checkpoint of the signature table.
+    # _spread the INPUT, not the projection: repartitioning the projected
+    # output would still compute the shingles upstream of the exchange on
+    # however few partitions the file scan produced.
+    shingled = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)).alias("shingles"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Signature via explode + hash-aggregate (one codegen pass; the
+    # higher-order ``transform``+``array_min`` form in
+    # functions.similarity.minhash_signature is interpreted per element —
+    # keep that for ad-hoc column use, not whole-table runs).
     #
-    # 1. Grams are built per POSITION (explode a 1..k sequence, then
-    #    ``concat_ws(' ', slice(tokens, p, n))`` — all codegen exprs),
-    #    not via the higher-order ``transform`` array builder in
-    #    ``functions.text.word_ngrams`` (HOF lambdas are interpreted per
-    #    gram; ~2× slower at corpus scale).  Duplicate grams need no
-    #    dedup here: MIN over a multiset equals MIN over its set, so the
-    #    signatures are identical either way.
-    # 2. Arithmetic MinHash: ONE md5 per gram folded to a 31-bit
-    #    integer, then ``num_hashes`` universal-hash permutations
-    #    (a_i·h + b_i mod P) — codegen multiplies instead of 16
-    #    per-gram md5s.  Identical constants are embedded in the DuckDB
-    #    oracle, so the replay is still bit-exact.
-    #
-    # _spread the INPUT, not a projection: repartitioning downstream
-    # would still compute the grams on however few partitions the file
-    # scan produced.  Zero-gram docs drop out of candidates here; they
-    # could never pass verification (Jaccard with an empty set is 0).
+    # Arithmetic MinHash: ONE md5 per shingle folded to a 31-bit integer,
+    # then ``num_hashes`` universal-hash permutations (a_i·h + b_i mod P)
+    # — codegen multiplies instead of 16 per-shingle md5s (the md5s were
+    # ~90% of the signature stage's CPU).  Identical constants are
+    # embedded in the DuckDB oracle, so the replay is still bit-exact.
+    # Zero-shingle docs drop out of candidates here; they could
+    # never pass verification (Jaccard with an empty set is 0).
     rpb = num_hashes // bands
     P = S.MINHASH_P
     perms = S.minhash_perm_params(num_hashes)
-    toks = _spread(df).select(
-        F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w")
-    )
-    k = F.greatest(F.size("w") - F.lit(shingle_n - 1), F.lit(1))
-    ex = toks.select(
-        "id", F.col("w"), F.explode(F.sequence(F.lit(1), k)).alias("p")
-    ).select(
-        "id",
-        F.concat_ws(" ", F.slice(F.col("w"), F.col("p"), shingle_n)).alias("s"),
-    )
+    ex = shingled.select("id", F.explode("shingles").alias("s"))
     h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % P
     hs = ex.select("id", h32.alias("h"))
     mins = hs.groupBy("id").agg(
@@ -169,30 +166,9 @@ def minhash_lsh_pairs(
         left.join(right, key_eq & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
-        # persisted: the verify tier references candidates three times
-        # (the id set + both join sides); without this the whole
-        # signature→band→join funnel would replay per reference.  At
-        # cluster scale this persist becomes a checkpoint.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # Exact-Jaccard verification needs gram ARRAYS — the interpreted
-    # array builder runs only over candidate docs (semi-join first):
-    # candidates ≪ corpus, so the expensive form touches a sliver.
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-        .join(cand_ids, "id", "semi")  # BEFORE the array build: the
-        # interpreted gram transform must see only surviving rows
-        .select(
-            "id",
-            F.array_distinct(T.word_ngrams(F.col("_t"), shingle_n)).alias("shingles"),
-        )
-    )
+    sh = shingled
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
