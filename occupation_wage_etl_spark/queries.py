@@ -12,11 +12,29 @@ Cross-engine determinism rules (validated in tests/test_oracle_parity.py):
   divisions of identical integers — bit-exact unrounded.
 - **Hashes** are md5 (bit-identical hex in Spark/DuckDB/Python); MinHash
   = lexicographic min over md5s, LSH buckets = md5 of joined slots.
+- **Oversized decimal sums** (scaled integer > 2^53, e.g. q49's moment
+  sums) cast to double VIA STRING on both sides: a decimal's string is
+  its exact digits and string→double is correctly rounded in both
+  engines, while DuckDB's direct decimal→double double-rounds
+  (int128 then /10^scale) where Java rounds once.
+- **Statistical aggregates** (stddev/var/corr/covar) never use the
+  builtin float accumulators — they derive from exact decimal moment
+  sums + identical closed-form scalar trees, so results are bit-stable
+  across engines AND file layouts / partition orders (q49).
+- **Multi-term float sums** (BM25, PQ ADC) pivot to one conditional-agg
+  column per term and add in a fixed order — never a float fold over
+  rows in shuffle order.
 - **Rounding is avoided** except where a float fold could differ in
   ULPs (cosine similarity, multi-term score sums) — there we round at
   6dp (Spark round is decimal-correct, DuckDB's is float-based; they
   agree except within ~1e-13 of a .xxxxxx5 boundary, which naturally
-  occurring folds essentially never hit).
+  occurring folds essentially never hit).  Conversely, values that ARE
+  bit-equal from identical trees are left UNROUNDED — rounding would
+  reintroduce divergence at tie boundaries.
+- **Approximate operators** (MinHash, SimHash, hyperplane LSH, IVF, PQ,
+  the hashed-linear classifier) use md5-seeded deterministic
+  constructions so DuckDB replays their funnels exactly; swapping in
+  trained/learned parameters changes only a broadcast literal table.
 - Ordered/limited queries always carry a unique tiebreaker key.
 
 Reference-parity queries (q01–q11) cite SURVEY.md §2 operator ids.
