@@ -332,3 +332,31 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    n_files: int | None = None,
+    fpp: float = 0.01,
+    ndv: int | None = None,
+) -> None:
+    """Write parquet with native bloom filters on ``bloom_cols`` —
+    point-lookup file/row-group skipping for high-cardinality keys that
+    min/max stats can't prune (hashes, ids scattered across the range).
+
+    Parquet bloom filters live in the file footer; Spark's vectorized
+    reader consults them for equality predicates automatically, so a
+    ``WHERE key = x`` scan skips every row group whose filter rules the
+    value out — no index service, no extra files, works on any parquet
+    client.  Complements Z-ordering (range predicates) the way a hash
+    index complements a btree.
+    """
+    w = df.repartition(n_files).write if n_files else df.write
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        if ndv is not None:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.mode("overwrite").parquet(path)

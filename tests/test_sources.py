@@ -386,3 +386,37 @@ class TestZOrderWrite:
         back = spark.read.parquet(zpath)
         assert back.count() == n
         assert back.agg(F.sum("payload")).first()[0] == n * (n - 1) // 2
+
+
+class TestBloomFilterWrite:
+    def test_bloom_present_and_lookup_correct(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from occupation_wage_etl_spark.sources import lake
+
+        df = spark.range(50_000).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("payload"),
+        )
+        path = str(tmp_path / "bloomed")
+        lake.write_with_bloom(df, path, ["k"], n_files=4, ndv=50_000)
+
+        import glob
+        import os
+
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        assert len(files) == 4
+        # this pyarrow/duckdb pair can't introspect bloom offsets, so
+        # assert presence via footprint: the same data written without
+        # blooms must be materially smaller (ndv=50k @ 1% fpp ≈ 60 KiB
+        # of filter bits per file).
+        plain = str(tmp_path / "plain")
+        df.repartition(4).write.mode("overwrite").parquet(plain)
+        bloomed_bytes = sum(os.path.getsize(f) for f in files)
+        plain_bytes = sum(
+            os.path.getsize(f) for f in glob.glob(f"{plain}/*.parquet")
+        )
+        assert bloomed_bytes > plain_bytes + 40_000, (bloomed_bytes, plain_bytes)
+
+        got = spark.read.parquet(path).filter(F.col("k") == 12345).collect()
+        assert len(got) == 1 and got[0].k == 12345
