@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q62_key_skew",
     "q63_quality_classifier",
     "q64_training_batches",
+    "q65_snapshot_drift",
 ]
 
 

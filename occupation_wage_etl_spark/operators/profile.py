@@ -69,3 +69,54 @@ def profile_numeric(
         for i, name in enumerate(columns)
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def group_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    value_col: str,
+    abs_threshold: float,
+) -> DataFrame:
+    """Per-group distribution drift between two snapshots — the
+    monitoring counterpart of ``operators.cdc.snapshot_diff`` (that one
+    asks "which rows changed", this one asks "did the DATA change
+    shape").  A re-scrape that silently drops a segment or shifts a
+    unit shows up here before it poisons downstream consumers.
+
+    Compares per-group row count and mean of ``value_col``; means come
+    from exact decimal sums (order/partition/layout-independent — the
+    q49 rule), so equal data produces bit-equal zero deltas on any
+    engine.  One aggregate per side (map-side combined, ~#groups rows)
+    + one tiny join: nothing scales with row count but the scans.
+
+    Output per group present on either side: (group, n_old, n_new,
+    mean_old, mean_new, mean_delta, drifted) — NULL means for an absent
+    side, which always flags ``drifted``.
+    """
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            (
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(f"mean_{tag}"),
+        )
+
+    o, n = summarize(old, "old"), summarize(new, "new")
+    joined = o.join(n, "g", "full_outer")
+    delta = F.col("mean_new") - F.col("mean_old")
+    return joined.select(
+        F.col("g").alias(group_col),
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        "mean_old",
+        "mean_new",
+        delta.alias("mean_delta"),
+        (
+            F.col("mean_old").isNull()
+            | F.col("mean_new").isNull()
+            | (F.abs(delta) > F.lit(abs_threshold))
+        ).alias("drifted"),
+    )

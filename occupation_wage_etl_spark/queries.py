@@ -2845,6 +2845,62 @@ FROM p GROUP BY source, bin_id
 
 
 # ---------------------------------------------------------------------------
+# q65 — per-group stats drift between the q58 snapshots: the monitoring
+# counterpart of the CDC delta (did the data change SHAPE, not just rows)
+# ---------------------------------------------------------------------------
+
+_DRIFT_T = 100.0  # dollars of mean o_totalprice movement per priority
+
+
+def q65_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            price + F.lit("1.00").cast("decimal(3,2)"),
+        )
+        .otherwise(price)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    return profile.group_drift(
+        old, new, "o_orderpriority", "o_totalprice", abs_threshold=_DRIFT_T
+    )
+
+
+Q65_SQL = f"""
+WITH o_side AS (
+  SELECT o_orderpriority AS g, count(*) AS n_old,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_old
+  FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1
+), n_side AS (
+  SELECT o_orderpriority AS g, count(*) AS n_new,
+         CAST(sum(CAST(
+           CASE WHEN o_orderkey % 5 = 0
+                THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                          + CAST('1.00' AS DECIMAL(3,2)) AS DOUBLE)
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+           END AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_new
+  FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY 1
+)
+SELECT coalesce(o.g, n.g) AS o_orderpriority,
+       CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+       o.mean_old AS mean_old,
+       n.mean_new AS mean_new,
+       n.mean_new - o.mean_old AS mean_delta,
+       (o.mean_old IS NULL OR n.mean_new IS NULL
+        OR abs(n.mean_new - o.mean_old) > {_DRIFT_T}) AS drifted
+FROM o_side o FULL OUTER JOIN n_side n ON o.g = n.g
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2913,6 +2969,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_key_skew": q62_key_skew,
     "q63_quality_classifier": q63_quality_classifier,
     "q64_training_batches": q64_training_batches,
+    "q65_snapshot_drift": q65_snapshot_drift,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2980,4 +3037,5 @@ ORACLE_SQL: dict[str, str] = {
     "q62_key_skew": Q62_SQL,
     "q63_quality_classifier": Q63_SQL,
     "q64_training_batches": _q64_oracle_sql(),
+    "q65_snapshot_drift": Q65_SQL,
 }

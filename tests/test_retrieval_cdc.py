@@ -272,3 +272,23 @@ class TestSnapshotDiffRoundtrip:
         got = sorted(tuple(r) for r in rebuilt.collect())
         want = sorted(tuple(r) for r in new.collect())
         assert got == want
+
+
+class TestGroupDrift:
+    def test_flags_shifted_and_missing_groups(self, spark):
+        from occupation_wage_etl_spark.operators.profile import group_drift
+
+        old = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0)],
+            "g string, v double",
+        )
+        new = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("b", 105.0), ("d", 1.0)],
+            "g string, v double",
+        )
+        out = {r.g: r for r in group_drift(old, new, "g", "v", 50.0).collect()}
+        assert not out["a"].drifted and out["a"].mean_delta == 0.0
+        assert out["b"].drifted and out["b"].mean_delta == 100.0
+        assert out["c"].drifted and out["c"].mean_new is None  # vanished
+        assert out["d"].drifted and out["d"].mean_old is None  # appeared
+        assert out["d"].n_old == 0 and out["d"].n_new == 1
