@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -96,4 +98,86 @@ def user_totals_batch(
     return events.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.coalesce(F.col(value_col), F.lit(0.0))).alias("total_value"),
+    )
+
+
+HH_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("item", StringType()),
+        StructField("count_est", LongType()),
+    ]
+)
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    item_col: str = "event_type",
+    shard_col: str = "user_id",
+    k: int = 8,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming top-k frequent items via per-shard SpaceSaving sketches.
+
+    Each shard (hash of ``shard_col`` mod ``n_shards``) keeps at most
+    ``k`` (item, count) slots as typed state; when a new item arrives at
+    a full sketch it evicts the minimum slot and inherits its count
+    (Metwally et al.'s SpaceSaving — counts become upper bounds with
+    error ≤ min-slot, and EXACT whenever the shard sees ≤ k distinct
+    items).  Emits the shard's current sketch every micro-batch; readers
+    take the latest rows per shard and merge.
+
+    Scale: state is O(n_shards · k) slots TOTAL, independent of stream
+    length or key cardinality — the property that makes top-k feasible
+    on unbounded streams where exact groupBy counts cannot be.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts = state.get
+            sketch = dict(zip(list(items), list(counts)))
+        else:
+            sketch = {}
+        for pdf in pdfs:
+            for item, n in pdf["item"].value_counts().items():
+                n = int(n)
+                if item in sketch:
+                    sketch[item] += n
+                elif len(sketch) < k:
+                    sketch[item] = n
+                else:  # SpaceSaving eviction: inherit the min count
+                    min_item = min(sketch, key=lambda x: (sketch[x], x))
+                    sketch[item] = sketch.pop(min_item) + n
+        items = sorted(sketch, key=lambda x: (-sketch[x], x))
+        state.update((items, [sketch[i] for i in items]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "item": items,
+                "count_est": [sketch[i] for i in items],
+            }
+        )
+
+    sharded = events.select(
+        (F.crc32(F.col(shard_col).cast("string").cast("binary")) % n_shards)
+        .cast("long")
+        .alias("shard"),
+        F.col(item_col).alias("item"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        HH_OUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

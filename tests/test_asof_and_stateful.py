@@ -88,3 +88,51 @@ def test_running_user_totals_stream(spark, tmp_path):
     }
     assert got == want
     assert got[2] == (2, pytest.approx(5.0))  # NULL value counted, sums as 0
+
+
+def test_streaming_heavy_hitters(spark, tmp_path):
+    """With <= k distinct items per shard, SpaceSaving is exact: the
+    final sketch rows must equal batch groupBy counts per shard."""
+    rows = []
+    for i in range(300):
+        rows.append((i % 7, ["click", "view", "purchase"][i % 3], _ts(9, i % 50)))
+    # skew one item so ranking is meaningful
+    rows += [(1, "click", _ts(10, i % 50)) for i in range(100)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    src = str(tmp_path / "hh")
+    df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    q = (
+        stateful.streaming_heavy_hitters(stream, k=8, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {}
+    for r in spark.table("hh").collect():
+        got[(r.shard, r.item)] = r.count_est  # later rows overwrite earlier
+
+    want_df = (
+        df.select(
+            (F.crc32(F.col("user_id").cast("string").cast("binary")) % 4)
+            .cast("long")
+            .alias("shard"),
+            F.col("event_type").alias("item"),
+        )
+        .groupBy("shard", "item")
+        .count()
+    )
+    want = {(r.shard, r.item): r["count"] for r in want_df.collect()}
+    assert got == want
+    # global merge ranks the skewed item first
+    totals = {}
+    for (_, item), n in got.items():
+        totals[item] = totals.get(item, 0) + n
+    assert max(totals, key=totals.get) == "click"
