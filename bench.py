@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "q63_quality_classifier",
     "q64_training_batches",
     "q65_snapshot_drift",
+    "q66_contrastive_pairs",
+    "q67_funnel",
+    "q68_cohort_retention",
 ]
 
 

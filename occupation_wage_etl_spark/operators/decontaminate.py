@@ -25,7 +25,7 @@ shuffles at all: scan → hash-join → partial count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,4 +157,87 @@ def cap_per_group(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
+    )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    n_negatives: int = 2,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Mine (anchor, positive, negative) triplets for contrastive
+    training: positives come from a near-dup pair list (MinHash/SimHash
+    output — semantically close by construction), negatives are
+    deterministic pseudo-random picks from the corpus, re-rolled per
+    (anchor, j) via md5 and FILTERED against the pair list so a known
+    near-dup can never leak in as a negative.
+
+    Determinism: negative j for an anchor is corpus_index[md5(salt:
+    anchor:j) mod N] — reruns, repartitions, and the DuckDB oracle all
+    emit identical triplets.  Collisions with the anchor/positive/known
+    pairs drop that slot rather than re-rolling (branchless, still
+    deterministic).
+
+    Scale notes: N and the md5 roll are engine-side (one 1-row count
+    broadcast, no driver collect); the corpus index is a row_number
+    over id — at 100 TB swap in a precomputed id dictionary (the same
+    note as vocab's global rank).  The anti-join against known pairs
+    carries only id pairs.
+    """
+    anchors = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
+    )
+    n_tbl = df.agg(F.count(F.lit(1)).alias("n"))
+    idx = df.select(F.col(id_col)).withColumn(
+        "idx",
+        F.row_number().over(Window.orderBy(id_col)).cast("long") - 1,
+    )
+    expanded = anchors.select(
+        "anchor",
+        "positive",
+        F.explode(F.array(*[F.lit(j) for j in range(n_negatives)])).alias("j"),
+    )
+    roll = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n")
+    )
+    cand = (
+        expanded.crossJoin(F.broadcast(n_tbl))
+        .withColumn("nidx", roll)
+        .join(F.broadcast(idx), F.col("nidx") == F.col("idx"))
+        .select(
+            "anchor",
+            "positive",
+            "j",
+            F.col(id_col).alias("negative"),
+        )
+        .filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("pa"), F.col("id_b").alias("pb")
+    ).union(pairs.select(F.col("id_b").alias("pa"), F.col("id_a").alias("pb")))
+    return cand.join(
+        sym,
+        (cand["anchor"] == sym["pa"]) & (cand["negative"] == sym["pb"]),
+        "left_anti",
     )

@@ -169,3 +169,4 @@ def bigram_familiarity(
             F.col("n_familiar") / F.col("n_bigrams"),
         ).alias("familiarity"),
     )
+

@@ -2901,6 +2901,140 @@ FROM o_side o FULL OUTER JOIN n_side n ON o.g = n.g
 
 
 # ---------------------------------------------------------------------------
+# q66 — contrastive (anchor, positive, negative) triplet mining from the
+# MinHash near-dup pairs (operators/decontaminate.py:contrastive_pairs)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 2
+
+
+def q66_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        shingle_n=SHINGLE_N,
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        jaccard_threshold=JACCARD_T,
+    ).select("id_a", "id_b")
+    return decontaminate.contrastive_pairs(docs, pairs, n_negatives=_NEG_K)
+
+
+def _contrastive_oracle_sql() -> str:
+    return f"""
+WITH mh AS (
+  SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) m
+), anchors AS (
+  SELECT id_a AS anchor, id_b AS positive FROM mh
+), n_tbl AS (
+  SELECT count(*) AS n FROM documents
+), idx AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS idx
+  FROM documents
+), expanded AS (
+  SELECT anchor, positive, j.j AS j
+  FROM anchors, range(0, {_NEG_K}) j(j)
+), cand AS (
+  SELECT e.anchor, e.positive, e.j, i.doc_id AS negative
+  FROM expanded e
+  CROSS JOIN n_tbl
+  JOIN idx i
+    ON (('0x' || substr(md5('neg:' || CAST(e.anchor AS VARCHAR)
+                             || ':' || CAST(e.j AS VARCHAR)), 1, 8))::BIGINT
+        % n_tbl.n) = i.idx
+  WHERE i.doc_id <> e.anchor AND i.doc_id <> e.positive
+), sym AS (
+  SELECT id_a AS pa, id_b AS pb FROM mh
+  UNION ALL
+  SELECT id_b AS pa, id_a AS pb FROM mh
+)
+SELECT c.anchor, c.positive, c.j, c.negative
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM sym s WHERE s.pa = c.anchor AND s.pb = c.negative
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q67 — strict-order funnel conversion over events
+# (streaming/events.py:funnel_conversion)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.streaming import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    return ev.funnel_conversion(e, _FUNNEL_STEPS)
+
+
+Q67_SQL = """
+WITH f0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), f1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN f0 ON e.user_id = f0.u
+  WHERE e.event_type = 'click' AND e.ts >= f0.t
+  GROUP BY e.user_id
+), f2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN f1 ON e.user_id = f1.u
+  WHERE e.event_type = 'purchase' AND e.ts >= f1.t
+  GROUP BY e.user_id
+), n AS (
+  SELECT (SELECT count(*) FROM f0) AS n0,
+         (SELECT count(*) FROM f1) AS n1,
+         (SELECT count(*) FROM f2) AS n2
+)
+SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users,
+       CAST(NULL AS DOUBLE) AS conversion_from_prev FROM n
+UNION ALL
+SELECT 1, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n
+UNION ALL
+SELECT 2, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# q68 — weekly cohort retention (streaming/events.py:cohort_retention)
+# ---------------------------------------------------------------------------
+
+
+def q68_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.streaming import events as ev
+
+    return ev.cohort_retention(_t(spark, sf_dir, "events"), max_offset_weeks=3)
+
+
+Q68_SQL = """
+WITH e AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+  FROM events
+), first_wk AS (
+  SELECT u, min(w) AS cw FROM e GROUP BY u
+), act AS (
+  SELECT DISTINCT f.cw, e.w - f.cw AS off, e.u
+  FROM e JOIN first_wk f ON e.u = f.u
+  WHERE e.w - f.cw <= 3
+), ret AS (
+  SELECT cw, off, count(*) AS n_active FROM act GROUP BY cw, off
+), size_ AS (
+  SELECT cw, count(*) AS cohort_size FROM first_wk GROUP BY cw
+)
+SELECT r.cw AS cohort_week, r.off AS weeks_later,
+       s.cohort_size, r.n_active,
+       CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM ret r JOIN size_ s ON r.cw = s.cw
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2970,6 +3104,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_quality_classifier": q63_quality_classifier,
     "q64_training_batches": q64_training_batches,
     "q65_snapshot_drift": q65_snapshot_drift,
+    "q66_contrastive_pairs": q66_contrastive_pairs,
+    "q67_funnel": q67_funnel,
+    "q68_cohort_retention": q68_cohort_retention,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3038,4 +3175,7 @@ ORACLE_SQL: dict[str, str] = {
     "q63_quality_classifier": Q63_SQL,
     "q64_training_batches": _q64_oracle_sql(),
     "q65_snapshot_drift": Q65_SQL,
+    "q66_contrastive_pairs": _contrastive_oracle_sql(),
+    "q67_funnel": Q67_SQL,
+    "q68_cohort_retention": Q68_SQL,
 }

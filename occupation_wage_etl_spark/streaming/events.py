@@ -181,3 +181,99 @@ def enrich_with_dimension(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, key, "inner")
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed each step AFTER
+    completing the previous one (classic view→click→purchase product
+    analytics, generalized to any step list).
+
+    Step semantics: a user counts for step i iff they have a step-i
+    event at-or-after their earliest qualifying step-(i-1) moment
+    (earliest-continuation recursion — the standard strict-order funnel).
+
+    Plan: one filtered min-aggregate per step, each joined to the
+    previous step's per-user frontier — i small fixed joins on
+    (user, ts), no window over the whole event stream.  Counts and the
+    step-over-step rate are integers and one exact division.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    counts = [frontier.agg(F.count(F.lit(1)).alias("n0"))]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("u"), F.col(ts_col).alias("ts2"))
+            .join(frontier, "u")
+            .filter(F.col("ts2") >= F.col("t"))
+            .groupBy("u")
+            .agg(F.min("ts2").alias("t"))
+        )
+        counts.append(nxt.agg(F.count(F.lit(1)).alias(f"n{i}")))
+        frontier = nxt
+    wide = counts[0]
+    for c in counts[1:]:
+        wide = wide.crossJoin(c)
+    step_rows = []
+    for i, step in enumerate(steps):
+        rate = (
+            F.lit(None).cast("double")
+            if i == 0
+            else F.col(f"n{i}").cast("double") / F.col(f"n{i-1}").cast("double")
+        )
+        step_rows.append(
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+                rate.alias("conversion_from_prev"),
+            )
+        )
+    return wide.select(F.explode(F.array(*step_rows)).alias("s")).select("s.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    max_offset_weeks: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: group users by the epoch-week of their
+    first event, then measure what fraction of each cohort is active
+    0..N weeks later — the standard growth-analytics retention matrix.
+
+    Weeks are integer epoch-week indexes (floor(unix_ts / 604800)), not
+    calendar date_trunc — portable across engines and timezones by
+    construction.  Two aggregates and one join, all on (user, week)
+    integers; the retention rate is one exact integer division.
+    """
+    wk = F.floor(F.col(ts_col).cast("long") / F.lit(604800)).cast("long")
+    ev = events.select(F.col(user_col).alias("u"), wk.alias("w"))
+    first = ev.groupBy("u").agg(F.min("w").alias("cw"))
+    act = (
+        ev.join(first, "u")
+        .select("cw", (F.col("w") - F.col("cw")).alias("off"), "u")
+        .filter(F.col("off") <= max_offset_weeks)
+        .distinct()
+    )
+    ret = act.groupBy("cw", "off").agg(F.count(F.lit(1)).alias("n_active"))
+    size = first.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(size, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").alias("weeks_later"),
+        "cohort_size",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("retention"),
+    )

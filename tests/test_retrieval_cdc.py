@@ -292,3 +292,66 @@ class TestGroupDrift:
         assert out["c"].drifted and out["c"].mean_new is None  # vanished
         assert out["d"].drifted and out["d"].mean_old is None  # appeared
         assert out["d"].n_old == 0 and out["d"].n_new == 1
+
+
+class TestContrastiveFunnelRetention:
+    def test_contrastive_invariants(self, spark):
+        from occupation_wage_etl_spark.operators.decontaminate import (
+            contrastive_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4)], "id_a long, id_b long"
+        )
+        out = contrastive_pairs(docs, pairs, n_negatives=3).collect()
+        assert 0 < len(out) <= 6
+        for r in out:
+            assert r.negative != r.anchor and r.negative != r.positive
+            assert (r.anchor, r.negative) not in {(1, 2), (2, 1), (3, 4), (4, 3)}
+        # determinism under repartition
+        again = contrastive_pairs(
+            docs.repartition(5), pairs, n_negatives=3
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_funnel_strict_order(self, spark):
+        from occupation_wage_etl_spark.streaming.events import funnel_conversion
+
+        def ts(m):
+            import datetime
+
+            return datetime.datetime(2026, 1, 1, 0, m)
+
+        rows = [
+            (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+            (2, "view", ts(0)),                      # stops after view
+            (3, "click", ts(0)), (3, "view", ts(1)), # click BEFORE view
+            (3, "purchase", ts(2)),                  # no qualifying click
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        out = {r.step: r for r in funnel_conversion(df, ["view", "click", "purchase"]).collect()}
+        assert out["view"].n_users == 3
+        assert out["click"].n_users == 1          # only user 1 clicks after view
+        assert out["purchase"].n_users == 1
+        assert out["click"].conversion_from_prev == 1 / 3
+
+    def test_retention_matrix(self, spark):
+        from occupation_wage_etl_spark.streaming.events import cohort_retention
+
+        import datetime
+
+        def wk(n, u):
+            return (u, datetime.datetime(2026, 1, 5) + datetime.timedelta(weeks=n))
+
+        rows = [wk(0, 1), wk(1, 1), wk(0, 2), wk(2, 2), wk(0, 3)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {
+            (r.weeks_later): r
+            for r in cohort_retention(df, max_offset_weeks=3).collect()
+        }
+        assert out[0].cohort_size == 3 and out[0].n_active == 3
+        assert out[1].n_active == 1 and out[1].retention == 1 / 3
+        assert out[2].n_active == 1
