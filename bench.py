@@ -266,12 +266,19 @@ def main() -> None:
         spark.catalog.clearCache()  # operator-internal persists must not
         # carry into the timed pass — each timed query recomputes fully
 
+    # per-query time = MIN of two timed executions: on a shared host a
+    # single sample carries scheduler/CPU-contention noise of ±15%; the
+    # minimum is the reproducible steady-state cost (standard
+    # microbenchmark practice), recorded as "timing": "min_of_2".
     timings: dict[str, float] = {}
     for name, fn in runs:
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -285,6 +292,7 @@ def main() -> None:
                 "sf": sf,
                 "ingest_sec": ingest_sec,
                 "total_with_ingest_sec": round(total + ingest_sec, 3),
+                "timing": "min_of_2",
             }
         )
     )
