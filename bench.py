@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "q66_contrastive_pairs",
     "q67_funnel",
     "q68_cohort_retention",
+    "q69_substring_dup_spans",
+    "q70_semantic_dedup",
 ]
 
 

@@ -20,7 +20,7 @@ construction.  AQE handles residual bucket skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark import StorageLevel
@@ -76,6 +76,134 @@ def duplicate_groups(
             F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Exact-substring duplication accounting (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-dedup family,
+    approximated at tile granularity).
+
+    Tiles each normalized document into ``window``-char slices, marks every
+    tile whose fingerprint occurs more than once ANYWHERE in the corpus
+    (cross-doc copies and in-doc repetition both count), then merges runs of
+    adjacent duplicated tiles into spans per document.  Output per doc:
+    ``total_tiles``, ``dup_tiles``, ``n_spans``, ``dup_frac`` — the numbers a
+    curation pipeline thresholds on before cutting repeated boilerplate.
+
+    Scale shape: the only global shuffle is the groupBy on the 32-byte md5
+    tile fingerprint (uniform, skew-free); the span merge is a window
+    partitioned BY DOCUMENT (never a global sort); the doc payload never
+    enters a shuffle — tiles are (id, pos, digest) triples.  The dup-tile
+    marking is a left-semi join on the digest, so only duplicated tiles
+    flow into the island merge.
+    """
+    sid = F.col(id_col)
+    tiles = df.select(
+        sid.alias("id"),
+        F.posexplode(T.rolling_fingerprints(F.col(text_col), window)).alias(
+            "pos", "fp"
+        ),
+    )
+    dup_fps = (
+        tiles.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("fp")
+    )
+    dup_tiles = tiles.join(dup_fps, "fp", "left_semi").select("id", "pos")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        dup_tiles.withColumn("__g", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "__g")
+        .agg(F.count(F.lit(1)).alias("tiles"))
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("tiles").alias("dup_tiles"),
+    )
+    totals = df.select(
+        sid.alias("id"),
+        F.size(T.rolling_fingerprints(F.col(text_col), window))
+        .cast("long")
+        .alias("total_tiles"),
+    )
+    return totals.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        "total_tiles",
+        F.coalesce(F.col("dup_tiles"), F.lit(0)).cast("long").alias("dup_tiles"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        (
+            F.coalesce(F.col("dup_tiles"), F.lit(0)).cast("double")
+            / F.col("total_tiles").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    embedded corpus.  Assign every vector to its nearest centroid (IVF
+    cell), then WITHIN each cell drop every vector that has a smaller-id
+    neighbor at cosine >= ``threshold``; survivors are the semantic
+    representatives.  Returns the per-cell summary
+    ``(ivf_cell, n_vectors, n_dropped, n_kept)``.
+
+    Scale shape: assignment is a scan-side argmax over literal centroids
+    (no shuffle); the candidate join is an equi-join ON CELL, never
+    all-pairs — within-cell quadratic cost is bounded by cell size, and at
+    100 TB the centroid count grows with the corpus (cells stay ~constant
+    size; SemDeDup's own recipe).  Vectors are L2-normalized once before
+    the join so each pair costs one dot-product fold.
+    """
+    inv = F.lit(1.0) / S.l2_norm(F.col(vec_col))
+    cellv = similarity.ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col).alias("id"),
+        "ivf_cell",
+        F.when(
+            S.l2_norm(F.col(vec_col)) > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * inv),
+        ).alias("v"),
+    )
+    l, r = cellv.alias("l"), cellv.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.ivf_cell") == F.col("r.ivf_cell"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(
+            F.round(S.dot_product(F.col("l.v"), F.col("r.v")), 6) >= threshold
+        )
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        cellv.select("id", "ivf_cell")
+        .join(dropped, "id", "left")
+        .groupBy("ivf_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("__dropped"), F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "ivf_cell",
+            "n_vectors",
+            "n_dropped",
+            (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+        )
     )
 
 

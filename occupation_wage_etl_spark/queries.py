@@ -3035,6 +3035,123 @@ FROM ret r JOIN size_ s ON r.cw = s.cw
 
 
 # ---------------------------------------------------------------------------
+# q69 — exact-substring duplication spans (tile dedup accounting,
+# operators/dedup.py:substring_dup_spans).  Same 16-char tiling as q20 but
+# position-aware: runs of duplicated tiles merge into per-doc spans.
+# ---------------------------------------------------------------------------
+
+
+def q69_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_spans(docs, window=ROLL_W)
+
+
+Q69_SQL = f"""
+WITH n AS (
+  SELECT doc_id AS id, {_NORM} AS s FROM documents
+), t AS (
+  SELECT id, u.pos AS pos, u.fp AS fp FROM (
+    SELECT id, unnest(list_transform(
+             range(0, greatest(CAST(ceil(length(s) / {ROLL_W}.0) AS INTEGER), 1)),
+             i -> struct_pack(pos := i, fp := md5(substr(s, i * {ROLL_W} + 1, {ROLL_W})))
+           )) AS u
+    FROM n)
+), dupfp AS (
+  SELECT fp FROM t GROUP BY fp HAVING count(*) > 1
+), d AS (
+  SELECT id, pos FROM t WHERE fp IN (SELECT fp FROM dupfp)
+), isl AS (
+  SELECT id, pos,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS g
+  FROM d
+), sp AS (
+  SELECT id, g, count(*) AS tiles FROM isl GROUP BY id, g
+), pd AS (
+  SELECT id, count(*) AS n_spans, CAST(sum(tiles) AS BIGINT) AS dup_tiles
+  FROM sp GROUP BY id
+), tot AS (
+  SELECT id, count(*) AS total_tiles FROM t GROUP BY id
+)
+SELECT tot.id AS doc_id, tot.total_tiles,
+       COALESCE(pd.dup_tiles, 0) AS dup_tiles,
+       COALESCE(pd.n_spans, 0) AS n_spans,
+       CAST(COALESCE(pd.dup_tiles, 0) AS DOUBLE)
+         / CAST(tot.total_tiles AS DOUBLE) AS dup_frac
+FROM tot LEFT JOIN pd ON tot.id = pd.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q70 — semantic dedup (SemDeDup: IVF-cell partition + within-cell
+# cosine drop, operators/dedup.py:semantic_dedup).  Deterministic
+# end-to-end: literal centroids (vec_id 1..32), argmax tie → cell DESC
+# (Spark array_max semantics, replayed by the oracle's row_number),
+# drop rule keyed on the unique vec_id order.
+# ---------------------------------------------------------------------------
+
+# 0.35 sits just inside the synthetic corpus's within-cell cosine tail
+# (p99 ≈ 0.355, max ≈ 0.49 at sf0.01) so the drop rule actually fires;
+# a production corpus would use ~0.95 per the SemDeDup paper.
+SEMDEDUP_T = 0.35
+SEMDEDUP_NCENT = 32
+
+
+def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    crows = (
+        emb.filter(F.col("vec_id").isin(list(range(1, SEMDEDUP_NCENT + 1))))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(r["embedding"]) for r in crows]
+    return dedup.semantic_dedup(emb, centroids, threshold=SEMDEDUP_T)
+
+
+Q70_SQL = f"""
+WITH cent AS (
+  SELECT vec_id - 1 AS cell, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {SEMDEDUP_NCENT}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY (list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                i -> e.embedding[i]::DOUBLE * c.cv[i]))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                        x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(c.cv, x -> x * x))))) DESC,
+                      c.cell DESC
+           ) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+), u AS (
+  SELECT vec_id AS id,
+         CASE WHEN sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) > 0
+              THEN list_transform(
+                     embedding::DOUBLE[],
+                     x -> x * (1.0 / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))))
+         END AS v
+  FROM embeddings
+), dropped AS (
+  SELECT DISTINCT r.vec_id AS id
+  FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  JOIN u ul ON ul.id = l.vec_id
+  JOIN u ur ON ur.id = r.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(ul.v) + 1),
+                       i -> ul.v[i] * ur.v[i])), 6) >= {SEMDEDUP_T}
+)
+SELECT a.cell AS ivf_cell,
+       count(*) AS n_vectors,
+       CAST(count(d.id) AS BIGINT) AS n_dropped,
+       count(*) - CAST(count(d.id) AS BIGINT) AS n_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id
+GROUP BY a.cell
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3107,6 +3224,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_contrastive_pairs": q66_contrastive_pairs,
     "q67_funnel": q67_funnel,
     "q68_cohort_retention": q68_cohort_retention,
+    "q69_substring_dup_spans": q69_substring_dup_spans,
+    "q70_semantic_dedup": q70_semantic_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3178,4 +3297,6 @@ ORACLE_SQL: dict[str, str] = {
     "q66_contrastive_pairs": _contrastive_oracle_sql(),
     "q67_funnel": Q67_SQL,
     "q68_cohort_retention": Q68_SQL,
+    "q69_substring_dup_spans": Q69_SQL,
+    "q70_semantic_dedup": Q70_SQL,
 }

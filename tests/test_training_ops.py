@@ -223,3 +223,51 @@ def test_cap_per_group_deterministic(spark, sf_tiny):
     assert all(v <= 3 for v in sizes.values())
     b = D.cap_per_group(docs, "source", 3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_substring_dup_spans_islands(spark):
+    from occupation_wage_etl_spark.operators import dedup
+
+    # window=4 tiles; doc 1 and 2 share tiles "aaaa" (runs merge into
+    # spans), doc 3 is unique everywhere.
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaXXXXaaaa"),  # tiles: aaaa aaaa XXXX aaaa
+            (2, "aaaabbbb"),          # tiles: aaaa bbbb
+            (3, "ccccdddd"),          # tiles: cccc dddd
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.substring_dup_spans(docs, window=4).collect()}
+    # doc 1: dup tiles at pos 0,1,3 ("aaaa" appears 4x corpus-wide)
+    # -> islands [0,1] and [3] = 2 spans, 3 dup tiles of 4
+    assert got[1]["total_tiles"] == 4
+    assert got[1]["dup_tiles"] == 3
+    assert got[1]["n_spans"] == 2
+    assert abs(got[1]["dup_frac"] - 0.75) < 1e-12
+    # doc 2: "aaaa" dup, "bbbb" unique -> 1 span, 1 of 2 tiles
+    assert (got[2]["dup_tiles"], got[2]["n_spans"]) == (1, 1)
+    # doc 3: clean
+    assert (got[3]["dup_tiles"], got[3]["n_spans"]) == (0, 0)
+    assert got[3]["dup_frac"] == 0.0
+
+
+def test_semantic_dedup_drops_within_cell_only(spark):
+    from occupation_wage_etl_spark.operators import dedup
+
+    # two orthogonal centroids; ids 1,2 are near-dups in cell 0 (drop 2);
+    # ids 3,4 land in cell 1 but sit at cosine ~0.85 -> both kept.
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [1.0, 0.11]),
+            (3, [0.1, 1.0]),
+            (4, [-0.5, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["ivf_cell"]: r for r in
+            dedup.semantic_dedup(emb, centroids, threshold=0.95).collect()}
+    assert rows[0]["n_vectors"] == 2 and rows[0]["n_dropped"] == 1
+    assert rows[1]["n_vectors"] == 2 and rows[1]["n_dropped"] == 0
