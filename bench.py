@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q68_cohort_retention",
     "q69_substring_dup_spans",
     "q70_semantic_dedup",
+    "q71_incremental_agg",
 ]
 
 

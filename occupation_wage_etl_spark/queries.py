@@ -3152,6 +3152,62 @@ GROUP BY a.cell
 
 
 # ---------------------------------------------------------------------------
+# q71 — incremental aggregate maintenance (materialized-view refresh from a
+# CDC delta, operators/cdc.py:apply_delta_to_agg).  The Spark path maintains
+# the grouped (count, sum) from OLD state + delta only; the oracle recomputes
+# the aggregate from the NEW snapshot from scratch — the two must agree
+# exactly (decimal sums are associative, so order of application is free).
+# Snapshots reuse q58's synthesis, plus a group MOVE: bumped keys land in a
+# brand-new '9-MOVED' priority, exercising insert-into-unseen-group.
+# ---------------------------------------------------------------------------
+
+
+def q71_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    old = o.filter(key % 7 != 0).select(
+        "o_orderkey", "o_orderpriority", price.alias("price")
+    )
+    bumped = key % 5 == 0
+    new = o.filter(key % 11 != 0).select(
+        "o_orderkey",
+        F.when(bumped, F.lit("9-MOVED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.when(bumped, price + F.lit("1.00").cast("decimal(3,2)"))
+        .otherwise(price)
+        .alias("price"),
+    )
+    old_agg = old.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("price").alias("total")
+    )
+    delta = cdc.delta_rows(old, new, "o_orderkey", ["o_orderpriority", "price"])
+    out = cdc.apply_delta_to_agg(old_agg, delta, "o_orderpriority", "price")
+    return out.select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("total").cast("decimal(38,2)").alias("total"),
+    )
+
+
+Q71_SQL = """
+WITH new_snap AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN '9-MOVED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(o_totalprice AS DECIMAL(12,2)) + CAST('1.00' AS DECIMAL(3,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(sum(price) AS DECIMAL(38,2)) AS total
+FROM new_snap GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3226,6 +3282,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_cohort_retention": q68_cohort_retention,
     "q69_substring_dup_spans": q69_substring_dup_spans,
     "q70_semantic_dedup": q70_semantic_dedup,
+    "q71_incremental_agg": q71_incremental_agg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3299,4 +3356,5 @@ ORACLE_SQL: dict[str, str] = {
     "q68_cohort_retention": Q68_SQL,
     "q69_substring_dup_spans": Q69_SQL,
     "q70_semantic_dedup": Q70_SQL,
+    "q71_incremental_agg": Q71_SQL,
 }

@@ -355,3 +355,51 @@ class TestContrastiveFunnelRetention:
         assert out[0].cohort_size == 3 and out[0].n_active == 3
         assert out[1].n_active == 1 and out[1].retention == 1 / 3
         assert out[2].n_active == 1
+
+
+def test_apply_delta_to_agg_matches_recompute(spark):
+    from decimal import Decimal
+    from occupation_wage_etl_spark.operators import cdc
+
+    # old snapshot: groups a(2 rows), b(1 row)
+    old = spark.createDataFrame(
+        [(1, "a", Decimal("1.00")), (2, "a", Decimal("2.00")),
+         (3, "b", Decimal("5.00"))],
+        "k long, g string, v decimal(12,2)",
+    )
+    # new: delete key 3 (group b now empty -> dropped), move key 2 a->c,
+    # bump key 1 in place, insert key 4 into c
+    new = spark.createDataFrame(
+        [(1, "a", Decimal("1.50")), (2, "c", Decimal("2.00")),
+         (4, "c", Decimal("7.00"))],
+        "k long, g string, v decimal(12,2)",
+    )
+    old_agg = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("total")
+    )
+    delta = cdc.delta_rows(old, new, "k", ["g", "v"])
+    got = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in cdc.apply_delta_to_agg(old_agg, delta, "g", "v").collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in new.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want) == {"a", "c"}  # b dropped at count 0
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert got[g][1] == want[g][1]
+
+
+def test_delta_rows_images(spark):
+    from occupation_wage_etl_spark.operators import cdc
+
+    old = spark.createDataFrame([(1, "x"), (2, "y")], "k long, c string")
+    new = spark.createDataFrame([(2, "z"), (3, "w")], "k long, c string")
+    rows = {r["k"]: r for r in cdc.delta_rows(old, new, "k", ["c"]).collect()}
+    assert rows[1]["change_type"] == "delete" and rows[1]["old_c"] == "x"
+    assert rows[2]["change_type"] == "update" and (rows[2]["old_c"], rows[2]["new_c"]) == ("y", "z")
+    assert rows[3]["change_type"] == "insert" and rows[3]["new_c"] == "w"
