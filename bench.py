@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q69_substring_dup_spans",
     "q70_semantic_dedup",
     "q71_incremental_agg",
+    "q72_fuzzy_join",
 ]
 
 

@@ -58,6 +58,7 @@ from occupation_wage_etl_spark.operators import (
     curation,
     decontaminate,
     dedup,
+    fuzzy_join,
     graph,
     multimodal,
     prefix_join,
@@ -3208,6 +3209,47 @@ FROM new_snap GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# q72 — fuzzy edit-distance join (operators/fuzzy_join.py): entity
+# resolution of deterministically-corrupted part names (one char deleted
+# at a key-derived position) back against the clean catalog, levenshtein
+# <= 2, q-gram count filter + broadcast short-string fallback.  The
+# oracle is the NAIVE cross join — losslessness is the assertion.
+# ---------------------------------------------------------------------------
+
+FUZZY_D = 2
+
+
+def q72_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    pos = (F.col("p_partkey") % 10 + 3).cast("int")
+    dirty = p.select(
+        F.col("p_partkey").alias("d_id"),
+        F.concat(
+            F.substring(F.col("p_name"), F.lit(1), pos - 1),
+            F.substring(F.col("p_name"), pos + 1, F.length("p_name")),
+        ).alias("d_name"),
+    )
+    clean = p.select("p_partkey", "p_name")
+    return fuzzy_join.edit_distance_join(
+        dirty, clean, "d_id", "p_partkey", "d_name", "p_name", max_dist=FUZZY_D
+    )
+
+
+Q72_SQL = f"""
+WITH dirty AS (
+  SELECT p_partkey AS d_id,
+         substr(p_name, 1, (p_partkey % 10) + 2) ||
+         substr(p_name, (p_partkey % 10) + 4) AS d_name
+  FROM part
+)
+SELECT d.d_id, p.p_partkey, levenshtein(d.d_name, p.p_name) AS dist
+FROM dirty d, part p
+WHERE abs(length(d.d_name) - length(p.p_name)) <= {FUZZY_D}
+  AND levenshtein(d.d_name, p.p_name) <= {FUZZY_D}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3283,6 +3325,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_substring_dup_spans": q69_substring_dup_spans,
     "q70_semantic_dedup": q70_semantic_dedup,
     "q71_incremental_agg": q71_incremental_agg,
+    "q72_fuzzy_join": q72_fuzzy_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3357,4 +3400,5 @@ ORACLE_SQL: dict[str, str] = {
     "q69_substring_dup_spans": Q69_SQL,
     "q70_semantic_dedup": Q70_SQL,
     "q71_incremental_agg": Q71_SQL,
+    "q72_fuzzy_join": Q72_SQL,
 }
