@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q70_semantic_dedup",
     "q71_incremental_agg",
     "q72_fuzzy_join",
+    "q73_interval_overlap",
 ]
 
 

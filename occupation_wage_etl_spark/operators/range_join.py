@@ -66,3 +66,54 @@ def range_join(
         )
         .drop("_cell")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (inclusive bounds: pairs with
+    ``l.lo <= r.hi AND r.lo <= l.hi``) as a bucket-grid equi-join —
+    the big-big sibling of :func:`range_join`.
+
+    Both sides explode into the grid cells they cover; a pair of
+    overlapping intervals shares every cell between max(lo) and
+    min(hi), so to avoid a distinct we emit each pair ONLY in its
+    first shared cell: ``cell == greatest(floor(l.lo/W), floor(r.lo/W))``
+    (floor is monotone, so that equals floor(max(lo)/W), which both
+    sides cover iff they overlap).  Exactly-once without dedup, one
+    shuffle on the cell key.
+
+    Column names must be disjoint across the two inputs.  Replication
+    per row is (hi-lo)/W — pick ``bucket_width`` near the median
+    interval width, same guidance as range_join.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = F.lit(float(bucket_width))
+
+    def _gridded(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
+        return df.withColumn(f"_locell{tag}", F.floor(F.col(lo) / w)).withColumn(
+            "_cell",
+            F.explode(
+                F.sequence(F.col(f"_locell{tag}"), F.floor(F.col(hi) / w))
+            ),
+        )
+
+    l = _gridded(left, left_lo, left_hi, "_l")
+    r = _gridded(right, right_lo, right_hi, "_r")
+    return (
+        l.join(F.broadcast(r) if broadcast_right else r, "_cell")
+        .filter(
+            (F.col("_cell") == F.greatest(F.col("_locell_l"), F.col("_locell_r")))
+            & (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+        )
+        .drop("_cell", "_locell_l", "_locell_r")
+    )

@@ -3250,6 +3250,58 @@ WHERE abs(length(d.d_name) - length(p.p_name)) <= {FUZZY_D}
 
 
 # ---------------------------------------------------------------------------
+# q73 — interval x interval overlap join (operators/range_join.py:
+# interval_overlap_join).  Per-(user, day) activity spans overlapped
+# against per-(event_type, week) activity envelopes, all in exact
+# integer microseconds.  Grid cells = 1 day; the oracle is the naive
+# overlap predicate — exactly-once emission is the assertion.
+# ---------------------------------------------------------------------------
+
+
+def q73_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = (
+        e.groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("__d"))
+        .agg(F.min(us).alias("a_lo"), F.max(us).alias("a_hi"))
+        .select("user_id", "a_lo", "a_hi")
+    )
+    b = (
+        e.groupBy(F.col("event_type"), F.date_trunc("week", F.col("ts")).alias("__w"))
+        .agg(F.min(us).alias("b_lo"), F.max(us).alias("b_hi"))
+        .select("event_type", "b_lo", "b_hi")
+    )
+    out = range_join.interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucket_width=86_400e6, broadcast_right=True,
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "a_lo",
+        "b_lo",
+        (
+            F.least(F.col("a_hi"), F.col("b_hi"))
+            - F.greatest(F.col("a_lo"), F.col("b_lo"))
+        ).alias("overlap_us"),
+    )
+
+
+Q73_SQL = """
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS a_lo, max(epoch_us(ts)) AS a_hi
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), b AS (
+  SELECT event_type, min(epoch_us(ts)) AS b_lo, max(epoch_us(ts)) AS b_hi
+  FROM events GROUP BY event_type, date_trunc('week', ts)
+)
+SELECT a.user_id, b.event_type, a.a_lo, b.b_lo,
+       least(a.a_hi, b.b_hi) - greatest(a.a_lo, b.b_lo) AS overlap_us
+FROM a, b WHERE a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3326,6 +3378,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_semantic_dedup": q70_semantic_dedup,
     "q71_incremental_agg": q71_incremental_agg,
     "q72_fuzzy_join": q72_fuzzy_join,
+    "q73_interval_overlap": q73_interval_overlap,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3401,4 +3454,5 @@ ORACLE_SQL: dict[str, str] = {
     "q70_semantic_dedup": Q70_SQL,
     "q71_incremental_agg": Q71_SQL,
     "q72_fuzzy_join": Q72_SQL,
+    "q73_interval_overlap": Q73_SQL,
 }

@@ -56,3 +56,52 @@ def test_range_join_rejects_bad_width(spark):
     pts = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         range_join.range_join(pts, "v", _intervals(spark), bucket_width=0.0)
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    from occupation_wage_etl_spark.operators.range_join import interval_overlap_join
+
+    # left interval spans many cells; pairs must appear exactly once.
+    left = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 5.0, 6.0), (3, 200.0, 210.0)],
+        "l_id long, a_lo double, a_hi double",
+    )
+    right = spark.createDataFrame(
+        [(10, 50.0, 150.0),   # overlaps 1 across many shared cells
+         (11, 100.0, 120.0),  # touches 1 exactly at the endpoint (inclusive)
+         (12, 5.5, 5.6),      # inside 2
+         (13, 211.0, 300.0)], # disjoint from everything
+        "r_id long, b_lo double, b_hi double",
+    )
+    rows = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=10.0
+        ).collect()
+    )
+    assert rows == [(1, 10), (1, 11), (1, 12), (2, 12)]
+
+    # brute-force equivalence on a denser random-ish grid
+    l2 = spark.range(40).select(
+        F.col("id").alias("l_id"),
+        (F.col("id") * 7 % 50).cast("double").alias("a_lo"),
+        ((F.col("id") * 7 % 50) + (F.col("id") % 13)).cast("double").alias("a_hi"),
+    )
+    r2 = spark.range(35).select(
+        F.col("id").alias("r_id"),
+        (F.col("id") * 11 % 45).cast("double").alias("b_lo"),
+        ((F.col("id") * 11 % 45) + (F.col("id") % 9)).cast("double").alias("b_hi"),
+    )
+    fast = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            l2, r2, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=5.0
+        ).collect()
+    )
+    naive = sorted(
+        (r["l_id"], r["r_id"])
+        for r in l2.crossJoin(r2)
+        .filter((F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi")))
+        .collect()
+    )
+    assert fast == naive
