@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q71_incremental_agg",
     "q72_fuzzy_join",
     "q73_interval_overlap",
+    "q74_equi_depth_hist",
 ]
 
 

@@ -123,3 +123,78 @@ def grouped_exact_percentiles(
         for name in percentiles
     ]
     return interpolated.groupBy(group_col).agg(*agg_cols)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Equi-depth (equal-height) histogram of ``value_col`` per group —
+    the optimizer-statistics shape (Piatetsky-Shapiro & Connell 1984),
+    computed WITHOUT a per-group global sort.
+
+    Same distributed-histogram skeleton as
+    :func:`grouped_exact_percentiles`: one shuffle on (group, value)
+    with map-side combine, a per-group cumulative sum over DISTINCT
+    values only, then the B-1 boundary values are picked at ranks
+    ``ceil(k*N/B)`` and broadcast back.  Boundaries are actual data
+    values (rank statistics, no interpolation), so every number is
+    exact in any engine.  Boundary k is the value at rank ceil(k*N/B) —
+    the LAST member of bucket k-1 — so ``bucket(x) = #{k : b_k < x}``
+    (an evenly divisible distinct-value column gets exactly N/B rows
+    per bucket).  Heavy ties can
+    leave a bucket empty — such buckets are simply absent.
+
+    Returns (group, bucket, n_rows, lo, hi, total).
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = cum.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    # boundary k (1..B-1) = min value with cum >= ceil(k*N/B)
+    ranks = totals.select(
+        group_col,
+        F.explode(
+            F.array(*[
+                F.ceil(F.col("n") * F.lit(k) / F.lit(buckets)).alias("r")
+                for k in range(1, buckets)
+            ])
+        ).alias("r"),
+    )
+    bounds = (
+        cum.alias("c")
+        .join(
+            F.broadcast(ranks).alias("k"),
+            (F.col(f"c.{group_col}") == F.col(f"k.{group_col}"))
+            & (F.col("c.cum") >= F.col("k.r"))
+            & (F.col("c.cum") - F.col("c.cnt") < F.col("k.r")),
+        )
+        .select(
+            F.col(f"c.{group_col}").alias(group_col),
+            F.col(f"c.{value_col}").alias("b"),
+        )
+    )
+    assigned = (
+        hist.alias("h")
+        .join(F.broadcast(bounds).alias("b"), group_col, "left")
+        .groupBy(group_col, value_col)
+        .agg(
+            F.sum(
+                F.when(F.col("b.b") < F.col(f"h.{value_col}"), 1).otherwise(0)
+            ).alias("bucket"),
+            F.first("cnt").alias("cnt"),
+        )
+    )
+    return assigned.groupBy(group_col, "bucket").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.sum(v * F.col("cnt")).alias("total"),
+    )

@@ -3302,6 +3302,63 @@ FROM a, b WHERE a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
 
 
 # ---------------------------------------------------------------------------
+# q74 — equi-depth histogram (operators/stats.py:equi_depth_histogram):
+# 8 equal-height buckets of l_extendedprice per l_returnflag, boundaries
+# = rank statistics from the distributed value histogram (no global
+# sort, no interpolation — every output exact in any engine).
+# ---------------------------------------------------------------------------
+
+EQD_B = 8
+
+
+def q74_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    out = stats.equi_depth_histogram(li, "l_returnflag", "price", buckets=EQD_B)
+    return out.select(
+        "l_returnflag",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_rows",
+        "lo",
+        "hi",
+        F.col("total").cast("decimal(38,2)").alias("total"),
+    )
+
+
+Q74_SQL = f"""
+WITH h AS (
+  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT grp, v, cnt, sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum
+  FROM h
+), t AS (
+  SELECT grp, sum(cnt) AS n FROM h GROUP BY 1
+), r AS (
+  SELECT grp, CAST(ceil(n * k / {EQD_B}.0) AS BIGINT) AS r
+  FROM t, range(1, {EQD_B}) t2(k)
+), b AS (
+  SELECT c.grp, c.v AS b
+  FROM c JOIN r ON c.grp = r.grp AND c.cum >= r.r AND c.cum - c.cnt < r.r
+), a AS (
+  SELECT h.grp, h.v,
+         sum(CASE WHEN b.b < h.v THEN 1 ELSE 0 END) AS bucket,
+         min(h.cnt) AS cnt
+  FROM h LEFT JOIN b ON h.grp = b.grp
+  GROUP BY h.grp, h.v
+)
+SELECT grp AS l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       min(v) AS lo, max(v) AS hi,
+       CAST(sum(v * cnt) AS DECIMAL(38,2)) AS total
+FROM a GROUP BY grp, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3379,6 +3436,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_incremental_agg": q71_incremental_agg,
     "q72_fuzzy_join": q72_fuzzy_join,
     "q73_interval_overlap": q73_interval_overlap,
+    "q74_equi_depth_hist": q74_equi_depth_hist,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3455,4 +3513,5 @@ ORACLE_SQL: dict[str, str] = {
     "q71_incremental_agg": Q71_SQL,
     "q72_fuzzy_join": Q72_SQL,
     "q73_interval_overlap": Q73_SQL,
+    "q74_equi_depth_hist": Q74_SQL,
 }

@@ -111,3 +111,25 @@ def test_profile_numeric_approx_mode_single_aggregate(spark):
     assert rows["bucket"]["n_distinct"] == 10  # HLL exact at tiny cardinality
     # default rsd=0.05 → observed error can reach a few σ; bound loosely
     assert abs(rows["id"]["n_distinct"] - 1000) <= 200
+
+
+def test_equi_depth_histogram_ties_and_depth(spark):
+    from occupation_wage_etl_spark.operators.stats import equi_depth_histogram
+
+    # 8 rows, 4 buckets, distinct values -> exactly 2 rows per bucket
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 9)], "grp string, v double"
+    )
+    rows = {r["bucket"]: r for r in
+            equi_depth_histogram(df, "grp", "v", buckets=4).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert all(rows[b]["n_rows"] == 2 for b in rows)
+    assert rows[0]["lo"] == 1.0 and rows[3]["hi"] == 8.0
+    # heavy ties: one dominant value collapses buckets (some absent),
+    # but total row count is preserved
+    df2 = spark.createDataFrame(
+        [("g", 5.0)] * 7 + [("g", 9.0)], "grp string, v double"
+    )
+    out = equi_depth_histogram(df2, "grp", "v", buckets=4).collect()
+    assert sum(r["n_rows"] for r in out) == 8
+    assert len(out) < 4
