@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q72_fuzzy_join",
     "q73_interval_overlap",
     "q74_equi_depth_hist",
+    "q75_resample_ffill",
 ]
 
 

@@ -70,6 +70,7 @@ from occupation_wage_etl_spark.operators import (
     splits,
     stats,
     text_analysis,
+    timeseries,
     topk,
     vocab,
 )
@@ -3359,6 +3360,46 @@ FROM a GROUP BY grp, bucket
 
 
 # ---------------------------------------------------------------------------
+# q75 — time-series resample + forward fill (operators/timeseries.py):
+# per-user daily max(value) densified onto each user's own day span,
+# gaps carry the last observation forward.  max() keeps the double
+# metric order-independent, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q75_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max("value").alias("value"))
+    out = timeseries.resample_ffill(obs, "user_id", "day", "value")
+    return out.filter(F.col("user_id") % 10 == 0)
+
+
+Q75_SQL = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         max(value) AS value
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+  FROM span
+), j AS (
+  SELECT g.user_id, g.day, o.value, o.value IS NULL AS is_filled
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+)
+SELECT user_id, day,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       is_filled
+FROM j WHERE user_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3437,6 +3478,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_fuzzy_join": q72_fuzzy_join,
     "q73_interval_overlap": q73_interval_overlap,
     "q74_equi_depth_hist": q74_equi_depth_hist,
+    "q75_resample_ffill": q75_resample_ffill,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3514,4 +3556,5 @@ ORACLE_SQL: dict[str, str] = {
     "q72_fuzzy_join": Q72_SQL,
     "q73_interval_overlap": Q73_SQL,
     "q74_equi_depth_hist": Q74_SQL,
+    "q75_resample_ffill": Q75_SQL,
 }

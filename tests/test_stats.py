@@ -133,3 +133,25 @@ def test_equi_depth_histogram_ties_and_depth(spark):
     out = equi_depth_histogram(df2, "grp", "v", buckets=4).collect()
     assert sum(r["n_rows"] for r in out) == 8
     assert len(out) < 4
+
+
+def test_resample_ffill_semantics(spark):
+    from datetime import datetime
+    from occupation_wage_etl_spark.operators.timeseries import resample_ffill
+
+    d = lambda day: datetime(2026, 1, day)
+    obs = spark.createDataFrame(
+        [("a", d(1), 10.0), ("a", d(4), 40.0), ("b", d(2), 5.0)],
+        "k string, slot timestamp, v double",
+    )
+    rows = sorted(
+        (r["k"], r["slot"].day, r["v"], r["is_filled"])
+        for r in resample_ffill(obs, "k", "slot", "v").collect()
+    )
+    assert rows == [
+        ("a", 1, 10.0, False),
+        ("a", 2, 10.0, True),   # gap filled from day 1
+        ("a", 3, 10.0, True),
+        ("a", 4, 40.0, False),
+        ("b", 2, 5.0, False),   # singleton span: no gaps
+    ]
