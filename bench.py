@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q73_interval_overlap",
     "q74_equi_depth_hist",
     "q75_resample_ffill",
+    "q76_phrase_search",
 ]
 
 

@@ -112,3 +112,54 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search via a positional inverted index — the classic
+    IR structure (Manning et al., IIR ch. 2), BM25's sibling for quoted
+    queries.
+
+    Tokenize with positions, keep ONLY postings whose token appears in
+    the phrase (a literal IN filter fused into the scan — the index
+    touches a vanishing fraction of the corpus), then align: a posting
+    matching phrase token i at position p votes for a phrase start at
+    ``p - i``; a start with all ``k`` distinct votes is a hit.  Repeated
+    phrase tokens are handled by letting one posting vote for every
+    offset it matches (explode over matching offsets — each (start,
+    offset) pair is unique, so count(*)==k is exact).
+
+    Returns (id, n_hits, first_pos), 0-based token positions.  Shuffles
+    carry (id, start) pairs only — never text.
+    """
+    toks = T.tokens(F.col(text_col))
+    phrase_toks = phrase.split()
+    k = len(phrase_toks)
+    lit = F.array(*[F.lit(t) for t in phrase_toks])
+    posted = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(phrase_toks))
+    votes = posted.select(
+        "id",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.element_at(lit, i + 1) == F.col("tok"),
+            )
+        ).alias("off"),
+        "pos",
+    ).select("id", (F.col("pos") - F.col("off")).alias("start"))
+    hits = (
+        votes.groupBy("id", "start")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .filter((F.col("n_votes") == k) & (F.col("start") >= 0))
+    )
+    return hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("start").alias("first_pos"),
+    ).select(F.col("id").alias(id_col), "n_hits", "first_pos")

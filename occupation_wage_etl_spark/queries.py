@@ -3400,6 +3400,45 @@ FROM j WHERE user_id % 10 = 0
 
 
 # ---------------------------------------------------------------------------
+# q76 — exact-phrase search via positional inverted index
+# (operators/retrieval.py:phrase_search).  The oracle replays the same
+# offset-vote alignment over DuckDB's positional token list.
+# ---------------------------------------------------------------------------
+
+PHRASE = "slow hash batch"
+
+
+def q76_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.phrase_search(docs, PHRASE)
+
+
+_PHRASE_VALUES = ", ".join(
+    f"({i}, '{t}')" for i, t in enumerate(PHRASE.split())
+)
+
+Q76_SQL = f"""
+WITH n AS (
+  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l FROM documents
+), t AS (
+  SELECT id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT id, unnest(list_transform(range(0, len(l)),
+             i -> struct_pack(pos := i, tok := l[i + 1]))) AS u
+    FROM n)
+), p AS (
+  SELECT * FROM (VALUES {_PHRASE_VALUES}) p(off, tok)
+), v AS (
+  SELECT t.id, t.pos - p.off AS start FROM t JOIN p ON t.tok = p.tok
+), h AS (
+  SELECT id, start FROM v
+  GROUP BY id, start HAVING count(*) = {len(PHRASE.split())} AND start >= 0
+)
+SELECT id AS doc_id, count(*) AS n_hits, min(start) AS first_pos
+FROM h GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3479,6 +3518,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_interval_overlap": q73_interval_overlap,
     "q74_equi_depth_hist": q74_equi_depth_hist,
     "q75_resample_ffill": q75_resample_ffill,
+    "q76_phrase_search": q76_phrase_search,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3557,4 +3597,5 @@ ORACLE_SQL: dict[str, str] = {
     "q73_interval_overlap": Q73_SQL,
     "q74_equi_depth_hist": Q74_SQL,
     "q75_resample_ffill": Q75_SQL,
+    "q76_phrase_search": Q76_SQL,
 }

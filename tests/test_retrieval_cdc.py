@@ -403,3 +403,28 @@ def test_delta_rows_images(spark):
     assert rows[1]["change_type"] == "delete" and rows[1]["old_c"] == "x"
     assert rows[2]["change_type"] == "update" and (rows[2]["old_c"], rows[2]["new_c"]) == ("y", "z")
     assert rows[3]["change_type"] == "insert" and rows[3]["new_c"] == "w"
+
+
+def test_phrase_search_alignment_and_repeats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),   # "the cat sat" x2? pos 0 and... tokens: the cat sat on the cat sat mat -> hits at 0 and 4
+            (2, "cat the sat"),                       # all tokens, wrong order
+            (3, "the cat"),                           # truncated phrase
+            (4, "x the cat sat"),                     # hit at start 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"]) for r in
+           retrieval.phrase_search(docs, "the cat sat").collect()}
+    assert got == {1: (2, 0), 4: (1, 1)}
+
+
+def test_phrase_search_repeated_token_phrase(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b b a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"]) for r in
+           retrieval.phrase_search(docs, "a b a").collect()}
+    assert got == {1: (2, 0)}  # overlapping hits at 0 and 2 both count
