@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "q74_equi_depth_hist",
     "q75_resample_ffill",
     "q76_phrase_search",
+    "q77_shipping_priority",
+    "q78_local_supplier_volume",
+    "q79_returned_items",
 ]
 
 

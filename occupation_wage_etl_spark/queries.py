@@ -3439,6 +3439,143 @@ FROM h GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# q77/q78/q79 — the classic TPC-H multi-join shapes (Q3 shipping
+# priority, Q5 local-supplier volume, Q10 returned-item reporting),
+# adapted to the driver's trimmed schemas.  These exist to prove the
+# optimizer story on textbook plans: selective dimension filters
+# broadcast into the fact scan, aggregation under top-k, decimal-exact
+# revenue ( price(12,2) x (1 - disc(3,2)) summed as decimals — floats
+# never enter an aggregate).
+# ---------------------------------------------------------------------------
+
+def _revenue() -> Column:
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return price * (F.lit("1.00").cast("decimal(3,2)") - disc)
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def q77_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped orders of one segment, top 10 by revenue."""
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_revenue()).cast("decimal(38,4)").alias("revenue")
+    )
+    return topk.top_k(
+        agg, [F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")], 10
+    )
+
+
+Q77_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q78_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation, one region, one year.  Dimension chain
+    (region -> nation) broadcasts; the two fact-side joins shuffle on
+    their keys."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_revenue()).cast("decimal(38,4)").alias("revenue")
+    )
+
+
+Q78_SQL = f"""
+SELECT n_name, CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q79_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in
+    one quarter."""
+    lo = F.lit("1997-10-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_revenue()).cast("decimal(38,4)").alias("revenue")
+    )
+    return topk.top_k(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+Q79_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3519,6 +3656,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_equi_depth_hist": q74_equi_depth_hist,
     "q75_resample_ffill": q75_resample_ffill,
     "q76_phrase_search": q76_phrase_search,
+    "q77_shipping_priority": q77_shipping_priority,
+    "q78_local_supplier_volume": q78_local_supplier_volume,
+    "q79_returned_items": q79_returned_items,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3598,4 +3738,7 @@ ORACLE_SQL: dict[str, str] = {
     "q74_equi_depth_hist": Q74_SQL,
     "q75_resample_ffill": Q75_SQL,
     "q76_phrase_search": Q76_SQL,
+    "q77_shipping_priority": Q77_SQL,
+    "q78_local_supplier_volume": Q78_SQL,
+    "q79_returned_items": Q79_SQL,
 }
