@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q77_shipping_priority",
     "q78_local_supplier_volume",
     "q79_returned_items",
+    "q80_triangles",
 ]
 
 

@@ -100,3 +100,39 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the clustering-coefficient numerator (cohesion of near-dup
+    neighborhoods; a cluster whose nodes close many triangles is a
+    tight duplicate clique, a star is one template touching many docs).
+
+    ``edges`` must be canonical (src < dst, no duplicates).  With every
+    edge oriented low->high, each triangle {a<b<c} appears exactly once
+    as the join (a,b)x(b,c) closed by (a,c) — no /3 correction, no
+    dedup.  Two equi-join shuffles on node keys; at 100 TB orient by
+    DEGREE instead of id (standard node-iterator optimization) so hub
+    nodes don't fan out — id order is kept here because the oracle
+    must replay it.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -3576,6 +3576,47 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# q80 — triangle counting (operators/graph.py:triangle_counts) over the
+# q20 rolling-fingerprint overlap graph: which documents sit in tightly
+# closed near-dup neighborhoods (clique-ish boilerplate) vs stars (one
+# template touching many docs).
+# ---------------------------------------------------------------------------
+
+
+def q80_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.triangle_counts(edges)
+
+
+Q80_SQL = f"""
+WITH n AS (
+  SELECT doc_id AS id, {_NORM} AS s FROM documents
+), w AS (
+  SELECT id, list_distinct(list_transform(
+           range(0, greatest(CAST(ceil(length(s) / {ROLL_W}.0) AS INTEGER), 1)),
+           i -> md5(substr(s, i * {ROLL_W} + 1, {ROLL_W}))
+         )) AS fps
+  FROM n
+), ex AS (
+  SELECT id, unnest(fps) AS fp FROM w
+), e AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3659,6 +3700,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_shipping_priority": q77_shipping_priority,
     "q78_local_supplier_volume": q78_local_supplier_volume,
     "q79_returned_items": q79_returned_items,
+    "q80_triangles": q80_triangles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3741,4 +3783,5 @@ ORACLE_SQL: dict[str, str] = {
     "q77_shipping_priority": Q77_SQL,
     "q78_local_supplier_volume": Q78_SQL,
     "q79_returned_items": Q79_SQL,
+    "q80_triangles": Q80_SQL,
 }

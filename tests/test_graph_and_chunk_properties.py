@@ -95,3 +95,17 @@ def test_chunk_tokens_overlap_invariants(spark, n, size, stride):
     # every token appears in at least one chunk (full coverage)
     last = rows[-1]
     assert last["chunk_id"] * stride + last["n_tokens"] == n
+
+
+def test_triangle_counts_exact(spark):
+    from occupation_wage_etl_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
+    # edge (5,6) and an open wedge 7-8-9 (no triangles).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (5, 6), (7, 8), (8, 9)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
