@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q78_local_supplier_volume",
     "q79_returned_items",
     "q80_triangles",
+    "q81_zscore_normalize",
 ]
 
 

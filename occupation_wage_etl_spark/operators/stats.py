@@ -198,3 +198,50 @@ def equi_depth_histogram(
         F.max(value_col).alias("hi"),
         F.sum(v * F.col("cnt")).alias("total"),
     )
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score feature scaling ((x - mean) / stddev) with
+    bit-stable output — the training-pipeline normalizer.
+
+    ``value_col`` must be a DECIMAL column (cast upstream): the group
+    moments (n, sum, sum-of-squares) accumulate as exact decimals, so
+    they are order/partition independent; the scalar math then runs in
+    double with one fixed expression tree.  Decimals convert to double
+    via STRING (see q49's docstring: decimal->double double-rounds in
+    some engines; string->double is correctly rounded everywhere).
+
+    One shuffle for the moment aggregate; the tiny per-group stats
+    table broadcasts back onto the scan — no second shuffle of rows.
+    Groups with n == 1 (stddev undefined) get NULL.
+    """
+    v = F.col(value_col)
+
+    def dbl(col: F.Column) -> F.Column:
+        return col.cast("string").cast("double")
+
+    sums = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__sxx"),
+    ).select(
+        group_col,
+        "__n",
+        dbl(F.col("__s")).alias("__s"),
+        dbl(F.col("__sxx")).alias("__sxx"),
+    )
+    n, s, sxx = F.col("__n"), F.col("__s"), F.col("__sxx")
+    std = F.sqrt((sxx - s * s / n) / (n - F.lit(1.0)))
+    return (
+        df.join(F.broadcast(sums), group_col)
+        .withColumn(
+            out_col,
+            F.when(n > 1, (dbl(v) - s / n) / std),
+        )
+        .drop("__n", "__s", "__sxx")
+    )

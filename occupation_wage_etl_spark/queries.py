@@ -3617,6 +3617,45 @@ SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# q81 — grouped z-score normalization (operators/stats.py:
+# grouped_zscore): event value scaled per event_type from exact decimal
+# moments; bit-stable doubles per the q49 determinism rules.
+# ---------------------------------------------------------------------------
+
+
+def q81_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    out = stats.grouped_zscore(e, "event_type", "v")
+    return out.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "event_type", "z"
+    )
+
+
+Q81_SQL = """
+WITH d AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(v * v) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       CASE WHEN m.n > 1 THEN
+         (CAST(CAST(d.v AS VARCHAR) AS DOUBLE) - m.s / m.n)
+           / sqrt((m.sxx - m.s * m.s / m.n) / (m.n - 1.0))
+       END AS z
+FROM d JOIN m ON d.event_type = m.event_type
+WHERE d.event_id % 20 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3701,6 +3740,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_local_supplier_volume": q78_local_supplier_volume,
     "q79_returned_items": q79_returned_items,
     "q80_triangles": q80_triangles,
+    "q81_zscore_normalize": q81_zscore_normalize,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3784,4 +3824,5 @@ ORACLE_SQL: dict[str, str] = {
     "q78_local_supplier_volume": Q78_SQL,
     "q79_returned_items": Q79_SQL,
     "q80_triangles": Q80_SQL,
+    "q81_zscore_normalize": Q81_SQL,
 }
