@@ -201,3 +201,44 @@ def apply_delta_to_agg(
         )
     )
     return merged.filter(F.col(cnt_col) > 0)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event stream:
+    one row per (key, attribute run) with [valid_from, valid_to) bounds,
+    valid_to NULL on the current version — the lakehouse dimension-table
+    builder (Kimball SCD2) expressed as two windows, no self-join.
+
+    Consecutive events carrying the SAME attribute value collapse into
+    one version (change detection via lag); ``tiebreak_col`` must make
+    (key, ts, tiebreak) unique so version order is deterministic.
+    Both windows partition BY KEY — never a global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # first-row detection must be positional (row_number), not "lag is
+    # NULL" — a genuinely-NULL attribute would alias with the boundary
+    changes = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            | ~F.col("__prev").eqNullSafe(F.col(attr_col))
+        )
+        .drop("__prev", "__rn")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        key_col,
+        F.col(attr_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )

@@ -3656,6 +3656,43 @@ WHERE d.event_id % 20 = 0
 
 
 # ---------------------------------------------------------------------------
+# q82 — SCD2 dimension history (operators/cdc.py:scd2_history): each
+# user's event_type runs become versioned [valid_from, valid_to) rows,
+# valid_to NULL on the open version.
+# ---------------------------------------------------------------------------
+
+
+def q82_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = cdc.scd2_history(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    return out.filter(F.col("user_id") % 25 == 0)
+
+
+Q82_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type AS value, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       row_number() OVER w2 AS version
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY user_id % 25 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3741,6 +3778,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_returned_items": q79_returned_items,
     "q80_triangles": q80_triangles,
     "q81_zscore_normalize": q81_zscore_normalize,
+    "q82_scd2_history": q82_scd2_history,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3825,4 +3863,5 @@ ORACLE_SQL: dict[str, str] = {
     "q79_returned_items": Q79_SQL,
     "q80_triangles": Q80_SQL,
     "q81_zscore_normalize": Q81_SQL,
+    "q82_scd2_history": Q82_SQL,
 }

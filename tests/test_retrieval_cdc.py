@@ -428,3 +428,27 @@ def test_phrase_search_repeated_token_phrase(spark):
     got = {r["doc_id"]: (r["n_hits"], r["first_pos"]) for r in
            retrieval.phrase_search(docs, "a b a").collect()}
     assert got == {1: (2, 0)}  # overlapping hits at 0 and 2 both count
+
+
+def test_scd2_history_runs_and_nulls(spark):
+    from datetime import datetime
+    from occupation_wage_etl_spark.operators import cdc
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [
+            (1, "a", t(1), 100), (1, "a", t(2), 101),  # run collapses
+            (1, "b", t(3), 102), (1, "a", t(4), 103),  # back to a = new version
+            (2, None, t(1), 200), (2, None, t(2), 201),  # NULL run: ONE version
+            (2, "x", t(3), 202),
+        ],
+        "k long, attr string, ts timestamp, eid long",
+    )
+    rows = sorted(
+        (r["k"], r["version"], r["value"], r["valid_to"] is None)
+        for r in cdc.scd2_history(df, "k", "attr", "ts", "eid").collect()
+    )
+    assert rows == [
+        (1, 1, "a", False), (1, 2, "b", False), (1, 3, "a", True),
+        (2, 1, None, False), (2, 2, "x", True),
+    ]
