@@ -120,6 +120,12 @@ BENCH_QUERIES = [
     "q79_returned_items",
     "q80_triangles",
     "q81_zscore_normalize",
+    "q82_scd2_history",
+    "q83_activity_streaks",
+    "q84_event_transitions",
+    "q85_weighted_sample",
+    "q86_big_orders",
+    "q87_sole_return_supplier",
 ]
 
 

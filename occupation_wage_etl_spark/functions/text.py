@@ -173,3 +173,41 @@ def rolling_fingerprints(col: Column, window: int = 16) -> Column:
         F.sequence(F.lit(0), k - F.lit(1)),
         lambda i: F.md5(F.substring(s, i * F.lit(window) + F.lit(1), window)),
     )
+
+
+# Fixed alphabet for char_entropy: the 26 ASCII letters + space.  A
+# FIXED literal list (not data-derived) keeps the per-class counts a
+# pure projection and the entropy sum a fixed-order expression tree.
+ENTROPY_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (nats, 6dp) of the character distribution over
+    ``ENTROPY_ALPHABET`` — a language/garbage signal (natural prose sits
+    near its language's typical entropy; base64 blobs and key-mash run
+    high, repeated-char padding runs low).
+
+    Per-class counts use the replace trick —
+    ``length(s) - length(replace(s, ch))`` — 27 codegen'd scans of the
+    string, ZERO explodes/shuffles.  Entropy folds those counts in one
+    fixed-order double tree (H = ln N - Σ c·ln c / N), so every engine
+    adds the same 27 terms in the same order; the single 6dp round at
+    the end absorbs cross-engine libm ULP drift (see queries.py
+    determinism rules).
+    """
+    s = F.lower(col)
+    counts = [
+        F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))
+        for ch in ENTROPY_ALPHABET
+    ]
+    n = counts[0]
+    for c in counts[1:]:
+        n = n + c
+    nd = n.cast("double")
+    acc = F.lit(0.0)
+    for c in counts:
+        cd = c.cast("double")
+        acc = acc + F.when(c > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
+    return F.when(n > 0, F.round(F.log(nd) - acc / nd, 6)).otherwise(
+        F.lit(None).cast("double")
+    )

@@ -136,3 +136,81 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over an undirected edge list, in FIXED-POINT integer
+    arithmetic so results are bit-identical across engines, reruns, and
+    partition orders (float PageRank sums neighbor contributions in
+    shuffle order — nondeterministic at the ULP level).
+
+    Ranks are integers scaled by ``scale`` (1e-12 resolution); damping
+    is the exact rational ``damping_num/damping_den`` (default 17/20 =
+    0.85).  Every update is integer multiply + floor division + exact
+    integer sums:
+
+        contrib(v)   = r(v) div deg(v)
+        r'(v)        = (scale*(den-num)) div (den*n)
+                       + (num * Σ_in contrib) div den
+
+    The floor truncation loses < deg(v) * 1e-12 rank per round —
+    immaterial for ranking, decisive for determinism.
+
+    Scale shape per iteration: one shuffle join (contribs onto edges)
+    + one hash agg keyed by node — the same shape as
+    :func:`connected_components` but with a FIXED round count (no
+    convergence job), so the driver never blocks on a count between
+    rounds.  Isolated nodes (no edges) are out of scope — callers
+    union them back at (1-d)/n if needed.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "u", "deg", "n",
+        F.expr(f"CAST({scale} AS BIGINT) div n").alias("rank"),
+    )
+    for _ in range(iters):
+        contribs = ranks.select(
+            "u", F.expr("rank div deg").alias("contrib")
+        )
+        inbox = (
+            sym.join(contribs, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            ranks.select("u", "deg", "n")
+            .join(inbox, "u", "left")
+            .select(
+                "u", "deg", "n",
+                (
+                    F.expr(
+                        f"CAST({scale * (damping_den - damping_num)} AS BIGINT)"
+                        f" div (CAST({damping_den} AS BIGINT) * n)"
+                    )
+                    + F.expr(
+                        f"(CAST({damping_num} AS BIGINT)"
+                        f" * coalesce(s, CAST(0 AS BIGINT))) div {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("u").alias("node"),
+        F.col("rank").alias("rank_scaled"),
+    )

@@ -14,7 +14,7 @@ trains nothing); this is part of the training-data extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,4 +118,57 @@ def sample_to_budget(
         df.join(F.broadcast(rates), df[group_col] == rates["_g"])
         .filter(u < F.col("keep_rate"))
         .drop("_g")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows per group, where a
+    row's inclusion probability is proportional to ``weight_col``
+    (Efraimidis–Spirakis A-ES — the one-pass, merge-friendly scheme).
+    Corpus-assembly primitive: pick k docs per domain biased by length/
+    quality without ever materializing per-group sorts of the payload.
+
+    A-ES key: rank by u^(1/w) desc ⟺ by ln(u)/w desc.  ``u`` is the
+    md5-uniform of (salt:id) mapped to (0, 1] — deterministic across
+    reruns, repartitions, and engines (the DuckDB oracle replays the
+    identical keystream).  ln(u)/w is two floating ops on identical
+    inputs; per the module-level determinism rules the score is rounded
+    at 9dp (engines agree except vanishingly close to a boundary) and
+    ties break on id.
+
+    Scale shape: the score is a scan-side projection; the only shuffle
+    keys (group, score) into a per-group TOP-K window — with bounded k
+    this is a WindowGroupLimit (rank pushed into the shuffle), so no
+    group's rows ever collect in one task beyond the k frontier.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)  # (0, 1] — ln is finite
+    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -245,3 +245,70 @@ def grouped_zscore(
         )
         .drop("__n", "__s", "__sxx")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [p_lo, p_hi] exact
+    percentiles — the standard outlier treatment before training-metric
+    aggregation (winsorization keeps the row, unlike trimming).
+
+    Bounds come from :func:`grouped_exact_percentiles` (distributed
+    histogram + rank statistic — bit-matches DuckDB ``quantile_cont``,
+    proven via q33), joined back as a BROADCAST (#groups rows).  The
+    clip itself is ``least(greatest(v, lo), hi)`` — a scan-side
+    projection; clipped values are either the original double or a
+    percentile boundary, both bit-stable, so no rounding is needed.
+
+    Returns the input plus ``<value_col>_wins``.
+    """
+    pct = grouped_exact_percentiles(
+        df, group_col, value_col, {"__lo": p_lo, "__hi": p_hi}
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(pct), group_col)
+        .withColumn(
+            f"{value_col}_wins",
+            F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def apply_buckets(
+    df: DataFrame,
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Assign each row its equi-depth bucket from a previously computed
+    :func:`equi_depth_histogram` — the apply half of quantile binning
+    (fit on yesterday's corpus, bucketize today's scan).
+
+    ``hist`` is #groups × #buckets rows → broadcast; the join keeps an
+    EQUALITY on the group key so Catalyst plans a broadcast HASH join
+    with the range predicate as a residual filter — never a nested
+    loop.  Rows outside every bucket's [lo, hi] (novel values beyond
+    the fitted range) are dropped; left-join + clamp upstream if they
+    must survive.
+    """
+    h = hist.select(
+        F.col(group_col).alias("__g"),
+        F.col("bucket"),
+        F.col("lo").alias("__lo"),
+        F.col("hi").alias("__hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(
+            F.broadcast(h),
+            (df[group_col] == h["__g"]) & (v >= h["__lo"]) & (v <= h["__hi"]),
+        )
+        .drop("__g", "__lo", "__hi")
+    )

@@ -170,3 +170,59 @@ def bigram_familiarity(
         ).alias("familiarity"),
     )
 
+
+
+def cooccurrence_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int,
+    k: int,
+) -> DataFrame:
+    """Market-basket token co-occurrence: the top-k token PAIRS by the
+    number of documents containing both, with exact-ratio support —
+    topic/template discovery over a corpus (the itemset-mining shape:
+    A-priori's "prune items below min support BEFORE forming pairs").
+
+    Funnel: distinct (doc, token) → document frequency per token → only
+    tokens with df ≥ ``min_df`` survive (broadcast semi-join) → per-doc
+    self-join forms ordered pairs (t1 < t2) → hash-agg pair counts →
+    TakeOrdered top-k.  The pair expansion is quadratic ONLY in each
+    doc's count of globally-frequent distinct tokens — the min_df prune
+    is what bounds it at corpus scale (raise min_df as the corpus
+    grows; the candidate set shrinks correspondingly).
+
+    ``support`` = pair_docs / n_docs, one exact integer division.
+    """
+    from occupation_wage_etl_spark.functions import text as T
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(T.tokens(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    keep = freq.filter(F.col("df") >= min_df).select("tok")
+    pruned = toks.join(F.broadcast(keep), "tok")
+
+    a = pruned.select(F.col("__doc"), F.col("tok").alias("t1"))
+    b = pruned.select(F.col("__doc").alias("__doc2"), F.col("tok").alias("t2"))
+    pairs = a.join(
+        b, (a["__doc"] == b["__doc2"]) & (a["t1"] < b["t2"])
+    ).select("t1", "t2")
+
+    counts = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("pair_docs")
+    )
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    scored = counts.crossJoin(F.broadcast(n_docs)).select(
+        "t1", "t2", "pair_docs",
+        (F.col("pair_docs") / F.col("__n")).alias("support"),
+    )
+    return scored.orderBy(
+        F.desc("pair_docs"), F.asc("t1"), F.asc("t2")
+    ).limit(k)

@@ -57,3 +57,145 @@ def resample_ffill(
         F.last(val_col, ignorenulls=True).over(w).alias(val_col),
         F.col(val_col).isNull().alias("is_filled"),
     )
+
+
+def activity_streaks(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's active DAYS into maximal
+    runs of consecutive dates — (key, streak_start, streak_end,
+    streak_days) per run.  The engagement/retention primitive (login
+    streaks, sensor uptime runs, crawl-coverage gaps).
+
+    Classic row_number anchor trick: within a key, consecutive dates
+    share ``day - row_number`` (both step by one), so the anchor IS the
+    island id and a plain hash aggregate finishes the job — no
+    self-join, no iterative pass.
+
+    Scale shape: one distinct on (key, day) — the shuffle carries two
+    narrow columns, never the payload — then ONE window partitioned by
+    key (days per key are bounded: ≤366/year) and one hash agg.  No
+    global sort anywhere.
+    """
+    days = df.select(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__day")
+    islands = days.withColumn(
+        "__anchor", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    return (
+        islands.groupBy(key_col, "__anchor")
+        .agg(
+            F.min("__day").alias("streak_start"),
+            F.max("__day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("__anchor")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities over each
+    key's state sequence: (from_state, to_state, n, p) where ``p`` is
+    the row-normalized transition probability.  Sequence-mining /
+    user-journey primitive (and the event-order analogue of q56's
+    bigram familiarity for text).
+
+    ``p`` is a single IEEE division of two exact integers —
+    bit-identical across engines, no rounding needed.
+
+    Scale shape: one window (lead) partitioned by key — state stays
+    per-key-bounded — then a hash agg whose output is |states|² rows;
+    the normalizing total rides a second tiny agg joined back by
+    from_state (broadcast).  The payload never shuffles twice.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.col(state_col).alias("from_state"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy(F.col("from_state").alias("__f")).agg(
+        F.sum("n").alias("__tot")
+    )
+    return (
+        counts.join(
+            F.broadcast(totals), counts["from_state"] == totals["__f"]
+        )
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            (F.col("n") / F.col("__tot")).alias("p"),
+        )
+    )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    z_thresh: float = 2.5,
+    min_n: int = 5,
+) -> DataFrame:
+    """Flag observations whose value deviates > ``z_thresh`` standard
+    deviations from the TRAILING ``window_sec`` baseline of their own
+    key — streaming-style anomaly detection as one batch window pass.
+
+    ``value_col`` must be exact decimal (cast upstream): the RANGE-frame
+    moment sums (Σv, Σv², n) are then order-independent, and z is the
+    same closed-form double tree as :func:`~occupation_wage_etl_spark.
+    operators.stats.grouped_zscore` — bit-stable across engines (the
+    frame is defined on epoch seconds, so tie handling — RANGE includes
+    all peers — is identical everywhere).
+
+    Scale shape: ONE window partitioned by key ordered by epoch second
+    (range frame state is bounded by the window span), no joins.  The
+    current row is EXCLUDED from its own baseline (classic leave-one-
+    out; an exact self-match never flags itself).
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__sec")
+        .rangeBetween(-window_sec, -1)
+    )
+    v = F.col(value_col)
+
+    def dbl(c: F.Column) -> F.Column:
+        return c.cast("string").cast("double")
+
+    base = (
+        df.withColumn("__sec", sec)
+        .withColumn("__n", F.count(v).over(w).cast("double"))
+        .withColumn("__s", dbl(F.sum(v).over(w)))
+        .withColumn("__sxx", dbl(F.sum(v * v).over(w)))
+    )
+    n, s, sxx = F.col("__n"), F.col("__s"), F.col("__sxx")
+    var = (sxx - s * s / n) / (n - F.lit(1.0))
+    z = (dbl(v) - s / n) / F.sqrt(var)
+    return (
+        base.withColumn(
+            "z",
+            F.when((n >= min_n) & (var > 0), z),
+        )
+        .filter(F.abs(F.col("z")) > z_thresh)
+        .drop("__sec", "__n", "__s", "__sxx")
+    )

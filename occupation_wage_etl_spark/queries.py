@@ -3189,7 +3189,8 @@ def q71_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority",
         "n_rows",
-        F.col("total").cast("decimal(38,2)").alias("total"),
+        F.col("total").cast("decimal(38,2)")
+        .cast("string").cast("double").alias("total"),
     )
 
 
@@ -3204,7 +3205,7 @@ WITH new_snap AS (
 )
 SELECT o_orderpriority,
        count(*) AS n_rows,
-       CAST(sum(price) AS DECIMAL(38,2)) AS total
+       CAST(CAST(CAST(sum(price) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total
 FROM new_snap GROUP BY o_orderpriority
 """
 
@@ -3322,9 +3323,10 @@ def q74_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("bucket").cast("long").alias("bucket"),
         "n_rows",
-        "lo",
-        "hi",
-        F.col("total").cast("decimal(38,2)").alias("total"),
+        F.col("lo").cast("string").cast("double").alias("lo"),
+        F.col("hi").cast("string").cast("double").alias("hi"),
+        F.col("total").cast("decimal(38,2)")
+        .cast("string").cast("double").alias("total"),
     )
 
 
@@ -3353,8 +3355,9 @@ WITH h AS (
 )
 SELECT grp AS l_returnflag, CAST(bucket AS BIGINT) AS bucket,
        CAST(sum(cnt) AS BIGINT) AS n_rows,
-       min(v) AS lo, max(v) AS hi,
-       CAST(sum(v * cnt) AS DECIMAL(38,2)) AS total
+       CAST(CAST(min(v) AS VARCHAR) AS DOUBLE) AS lo,
+       CAST(CAST(max(v) AS VARCHAR) AS DOUBLE) AS hi,
+       CAST(CAST(CAST(sum(v * cnt) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total
 FROM a GROUP BY grp, bucket
 """
 
@@ -3471,7 +3474,8 @@ def q77_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.sum(_revenue()).cast("decimal(38,4)").alias("revenue")
+        F.sum(_revenue()).cast("decimal(38,4)")
+        .cast("string").cast("double").alias("revenue")
     )
     return topk.top_k(
         agg, [F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")], 10
@@ -3480,7 +3484,7 @@ def q77_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q77_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3518,12 +3522,13 @@ def q78_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.sum(_revenue()).cast("decimal(38,4)").alias("revenue")
+        F.sum(_revenue()).cast("decimal(38,4)")
+        .cast("string").cast("double").alias("revenue")
     )
 
 
 Q78_SQL = f"""
-SELECT n_name, CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+SELECT n_name, CAST(CAST(CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -3554,14 +3559,15 @@ def q79_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.sum(_revenue()).cast("decimal(38,4)").alias("revenue")
+        F.sum(_revenue()).cast("decimal(38,4)")
+        .cast("string").cast("double").alias("revenue")
     )
     return topk.top_k(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
 
 
 Q79_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -3693,6 +3699,213 @@ QUALIFY user_id % 25 = 0
 
 
 # ---------------------------------------------------------------------------
+# q83 — gaps-and-islands activity streaks (operators/timeseries.py:
+# activity_streaks): each user's maximal runs of consecutive active days.
+# ---------------------------------------------------------------------------
+
+
+def q83_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = timeseries.activity_streaks(e, "user_id", "ts")
+    return out.filter(F.col("streak_days") >= 3)
+
+
+Q83_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM days
+)
+SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+       count(*) AS streak_days
+FROM isl GROUP BY user_id, anchor
+HAVING count(*) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q84 — first-order Markov event transitions (operators/timeseries.py:
+# transition_matrix): user-journey transition counts + exact-ratio
+# probabilities over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+
+def q84_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return timeseries.transition_matrix(
+        e, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+Q84_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events
+), c AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM seq WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state) AS p
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# q85 — weighted sampling without replacement (operators/splits.py:
+# weighted_sample): 3 docs per source, inclusion probability ∝ n_chars
+# (Efraimidis–Spirakis A-ES with an md5-uniform keystream).
+# ---------------------------------------------------------------------------
+
+
+def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = splits.weighted_sample(
+        d.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", k=3, id_col="doc_id",
+    )
+    return out.select("source", "doc_id", "n_chars", "score")
+
+
+Q85_SQL = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         round(ln((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS score
+  FROM documents
+)
+SELECT source, doc_id, n_chars, score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY score DESC, doc_id) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q86 — large-order customers (TPC-H Q18 shape): HAVING over an
+# aggregated fact, then dim joins UNDER a top-k.  The agg runs first so
+# only qualifying orderkeys (not line items) reach the joins.
+# ---------------------------------------------------------------------------
+
+
+def q86_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    joined = (
+        qty.join(o, qty["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .cast("string").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+    return topk.top_k(
+        joined, order_by=[F.desc("total_qty"), F.asc("o_orderkey")], k=20,
+    )
+
+
+Q86_SQL = """
+WITH qty AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS o_totalprice, total_qty
+FROM qty JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q87 — sole-returning supplier (TPC-H Q21 shape): EXISTS (another
+# supplier shipped the same order) AND NOT EXISTS (another supplier had
+# a return) — expressed Spark-first as left-semi + left-anti joins on
+# the orderkey with a suppkey inequality, so Catalyst keeps both as
+# shuffled semi/anti hash joins (no correlated subquery re-execution).
+# ---------------------------------------------------------------------------
+
+
+def q87_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    ).distinct()
+    multi = l1.join(
+        pairs,
+        (l1["l_orderkey"] == pairs["x_orderkey"])
+        & (l1["l_suppkey"] != pairs["x_suppkey"]),
+        "left_semi",
+    )
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+    ).distinct()
+    sole = multi.join(
+        returns,
+        (multi["l_orderkey"] == returns["y_orderkey"])
+        & (multi["l_suppkey"] != returns["y_suppkey"]),
+        "left_anti",
+    )
+    counts = sole.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    named = counts.join(
+        F.broadcast(s), counts["l_suppkey"] == s["s_suppkey"]
+    ).select("s_name", "s_suppkey", "numwait")
+    return topk.top_k(
+        named, order_by=[F.desc("numwait"), F.asc("s_suppkey")], k=10
+    )
+
+
+Q87_SQL = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+), sole AS (
+  SELECT l.l_orderkey, l.l_suppkey FROM l1 l
+  WHERE EXISTS (SELECT 1 FROM lineitem x
+                WHERE x.l_orderkey = l.l_orderkey
+                  AND x.l_suppkey <> l.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem y
+                    WHERE y.l_orderkey = l.l_orderkey
+                      AND y.l_suppkey <> l.l_suppkey
+                      AND y.l_returnflag = 'R')
+)
+SELECT s_name, s_suppkey, count(*) AS numwait
+FROM sole JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name, s_suppkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3779,6 +3992,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_triangles": q80_triangles,
     "q81_zscore_normalize": q81_zscore_normalize,
     "q82_scd2_history": q82_scd2_history,
+    "q83_activity_streaks": q83_activity_streaks,
+    "q84_event_transitions": q84_event_transitions,
+    "q85_weighted_sample": q85_weighted_sample,
+    "q86_big_orders": q86_big_orders,
+    "q87_sole_return_supplier": q87_sole_return_supplier,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3864,4 +4082,9 @@ ORACLE_SQL: dict[str, str] = {
     "q80_triangles": Q80_SQL,
     "q81_zscore_normalize": Q81_SQL,
     "q82_scd2_history": Q82_SQL,
+    "q83_activity_streaks": Q83_SQL,
+    "q84_event_transitions": Q84_SQL,
+    "q85_weighted_sample": Q85_SQL,
+    "q86_big_orders": Q86_SQL,
+    "q87_sole_return_supplier": Q87_SQL,
 }
