@@ -126,6 +126,12 @@ BENCH_QUERIES = [
     "q85_weighted_sample",
     "q86_big_orders",
     "q87_sole_return_supplier",
+    "q88_winsorize",
+    "q89_rolling_anomalies",
+    "q90_char_entropy",
+    "q91_bucketize",
+    "q92_pagerank",
+    "q93_cooccurrence",
 ]
 
 

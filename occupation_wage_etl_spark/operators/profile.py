@@ -26,6 +26,8 @@ Scale notes
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -120,3 +122,65 @@ def group_drift(
             | (F.abs(delta) > F.lit(abs_threshold))
         ).alias("drifted"),
     )
+
+
+# First-digit probabilities under Benford's law, precomputed ONCE in
+# Python (log10(1 + 1/d)) and embedded as literals on BOTH engines —
+# never recomputed engine-side, so the chi-square tree is identical
+# everywhere.
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_deviation(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Benford's-law first-digit drift per group: observed first-digit
+    counts vs the log10(1+1/d) expectation, scored with a chi-square
+    statistic — the classic fabricated/synthetic-numbers smell test for
+    financial columns (and a drift monitor for generated data).
+
+    Requires ``value_col`` ≥ 1 (first digit via the integer part's
+    decimal string — pure integer/string ops, no log10 at runtime).
+    Plan: ONE hash aggregate with 9 conditional sums + n; chi² is a
+    fixed-order 9-term double tree over exact integers and literal
+    constants, rounded 6dp per the float-fold rule.
+    """
+    v = F.col(value_col)
+    digit = F.substring(F.floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    aggs = [
+        F.sum(F.when(digit == d, 1).otherwise(0)).alias(f"c{d}")
+        for d in range(1, 10)
+    ]
+    counts = df.filter(v >= 1).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+    nd = F.col("n").cast("double")
+    chi2 = F.lit(0.0)
+    for d in range(1, 10):
+        exp = nd * F.lit(BENFORD_P[d])
+        obs = F.col(f"c{d}").cast("double")
+        chi2 = chi2 + (obs - exp) * (obs - exp) / exp
+    return counts.select(
+        group_col, "n", *[f"c{d}" for d in range(1, 10)],
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def check_constraints(
+    df: DataFrame, checks: list[tuple[str, F.Column]]
+) -> DataFrame:
+    """Deequ-style declarative data-quality suite: every check is a
+    named integer-valued aggregate (violation count, null count, dup
+    count …), all computed in ONE scan / one hash-aggregate row, then
+    transposed to (check, value) rows engine-side (a literal ``stack``
+    over the 1-row result — no driver round-trip, no second scan).
+
+    Convention: value 0 == pass for violation-style checks, so a suite
+    passes iff ``max(value) = 0`` over the violation subset.
+    """
+    one = df.agg(
+        *[c.cast("long").alias(name) for name, c in checks]
+    )
+    n = len(checks)
+    pairs = ", ".join(f"'{name}', {name}" for name, _ in checks)
+    return one.selectExpr(f"stack({n}, {pairs}) AS (`check`, value)")

@@ -163,3 +163,46 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("start").alias("first_pos"),
     ).select(F.col("id").alias(id_col), "n_hits", "first_pos")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    c: int = 60,
+    k: int = 15,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (hybrid
+    retrieval: lexical BM25 + semantic kNN + priors): score(id) =
+    Σ_lists 1/(c + rank), ids absent from a list contribute 0 from it.
+
+    Each input must carry (``id_col``, ``rank``) with rank ≥ 1 and is
+    expected to be TOP-L BOUNDED upstream (the standard RRF formulation
+    — and what keeps this a constant-size problem at corpus scale: the
+    fuse works on N·L rows regardless of corpus size).  The score sums
+    the lists in ARGUMENT ORDER via per-list conditional columns —
+    a fixed-order float tree, engine-portable without rounding.
+    """
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col), F.lit(i).alias("__src"), F.col("rank").alias("__r")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_src = tagged.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__src") == i, F.col("__r"))).alias(f"__r{i}")
+            for i in range(len(rankings))
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}").cast("double")),
+            F.lit(0.0),
+        )
+    return (
+        per_src.withColumn("rrf", score)
+        .select(id_col, *[f"__r{i}" for i in range(len(rankings))], "rrf")
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

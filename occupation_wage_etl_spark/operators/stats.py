@@ -312,3 +312,67 @@ def apply_buckets(
         )
         .drop("__g", "__lo", "__hi")
     )
+
+
+def grouped_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier profile per group via Median Absolute Deviation:
+    med = p50(v), mad = p50(|v - med|), outlier iff
+    |v - med| > k · 1.4826 · mad (1.4826 ≈ consistency constant for
+    normal data).  MAD survives the heavy tails that wreck z-scores —
+    the robust sibling of :func:`grouped_zscore`.
+
+    Two :func:`grouped_exact_percentiles` passes (distributed histogram
+    + rank statistic each — never a per-group sort buffer), each joined
+    back as a #groups-row broadcast; the outlier test is a scan-side
+    comparison of bit-stable doubles.  Output: one row per group with
+    med, mad, n_rows, n_outliers.
+    """
+    med = grouped_exact_percentiles(df, group_col, value_col, {"__med": 0.5})
+    v = F.col(value_col)
+    dev = (
+        df.join(F.broadcast(med), group_col)
+        .withColumn("__adev", F.abs(v.cast("double") - F.col("__med")))
+    )
+    mad = grouped_exact_percentiles(dev, group_col, "__adev", {"__mad": 0.5})
+    flagged = dev.join(F.broadcast(mad), group_col)
+    return flagged.groupBy(group_col).agg(
+        F.min("__med").alias("med"),
+        F.min("__mad").alias("mad"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("__adev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+def grouped_mode(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Most frequent value per group, ties broken toward the LARGEST
+    value — fully deterministic (``mode()``/``max_by()`` tie behavior is
+    engine- and order-dependent; this is not).
+
+    Two hash aggregates, no window: count per (group, value), then
+    ``max(struct(cnt, value))`` — struct comparison is lexicographic,
+    so the max is (highest count, then highest value).  The second agg's
+    input is already one row per distinct value: shuffle volume is the
+    distinct-pair count, never the table.
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    m = counts.groupBy(group_col).agg(
+        F.max(F.struct(F.col("__cnt"), F.col(value_col))).alias("__m")
+    )
+    return m.select(
+        group_col,
+        F.col(f"__m.{value_col}").alias("mode_value"),
+        F.col("__m.__cnt").alias("mode_count"),
+    )

@@ -201,6 +201,7 @@ def cooccurrence_pairs(
             F.col(id_col).alias("__doc"),
             F.explode(T.tokens(F.col(text_col))).alias("tok"),
         )
+        .filter(F.col("tok") != "")  # blank text yields a '' pseudo-token
         .distinct()
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

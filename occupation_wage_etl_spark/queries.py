@@ -3330,7 +3330,9 @@ def q74_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q74_SQL = f"""
+# Shared equi-depth CTE chain (value → bucket assignment `a`), reused
+# by Q74 (histogram itself) and Q91 (bucketize-apply).
+_EQD_CTE = f"""
 WITH h AS (
   SELECT l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
          count(*) AS cnt
@@ -3353,6 +3355,9 @@ WITH h AS (
   FROM h LEFT JOIN b ON h.grp = b.grp
   GROUP BY h.grp, h.v
 )
+"""
+
+Q74_SQL = _EQD_CTE + """
 SELECT grp AS l_returnflag, CAST(bucket AS BIGINT) AS bucket,
        CAST(sum(cnt) AS BIGINT) AS n_rows,
        CAST(CAST(min(v) AS VARCHAR) AS DOUBLE) AS lo,
@@ -3906,6 +3911,274 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# q88 — winsorization (operators/stats.py:winsorize): event values
+# clipped to per-type exact [p05, p95]; bounds bit-match DuckDB
+# quantile_cont (q33 parity), so the clipped double is bit-stable.
+# ---------------------------------------------------------------------------
+
+
+def q88_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = stats.winsorize(e, "event_type", "value", 0.05, 0.95)
+    return out.filter(F.col("event_id") % 17 == 0).select(
+        "event_id", "event_type", "value",
+        F.col("value_wins").alias("value_wins"),
+    )
+
+
+Q88_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       least(greatest(value, b.lo), b.hi) AS value_wins
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE event_id % 17 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q89 — trailing-window anomaly detection (operators/timeseries.py:
+# rolling_anomalies): per-user 3-day leave-one-out baseline over epoch
+# seconds, exact decimal moment sums, |z| > 2 flags.
+# ---------------------------------------------------------------------------
+
+ANOM_WIN = 3 * 86400
+
+
+def q89_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    out = timeseries.rolling_anomalies(
+        e, "user_id", "ts", "v", window_sec=ANOM_WIN,
+        z_thresh=2.0, min_n=5,
+    )
+    return out.select("event_id", "user_id", "z")
+
+
+Q89_SQL = f"""
+WITH d AS (
+  SELECT event_id, user_id,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), w AS (
+  SELECT event_id, user_id, v,
+         CAST(count(v) OVER win AS DOUBLE) AS n,
+         CAST(CAST(sum(v) OVER win AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(v * v) OVER win AS VARCHAR) AS DOUBLE) AS sxx
+  FROM d
+  WINDOW win AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_id, user_id,
+         CASE WHEN n >= 5 AND (sxx - s * s / n) / (n - 1.0) > 0 THEN
+           (CAST(CAST(v AS VARCHAR) AS DOUBLE) - s / n)
+             / sqrt((sxx - s * s / n) / (n - 1.0))
+         END AS z
+  FROM w
+)
+SELECT event_id, user_id, z FROM z WHERE abs(z) > 2.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q90 — char-distribution entropy (functions/text.py:char_entropy):
+# Shannon entropy over a FIXED 27-char alphabet via the replace trick —
+# 27 codegen string scans, zero explodes, fixed-order float tree.
+# ---------------------------------------------------------------------------
+
+
+def q90_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", T.char_entropy(F.col("text")).alias("entropy")
+    )
+
+
+def _entropy_oracle_sql() -> str:
+    cols = ", ".join(
+        f"length(s) - length(replace(s, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(T.ENTROPY_ALPHABET)
+    )
+    idx = range(len(T.ENTROPY_ALPHABET))
+    n = " + ".join(f"c{i}" for i in idx)
+    acc = "0.0"
+    for i in idx:
+        acc = (
+            f"({acc} + CASE WHEN c{i} > 0 THEN CAST(c{i} AS DOUBLE)"
+            f" * ln(CAST(c{i} AS DOUBLE)) ELSE 0.0 END)"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, lower(text) AS s FROM documents
+), c AS (
+  SELECT doc_id, lang, {cols} FROM t
+), e AS (
+  SELECT doc_id, lang, {n} AS nn, {acc} AS acc FROM c
+)
+SELECT doc_id, lang,
+       CASE WHEN nn > 0
+            THEN round(ln(CAST(nn AS DOUBLE)) - acc / CAST(nn AS DOUBLE), 6)
+       END AS entropy
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# q91 — quantile bucketize APPLY (operators/stats.py:apply_buckets):
+# fit q74's equi-depth boundaries, then assign every lineitem its
+# bucket via a broadcast hash join (range predicate as residual) and
+# count distinct orders per bucket.
+# ---------------------------------------------------------------------------
+
+
+def q91_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    hist = stats.equi_depth_histogram(
+        li, "l_returnflag", "price", buckets=EQD_B
+    )
+    assigned = stats.apply_buckets(li, hist, "l_returnflag", "price")
+    return (
+        assigned.groupBy("l_returnflag", F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("n_orders"))
+    )
+
+
+Q91_SQL = _EQD_CTE + """
+, hist AS (
+  SELECT grp, CAST(bucket AS BIGINT) AS bucket,
+         min(v) AS lo, max(v) AS hi
+  FROM a GROUP BY grp, bucket
+), li AS (
+  SELECT l_orderkey, l_returnflag AS grp,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem
+)
+SELECT li.grp AS l_returnflag, hist.bucket,
+       count(DISTINCT li.l_orderkey) AS n_orders
+FROM li JOIN hist
+  ON li.grp = hist.grp AND li.price >= hist.lo AND li.price <= hist.hi
+GROUP BY li.grp, hist.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q92 — PageRank (operators/graph.py:pagerank) over the q20 rolling-
+# fingerprint overlap graph, 3 rounds of fixed-point integer updates —
+# bit-identical in any engine (the oracle unrolls the same integer
+# recurrence).
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+
+
+def q92_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.pagerank(edges, iters=PR_ITERS)
+
+
+def _pagerank_oracle_sql() -> str:
+    head = f"""
+WITH n0 AS (
+  SELECT doc_id AS id, {_NORM} AS s FROM documents
+), w0 AS (
+  SELECT id, list_distinct(list_transform(
+           range(0, greatest(CAST(ceil(length(s) / {ROLL_W}.0) AS INTEGER), 1)),
+           i -> md5(substr(s, i * {ROLL_W} + 1, {ROLL_W}))
+         )) AS fps
+  FROM n0
+), ex AS (
+  SELECT id, unnest(fps) AS fp FROM w0
+), e AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
+), sym AS (
+  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+), deg AS (
+  SELECT u, count(*) AS deg FROM sym GROUP BY u
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), r0 AS (
+  SELECT u, deg, n, CAST(1000000000000 AS BIGINT) // n AS rank
+  FROM deg, nn
+)"""
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        iters.append(f"""
+, c{i} AS (
+  SELECT u, rank // deg AS contrib FROM {prev}
+), i{i} AS (
+  SELECT s.v AS u, CAST(sum(c.contrib) AS BIGINT) AS s
+  FROM sym s JOIN c{i} c ON s.u = c.u GROUP BY s.v
+), r{i} AS (
+  SELECT d.u, d.deg, d.n,
+         CAST(3000000000000 AS BIGINT) // (CAST(20 AS BIGINT) * d.n)
+         + (CAST(17 AS BIGINT) * coalesce(i{i}.s, CAST(0 AS BIGINT))) // 20
+           AS rank
+  FROM {prev} d LEFT JOIN i{i} ON d.u = i{i}.u
+)""")
+    tail = f"""
+SELECT u AS node, CAST(rank AS BIGINT) AS rank_scaled FROM r{PR_ITERS}
+"""
+    return head + "".join(iters) + tail
+
+
+# ---------------------------------------------------------------------------
+# q93 — token co-occurrence itemsets (operators/text_analysis.py:
+# cooccurrence_pairs): A-priori-pruned market-basket pairs over the
+# documents corpus, top-25 by document co-frequency.
+# ---------------------------------------------------------------------------
+
+
+def q93_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_analysis.cooccurrence_pairs(
+        d, "doc_id", "text", min_df=5, k=25
+    )
+
+
+Q93_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS d,
+         unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT d, tok FROM toks WHERE tok <> ''
+), freq AS (
+  SELECT tok FROM toks2 GROUP BY tok HAVING count(*) >= 5
+), pruned AS (
+  SELECT d, tok FROM toks2 WHERE tok IN (SELECT tok FROM freq)
+), pairs AS (
+  SELECT a.tok AS t1, b.tok AS t2
+  FROM pruned a JOIN pruned b ON a.d = b.d AND a.tok < b.tok
+), counts AS (
+  SELECT t1, t2, count(*) AS pair_docs FROM pairs GROUP BY t1, t2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+)
+SELECT t1, t2, pair_docs, CAST(pair_docs AS DOUBLE) / n AS support
+FROM counts, nd
+ORDER BY pair_docs DESC, t1, t2
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3997,6 +4270,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_weighted_sample": q85_weighted_sample,
     "q86_big_orders": q86_big_orders,
     "q87_sole_return_supplier": q87_sole_return_supplier,
+    "q88_winsorize": q88_winsorize,
+    "q89_rolling_anomalies": q89_rolling_anomalies,
+    "q90_char_entropy": q90_char_entropy,
+    "q91_bucketize": q91_bucketize,
+    "q92_pagerank": q92_pagerank,
+    "q93_cooccurrence": q93_cooccurrence,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4087,4 +4366,10 @@ ORACLE_SQL: dict[str, str] = {
     "q85_weighted_sample": Q85_SQL,
     "q86_big_orders": Q86_SQL,
     "q87_sole_return_supplier": Q87_SQL,
+    "q88_winsorize": Q88_SQL,
+    "q89_rolling_anomalies": Q89_SQL,
+    "q90_char_entropy": _entropy_oracle_sql(),
+    "q91_bucketize": Q91_SQL,
+    "q92_pagerank": _pagerank_oracle_sql(),
+    "q93_cooccurrence": Q93_SQL,
 }
