@@ -132,6 +132,11 @@ BENCH_QUERIES = [
     "q91_bucketize",
     "q92_pagerank",
     "q93_cooccurrence",
+    "q94_mad_outliers",
+    "q95_benford",
+    "q96_rrf_hybrid",
+    "q97_constraints",
+    "q98_user_mode",
 ]
 
 

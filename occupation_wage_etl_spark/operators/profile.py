@@ -183,4 +183,4 @@ def check_constraints(
     )
     n = len(checks)
     pairs = ", ".join(f"'{name}', {name}" for name, _ in checks)
-    return one.selectExpr(f"stack({n}, {pairs}) AS (`check`, value)")
+    return one.selectExpr(f"stack({n}, {pairs}) AS (check_name, value)")

@@ -2324,7 +2324,9 @@ _BM25_CASE_SQL = ",\n         ".join(
     for i, t in enumerate(sorted(set(BM25_TERMS)))
 )
 
-Q55_SQL = f"""
+# BM25 scoring CTE chain (through `per_term`) — shared by Q55 and the
+# q96 RRF oracle.
+_BM25_CTE = f"""
 WITH tok AS (
   SELECT doc_id AS id, unnest(string_split({_NORM_SQL.format(x='text')}, ' ')) AS t
   FROM documents WHERE text IS NOT NULL
@@ -2352,6 +2354,9 @@ WITH tok AS (
          {_BM25_CASE_SQL}
   FROM part GROUP BY id
 )
+"""
+
+Q55_SQL = _BM25_CTE + f"""
 SELECT id AS doc_id, round(0.0 + {_BM25_SCORE_SQL}, 6) AS bm25
 FROM per_term
 ORDER BY bm25 DESC, doc_id
@@ -4179,6 +4184,250 @@ LIMIT 25
 
 
 # ---------------------------------------------------------------------------
+# q94 — MAD robust outliers (operators/stats.py:grouped_mad): per-flag
+# median / MAD of l_extendedprice and the count beyond 3·1.4826·MAD.
+# ---------------------------------------------------------------------------
+
+
+def q94_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return stats.grouped_mad(li, "l_returnflag", "l_extendedprice", k=3.0)
+
+
+Q94_SQL = """
+WITH med AS (
+  SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY 1
+), dev AS (
+  SELECT m.g, m.med, abs(l_extendedprice - m.med) AS adev
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.g
+), mad AS (
+  SELECT g, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY g
+)
+SELECT d.g AS l_returnflag, min(d.med) AS med, min(mad.mad) AS mad,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ON d.g = mad.g
+GROUP BY d.g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q95 — Benford first-digit drift (operators/profile.py:
+# benford_deviation): o_totalprice digit distribution per priority,
+# chi-square vs the log10(1+1/d) expectation (literals precomputed in
+# Python, embedded identically on both engines).
+# ---------------------------------------------------------------------------
+
+
+def q95_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return profile.benford_deviation(o, "o_orderpriority", "o_totalprice")
+
+
+def _benford_oracle_sql() -> str:
+    dig = "substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)"
+    cs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN {dig} = '{d}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{d}"
+        for d in range(1, 10)
+    )
+    chi = "0.0"
+    for d in range(1, 10):
+        e = f"(CAST(n AS DOUBLE) * {profile.BENFORD_P[d]!r})"
+        o_ = f"CAST(c{d} AS DOUBLE)"
+        chi = f"({chi} + ({o_} - {e}) * ({o_} - {e}) / {e})"
+    return f"""
+WITH a AS (
+  SELECT o_orderpriority, count(*) AS n,
+       {cs}
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, {", ".join(f"c{d}" for d in range(1, 10))},
+       round({chi}, 6) AS chi2
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# q96 — reciprocal-rank fusion (operators/retrieval.py:rrf_fuse):
+# hybrid retrieval combining the BM25 top-100 (lexical) with the
+# quality-score top-100 (prior), RRF c=60, top-15 out.
+# ---------------------------------------------------------------------------
+
+RRF_L = 100
+RRF_K = 15
+
+
+def q96_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bm = retrieval.bm25_topk(docs, BM25_TERMS, k=RRF_L)
+    w1 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    r1 = bm.select(
+        "doc_id", F.row_number().over(w1).cast("long").alias("rank")
+    )
+    q = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    top_q = topk.top_k(
+        q, order_by=[F.desc("quality"), F.asc("doc_id")], k=RRF_L
+    )
+    w2 = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    r2 = top_q.select(
+        "doc_id", F.row_number().over(w2).cast("long").alias("rank")
+    )
+    fused = retrieval.rrf_fuse([r1, r2], id_col="doc_id", c=60, k=RRF_K)
+    return fused.select(
+        "doc_id",
+        F.col("__r0").alias("rank_bm25"),
+        F.col("__r1").alias("rank_quality"),
+        "rrf",
+    )
+
+
+def _rrf_oracle_sql() -> str:
+    quality_expr = """
+       round(0.4 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                         WHEN n < 100 THEN n / 100.0
+                         ELSE 20000.0 / n END)
+           + 0.3 * (1.0 - least(punct * 4, 1.0))
+           + 0.3 * uniq, 6)"""
+    return _BM25_CTE + f"""
+, bmtop AS (
+  SELECT id AS doc_id, round(0.0 + {_BM25_SCORE_SQL}, 6) AS bm25
+  FROM per_term ORDER BY bm25 DESC, doc_id LIMIT {RRF_L}
+), rank1 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bmtop
+), qm AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         regexp_replace(text, '\\s+', '', 'g') AS nonspace,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+), qr AS (
+  SELECT doc_id, n,
+         CASE WHEN length(nonspace) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(nonspace, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                   / CAST(length(nonspace) AS DOUBLE) END AS punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         END AS uniq
+  FROM qm
+), qtop AS (
+  SELECT doc_id, {quality_expr} AS quality
+  FROM qr ORDER BY quality DESC, doc_id LIMIT {RRF_L}
+), rank2 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY quality DESC, doc_id) AS r
+  FROM qtop
+), f AS (
+  SELECT coalesce(rank1.doc_id, rank2.doc_id) AS doc_id,
+         rank1.r AS ra, rank2.r AS rb
+  FROM rank1 FULL JOIN rank2 ON rank1.doc_id = rank2.doc_id
+)
+SELECT doc_id, ra AS rank_bm25, rb AS rank_quality,
+       (0.0 + coalesce(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0))
+         + coalesce(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0) AS rrf
+FROM f
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q97 — declarative data-quality suite (operators/profile.py:
+# check_constraints): Deequ-style named checks over lineitem, one scan,
+# transposed to (check_name, value) rows.  value 0 == pass for the
+# *_viol checks.
+# ---------------------------------------------------------------------------
+
+
+def q97_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    checks = [
+        ("n_rows", F.count(F.lit(1))),
+        ("null_shipdate", F.sum(F.col("l_shipdate").isNull().cast("int"))),
+        ("null_quantity", F.sum(F.col("l_quantity").isNull().cast("int"))),
+        (
+            "qty_range_viol",
+            F.sum(
+                (~F.col("l_quantity").between(1, 50)).cast("int")
+            ),
+        ),
+        (
+            "flag_domain_viol",
+            F.sum(
+                (~F.col("l_returnflag").isin("A", "N", "R")).cast("int")
+            ),
+        ),
+        (
+            "dup_key_viol",
+            F.count(F.lit(1)) - F.count_distinct(key),
+        ),
+        (
+            "neg_price_viol",
+            F.sum((F.col("l_extendedprice") < 0).cast("int")),
+        ),
+    ]
+    return profile.check_constraints(li, checks)
+
+
+Q97_SQL = """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+         sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END)
+           AS qty_range_viol,
+         sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+           AS flag_domain_viol,
+         count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber)
+           AS dup_key_viol,
+         sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+           AS neg_price_viol
+  FROM lineitem
+)
+SELECT 'n_rows' AS check_name, CAST(n_rows AS BIGINT) AS value FROM a
+UNION ALL SELECT 'null_shipdate', CAST(null_shipdate AS BIGINT) FROM a
+UNION ALL SELECT 'null_quantity', CAST(null_quantity AS BIGINT) FROM a
+UNION ALL SELECT 'qty_range_viol', CAST(qty_range_viol AS BIGINT) FROM a
+UNION ALL SELECT 'flag_domain_viol', CAST(flag_domain_viol AS BIGINT) FROM a
+UNION ALL SELECT 'dup_key_viol', CAST(dup_key_viol AS BIGINT) FROM a
+UNION ALL SELECT 'neg_price_viol', CAST(neg_price_viol AS BIGINT) FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# q98 — deterministic mode per group (operators/stats.py:grouped_mode):
+# each user's most frequent event_type, ties to the largest value.
+# ---------------------------------------------------------------------------
+
+
+def q98_user_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return stats.grouped_mode(e, "user_id", "event_type")
+
+
+Q98_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_value, cnt AS mode_count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY cnt DESC, event_type DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4276,6 +4525,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_bucketize": q91_bucketize,
     "q92_pagerank": q92_pagerank,
     "q93_cooccurrence": q93_cooccurrence,
+    "q94_mad_outliers": q94_mad_outliers,
+    "q95_benford": q95_benford,
+    "q96_rrf_hybrid": q96_rrf_hybrid,
+    "q97_constraints": q97_constraints,
+    "q98_user_mode": q98_user_mode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4372,4 +4626,9 @@ ORACLE_SQL: dict[str, str] = {
     "q91_bucketize": Q91_SQL,
     "q92_pagerank": _pagerank_oracle_sql(),
     "q93_cooccurrence": Q93_SQL,
+    "q94_mad_outliers": Q94_SQL,
+    "q95_benford": _benford_oracle_sql(),
+    "q96_rrf_hybrid": _rrf_oracle_sql(),
+    "q97_constraints": Q97_SQL,
+    "q98_user_mode": Q98_SQL,
 }
