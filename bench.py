@@ -137,6 +137,12 @@ BENCH_QUERIES = [
     "q96_rrf_hybrid",
     "q97_constraints",
     "q98_user_mode",
+    "q99_skyline",
+    "q100_mutual_match",
+    "q101_incremental_dedup",
+    "q102_attribution",
+    "q103_lang_bigrams",
+    "q104_ewma",
 ]
 
 

@@ -207,6 +207,161 @@ def semantic_dedup(
     )
 
 
+def _minhash_tables(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+):
+    """Shared MinHash front-end: (persisted shingle table, band buckets).
+
+    Materialize shingle sets once: three downstream consumers (signature,
+    and both sides of the verification join) would otherwise recompute
+    the full tokenize+shingle+md5 pipeline per consumer.  At cluster
+    scale this persist becomes a checkpoint of the signature table.
+    ``_spread`` the INPUT, not the projection: repartitioning the
+    projected output would still compute the shingles upstream of the
+    exchange on however few partitions the file scan produced.
+
+    Signature via explode + hash-aggregate (one codegen pass; the
+    higher-order ``transform``+``array_min`` form in
+    functions.similarity.minhash_signature is interpreted per element —
+    keep that for ad-hoc column use, not whole-table runs).
+
+    Arithmetic MinHash: ONE md5 per shingle folded to a 31-bit integer,
+    then ``num_hashes`` universal-hash permutations (a_i·h + b_i mod P)
+    — codegen multiplies instead of 16 per-shingle md5s (the md5s were
+    ~90% of the signature stage's CPU).  Identical constants are
+    embedded in the DuckDB oracle, so the replay is still bit-exact.
+    Zero-shingle docs drop out of candidates here; they could never
+    pass verification (Jaccard with an empty set is 0).
+
+    Band keys stay integer structs — the candidate shuffle carries
+    (band, rpb longs, id) instead of 32-char digest strings.
+    """
+    rpb = num_hashes // bands
+    P = S.MINHASH_P
+    perms = S.minhash_perm_params(num_hashes)
+    shingled = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                T.word_ngrams(F.col(text_col), shingle_n)
+            ).alias("shingles"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = shingled.select("id", F.explode("shingles").alias("s"))
+    h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % P
+    hs = ex.select("id", h32.alias("h"))
+    mins = hs.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    buckets = mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"m{b * rpb + j}").alias(f"k{j}")
+                            for j in range(rpb)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.*")
+    return shingled, buckets
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest dedup: for each ``incoming`` doc, its best
+    near-duplicate already in ``corpus`` (if any) — the nightly-batch
+    path at 100 TB, where re-running all-pairs dedup over the whole
+    corpus per ingest is off the table.
+
+    Returns (new_id, dup_of, jaccard): one row per incoming doc that has
+    a corpus near-dup at ``jaccard_threshold`` or above; ``dup_of`` is
+    the highest-Jaccard corpus match (ties → smallest corpus id).
+    Incoming docs with no match produce no row — the caller's anti-join
+    keep-list.
+
+    Plan shape: both sides run the SAME banded-MinHash front-end as
+    :func:`minhash_lsh_pairs`, but the candidate join is new×old only —
+    never old×old.  The corpus bucket table is (band keys, id) longs; at
+    cluster scale it is the persisted index the ingest job reads back,
+    so each batch costs |incoming| signatures + one bucket equi-join
+    against the index, not a corpus self-join.  Verification re-attaches
+    shingle sets for candidates only, and the final per-new-id argmax is
+    a window over candidates (bounded by bucket collision width).
+    """
+    sh_old, bk_old = _minhash_tables(
+        corpus, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    sh_new, bk_new = _minhash_tables(
+        incoming, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    rpb = num_hashes // bands
+    left = bk_new.alias("l")
+    right = bk_old.alias("r")
+    key_eq = F.col("l.band") == F.col("r.band")
+    for j in range(rpb):
+        key_eq = key_eq & (F.col(f"l.k{j}") == F.col(f"r.k{j}"))
+    cand = (
+        left.join(right, key_eq)
+        .select(
+            F.col("l.id").alias("new_id"), F.col("r.id").alias("dup_of")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh_new.select(
+                F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
+            ),
+            "new_id",
+        )
+        .join(
+            sh_old.select(
+                F.col("id").alias("dup_of"), F.col("shingles").alias("sh_b")
+            ),
+            "dup_of",
+        )
+        .select(
+            "new_id",
+            "dup_of",
+            S.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("dup_of")
+    )
+    return (
+        verified.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -226,65 +381,10 @@ def minhash_lsh_pairs(
       re-attach shingle sets (two broadcast-able semi-joins at SF-test
       size; hash-partitioned joins at scale) → exact Jaccard filter.
     """
-    # Materialize shingle sets once: three downstream consumers (signature,
-    # and both sides of the verification join) would otherwise recompute
-    # the full tokenize+shingle+md5 pipeline per consumer.  At cluster
-    # scale this persist becomes a checkpoint of the signature table.
-    # _spread the INPUT, not the projection: repartitioning the projected
-    # output would still compute the shingles upstream of the exchange on
-    # however few partitions the file scan produced.
-    shingled = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)).alias("shingles"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    shingled, buckets = _minhash_tables(
+        df, text_col, id_col, shingle_n, num_hashes, bands
     )
-    # Signature via explode + hash-aggregate (one codegen pass; the
-    # higher-order ``transform``+``array_min`` form in
-    # functions.similarity.minhash_signature is interpreted per element —
-    # keep that for ad-hoc column use, not whole-table runs).
-    #
-    # Arithmetic MinHash: ONE md5 per shingle folded to a 31-bit integer,
-    # then ``num_hashes`` universal-hash permutations (a_i·h + b_i mod P)
-    # — codegen multiplies instead of 16 per-shingle md5s (the md5s were
-    # ~90% of the signature stage's CPU).  Identical constants are
-    # embedded in the DuckDB oracle, so the replay is still bit-exact.
-    # Zero-shingle docs drop out of candidates here; they could
-    # never pass verification (Jaccard with an empty set is 0).
     rpb = num_hashes // bands
-    P = S.MINHASH_P
-    perms = S.minhash_perm_params(num_hashes)
-    ex = shingled.select("id", F.explode("shingles").alias("s"))
-    h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % P
-    hs = ex.select("id", h32.alias("h"))
-    mins = hs.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{i}")
-            for i, (a, b) in enumerate(perms)
-        ]
-    )
-    # Band keys stay integer structs — the candidate shuffle carries
-    # (band, rpb longs, id) instead of 32-char digest strings.
-    buckets = mins.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[
-                            F.col(f"m{b * rpb + j}").alias(f"k{j}")
-                            for j in range(rpb)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.*")
-
     left = buckets.alias("l")
     right = buckets.alias("r")
     key_eq = (F.col("l.band") == F.col("r.band"))

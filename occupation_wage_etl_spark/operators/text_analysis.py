@@ -227,3 +227,43 @@ def cooccurrence_pairs(
     return scored.orderBy(
         F.desc("pair_docs"), F.asc("t1"), F.asc("t2")
     ).limit(k)
+
+
+def topk_ngrams_per_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k word n-grams per group by document frequency — the corpus
+    profiling query behind boilerplate detection ("which bigrams dominate
+    each language/domain slice?") and per-slice stopword lists.
+
+    Counting is DOCUMENT frequency (each doc contributes an n-gram once
+    — ``array_distinct`` before explode), so a single spammy doc can't
+    own a slice's profile.  Plan: project → explode → one
+    map-side-combined count aggregate on (group, gram) → per-group
+    top-k via row_number window.  The window partitions by ``group_col``
+    over the AGGREGATED table (cardinality = distinct grams per group,
+    already collapsed), never over raw rows.  Ties: gram asc.
+
+    Returns (group, gram, df, rank), rank 1..k.
+    """
+    grams = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.array_distinct(T.word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("grp", "gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("df"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col), "gram", "df", "rank"
+        )
+    )

@@ -199,3 +199,105 @@ def rolling_anomalies(
         .filter(F.abs(F.col("z")) > z_thresh)
         .drop("__sec", "__n", "__s", "__sxx")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.25,
+    window: int = 16,
+) -> DataFrame:
+    """Windowed-restart exponentially weighted moving average per key.
+
+    For each row, folds the last ``window`` values (event order:
+    ``ts_col`` asc, ``tiebreak_col`` asc) through
+    ``s ← (1-α)·s + α·x`` seeded with the oldest value in the window —
+    the online-smoothing primitive for drift/latency/metric monitors,
+    restarted per window so one key's ancient history can't dominate
+    and state stays O(window).
+
+    Implementation: ``collect_list`` over a bounded ROWS window, then a
+    ``F.aggregate`` left fold — the whole expression is codegen'd
+    JVM-side, no UDF.  The fold order is the list order (deterministic:
+    unique (ts, tiebreak) sort), so IEEE double results are bit-stable
+    across engines and partition layouts.  The shuffle is one exchange
+    on ``key_col``; per-row state is ``window`` doubles.
+
+    Returns key, ts, tiebreak, value, ewma.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    lst = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a = float(alpha)
+    fold = F.aggregate(
+        F.slice(lst, 2, window),
+        F.element_at(lst, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + F.lit(a) * x,
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        value_col,
+        fold.alias("ewma"),
+    )
+
+
+def session_attribution(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch attribution: for every conversion event, the type of
+    the FIRST event in its (gap-based) session plus exact microseconds
+    elapsed since the session started — the marketing/behavioral question
+    "which entry channel led to this purchase?".
+
+    Sessionization matches :func:`streaming.events.sessionize`: a new
+    session starts when the gap from the previous event of the same user
+    exceeds ``gap_minutes``.  All computation is two window passes over
+    one exchange on ``user_col`` (session-id running sum, then
+    first-value within session) — no joins, no driver state; scales with
+    per-user event counts, not table size.
+
+    Returns (event_id, user_id, ts, first_touch, usecs_to_convert).
+    """
+    wu = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(wu)
+    new_sess = (gap.isNull() | (gap > gap_minutes * 60 * 1_000_000)).cast(
+        "long"
+    )
+    with_sess = events.select(
+        id_col,
+        user_col,
+        ts_col,
+        type_col,
+        F.sum(new_sess).over(wu).alias("__sess"),
+    )
+    ws = Window.partitionBy(user_col, "__sess").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    attributed = with_sess.select(
+        id_col,
+        user_col,
+        ts_col,
+        type_col,
+        F.first(type_col).over(ws).alias("first_touch"),
+        (us - F.first(us).over(ws)).alias("usecs_to_convert"),
+    )
+    return attributed.filter(F.col(type_col) == conversion_type).select(
+        id_col, user_col, ts_col, "first_touch", "usecs_to_convert"
+    )

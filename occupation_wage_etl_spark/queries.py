@@ -62,6 +62,7 @@ from occupation_wage_etl_spark.operators import (
     graph,
     multimodal,
     prefix_join,
+    preference,
     profile,
     range_join,
     retrieval,
@@ -4428,6 +4429,289 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 
 
 # ---------------------------------------------------------------------------
+# q99 — 2-D skyline / Pareto frontier (operators/preference.py):
+# parts no other part beats on BOTH price (min) and size (max).
+# ---------------------------------------------------------------------------
+
+
+def q99_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return preference.skyline_2d(p, "p_retailprice", "p_size")
+
+
+Q99_SQL = """
+WITH g AS (
+  SELECT p_retailprice, max(p_size) AS gmax FROM part GROUP BY 1
+), s AS (
+  SELECT p_retailprice, gmax,
+         max(gmax) OVER (ORDER BY p_retailprice
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev
+  FROM g
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+JOIN s ON p.p_retailprice = s.p_retailprice AND p.p_size = s.gmax
+WHERE s.prev IS NULL OR s.gmax > s.prev
+"""
+
+
+# ---------------------------------------------------------------------------
+# q100 — mutual nearest-neighbour alignment between two embedding sets
+# (operators/similarity.py:mutual_top1_match): labels 0-4 vs 5-9.
+# ---------------------------------------------------------------------------
+
+
+def q100_mutual_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mutual_top1_match(
+        emb.filter(F.col("label") <= 4), emb.filter(F.col("label") >= 5)
+    )
+
+
+Q100_SQL = """
+WITH a AS (
+  SELECT vec_id AS a_id, embedding::DOUBLE[] AS av
+  FROM embeddings WHERE label <= 4
+), b AS (
+  SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv
+  FROM embeddings WHERE label >= 5
+), scored AS (
+  SELECT a_id, b_id,
+         round(
+           list_sum(list_transform(range(1, len(av) + 1),
+                    i -> av[i] * bv[i]))
+           / (sqrt(list_sum(list_transform(av, x -> x * x)))
+              * sqrt(list_sum(list_transform(bv, x -> x * x)))),
+         6) AS cosine
+  FROM a, b
+), ranked AS (
+  SELECT a_id, b_id, cosine,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cosine DESC, b_id) AS ra,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY cosine DESC, a_id) AS rb
+  FROM scored
+)
+SELECT a_id, b_id, cosine FROM ranked WHERE ra = 1 AND rb = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q101 — incremental new-vs-corpus MinHash dedup (operators/dedup.py:
+# incremental_minhash_dedup): the nightly-ingest path.  The md5 split
+# (doc_id % 10 == 0 → incoming) is engine-portable.
+# ---------------------------------------------------------------------------
+
+
+def _inc_split_spark(col: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+
+
+_INC_SPLIT_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+)
+
+
+def q101_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _inc_split_spark(F.col("doc_id"))
+    incoming = docs.filter(bucket == 0)
+    corpus = docs.filter(bucket != 0)
+    return dedup.incremental_minhash_dedup(
+        corpus,
+        incoming,
+        shingle_n=SHINGLE_N,
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        jaccard_threshold=JACCARD_T,
+    )
+
+
+def _incdedup_oracle_sql() -> str:
+    # Replays the q13 arithmetic-MinHash funnel (same constants), but the
+    # candidate join is incoming×corpus only, finished by a per-new-id
+    # argmax (ties → smallest corpus id).
+    rpb = MINHASH_N // MINHASH_BANDS
+    P = S.MINHASH_P
+    perms = S.minhash_perm_params(MINHASH_N)
+    slots = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
+        for (a, b) in perms
+    )
+    band_fields = ", ".join(
+        "{'band': %d, %s}"
+        % (b, ", ".join(f"'k{r}': sig[{b * rpb + r + 1}]" for r in range(rpb)))
+        for b in range(MINHASH_BANDS)
+    )
+    key_eq = " AND ".join(["l.b.band = r.b.band"] + [
+        f"l.b.k{r} = r.b.k{r}" for r in range(rpb)
+    ])
+    norm = _NORM_SQL.format(x="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, ({_INC_SPLIT_SQL}) = 0 AS is_new,
+         string_split({norm}, ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT id, is_new, list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ')
+         )) AS shingles
+  FROM d
+), hsh AS (
+  SELECT id, is_new, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {P}) AS hs
+  FROM sh
+), sig AS (
+  SELECT id, is_new, [
+    {slots}
+  ] AS sig FROM hsh
+), bk AS (
+  SELECT id, is_new, unnest([{band_fields}]) AS b FROM sig
+), cand AS (
+  SELECT DISTINCT l.id AS new_id, r.id AS dup_of
+  FROM bk l JOIN bk r ON {key_eq}
+  WHERE l.is_new AND NOT r.is_new
+), verified AS (
+  SELECT cand.new_id, cand.dup_of,
+         len(list_intersect(a.shingles, b.shingles)) * 1.0
+           / len(list_distinct(list_concat(a.shingles, b.shingles)))
+           AS jaccard
+  FROM cand
+  JOIN sh a ON a.id = cand.new_id
+  JOIN sh b ON b.id = cand.dup_of
+)
+SELECT new_id, dup_of, jaccard
+FROM verified WHERE jaccard >= {JACCARD_T}
+QUALIFY row_number() OVER (PARTITION BY new_id
+                           ORDER BY jaccard DESC, dup_of) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q102 — session first-touch attribution (operators/timeseries.py:
+# session_attribution): which entry event led to each purchase, and
+# exactly how long after the session started (integer microseconds).
+# ---------------------------------------------------------------------------
+
+ATTR_GAP_MIN = 30
+
+
+def q102_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.session_attribution(
+        ev, gap_minutes=ATTR_GAP_MIN, conversion_type="purchase"
+    )
+
+
+Q102_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {ATTR_GAP_MIN * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS nb
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+), u AS (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(event_type) OVER ws AS first_touch,
+         us - first_value(us) OVER ws AS usecs_to_convert
+  FROM s
+  WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, first_touch,
+       CAST(usecs_to_convert AS BIGINT) AS usecs_to_convert
+FROM u WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q103 — top-k bigrams per language by document frequency
+# (operators/text_analysis.py:topk_ngrams_per_group).
+# ---------------------------------------------------------------------------
+
+NGRAM_TOPK = 5
+
+
+def q103_lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.topk_ngrams_per_group(
+        docs, "lang", n=2, k=NGRAM_TOPK
+    )
+
+
+Q103_SQL = f"""
+WITH d AS (
+  SELECT lang, string_split({_NORM_SQL.format(x='text')}, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT lang, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+         ))) AS gram
+  FROM d
+), c AS (
+  SELECT lang, gram, count(*) AS df FROM g GROUP BY 1, 2
+)
+SELECT lang, gram, df,
+       row_number() OVER (PARTITION BY lang ORDER BY df DESC, gram) AS rank
+FROM c
+QUALIFY rank <= {NGRAM_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q104 — windowed-restart EWMA per user (operators/timeseries.py:ewma):
+# deterministic left fold over a bounded ROWS window, pure codegen.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA, EWMA_WINDOW = 0.25, 16
+
+
+def q104_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.ewma(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        alpha=EWMA_ALPHA,
+        window=EWMA_WINDOW,
+    )
+
+
+Q104_SQL = f"""
+WITH l AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         list(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                                    AND CURRENT ROW) AS lst
+  FROM events
+)
+SELECT user_id, ts, event_id, value,
+       list_reduce(lst, (acc, x) ->
+                   acc * {1.0 - EWMA_ALPHA!r} + {EWMA_ALPHA!r} * x) AS ewma
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4530,6 +4814,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_rrf_hybrid": q96_rrf_hybrid,
     "q97_constraints": q97_constraints,
     "q98_user_mode": q98_user_mode,
+    "q99_skyline": q99_skyline,
+    "q100_mutual_match": q100_mutual_match,
+    "q101_incremental_dedup": q101_incremental_dedup,
+    "q102_attribution": q102_attribution,
+    "q103_lang_bigrams": q103_lang_bigrams,
+    "q104_ewma": q104_ewma,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4631,4 +4921,10 @@ ORACLE_SQL: dict[str, str] = {
     "q96_rrf_hybrid": _rrf_oracle_sql(),
     "q97_constraints": Q97_SQL,
     "q98_user_mode": Q98_SQL,
+    "q99_skyline": Q99_SQL,
+    "q100_mutual_match": Q100_SQL,
+    "q101_incremental_dedup": _incdedup_oracle_sql(),
+    "q102_attribution": Q102_SQL,
+    "q103_lang_bigrams": Q103_SQL,
+    "q104_ewma": Q104_SQL,
 }

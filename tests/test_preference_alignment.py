@@ -1,0 +1,199 @@
+"""Property tests for the 2-D skyline, mutual-NN alignment, incremental
+MinHash dedup, session attribution, grouped top-k n-grams, and EWMA
+(operators/preference.py, similarity.py, dedup.py, timeseries.py,
+text_analysis.py — the q99–q104 registry surface).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators import (
+    dedup,
+    preference,
+    similarity,
+    text_analysis,
+    timeseries,
+)
+
+
+# ---------------------------------------------------------------- skyline
+
+def _parts(spark, rows):
+    return spark.createDataFrame(rows, "pk long, price double, size int")
+
+
+def test_skyline_matches_naive_dominance(spark):
+    rows = [
+        (1, 10.0, 5),
+        (2, 10.0, 7),   # dominates 1 (same price, bigger)
+        (3, 8.0, 7),    # dominates 2 (cheaper, same size)
+        (4, 8.0, 7),    # exact tie with 3 → both stay
+        (5, 12.0, 9),   # bigger but pricier → skyline
+        (6, 12.0, 8),   # dominated by 5
+        (7, 7.0, 1),    # cheapest → skyline
+    ]
+    df = _parts(spark, rows)
+    got = {r.pk for r in preference.skyline_2d(df, "price", "size").collect()}
+
+    # naive O(n²) dominance
+    sky = set()
+    for a in rows:
+        dominated = any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in rows
+        )
+        if not dominated:
+            sky.add(a[0])
+    assert got == sky == {3, 4, 5, 7}
+
+
+def test_skyline_of_union_is_skyline_of_skylines(spark):
+    rows = [(i, float(10 + (i * 7) % 13), (i * 5) % 11) for i in range(40)]
+    df = _parts(spark, rows)
+    full = {r.pk for r in preference.skyline_2d(df, "price", "size").collect()}
+    half_a = preference.skyline_2d(df.filter(F.col("pk") < 20), "price", "size")
+    half_b = preference.skyline_2d(df.filter(F.col("pk") >= 20), "price", "size")
+    merged = {
+        r.pk
+        for r in preference.skyline_2d(
+            half_a.unionByName(half_b), "price", "size"
+        ).collect()
+    }
+    assert merged == full
+
+
+# ---------------------------------------------------------- mutual top-1
+
+def test_mutual_top1_is_reciprocal_argmax(spark):
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in similarity.mutual_top1_match(a, b).collect()
+    }
+    # 1→10 and 10→1 mutual; 2→11 and 11→2 mutual; 3's best is 10 (tie
+    # cosine, id asc) but 10's best is 1 → 3 unmatched.
+    assert got == {(1, 10), (2, 11)}
+
+
+# ------------------------------------------------- incremental dedup
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_finds_corpus_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = _docs(
+        spark,
+        [(1, base), (2, "totally different content about spark engines"),
+         (3, base + " extra")],
+    )
+    incoming = _docs(spark, [(100, base), (101, "nothing like anything")])
+    out = dedup.incremental_minhash_dedup(
+        corpus, incoming, jaccard_threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.new_id, r.dup_of) == (100, 1)
+    assert r.jaccard == 1.0
+
+
+def test_incremental_dedup_never_pairs_old_with_old(spark):
+    # two identical corpus docs must NOT appear in the output
+    corpus = _docs(spark, [(1, "aaa bbb ccc ddd eee"), (2, "aaa bbb ccc ddd eee")])
+    incoming = _docs(spark, [(100, "zzz yyy xxx www vvv")])
+    out = dedup.incremental_minhash_dedup(
+        corpus, incoming, jaccard_threshold=0.2
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------- attribution
+
+def test_first_touch_attribution(spark):
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # session 1: view → click → purchase (gap < 30 min)
+        (1, 1, t, "view"),
+        (2, 1, t + 5 * m, "click"),
+        (3, 1, t + 10 * m, "purchase"),
+        # 40-minute gap → session 2: purchase with itself as first touch
+        (4, 1, t + 50 * m, "purchase"),
+        # other user, no purchase → no rows
+        (5, 2, t, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.event_id: (r.first_touch, r.usecs_to_convert)
+        for r in timeseries.session_attribution(ev, gap_minutes=30).collect()
+    }
+    assert out == {
+        3: ("view", 10 * 60 * 1_000_000),
+        4: ("purchase", 0),
+    }
+
+
+# -------------------------------------------------------- top-k n-grams
+
+def test_topk_ngrams_doc_frequency_not_term_frequency(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b a b a b a b"),   # spammy: many "a b" occurrences
+            (2, "en", "c d"),
+            (3, "en", "c d"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = text_analysis.topk_ngrams_per_group(docs, "lang", n=2, k=2).collect()
+    by_rank = {r.rank: (r.gram, r.df) for r in out}
+    # "c d" df=2 beats "a b" df=1 — a single doc counts once
+    assert by_rank[1] == ("c d", 2)
+    assert by_rank[2] == ("a b", 1)
+
+
+# ---------------------------------------------------------------- ewma
+
+def test_ewma_matches_python_fold(spark):
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0]
+    ev = spark.createDataFrame(
+        [(1, t + i * s, i, v) for i, v in enumerate(vals)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = timeseries.ewma(
+        ev, "user_id", "ts", "value", "event_id", alpha=0.5, window=3
+    )
+    got = {r.event_id: r.ewma for r in out.collect()}
+
+    for i in range(len(vals)):
+        w = vals[max(0, i - 2): i + 1]
+        acc = w[0]
+        for x in w[1:]:
+            acc = acc * 0.5 + 0.5 * x
+        assert got[i] == acc
+
+
+def test_ewma_restarts_per_key(spark):
+    t = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t, 1, 100.0), (2, t, 2, 7.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = timeseries.ewma(ev, "user_id", "ts", "value", "event_id")
+    got = {r.user_id: r.ewma for r in out.collect()}
+    assert got == {1: 100.0, 2: 7.0}
