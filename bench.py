@@ -143,6 +143,12 @@ BENCH_QUERIES = [
     "q102_attribution",
     "q103_lang_bigrams",
     "q104_ewma",
+    "q105_score_calibration",
+    "q106_dup_ngram_coverage",
+    "q107_vocab_novelty",
+    "q108_trend_ols",
+    "q109_cluster_reps",
+    "q110_twa",
 ]
 
 

@@ -128,3 +128,49 @@ def _weight_int(seed: str, bucket: int, scale: int) -> int:
 
     h = hashlib.md5(f"{seed}:{bucket}".encode()).hexdigest()
     return int(h[:8], 16) % (2 * scale + 1) - scale
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: F.Column,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Canonical-document election: given near-dup ``clusters`` (one
+    (id, cluster) row per clustered doc — e.g. connected components over
+    MinHash pairs), keep the highest-``score_col`` member of each
+    cluster (ties → smallest id).  This is the step after dup-graph
+    clustering in every dedup pipeline: you don't drop duplicates, you
+    drop all-but-the-best.
+
+    Plan: score is a scan-side expression on ``docs``; the join with the
+    cluster table is an equi-join on the id; the election is a struct
+    max-aggregate per cluster (map-side combinable — NO window, no
+    per-cluster sort), so the shuffle carries (cluster, score, id) only.
+
+    Returns (cluster, size, rep_id, rep_score).
+    """
+    scored = docs.select(
+        F.col(id_col).alias("id"), score_col.alias("__score")
+    )
+    member = clusters.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("cl")
+    ).join(scored, "id")
+    # struct-ordering trick: max((score, -id)) elects max score with
+    # min-id ties, in one aggregate.
+    elect = member.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.max(
+            F.struct(
+                F.col("__score").alias("s"),
+                (-F.col("id")).alias("neg_id"),
+            )
+        ).alias("__w"),
+    )
+    return elect.select(
+        F.col("cl").alias(cluster_col),
+        "size",
+        (-F.col("__w.neg_id")).alias("rep_id"),
+        F.col("__w.s").alias("rep_score"),
+    )

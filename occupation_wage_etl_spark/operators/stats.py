@@ -376,3 +376,90 @@ def grouped_mode(
         F.col(f"__m.{value_col}").alias("mode_value"),
         F.col("__m.__cnt").alias("mode_count"),
     )
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Within-group percentile rank of every row — the cross-domain score
+    calibration primitive: a raw quality/score column is comparable
+    across sources only after mapping each value to its rank position
+    INSIDE its own source's distribution.
+
+    ``percent_rank`` = (rank-1)/(n-1) with ties sharing a rank — the
+    ANSI definition both Spark and DuckDB implement, and an exact
+    integer-ratio double (bit-stable, no rounding).  Singleton groups
+    get 0.0 in both engines.  One window partitioned by ``group_col``;
+    state is the group's row count — no joins, no global sort.
+
+    Returns (id, group, value, pct).
+    """
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.percent_rank().over(
+            Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+        ).alias("pct"),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: F.Column,
+    y_col: F.Column,
+    x_decimal: str = "decimal(20,0)",
+    y_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Closed-form per-group simple linear regression (slope, intercept,
+    r²) — the distributed trend detector: one hash aggregate per group,
+    no driver iteration, no MLlib.
+
+    Bit-stability across engines AND partition orders comes from the
+    same discipline as q49's statistical aggregates: the five moment
+    sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT decimals (inputs
+    must be exact under the given decimal casts — integers or 2-decimal
+    currency), convert to double via string (single correct rounding),
+    and the slope/intercept/r² come from one fixed closed-form scalar
+    tree.  Groups with zero x-variance yield NULLs.
+
+    ``x_col``/``y_col`` are expressions (e.g. epoch seconds, a price);
+    pass wider decimal types if your magnitudes need them.
+
+    Returns (group, n, slope, intercept, r2).
+    """
+    x = x_col.cast(x_decimal)
+    y = y_col.cast(y_decimal)
+
+    def dbl(col: F.Column) -> F.Column:
+        return col.cast("string").cast("double")
+
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.sum(x)).alias("__sx"),
+        dbl(F.sum(y)).alias("__sy"),
+        dbl(F.sum(x * y)).alias("__sxy"),
+        dbl(F.sum(x * x)).alias("__sxx"),
+        dbl(F.sum(y * y)).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(dx > 0, cov / dx)
+    intercept = F.when(dx > 0, (sy - (cov / dx) * sx) / n)
+    r = cov / (F.sqrt(dx) * F.sqrt(dy))
+    r2 = F.when((dx > 0) & (dy > 0), r * r)
+    return agg.select(
+        group_col,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

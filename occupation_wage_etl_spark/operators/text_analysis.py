@@ -267,3 +267,91 @@ def topk_ngrams_per_group(
             F.col("grp").alias(group_col), "gram", "df", "rank"
         )
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-n-gram coverage: the fraction of a doc's
+    distinct word n-grams that also occur in at least one OTHER doc —
+    the fine-grained contamination metric behind Gopher/RefinedWeb-style
+    "fraction of chars in duplicated n-grams" filters (pair-level
+    near-dup misses partial boilerplate; this catches it).
+
+    Plan: distinct-grams projection → explode → ONE map-side-combined
+    count aggregate on the gram → join df-per-gram back to the exploded
+    table (shuffle keyed on the gram) → per-doc integer ratio.  The
+    ratio is an exact-integer IEEE division (bit-stable, unrounded).
+    At 100 TB, key the join on a 64-bit gram hash instead of the string
+    (collisions only nudge a heuristic score) — kept as the exact
+    string here so the oracle is exact.
+
+    Returns (id, n_grams, n_dup, dup_frac); docs whose text yields zero
+    grams are dropped (no denominator).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(T.word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    gdf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(gdf, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_grams")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def vocab_novelty(
+    df: DataFrame,
+    slice_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth curve across corpus slices: per slice, how many
+    distinct tokens it uses and how many appear in NO earlier slice
+    (slices ordered by their name) — the Heaps-law novelty signal that
+    tells a crawl/data-mixing pipeline when a source stops contributing
+    new vocabulary.
+
+    Plan: distinct (slice, token) pairs — one aggregate — then the
+    token's first slice via a min-aggregate on the token, joined back.
+    Both shuffles carry (token, slice) only.  "Earlier" is the
+    lexicographic order of ``slice_col`` (make slice names sortable —
+    date-stamped snapshots already are).
+
+    Returns (slice, n_tokens, n_new).
+    """
+    pairs = (
+        df.select(
+            F.col(slice_col).alias("slc"),
+            F.explode(T.tokens(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+    )
+    first = pairs.groupBy("tok").agg(F.min("slc").alias("__first"))
+    return (
+        pairs.join(first, "tok")
+        .groupBy("slc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("slc") == F.col("__first")).cast("long")).alias(
+                "n_new"
+            ),
+        )
+        .select(F.col("slc").alias(slice_col), "n_tokens", "n_new")
+    )

@@ -301,3 +301,59 @@ def session_attribution(
     return attributed.filter(F.col(type_col) == conversion_type).select(
         id_col, user_col, ts_col, "first_touch", "usecs_to_convert"
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Trapezoidal time-weighted average per key — the TSDB aggregate
+    for irregularly sampled signals (a value that held for an hour must
+    outweigh one that held a second; a plain AVG can't know that).
+
+    TWA = Σ((vᵢ + vᵢ₊₁)·Δtᵢ) / (2·ΣΔtᵢ) over consecutive observations.
+    Exactness: values cast to decimal(18,2) and Δt is exact integer
+    microseconds, so both sums accumulate EXACTLY (order-independent);
+    they convert to double via string and divide in one fixed tree —
+    bit-stable across engines and partition layouts.
+
+    One lead() window partitioned by key + one hash aggregate.  Keys
+    with a single observation have no interval and are dropped (their
+    TWA is undefined — emit-as-NULL would be a different contract).
+
+    Returns (key, n_intervals, span_us, twa).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col).cast("decimal(18,2)")
+    seg = df.select(
+        F.col(key_col),
+        v.alias("__v"),
+        F.lead(v).over(w).alias("__vn"),
+        (F.lead(us).over(w) - us).alias("__dt"),
+    ).filter(F.col("__dt").isNotNull())
+
+    def dbl(col: F.Column) -> F.Column:
+        return col.cast("string").cast("double")
+
+    agg = seg.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dt").alias("span_us"),
+        dbl(
+            F.sum((F.col("__v") + F.col("__vn")) * F.col("__dt"))
+        ).alias("__num"),
+    )
+    return agg.select(
+        key_col,
+        "n_intervals",
+        "span_us",
+        (
+            F.col("__num")
+            / (F.lit(2.0) * F.col("span_us").cast("string").cast("double"))
+        ).alias("twa"),
+    )

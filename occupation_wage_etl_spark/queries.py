@@ -4712,6 +4712,223 @@ FROM l
 
 
 # ---------------------------------------------------------------------------
+# q105 — cross-source score calibration (operators/stats.py:
+# grouped_percent_rank): each doc's quality mapped to its percentile
+# INSIDE its own source's distribution.
+# ---------------------------------------------------------------------------
+
+
+def q105_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+    return stats.grouped_percent_rank(scored, "source", "quality", "doc_id")
+
+
+def _calibration_oracle_sql() -> str:
+    return f"""
+WITH q AS ({Q17_SQL})
+SELECT q.doc_id, d.source, q.quality,
+       percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality)
+         AS pct
+FROM q JOIN documents d ON d.doc_id = q.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q106 — duplicated-n-gram coverage per doc (operators/text_analysis.py:
+# dup_ngram_coverage): Gopher/RefinedWeb-style partial-boilerplate
+# signal (8-gram doc-frequency join).
+# ---------------------------------------------------------------------------
+
+DUPNGRAM_N = 8
+
+
+def q106_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.dup_ngram_coverage(docs, n=DUPNGRAM_N).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_dup", "dup_frac"
+    )
+
+
+Q106_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split({_NORM_SQL.format(x='text')}, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {DUPNGRAM_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {DUPNGRAM_N - 1}), ' ')
+         ))) AS gram
+  FROM d
+), df AS (
+  SELECT gram, count(*) AS gdf FROM g GROUP BY gram
+)
+SELECT g.id AS doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN df.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN df.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac
+FROM g JOIN df ON g.gram = df.gram
+GROUP BY g.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q107 — vocabulary novelty per source slice (operators/text_analysis.py:
+# vocab_novelty): distinct tokens per slice + how many are first-seen
+# (Heaps-law growth across slices, lexicographic slice order).
+# ---------------------------------------------------------------------------
+
+
+def q107_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.vocab_novelty(docs, "source")
+
+
+Q107_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT source AS slc,
+         unnest(string_split({_NORM_SQL.format(x='text')}, ' ')) AS tok
+  FROM documents
+), first AS (
+  SELECT tok, min(slc) AS fst FROM pairs GROUP BY tok
+)
+SELECT p.slc AS source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN p.slc = f.fst THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM pairs p JOIN first f ON p.tok = f.tok
+GROUP BY p.slc
+"""
+
+
+# ---------------------------------------------------------------------------
+# q108 — per-user value trend via closed-form OLS (operators/stats.py:
+# grouped_ols): slope/intercept/r² of value vs epoch-second, exact
+# decimal moment sums → bit-stable closed-form tree.
+# ---------------------------------------------------------------------------
+
+
+def q108_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return stats.grouped_ols(
+        ev,
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000"),
+        F.col("value"),
+        x_decimal="decimal(18,0)",
+        y_decimal="decimal(12,2)",
+    )
+
+
+Q108_SQL = """
+WITH m AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS DECIMAL(30,0))
+           AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+), a AS (
+  SELECT user_id, count(*) AS n,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
+  FROM m GROUP BY user_id
+), t AS (
+  SELECT user_id, n,
+         CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+         CAST(n AS DOUBLE) * syy - sy * sy AS dy,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS cov
+  FROM a
+)
+SELECT user_id, n,
+       CASE WHEN dx > 0 THEN cov / dx END AS slope,
+       CASE WHEN dx > 0 THEN (sy - (cov / dx) * sx) / nd END AS intercept,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN (cov / (sqrt(dx) * sqrt(dy)))
+                 * (cov / (sqrt(dx) * sqrt(dy))) END AS r2
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q109 — canonical-doc election per near-dup cluster
+# (operators/curation.py:cluster_representatives over q39's components):
+# keep the best-quality member, ties → smallest id.
+# ---------------------------------------------------------------------------
+
+
+def q109_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    cc = graph.connected_components(edges)
+    clusters = cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return curation.cluster_representatives(
+        docs, clusters, T.quality_score(F.col("text"))
+    )
+
+
+def _cluster_reps_oracle_sql() -> str:
+    return f"""
+WITH cc AS ({_dup_clusters_oracle_sql()}),
+q AS ({Q17_SQL}),
+m AS (
+  SELECT cc.cluster_id, q.doc_id, q.quality
+  FROM cc JOIN q ON q.doc_id = cc.doc_id
+), s AS (
+  SELECT cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS size,
+         doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM m
+)
+SELECT cluster_id, size, doc_id AS rep_id, quality AS rep_score
+FROM s WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q110 — trapezoidal time-weighted average per user
+# (operators/timeseries.py:time_weighted_avg): the irregular-sampling
+# aggregate, exact decimal·integer-microsecond sums.
+# ---------------------------------------------------------------------------
+
+
+def q110_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.time_weighted_avg(
+        ev, "user_id", "ts", "value", "event_id"
+    )
+
+
+Q110_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), seg AS (
+  SELECT user_id, v, lead(v) OVER w AS vn, lead(us) OVER w - us AS dt
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT * FROM seg WHERE dt IS NOT NULL
+)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS span_us,
+       CAST(CAST(sum((v + vn) * dt) AS VARCHAR) AS DOUBLE)
+         / (2.0 * CAST(CAST(CAST(sum(dt) AS BIGINT) AS VARCHAR) AS DOUBLE))
+         AS twa
+FROM f GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4820,6 +5037,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_attribution": q102_attribution,
     "q103_lang_bigrams": q103_lang_bigrams,
     "q104_ewma": q104_ewma,
+    "q105_score_calibration": q105_score_calibration,
+    "q106_dup_ngram_coverage": q106_dup_ngram_coverage,
+    "q107_vocab_novelty": q107_vocab_novelty,
+    "q108_trend_ols": q108_trend_ols,
+    "q109_cluster_reps": q109_cluster_reps,
+    "q110_twa": q110_twa,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4927,4 +5150,10 @@ ORACLE_SQL: dict[str, str] = {
     "q102_attribution": Q102_SQL,
     "q103_lang_bigrams": Q103_SQL,
     "q104_ewma": Q104_SQL,
+    "q105_score_calibration": _calibration_oracle_sql(),
+    "q106_dup_ngram_coverage": Q106_SQL,
+    "q107_vocab_novelty": Q107_SQL,
+    "q108_trend_ols": Q108_SQL,
+    "q109_cluster_reps": _cluster_reps_oracle_sql(),
+    "q110_twa": Q110_SQL,
 }

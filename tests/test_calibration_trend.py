@@ -1,0 +1,117 @@
+"""Property tests for percent-rank calibration, duplicated-n-gram
+coverage, vocabulary novelty, grouped OLS, cluster representatives, and
+time-weighted average (the q105–q110 registry surface).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators import (
+    curation,
+    stats,
+    text_analysis,
+    timeseries,
+)
+
+
+def test_percent_rank_ties_and_singleton(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "a", 20.0), (4, "b", 99.0)],
+        "id long, grp string, v double",
+    )
+    out = {
+        r.id: r.pct
+        for r in stats.grouped_percent_rank(df, "grp", "v", "id").collect()
+    }
+    # ties share rank; (rank-1)/(n-1) with n=3 → 0, 0, 1; singleton → 0
+    assert out == {1: 0.0, 2: 0.0, 3: 1.0, 4: 0.0}
+
+
+def test_dup_ngram_coverage_counts_cross_doc_grams(spark):
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.n_grams, r.n_dup, r.dup_frac)
+        for r in text_analysis.dup_ngram_coverage(docs, n=4).collect()
+    }
+    # docs 1/2 share their single 4-gram; doc 3's gram is unique
+    assert out == {1: (1, 1, 1.0), 2: (1, 1, 1.0), 3: (1, 0, 0.0)}
+
+
+def test_vocab_novelty_first_slice_owns_shared_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "s1", "alpha beta"), (2, "s2", "beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.source: (r.n_tokens, r.n_new)
+        for r in text_analysis.vocab_novelty(docs, "source").collect()
+    }
+    # s1 introduces alpha+beta; s2 uses beta (seen) + gamma (new)
+    assert out == {"s1": (2, 2), "s2": (2, 1)}
+
+
+def test_grouped_ols_recovers_exact_line(spark):
+    # y = 3x + 7 exactly → slope 3, intercept 7, r² 1
+    rows = [(1, float(x), 3.0 * x + 7.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    out = stats.grouped_ols(
+        df, "k", F.col("x"), F.col("y"),
+        x_decimal="decimal(18,0)", y_decimal="decimal(18,2)",
+    ).collect()[0]
+    assert out.n == 10
+    assert abs(out.slope - 3.0) < 1e-12
+    assert abs(out.intercept - 7.0) < 1e-12
+    assert abs(out.r2 - 1.0) < 1e-12
+
+
+def test_grouped_ols_zero_variance_gives_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (1, 5.0, 2.0)], "k long, x double, y double"
+    )
+    out = stats.grouped_ols(df, "k", F.col("x"), F.col("y")).collect()[0]
+    assert out.slope is None and out.intercept is None and out.r2 is None
+
+
+def test_cluster_representatives_elects_best_quality_min_id_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)],
+        "doc_id long, score double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200)],
+        "doc_id long, cluster_id long",
+    )
+    out = {
+        r.cluster_id: (r.size, r.rep_id, r.rep_score)
+        for r in curation.cluster_representatives(
+            docs, clusters, F.col("score")
+        ).collect()
+    }
+    assert out == {100: (3, 2, 0.9), 200: (1, 4, 0.1)}
+
+
+def test_time_weighted_avg_trapezoid(spark):
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    # value 10 for 1s ramping to 20, then 20 ramping to 20 for 3s
+    ev = spark.createDataFrame(
+        [(1, t, 1, 10.0), (1, t + s, 2, 20.0), (1, t + 4 * s, 3, 20.0),
+         (2, t, 4, 5.0)],  # single observation → dropped
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = timeseries.time_weighted_avg(
+        ev, "user_id", "ts", "value", "event_id"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1 and r.n_intervals == 2
+    assert r.span_us == 4_000_000
+    # ((10+20)*1 + (20+20)*3) / (2*4) = (30 + 120)/8 = 18.75
+    assert r.twa == 18.75
