@@ -43,6 +43,43 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _sql_lit_array(values) -> str:
+    """SQL literal for a double array; string-cast per element so any
+    Python float round-trips exactly (repr → string→double is correctly
+    rounded — the same value ``F.lit(float(v))`` embeds)."""
+    elems = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+    return f"array({elems})"
+
+
+def cosine_vs_literal_sql(vec_col: str, values) -> str:
+    """SQL text equivalent of ``cosine_similarity(F.col(vec_col),
+    literal-array)`` — the IDENTICAL aggregate/zip_with fold expression,
+    but parsed from one string instead of built through O(dim) py4j
+    Column calls (a 32-centroid argmax costs ~7 s of pure driver-side
+    plan CONSTRUCTION the Column way; parsing is milliseconds).
+    Execution semantics, null handling, and every IEEE operation are
+    unchanged — the parser produces the same expression tree."""
+    lit = _sql_lit_array(values)
+    dot = (
+        f"aggregate(zip_with({vec_col}, {lit}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+    na = (
+        f"sqrt(aggregate({vec_col}, 0.0D, "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nb = (
+        f"sqrt(aggregate({lit}, 0.0D, "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return (
+        f"(CASE WHEN ({na}) > 0 AND ({nb}) > 0 "
+        f"THEN ({dot}) / (({na}) * ({nb})) "
+        f"ELSE CAST(NULL AS DOUBLE) END)"
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: array of ``num_hashes`` hex-string slots.
 

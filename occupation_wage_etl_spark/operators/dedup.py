@@ -168,13 +168,21 @@ def semantic_dedup(
     the join so each pair costs one dot-product fold.
     """
     inv = F.lit(1.0) / S.l2_norm(F.col(vec_col))
-    cellv = similarity.ivf_assign(df, centroids, vec_col).select(
-        F.col(id_col).alias("id"),
-        "ivf_cell",
-        F.when(
-            S.l2_norm(F.col(vec_col)) > 0,
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * inv),
-        ).alias("v"),
+    # persist the (id, cell, unit-vector) assignment table: it feeds BOTH
+    # sides of the within-cell self-join (without it the interpreted
+    # argmax/normalize projection runs twice), and at cluster scale it is
+    # the checkpointed IVF index the probe path reads back.
+    cellv = (
+        similarity.ivf_assign(df, centroids, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            "ivf_cell",
+            F.when(
+                S.l2_norm(F.col(vec_col)) > 0,
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * inv),
+            ).alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l, r = cellv.alias("l"), cellv.alias("r")
     dropped = (

@@ -169,14 +169,12 @@ def ivf_assign(
     cosines — scan-side only.  Persisting the output partitioned by
     ``ivf_cell`` makes future probes partition-pruned.
     """
-    structs = [
-        F.struct(
-            S.cosine_similarity(F.col(vec_col), _as_double_array(c)).alias("cos"),
-            F.lit(i).alias("cell"),
-        )
+    structs = ", ".join(
+        f"named_struct('cos', {S.cosine_vs_literal_sql(vec_col, c)}, "
+        f"'cell', {i})"
         for i, c in enumerate(centroids)
-    ]
-    best = F.array_max(F.array(*structs))
+    )
+    best = F.expr(f"array_max(array({structs}))")
     return df.withColumn("ivf_cell", best["cell"])
 
 
@@ -435,6 +433,7 @@ def mutual_top1_match(
     b: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    arrow_threshold: int = 64,
 ) -> DataFrame:
     """Reciprocal best-match pairs between two embedding sets (the
     dataset-alignment primitive: bitext mining, image↔caption linking,
@@ -444,38 +443,77 @@ def mutual_top1_match(
     AND x is y's highest-cosine neighbour in ``a`` — mutual nearest
     neighbours, the standard high-precision alignment filter.
 
-    Plan shape: ONE scored cross product (broadcast the smaller ``b``
-    side so the big side never shuffles), then two windowed argmax
-    passes over the SAME scored table — Spark reuses the scan via the
-    exchange, and each window partitions by one side's id so it scales
-    with that side's cardinality.  Cosines are rounded to 6dp before
-    ranking (cross-engine float-fold stability; see queries.py header),
-    ties broken by partner id asc, so the match is total-order
-    deterministic.
+    Scoring tiers (same policy as ``lsh_signature``'s matmul):
 
-    At 100 TB-scale fan-outs replace the cross product with an ANN
-    candidate set (``ivf_knn`` / ``lsh_knn`` buckets) and apply the same
-    two windows to the candidate pairs — the mutual filter is unchanged.
+    - ``count(b) > arrow_threshold`` → ``mapInPandas`` over ``a`` with
+      the collected ``b`` matrix in the closure: per Arrow batch, one
+      vectorized dim-step accumulation loop scores every (a, b) pair.
+      The accumulation runs IN INDEX ORDER (``acc += A[:,i]·B[:,i]``),
+      so every cosine is bit-identical to the interpreted JVM fold and
+      to the DuckDB oracle's sequential ``list_sum`` — vectorization
+      across ROWS, exactness across DIMS.  ``b`` must fit driver memory
+      — the same bound as the ``F.broadcast`` it replaces; at larger
+      fan-outs generate candidates with ``ivf_knn``/``lsh_knn`` buckets
+      and apply the same mutual filter to the candidate pairs.
+    - small ``b`` (tests, ad-hoc) → broadcast join + interpreted fold
+      (zero driver collect).
+
+    Both tiers emit ALL pair scores and leave rounding (6dp, the
+    cross-engine float-fold guard) and the two windowed argmax passes to
+    Spark — tie semantics (cosine desc, partner id asc) live in ONE
+    place.  Each window partitions by one side's id, so ranking scales
+    with that side's cardinality.
     """
-    an = a.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av")
-    )
-    bn = b.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
-    )
-    scored = an.join(F.broadcast(bn)).select(
-        "a_id",
-        "b_id",
-        F.round(
-            S.cosine_similarity(F.col("__av"), F.col("__bv")), 6
-        ).alias("cosine"),
-    )
-    wa = Window.partitionBy("a_id").orderBy(
-        F.desc("cosine"), F.asc("b_id")
-    )
-    wb = Window.partitionBy("b_id").orderBy(
-        F.desc("cosine"), F.asc("a_id")
-    )
+    an = a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"))
+    bn = b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv"))
+    b_rows = bn.collect() if bn.count() > arrow_threshold else None
+    if b_rows:
+        b_ids = np.array([r["b_id"] for r in b_rows], dtype=np.int64)
+        B = np.stack(
+            [np.asarray(r["__bv"], dtype=np.float64) for r in b_rows]
+        )
+        b_norm = _seq_norms(B)
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__av"]]
+                )
+                dots = _seq_dots(A, B)
+                a_norm = _seq_norms(A)
+                denom = np.outer(a_norm, b_norm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                valid = (a_norm[:, None] > 0) & (b_norm[None, :] > 0)
+                n_a, n_b = dots.shape
+                cos_col = pd.Series(cos.ravel()).where(
+                    pd.Series(valid.ravel()), other=pd.NA
+                ).astype("Float64")
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.repeat(
+                            pdf["a_id"].to_numpy(np.int64), n_b
+                        ),
+                        "b_id": np.tile(b_ids, n_a),
+                        "cosine": cos_col,
+                    }
+                )
+
+        scored = an.mapInPandas(
+            score, "a_id long, b_id long, cosine double"
+        ).select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    else:
+        scored = an.join(F.broadcast(bn)).select(
+            "a_id",
+            "b_id",
+            F.round(
+                S.cosine_similarity(F.col("__av"), F.col("__bv")), 6
+            ).alias("cosine"),
+        )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cosine"), F.asc("a_id"))
     ranked = scored.select(
         "a_id",
         "b_id",
@@ -486,3 +524,21 @@ def mutual_top1_match(
     return ranked.filter(
         (F.col("__ra") == 1) & (F.col("__rb") == 1)
     ).select("a_id", "b_id", "cosine")
+
+
+def _seq_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs dot products with the accumulation order of a
+    sequential per-element fold: ``acc_i ← acc_i + A[:,i]·B[:,i]`` —
+    bit-identical to the JVM ``aggregate``/DuckDB ``list_sum`` fold
+    (np.matmul would pairwise-sum and drift ULPs)."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for i in range(A.shape[1]):
+        acc += A[:, i][:, None] * B[:, i][None, :]
+    return acc
+
+
+def _seq_norms(M: np.ndarray) -> np.ndarray:
+    acc = np.zeros(M.shape[0])
+    for i in range(M.shape[1]):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)

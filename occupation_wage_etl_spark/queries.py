@@ -3222,6 +3222,15 @@ FROM new_snap GROUP BY o_orderpriority
 # at a key-derived position) back against the clean catalog, levenshtein
 # <= 2, q-gram count filter + broadcast short-string fallback.  The
 # oracle is the NAIVE cross join — losslessness is the assertion.
+#
+# The match runs on DISTINCT name strings (the standard blocking step:
+# the q-gram index sees each string once, never once per row), and each
+# name-pair row carries ``n_pairs`` = how many id-level (dirty, clean)
+# pairs it represents.  Materializing the id×id expansion would be
+# output-quadratic on low-cardinality name columns (this testdata has
+# 64 distinct names over 20k parts at sf0.1 — ~10M id pairs) and is a
+# plain multiplicity join the caller can do; the HARD part — the
+# similarity join — is what the operator does, on the collapsed domain.
 # ---------------------------------------------------------------------------
 
 FUZZY_D = 2
@@ -3231,29 +3240,50 @@ def q72_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     pos = (F.col("p_partkey") % 10 + 3).cast("int")
     dirty = p.select(
-        F.col("p_partkey").alias("d_id"),
         F.concat(
             F.substring(F.col("p_name"), F.lit(1), pos - 1),
             F.substring(F.col("p_name"), pos + 1, F.length("p_name")),
         ).alias("d_name"),
+    ).groupBy("d_name").agg(F.count(F.lit(1)).alias("n_dirty"))
+    clean = (
+        p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_clean"))
     )
-    clean = p.select("p_partkey", "p_name")
-    return fuzzy_join.edit_distance_join(
-        dirty, clean, "d_id", "p_partkey", "d_name", "p_name", max_dist=FUZZY_D
+    pairs = fuzzy_join.edit_distance_join(
+        dirty.select(F.col("d_name")),
+        clean.select(F.col("p_name")),
+        "d_name",
+        "p_name",
+        "d_name",
+        "p_name",
+        max_dist=FUZZY_D,
+    )
+    return (
+        pairs.join(F.broadcast(dirty), "d_name")
+        .join(F.broadcast(clean), "p_name")
+        .select(
+            "d_name",
+            "p_name",
+            "dist",
+            (F.col("n_dirty") * F.col("n_clean")).alias("n_pairs"),
+        )
     )
 
 
 Q72_SQL = f"""
 WITH dirty AS (
-  SELECT p_partkey AS d_id,
-         substr(p_name, 1, (p_partkey % 10) + 2) ||
+  SELECT substr(p_name, 1, (p_partkey % 10) + 2) ||
          substr(p_name, (p_partkey % 10) + 4) AS d_name
   FROM part
+), dn AS (
+  SELECT d_name, count(*) AS n_dirty FROM dirty GROUP BY d_name
+), cn AS (
+  SELECT p_name, count(*) AS n_clean FROM part GROUP BY p_name
 )
-SELECT d.d_id, p.p_partkey, levenshtein(d.d_name, p.p_name) AS dist
-FROM dirty d, part p
-WHERE abs(length(d.d_name) - length(p.p_name)) <= {FUZZY_D}
-  AND levenshtein(d.d_name, p.p_name) <= {FUZZY_D}
+SELECT d.d_name, c.p_name, levenshtein(d.d_name, c.p_name) AS dist,
+       d.n_dirty * c.n_clean AS n_pairs
+FROM dn d, cn c
+WHERE abs(length(d.d_name) - length(c.p_name)) <= {FUZZY_D}
+  AND levenshtein(d.d_name, c.p_name) <= {FUZZY_D}
 """
 
 
