@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "q108_trend_ols",
     "q109_cluster_reps",
     "q110_twa",
+    "q111_session_paths",
+    "q112_rfm",
+    "q113_cusum",
 ]
 
 

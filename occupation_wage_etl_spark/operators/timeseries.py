@@ -357,3 +357,215 @@ def time_weighted_avg(
             / (F.lit(2.0) * F.col("span_us").cast("string").cast("double"))
         ).alias("twa"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common session paths — the user-journey frequency view
+    ("view>click>purchase happened 412 times") product analytics builds
+    funnels FROM.
+
+    Sessions use the same gap rule as :func:`session_attribution`; the
+    path is the session's event types joined with ``>`` in exact event
+    order (ts, then id — total order, so the string is deterministic).
+
+    Plan: two window passes on one exchange (session ids, then the path
+    via ``collect_list`` over the FULL session frame + one row_number to
+    keep one row per session), a hash count on the path string, and a
+    TakeOrdered top-k.  Per-window state is one session's events; the
+    count shuffle carries (path, 1).  Pathologically long sessions make
+    pathologically long strings — cap upstream if a key can stream
+    forever.
+
+    Returns (path, n_sessions, rank).
+    """
+    wu = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(wu)
+    new_sess = (gap.isNull() | (gap > gap_minutes * 60 * 1_000_000)).cast(
+        "long"
+    )
+    sess = events.select(
+        user_col,
+        ts_col,
+        id_col,
+        type_col,
+        F.sum(new_sess).over(wu).alias("__sess"),
+    )
+    ws = Window.partitionBy(user_col, "__sess").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    paths = (
+        sess.select(
+            user_col,
+            "__sess",
+            F.concat_ws(
+                ">",
+                F.collect_list(type_col).over(
+                    ws.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            ).alias("path"),
+            F.row_number().over(ws).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact CUSUM change-point per key: the event index where the
+    cumulative deviation from the key's own mean peaks — the standard
+    "when did this metric's level shift?" detector, run as one batch
+    pass.
+
+    Exactness trick: the usual CUSUM ``Σ(vⱼ − v̄)`` needs a float mean
+    and an ordered float accumulation (whose addition order no two
+    engines agree on).  Scaling by n removes both: ``n·Σvⱼ − k·S``
+    (S = exact decimal total, k = prefix length) is pure DECIMAL
+    arithmetic — order-independent, bit-identical everywhere — and
+    shares its argmax with the float CUSUM.  The peak is reported
+    normalized (÷ n·100 in value units) via one string→double cast.
+
+    Plan: one exchange on the key (two window passes: prefix decimal
+    sums + global n/S per key), one argmax aggregate via struct-max —
+    no joins, no iteration.  Ties: earliest index wins.
+
+    Returns (key, n, cp_index, peak) — ``cp_index`` 1-based; peak is
+    |n·Σ_{j≤k}vⱼ − k·S| / n in value units, the jump magnitude.
+    """
+    wk = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    v = F.col(value_col).cast("decimal(18,2)")
+    rows = df.select(
+        F.col(key_col),
+        v.alias("__v"),
+        F.sum(v).over(
+            wk.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__prefix"),
+        F.row_number().over(wk).alias("__k"),
+        F.sum(v).over(
+            wk.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__s"),
+        F.count(F.lit(1)).over(
+            wk.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    dev = (
+        F.col("__n").cast("decimal(20,0)") * F.col("__prefix")
+        - F.col("__k").cast("decimal(20,0)") * F.col("__s")
+    )
+    scored = rows.select(
+        key_col,
+        "__n",
+        "__k",
+        F.abs(dev).alias("__adev"),
+    )
+    elect = scored.groupBy(key_col).agg(
+        F.max("__n").alias("n"),
+        F.max(
+            F.struct(
+                F.col("__adev").alias("a"),
+                (-F.col("__k")).alias("neg_k"),
+            )
+        ).alias("__w"),
+    )
+    return elect.select(
+        key_col,
+        "n",
+        (-F.col("__w.neg_k")).cast("long").alias("cp_index"),
+        (
+            F.col("__w.a").cast("string").cast("double")
+            / F.col("n").cast("double")
+        ).alias("peak"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    buckets: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing scoring: each converting user gets three
+    ``1..buckets`` quantile scores and a composite segment code like
+    ``'545'``.
+
+    Determinism: every ntile orders by an exact integer or decimal
+    (recency in microseconds, count, decimal money sum) with
+    ``user_col`` as the final tiebreak, so bucket boundaries are
+    total-order stable; ntile's equal-height split (earlier buckets get
+    the remainder) is the ANSI behavior both engines implement.
+
+    Plan: one filtered hash aggregate per user, then three ntile windows
+    over the AGGREGATED table (cardinality = #users, already collapsed).
+    The windows are unpartitioned by design — a global quantile needs a
+    global order — but they sort #users rows of four narrow columns,
+    not events; at larger scale swap ntile for bucketing against
+    :func:`~occupation_wage_etl_spark.operators.stats.
+    grouped_exact_percentiles` boundaries (broadcast), which needs no
+    global sort.
+
+    Returns (user, last_us, freq, monetary, r, f, m, segment).
+    """
+    per_user = (
+        events.filter(F.col(type_col) == conversion_type)
+        .groupBy(user_col)
+        .agg(
+            F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__m"),
+        )
+    )
+    wr = Window.orderBy(F.desc("last_us"), F.asc(user_col))
+    wf = Window.orderBy(F.desc("freq"), F.asc(user_col))
+    wm = Window.orderBy(F.desc("__m"), F.asc(user_col))
+    scored = per_user.select(
+        user_col,
+        "last_us",
+        "freq",
+        F.col("__m").cast("string").cast("double").alias("monetary"),
+        F.ntile(buckets).over(wr).cast("long").alias("r"),
+        F.ntile(buckets).over(wf).cast("long").alias("f"),
+        F.ntile(buckets).over(wm).cast("long").alias("m"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )

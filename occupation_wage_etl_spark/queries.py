@@ -4959,6 +4959,126 @@ FROM f GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# q111 — top-k session journey paths (operators/timeseries.py:
+# session_paths): the most common ordered event-type sequences per
+# 30-minute session.
+# ---------------------------------------------------------------------------
+
+PATHS_K = 10
+
+
+def q111_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.session_paths(
+        ev, gap_minutes=ATTR_GAP_MIN, k=PATHS_K
+    )
+
+
+Q111_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {ATTR_GAP_MIN * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS nb
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+), p AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, sess
+), c AS (
+  SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+)
+SELECT path, n_sessions,
+       row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+FROM c
+QUALIFY rank <= {PATHS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q112 — RFM customer segmentation (operators/timeseries.py:
+# rfm_segments): recency/frequency/monetary quintiles over purchases.
+# ---------------------------------------------------------------------------
+
+
+def q112_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.rfm_segments(ev, conversion_type="purchase")
+
+
+Q112_SQL = """
+WITH p AS (
+  SELECT user_id,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+         count(*) AS freq,
+         sum(CAST(value AS DECIMAL(18,2))) AS m
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), s AS (
+  SELECT user_id, last_us, freq,
+         CAST(CAST(m AS VARCHAR) AS DOUBLE) AS monetary,
+         CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id) AS BIGINT) AS r,
+         CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
+         CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS m
+  FROM p
+)
+SELECT user_id, last_us, freq, monetary, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q113 — exact CUSUM change-point per user (operators/timeseries.py:
+# cusum_changepoint): scaled-integer cumulative deviation, argmax index.
+# ---------------------------------------------------------------------------
+
+
+def q113_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.cusum_changepoint(
+        ev, "user_id", "ts", "value", "event_id"
+    )
+
+
+Q113_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), r AS (
+  SELECT user_id,
+         sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS prefix,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k,
+         sum(v) OVER (PARTITION BY user_id) AS s,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+), d AS (
+  SELECT user_id, n, k,
+         abs(CAST(n AS DECIMAL(20,0)) * prefix
+             - CAST(k AS DECIMAL(20,0)) * s) AS adev
+  FROM r
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS cp_index,
+       CAST(CAST(adev AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS peak
+FROM d
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY adev DESC, k) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5073,6 +5193,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_trend_ols": q108_trend_ols,
     "q109_cluster_reps": q109_cluster_reps,
     "q110_twa": q110_twa,
+    "q111_session_paths": q111_session_paths,
+    "q112_rfm": q112_rfm,
+    "q113_cusum": q113_cusum,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5186,4 +5309,7 @@ ORACLE_SQL: dict[str, str] = {
     "q108_trend_ols": Q108_SQL,
     "q109_cluster_reps": _cluster_reps_oracle_sql(),
     "q110_twa": Q110_SQL,
+    "q111_session_paths": Q111_SQL,
+    "q112_rfm": Q112_SQL,
+    "q113_cusum": Q113_SQL,
 }

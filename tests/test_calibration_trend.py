@@ -115,3 +115,61 @@ def test_time_weighted_avg_trapezoid(spark):
     assert r.span_us == 4_000_000
     # ((10+20)*1 + (20+20)*3) / (2*4) = (30 + 120)/8 = 18.75
     assert r.twa == 18.75
+
+
+def test_session_paths_counts_and_order(spark):
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session 1: view>click ; session 2 (big gap): view>click
+        (1, 1, t, "view"), (2, 1, t + m, "click"),
+        (3, 1, t + 120 * m, "view"), (4, 1, t + 121 * m, "click"),
+        # user 2: single view
+        (5, 2, t, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {(r.path, r.n_sessions, r.rank)
+           for r in timeseries.session_paths(ev, gap_minutes=30, k=5).collect()}
+    assert out == {("view>click", 2, 1), ("view", 1, 2)}
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    vals = [10.0] * 5 + [20.0] * 5   # shift after index 5
+    ev = spark.createDataFrame(
+        [(1, t + i * s, i, v) for i, v in enumerate(vals)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    r = timeseries.cusum_changepoint(
+        ev, "user_id", "ts", "value", "event_id"
+    ).collect()[0]
+    assert r.n == 10
+    assert r.cp_index == 5      # deviation peaks at the last low point
+    # peak = |n*prefix - k*S|/n = |10*50 - 5*150|/10 = 25
+    assert r.peak == 25.0
+
+
+def test_rfm_scores_are_quantile_ranks(spark):
+    t = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    # 5 users: user i purchases i times, value 10*i, most recent = later for higher i
+    eid = 0
+    for u in range(1, 6):
+        for j in range(u):
+            rows.append((eid, u, t + u * day + j * dt.timedelta(hours=1),
+                         "purchase", 10.0 * u))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    out = {r.user_id: (r.r, r.f, r.m, r.segment)
+           for r in timeseries.rfm_segments(ev).collect()}
+    # user 5: most recent, most frequent, biggest spender → 1,1,1
+    assert out[5] == (1, 1, 1, "111")
+    # user 1: least of everything → bucket 5
+    assert out[1] == (5, 5, 5, "555")
