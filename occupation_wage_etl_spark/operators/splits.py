@@ -172,3 +172,51 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is decided at
+    NEAR-DUP-CLUSTER granularity, so two near-duplicate documents can
+    never straddle train and test (the classic eval-contamination bug a
+    per-document hash split cannot prevent).
+
+    ``clusters`` holds (id, cluster) for clustered docs (e.g. connected
+    components over MinHash pairs); unclustered docs fall back to their
+    own id as a singleton cluster key.  The bucket is the same md5-based
+    uniform hash as :func:`hash_split`, applied to the CLUSTER key —
+    deterministic, shuffle-free beyond one left join, and every member
+    of a cluster lands in the same split by construction.
+
+    ``weights`` maps split name → integer weight (e.g. train 8 / val 1 /
+    test 1).  Returns (id, cluster_key, split).
+    """
+    total = sum(weights.values())
+    cl = clusters.select(
+        F.col(id_col).alias("id"), F.col(cluster_col).alias("__cl")
+    )
+    keyed = docs.select(F.col(id_col).alias("id")).join(
+        cl, "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("__cl"), F.col("id")).alias("cluster_key")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_key").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % total
+    )
+    expr = None
+    lo = 0
+    for name, wt in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + wt)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += wt
+    return keyed.select("id", "cluster_key", expr.alias("split"))

@@ -463,3 +463,53 @@ def grouped_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted (lower) median per group: the smallest value whose
+    cumulative weight reaches half the group's total — "the price at
+    which half the QUANTITY traded", token-weighted document stats, and
+    every importance-weighted center that a plain median gets wrong.
+
+    Same distributed-histogram skeleton as
+    :func:`grouped_exact_percentiles` (no per-group value buffering, no
+    global sort): one hash aggregate on (group, value) summing exact
+    decimal weights, a cumulative-weight window over DISTINCT values
+    only, then a min-aggregate over qualifying values.  The half-total
+    test is ``2·cumw ≥ W`` — pure decimal comparison, no division, so
+    the chosen value is a rank statistic that is bit-identical in any
+    engine.  NULL values and NULL/zero weights are excluded.
+
+    Returns (group, total_weight, wmedian).
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    w = F.col(weight_col).cast("decimal(18,2)")
+    hist = (
+        df.filter(v.isNotNull() & w.isNotNull() & (w != 0))
+        .groupBy(group_col, value_col)
+        .agg(F.sum(w).alias("__cw"))
+    )
+    win = Window.partitionBy(group_col).orderBy(value_col)
+    cum = hist.withColumn(
+        "__cum", F.sum("__cw").over(win)
+    ).withColumn(
+        "__tot",
+        F.sum("__cw").over(
+            Window.partitionBy(group_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    qualified = cum.filter(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+    return qualified.groupBy(group_col).agg(
+        F.max(F.col("__tot"))
+        .cast("string")
+        .cast("double")
+        .alias("total_weight"),
+        F.min(value_col).alias("wmedian"),
+    )

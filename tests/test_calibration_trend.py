@@ -173,3 +173,45 @@ def test_rfm_scores_are_quantile_ranks(spark):
     assert out[5] == (1, 1, 1, "111")
     # user 1: least of everything → bucket 5
     assert out[1] == (5, 5, 5, "555")
+
+
+def test_weighted_median_rank_statistic(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 100.0, 10.0),
+         ("b", 5.0, 3.0)],
+        "g string, v double, w double",
+    )
+    out = {r.g: (r.total_weight, r.wmedian)
+           for r in stats.grouped_weighted_median(df, "g", "v", "w").collect()}
+    # group a: W=12, half=6 → first value with 2*cum>=12 is 100.0
+    assert out["a"] == (12.0, 100.0)
+    assert out["b"] == (3.0, 5.0)
+
+
+def test_weighted_median_equal_weights_is_lower_median(spark):
+    df = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (1, 2, 3, 4)],
+        "g string, v double, w double",
+    )
+    r = stats.grouped_weighted_median(df, "g", "v", "w").collect()[0]
+    assert r.wmedian == 2.0   # lower median of 1,2,3,4
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from occupation_wage_etl_spark.operators import splits as SP
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    clusters = spark.createDataFrame(
+        [(i, i // 10 * 10) for i in range(50)],  # 5 clusters of 10
+        "doc_id long, cluster_id long",
+    )
+    out = SP.cluster_safe_split(
+        docs, clusters, {"train": 8, "val": 1, "test": 1}
+    ).collect()
+    assert len(out) == 100
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_key, set()).add(r.split)
+    # every cluster maps to exactly one split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # all three splits appear over 55 distinct keys
+    assert {s for r in out for s in [r.split]} == {"train", "val", "test"}
