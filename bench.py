@@ -152,6 +152,13 @@ BENCH_QUERIES = [
     "q111_session_paths",
     "q112_rfm",
     "q113_cusum",
+    "q114_weighted_median",
+    "q115_leak_safe_split",
+    "q116_late_shipments",
+    "q117_promo_revenue",
+    "q118_small_quantity_revenue",
+    "q119_disjunctive_revenue",
+    "q120_rich_inactive_customers",
 ]
 
 

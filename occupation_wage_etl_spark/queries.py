@@ -5079,6 +5079,301 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 
 
 # ---------------------------------------------------------------------------
+# q114 — exact quantity-weighted median price per return flag
+# (operators/stats.py:grouped_weighted_median): rank statistic over the
+# distributed weight histogram, no division, no interpolation.
+# ---------------------------------------------------------------------------
+
+
+def q114_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return stats.grouped_weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+Q114_SQL = """
+WITH h AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS cw
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity <> 0
+  GROUP BY 1, 2
+), c AS (
+  SELECT g, v,
+         sum(cw) OVER (PARTITION BY g ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cw) OVER (PARTITION BY g) AS tot
+  FROM h
+)
+SELECT g AS l_returnflag,
+       CAST(CAST(max(tot) AS VARCHAR) AS DOUBLE) AS total_weight,
+       min(v) AS wmedian
+FROM c WHERE 2 * cum >= tot
+GROUP BY g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q115 — leakage-safe train/val/test split at near-dup-cluster
+# granularity (operators/splits.py:cluster_safe_split over q39's
+# connected components): near-duplicate docs can never straddle splits.
+# ---------------------------------------------------------------------------
+
+SPLIT_WEIGHTS = {"train": 8, "val": 1, "test": 1}
+
+
+def q115_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    cc = graph.connected_components(edges)
+    clusters = cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    out = splits.cluster_safe_split(docs, clusters, SPLIT_WEIGHTS)
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_key", "split"
+    )
+
+
+def _leak_split_oracle_sql() -> str:
+    return f"""
+WITH cc AS ({_dup_clusters_oracle_sql()}),
+k AS (
+  SELECT d.doc_id,
+         coalesce(cc.cluster_id, d.doc_id) AS cluster_key
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+), b AS (
+  SELECT doc_id, cluster_key,
+         ('0x' || substr(md5(CAST(cluster_key AS VARCHAR)), 1, 8))::BIGINT
+           % 10 AS bkt
+  FROM k
+)
+SELECT doc_id, cluster_key,
+       CASE WHEN bkt < 8 THEN 'train'
+            WHEN bkt < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q116–q120 — TPC-H classic shapes adapted to this testdata's columns
+# (no partsupp/shipmode/container/phone in TESTDATA.md): each exercises
+# a distinct Catalyst capability the reference's pandas pipeline lacks —
+# conditional aggregation over a join (Q12), conditional-ratio
+# aggregates (Q14), correlated-scalar decorrelation (Q17), OR-of-ANDs
+# predicate pushdown (Q19), and NOT-EXISTS anti-join + scalar subquery
+# (Q22).
+# ---------------------------------------------------------------------------
+
+
+def q116_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lines shipped >90 days after their order date
+    count as late; per order-priority, late vs on-time line counts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.sum(late.cast("long")).alias("late_lines"),
+            F.sum((~late).cast("long")).alias("ontime_lines"),
+        )
+    )
+
+
+Q116_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN CAST(l_shipdate AS DATE)
+                          - CAST(o_orderdate AS DATE) > 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+       CAST(sum(CASE WHEN CAST(l_shipdate AS DATE)
+                          - CAST(o_orderdate AS DATE) > 90
+                     THEN 0 ELSE 1 END) AS BIGINT) AS ontime_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q117_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of discounted revenue from promo-class parts
+    in one month.  One broadcast join, one conditional-ratio aggregate;
+    numerator/denominator are exact decimal sums, the percentage one
+    fixed double tree."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    promo = F.col("p_type").startswith("PROMO")
+    agg = j.agg(
+        F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .alias("__p"),
+        F.sum(rev).alias("__t"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")
+    return agg.select(
+        (F.lit(100.0) * dbl(F.col("__p")) / dbl(F.col("__t"))).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+Q117_SQL = """
+SELECT 100.0 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(3,2)))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(3,2))))
+               AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+
+def q118_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's own average quantity) were not
+    filled.  The correlated scalar subquery is expressed DECORRELATED —
+    aggregate-per-part then join — which is exactly the plan Catalyst's
+    subquery decorrelation produces from the SQL form."""
+    li = _t(spark, sf_dir, "lineitem")
+    brand = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("__avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+        .join(per_part, li["l_partkey"] == per_part["__pk"])
+        .filter(
+            F.col("l_quantity").cast("double") < 0.2 * F.col("__avg_qty")
+        )
+    )
+    return j.agg(
+        (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+Q118_SQL = f"""
+WITH pp AS (
+  SELECT l_partkey AS pk,
+         {_DSUM.format(x='l_quantity')} / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_DSUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+JOIN pp ON l_partkey = pp.pk
+WHERE CAST(l_quantity AS DOUBLE) < 0.2 * pp.avg_qty
+"""
+
+
+def q119_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    bands — the OR-of-ANDs predicate that tests pushdown and join
+    condition handling (the whole disjunction evaluates inside the
+    joined scan, no fallback to a cross product)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return (
+        j.filter(band)
+        .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
+    )
+
+
+Q119_SQL = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(3,2))))
+        AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q120_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, the rich-but-churned
+    customers — above-average account balance and NO orders since
+    2000-01-01 — scalar-average subquery (one broadcast 1-row
+    aggregate) + date-filtered anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("__avg")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("double") > F.col("__avg")
+    )
+    inactive = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+Q120_SQL = f"""
+WITH a AS (
+  SELECT {_DSUM.format(x='c_acctbal')} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       {_DSUM.format(x='c_acctbal')} AS total_bal
+FROM customer, a
+WHERE CAST(c_acctbal AS DOUBLE) > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5196,6 +5491,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_session_paths": q111_session_paths,
     "q112_rfm": q112_rfm,
     "q113_cusum": q113_cusum,
+    "q114_weighted_median": q114_weighted_median,
+    "q115_leak_safe_split": q115_leak_safe_split,
+    "q116_late_shipments": q116_late_shipments,
+    "q117_promo_revenue": q117_promo_revenue,
+    "q118_small_quantity_revenue": q118_small_quantity_revenue,
+    "q119_disjunctive_revenue": q119_disjunctive_revenue,
+    "q120_rich_inactive_customers": q120_rich_inactive_customers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5312,4 +5614,11 @@ ORACLE_SQL: dict[str, str] = {
     "q111_session_paths": Q111_SQL,
     "q112_rfm": Q112_SQL,
     "q113_cusum": Q113_SQL,
+    "q114_weighted_median": Q114_SQL,
+    "q115_leak_safe_split": _leak_split_oracle_sql(),
+    "q116_late_shipments": Q116_SQL,
+    "q117_promo_revenue": Q117_SQL,
+    "q118_small_quantity_revenue": Q118_SQL,
+    "q119_disjunctive_revenue": Q119_SQL,
+    "q120_rich_inactive_customers": Q120_SQL,
 }
