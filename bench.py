@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "q118_small_quantity_revenue",
     "q119_disjunctive_revenue",
     "q120_rich_inactive_customers",
+    "q121_denoising_pairs",
+    "q122_temperature_mix",
 ]
 
 

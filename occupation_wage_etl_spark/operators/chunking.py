@@ -105,3 +105,50 @@ def pack_sequences(
     return sized.groupBy("grp").applyInPandas(
         pack, schema="grp string, id long, n_tokens int, bin_id long, bin_fill long"
     )
+
+
+def denoising_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_pct: int = 15,
+) -> DataFrame:
+    """Deterministic denoising (input, target) pair synthesis — the
+    T5/BART-style corruption step of a pre-training pipeline, with the
+    mask decided by an md5 keyed on (doc id, token index) so every
+    engine, run, and partition layout produces the SAME pairs (no RNG
+    state, no seed plumbing).
+
+    Token i of doc d is masked iff
+    ``md5(d || ':' || i) (first 8 hex as int) % 100 < mask_pct``.
+    ``input_text`` is the unmasked tokens re-joined; ``target_text`` is
+    the masked tokens as ``i:token`` entries (position-tagged so the
+    target is unambiguous without sentinel bookkeeping).
+
+    Everything is ONE scan-side projection (SQL higher-order filter /
+    transform over the token array — per-row work, zero shuffle), so it
+    runs at whatever rate the scan runs.  Returns (id, n_tokens,
+    n_masked, input_text, target_text).
+    """
+    toks = f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
+    mask = (
+        f"(x, i) -> CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+        f"':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    kept = f"filter({toks}, {mask} >= {mask_pct})"
+    dropped_tagged = (
+        f"filter(transform({toks}, (x, i) -> named_struct('i', i, 't', x)), "
+        f"s -> CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+        f"':', CAST(s.i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 "
+        f"< {mask_pct})"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(f"size({dropped_tagged})").cast("long").alias("n_masked"),
+        F.expr(f"array_join({kept}, ' ')").alias("input_text"),
+        F.expr(
+            f"array_join(transform({dropped_tagged}, "
+            f"s -> concat(CAST(s.i AS STRING), ':', s.t)), ' ')"
+        ).alias("target_text"),
+    )

@@ -108,27 +108,56 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
     neighborhoods; a cluster whose nodes close many triangles is a
     tight duplicate clique, a star is one template touching many docs).
 
-    ``edges`` must be canonical (src < dst, no duplicates).  With every
-    edge oriented low->high, each triangle {a<b<c} appears exactly once
-    as the join (a,b)x(b,c) closed by (a,c) — no /3 correction, no
-    dedup.  Two equi-join shuffles on node keys; at 100 TB orient by
-    DEGREE instead of id (standard node-iterator optimization) so hub
-    nodes don't fan out — id order is kept here because the oracle
-    must replay it.
+    ``edges`` must be canonical (src < dst, no duplicates).  Edges are
+    re-oriented by DEGREE rank (degree asc, id asc — the standard
+    node-iterator++ optimization): wedges are enumerated only at each
+    triangle's LOWEST-degree corner, so hub nodes never fan out and the
+    wedge count is bounded by Σ out-deg² with out-deg = O(√m), instead
+    of the Σ deg² an id-orientation pays (which goes quadratic exactly
+    when near-dup graphs grow template hubs — an 83× wall-time blowup
+    at 10× data in the sf1 rehearsal).  Per-node triangle COUNTS are
+    orientation-invariant, so results (and the oracle) are unchanged.
+
+    Plan: one degree aggregate joined back to both endpoints, a wedge
+    self-join on the low corner, and a semi-join closing the third
+    edge — all equi-joins on node keys.
 
     Returns (node, n_triangles) for nodes in >= 1 triangle.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = (
-        e.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            "left_semi",
-        )
-        .select("a", "b", "c")
+    # persist the canonical edge list: degrees, orientation, the wedge
+    # self-join AND the closing semi-join all consume it — without the
+    # persist the (often expensive) upstream pair-generation pipeline
+    # recomputes once per consumer.
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = e0.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w1 = oe.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    w2 = oe.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = w1.join(w2, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oe.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi").select(
+        F.col("a"), F.col("x").alias("b"), F.col("y").alias("c")
     )
     corners = (
         tri.select(F.col("a").alias("node"))

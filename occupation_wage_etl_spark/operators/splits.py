@@ -220,3 +220,80 @@ def cluster_safe_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += wt
     return keyed.select("id", "cluster_key", expr.alias("split"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based dataset mixing: sample each slice with
+    probability ∝ its size^α (α<1 upweights small sources, α=1 is
+    proportional) to a total ``budget`` — the mixture-reweighting step
+    every multi-source pre-training corpus goes through before packing.
+
+    The per-slice keep probability ``min(1, budget·p_s / n_s)`` with
+    ``p_s = n_s^α / Σ n^α`` is computed from ONE tiny per-group count
+    aggregate (broadcast back), and each row keeps or drops by comparing
+    its md5-uniform 32-bit hash against ``floor(keep_s · 2³²)`` — an
+    INTEGER threshold compare, so membership is deterministic and
+    engine-portable (no float RNG, no global sort, no second shuffle).
+    The realized sample size concentrates tightly around the budget
+    (binomial per slice) — exact-size sampling would need a per-slice
+    rank which is :func:`~occupation_wage_etl_spark.operators.splits.
+    sample_to_budget`'s job.
+
+    Returns the kept rows: (id, group, keep_threshold).
+    """
+    def w(n: F.Column) -> F.Column:
+        # sqrt for the canonical α=0.5 (pow(x, 0.5) is not guaranteed
+        # bit-identical to sqrt across libm implementations)
+        if alpha == 0.5:
+            return F.sqrt(n)
+        return F.pow(n, F.lit(alpha))
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # Σ n^α is a float sum whose ADDITION ORDER must be pinned for
+    # engine-portability: fold the (sorted-by-group) count list
+    # left-to-right instead of a hash-aggregate float sum.  The count
+    # table is #slices rows — the collect_list is tiny by construction.
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(group_col).alias("g"), F.col("__n").alias("n")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + w(s["n"].cast("double")),
+        ).alias("__z")
+    )
+    probs = counts.join(F.broadcast(tot)).select(
+        F.col(group_col).alias("__g"),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget))
+                * w(F.col("__n").cast("double"))
+                / F.col("__z")
+                / F.col("__n").cast("double"),
+            )
+            * F.lit(4294967296.0)
+        ).alias("__thresh"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(probs), df[group_col] == F.col("__g"))
+        .filter(h32 < F.col("__thresh"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(group_col),
+            F.col("__thresh").alias("keep_threshold"),
+        )
+    )

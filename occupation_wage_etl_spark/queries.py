@@ -5374,6 +5374,99 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# q121 — deterministic denoising-pair synthesis (operators/chunking.py:
+# denoising_pairs): md5-keyed token masking, one scan-side projection.
+# ---------------------------------------------------------------------------
+
+MASK_PCT = 15
+
+
+def q121_denoising_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.denoising_pairs(docs, mask_pct=MASK_PCT).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_masked",
+        "input_text",
+        "target_text",
+    )
+
+
+Q121_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split({_NORM_SQL.format(x='text')}, ' ') AS toks
+  FROM documents
+), t AS (
+  SELECT id, toks,
+         list_transform(range(1, len(toks) + 1),
+           i -> struct_pack(i := i - 1, t := toks[i])) AS tagged
+  FROM d
+), m AS (
+  SELECT id, len(toks) AS n_tokens,
+         list_filter(tagged, s ->
+           ('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                               || CAST(s.i AS VARCHAR)), 1, 8))::BIGINT
+           % 100 >= {MASK_PCT}) AS kept,
+         list_filter(tagged, s ->
+           ('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                               || CAST(s.i AS VARCHAR)), 1, 8))::BIGINT
+           % 100 < {MASK_PCT}) AS dropped
+  FROM t
+)
+SELECT id AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(dropped) AS BIGINT) AS n_masked,
+       coalesce(array_to_string(list_transform(kept, s -> s.t), ' '), '')
+         AS input_text,
+       coalesce(array_to_string(list_transform(dropped,
+         s -> CAST(s.i AS VARCHAR) || ':' || s.t), ' '), '') AS target_text
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q122 — temperature-based dataset mixing (operators/splits.py:
+# temperature_mix): size^0.5 slice reweighting to a row budget,
+# md5-integer membership.
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 200
+
+
+def q122_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return splits.temperature_mix(
+        docs, "source", budget=MIX_BUDGET, alpha=0.5
+    )
+
+
+Q122_SQL = f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), z AS (
+  SELECT list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(
+               list_sort(list(struct_pack(g := source, n := n))),
+               s -> sqrt(CAST(s.n AS DOUBLE)))),
+           (acc, x) -> acc + x) AS z
+  FROM c
+), p AS (
+  SELECT c.source,
+         CAST(floor(least(1.0,
+                {float(MIX_BUDGET)!r} * sqrt(CAST(c.n AS DOUBLE)) / z.z
+                / CAST(c.n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thresh
+  FROM c, z
+)
+SELECT d.doc_id AS id, d.source,
+       p.thresh AS keep_threshold
+FROM documents d JOIN p ON d.source = p.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < p.thresh
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5498,6 +5591,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_small_quantity_revenue": q118_small_quantity_revenue,
     "q119_disjunctive_revenue": q119_disjunctive_revenue,
     "q120_rich_inactive_customers": q120_rich_inactive_customers,
+    "q121_denoising_pairs": q121_denoising_pairs,
+    "q122_temperature_mix": q122_temperature_mix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5621,4 +5716,6 @@ ORACLE_SQL: dict[str, str] = {
     "q118_small_quantity_revenue": Q118_SQL,
     "q119_disjunctive_revenue": Q119_SQL,
     "q120_rich_inactive_customers": Q120_SQL,
+    "q121_denoising_pairs": Q121_SQL,
+    "q122_temperature_mix": Q122_SQL,
 }

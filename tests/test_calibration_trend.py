@@ -215,3 +215,36 @@ def test_cluster_safe_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     # all three splits appear over 55 distinct keys
     assert {s for r in out for s in [r.split]} == {"train", "val", "test"}
+
+
+def test_denoising_pairs_deterministic_and_partition(spark):
+    from occupation_wage_etl_spark.operators import chunking as CH
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in CH.denoising_pairs(docs, mask_pct=30).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 8
+    assert r1.n_tokens == r1.n_masked + len(r1.input_text.split()) if r1.input_text else True
+    # masked entries carry their original 0-based positions
+    for entry in (r1.target_text.split() if r1.target_text else []):
+        pos, tok = entry.split(":", 1)
+        assert ["alpha","beta","gamma","delta","epsilon","zeta","eta","theta"][int(pos)] == tok
+    # rerun is identical (no RNG)
+    again = {r.id: r for r in CH.denoising_pairs(docs, mask_pct=30).collect()}
+    assert again[1].input_text == r1.input_text
+    assert again[1].target_text == r1.target_text
+
+
+def test_temperature_mix_upweights_small_slices(spark):
+    from occupation_wage_etl_spark.operators import splits as SP
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = SP.temperature_mix(df, "source", budget=200, alpha=0.5).collect()
+    n_big = sum(1 for r in kept if r.source == "big")
+    n_small = sum(1 for r in kept if r.source == "small")
+    # proportional would keep 180/20; α=0.5 shifts toward 150/50
+    assert n_small / max(n_big, 1) > 100 / 900
+    assert abs(len(kept) - 200) < 60   # binomial concentration
