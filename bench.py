@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "q120_rich_inactive_customers",
     "q121_denoising_pairs",
     "q122_temperature_mix",
+    "q123_containment_pairs",
+    "q124_dedup_eval",
 ]
 
 

@@ -799,3 +799,81 @@ def embedding_near_dup_pairs_banded(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Directional containment join: (a, b) pairs where
+    ``|grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold`` — the
+    quoted-inside / excerpt-of relation.  Symmetric Jaccard misses it
+    (a 50-gram quote inside a 5000-gram page has Jaccard ≈ 0.01); this
+    is the dedup tier that catches boilerplate excerpts and
+    train-on-test quoting.
+
+    Lossless prefix probe (the asymmetric PPJoin bound): if a's
+    containment in ANY b reaches t, then at most ``(1-t)·|a|`` of a's
+    grams are absent from b — so among a's ``⌊(1-t)·|a|⌋ + 1`` RAREST
+    grams (global document frequency asc, gram asc) at least one is in
+    b.  Only those probe grams join the full posting index; candidates
+    are verified with the exact integer-ratio containment.
+
+    Plan shape: shingle table persisted once (probe ranking,
+    verification, and the posting index all read it), one df-count
+    aggregate, one per-doc ranking window (state = one doc's grams),
+    the probe⋈postings equi-join on the gram, and two id-joins to
+    re-attach gram sets.  Probe grams are each doc's rarest, so posting
+    buckets stay small by construction; a stop-gram cap on the index
+    side is the 100 TB belt-and-braces.
+
+    Returns (id_a, id_b, containment), id_a ≠ id_b, directional.
+    """
+    shingled = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                T.word_ngrams(F.col(text_col), shingle_n)
+            ).alias("grams"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = shingled.select(
+        "id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
+    )
+    gdf = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("gram"))
+    ranked = ex.join(gdf, "gram").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    probe = ranked.filter(
+        F.col("__rn")
+        <= F.floor(F.lit(1.0 - threshold) * F.col("n")).cast("int") + 1
+    ).select(F.col("id").alias("id_a"), "gram")
+    postings = ex.select(F.col("id").alias("id_b"), "gram")
+    cand = (
+        probe.join(postings, "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = shingled.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = shingled.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+                .cast("double")
+                / F.size(F.col("__ga")).cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -5467,6 +5467,141 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
 
 
 # ---------------------------------------------------------------------------
+# q123 — directional containment pairs (operators/dedup.py:
+# containment_pairs): excerpt/quoted-inside detection that symmetric
+# Jaccard can't see; lossless rarest-gram prefix probe.
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.6
+
+
+def q123_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=CONTAIN_T
+    )
+
+
+Q123_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split({_NORM_SQL.format(x='text')}, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ')
+         )) AS grams
+  FROM d
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams)
+         AS containment
+FROM g a, g b
+WHERE a.id <> b.id
+  AND len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams)
+      >= {CONTAIN_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q124 — dedup funnel evaluation: precision/recall/F1 of the MinHash-LSH
+# candidate funnel (q13) against exact n-gram-Jaccard truth (q14),
+# restricted to q14's same-lang blocking domain so the comparison is
+# apples-to-apples.  The quantitative answer to "is the approximate
+# dedup good enough to replace the exact one?" — itself a distributed
+# query (two funnels + one full-outer join + one aggregate).
+# ---------------------------------------------------------------------------
+
+
+def q124_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    langs = docs.select(F.col("doc_id").alias("id"), "lang")
+    pred = (
+        dedup.minhash_lsh_pairs(
+            docs,
+            shingle_n=SHINGLE_N,
+            num_hashes=MINHASH_N,
+            bands=MINHASH_BANDS,
+            jaccard_threshold=JACCARD_T,
+        )
+        .select("id_a", "id_b")
+        .join(langs.select(F.col("id").alias("id_a"), F.col("lang").alias("__la")), "id_a")
+        .join(langs.select(F.col("id").alias("id_b"), F.col("lang").alias("__lb")), "id_b")
+        .filter(F.col("__la") == F.col("__lb"))
+        .select("id_a", "id_b")
+        .withColumn("__p", F.lit(1))
+    )
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs, ngram_n=SHINGLE_N, threshold=JACCARD_T, block_col="lang"
+        )
+        .select("id_a", "id_b")
+        .withColumn("__t", F.lit(1))
+    )
+    j = pred.join(truth, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.sum(
+            (F.col("__p").isNotNull() & F.col("__t").isNotNull()).cast("long")
+        ).alias("tp"),
+        F.sum(
+            (F.col("__p").isNotNull() & F.col("__t").isNull()).cast("long")
+        ).alias("fp"),
+        F.sum(
+            (F.col("__p").isNull() & F.col("__t").isNotNull()).cast("long")
+        ).alias("fn"),
+    )
+    p = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    r = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        p.alias("precision"),
+        r.alias("recall"),
+        (F.lit(2.0) * p * r / (p + r)).alias("f1"),
+    )
+
+
+def _dedup_eval_oracle_sql() -> str:
+    return f"""
+WITH pred0 AS ({_minhash_oracle_sql()}),
+docs_l AS (SELECT doc_id AS id, lang FROM documents),
+pred AS (
+  SELECT p.id_a, p.id_b
+  FROM pred0 p
+  JOIN docs_l a ON a.id = p.id_a
+  JOIN docs_l b ON b.id = p.id_b
+  WHERE a.lang = b.lang
+),
+truth AS (SELECT id_a, id_b FROM ({Q14_SQL}) t),
+j AS (
+  SELECT coalesce(pred.id_a, truth.id_a) AS id_a,
+         coalesce(pred.id_b, truth.id_b) AS id_b,
+         pred.id_a IS NOT NULL AS in_p,
+         truth.id_a IS NOT NULL AS in_t
+  FROM pred FULL JOIN truth
+    ON pred.id_a = truth.id_a AND pred.id_b = truth.id_b
+), a AS (
+  SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+       CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+       (2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+            * (CAST(tp AS DOUBLE) / (tp + fn)))
+       / ((CAST(tp AS DOUBLE) / (tp + fp))
+          + (CAST(tp AS DOUBLE) / (tp + fn))) AS f1
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5593,6 +5728,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_rich_inactive_customers": q120_rich_inactive_customers,
     "q121_denoising_pairs": q121_denoising_pairs,
     "q122_temperature_mix": q122_temperature_mix,
+    "q123_containment_pairs": q123_containment_pairs,
+    "q124_dedup_eval": q124_dedup_eval,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5718,4 +5855,6 @@ ORACLE_SQL: dict[str, str] = {
     "q120_rich_inactive_customers": Q120_SQL,
     "q121_denoising_pairs": Q121_SQL,
     "q122_temperature_mix": Q122_SQL,
+    "q123_containment_pairs": Q123_SQL,
+    "q124_dedup_eval": _dedup_eval_oracle_sql(),
 }

@@ -197,3 +197,29 @@ def test_ewma_restarts_per_key(spark):
     out = timeseries.ewma(ev, "user_id", "ts", "value", "event_id")
     got = {r.user_id: r.ewma for r in out.collect()}
     assert got == {1: 100.0, 2: 7.0}
+
+
+def test_containment_pairs_lossless_vs_naive(spark):
+    # b contains ALL of a's text (a is an excerpt); c is unrelated.
+    a = "one two three four five six"
+    b = "zero " + a + " seven eight nine ten eleven twelve thirteen"
+    docs = _docs(spark, [(1, a), (2, b), (3, "alpha beta gamma delta")])
+    out = {(r.id_a, r.id_b): r.containment
+           for r in dedup.containment_pairs(docs, shingle_n=3,
+                                            threshold=0.5).collect()}
+    # every 3-gram of a appears in b → containment(a in b) = 1.0
+    assert out[(1, 2)] == 1.0
+    # b in a is NOT above threshold (b has many extra grams)
+    assert (2, 1) not in out
+    # naive check: no qualifying pair missed (losslessness)
+    rows = {1: a, 2: b, 3: "alpha beta gamma delta"}
+    def grams(s):
+        t = s.split()
+        return {" ".join(t[i:i+3]) for i in range(max(len(t)-2, 1))}
+    for x in rows:
+        for y in rows:
+            if x == y:
+                continue
+            gx, gy = grams(rows[x]), grams(rows[y])
+            c = len(gx & gy) / len(gx)
+            assert (c >= 0.5) == ((x, y) in out), (x, y, c)
