@@ -163,6 +163,10 @@ BENCH_QUERIES = [
     "q122_temperature_mix",
     "q123_containment_pairs",
     "q124_dedup_eval",
+    "q125_windowed_funnel",
+    "q126_out_of_order",
+    "q127_int8_quantize",
+    "q128_compaction_plan",
 ]
 
 

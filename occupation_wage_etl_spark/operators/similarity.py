@@ -542,3 +542,54 @@ def _seq_norms(M: np.ndarray) -> np.ndarray:
     for i in range(M.shape[1]):
         acc += M[:, i] * M[:, i]
     return np.sqrt(acc)
+
+
+def int8_quantize_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector int8 affine quantization audit: the compression step
+    embedding stores apply before ANN serving, reported as (scale, code
+    range, reconstruction MSE) per vector so a pipeline can gate on
+    quantization loss before committing to int8 storage.
+
+    code  = clamp(floor((x - min) / scale + 0.5), 0, 255)
+    x̂     = min + code·scale,   scale = (max - min)/255
+
+    All per-ROW array arithmetic (two higher-order folds + a transform)
+    — zero shuffles, scales with the scan.  Every float op is the same
+    fixed expression tree in the DuckDB oracle, and the MSE fold runs in
+    index order, so results are bit-stable.  Constant vectors
+    (max == min) quantize losslessly to code 0 with scale 0 — guarded to
+    avoid 0/0.
+
+    Returns (id, vmin, vmax, scale_factor, mse).
+    """
+    v = F.col(vec_col)
+    vmin = F.array_min(v).cast("double")
+    vmax = F.array_max(v).cast("double")
+    scale = (vmax - vmin) / F.lit(255.0)
+    code = lambda x: F.least(
+        F.greatest(
+            F.floor((x.cast("double") - vmin) / scale + F.lit(0.5)),
+            F.lit(0.0),
+        ),
+        F.lit(255.0),
+    )
+    err = lambda x: (
+        (vmin + code(x) * scale) - x.cast("double")
+    )
+    sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + err(x) * err(x),
+    )
+    mse = F.when(scale > 0, sq / F.size(v)).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        vmin.alias("vmin"),
+        vmax.alias("vmax"),
+        F.when(scale > 0, scale).otherwise(F.lit(0.0)).alias("scale_factor"),
+        mse.alias("mse"),
+    )

@@ -569,3 +569,42 @@ def rfm_segments(
             F.col("m").cast("string"),
         ),
     )
+
+
+def out_of_order_depth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    arrival_col: str,
+) -> DataFrame:
+    """Out-of-orderness profile per key: how many records arrive with an
+    event time EARLIER than something already seen, and the worst
+    lateness — the measurement that sizes a streaming job's watermark
+    (allowed-lateness below the observed max disorder = silent drops).
+
+    ``arrival_col`` defines arrival order (an ingest sequence / file
+    offset; here the event id).  One window per key (running max of
+    event time over arrival order), one aggregate; lateness is exact
+    integer microseconds.
+
+    Returns (key, n_events, n_late, max_disorder_us, p_late).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(arrival_col).asc())
+    us = F.unix_micros(F.col(ts_col))
+    run_max = F.max(us).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    base = df.select(
+        F.col(key_col),
+        us.alias("__us"),
+        run_max.alias("__seen"),
+    )
+    late = F.col("__seen").isNotNull() & (F.col("__us") < F.col("__seen"))
+    return base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.cast("long")).alias("n_late"),
+        F.max(
+            F.when(late, F.col("__seen") - F.col("__us")).otherwise(F.lit(0))
+        ).alias("max_disorder_us"),
+        (
+            F.sum(late.cast("long")).cast("double") / F.count(F.lit(1))
+        ).alias("p_late"),
+    )

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.functions import cleaning
+from occupation_wage_etl_spark.sources import lake
 from occupation_wage_etl_spark.functions import pii
 from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
@@ -5602,6 +5603,172 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# q125 — time-bounded ordered funnel (streaming/events.py:
+# windowed_funnel): view→click→purchase within 60 minutes of the
+# earliest view, per-level user counts.
+# ---------------------------------------------------------------------------
+
+WFUNNEL_STEPS = ["view", "click", "purchase"]
+WFUNNEL_MIN = 60
+
+
+def q125_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    from occupation_wage_etl_spark.streaming import events as stream_events
+
+    return stream_events.windowed_funnel(
+        ev, WFUNNEL_STEPS, window_minutes=WFUNNEL_MIN
+    )
+
+
+Q125_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), f1 AS (
+  SELECT user_id AS u, min(us) AS t, min(us) AS anchor
+  FROM e WHERE event_type = '{WFUNNEL_STEPS[0]}' GROUP BY user_id
+), f2 AS (
+  SELECT e.user_id AS u, min(e.us) AS t, f1.anchor
+  FROM e JOIN f1 ON e.user_id = f1.u
+  WHERE e.event_type = '{WFUNNEL_STEPS[1]}'
+    AND e.us >= f1.t AND e.us <= f1.anchor + {WFUNNEL_MIN * 60 * 1000000}
+  GROUP BY e.user_id, f1.anchor
+), f3 AS (
+  SELECT e.user_id AS u, min(e.us) AS t, f2.anchor
+  FROM e JOIN f2 ON e.user_id = f2.u
+  WHERE e.event_type = '{WFUNNEL_STEPS[2]}'
+    AND e.us >= f2.t AND e.us <= f2.anchor + {WFUNNEL_MIN * 60 * 1000000}
+  GROUP BY e.user_id, f2.anchor
+)
+SELECT 1 AS level, '{WFUNNEL_STEPS[0]}' AS step,
+       (SELECT count(*) FROM f1) AS n_users
+UNION ALL
+SELECT 2, '{WFUNNEL_STEPS[1]}', (SELECT count(*) FROM f2)
+UNION ALL
+SELECT 3, '{WFUNNEL_STEPS[2]}', (SELECT count(*) FROM f3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q126 — out-of-order depth per user (operators/timeseries.py:
+# out_of_order_depth): the watermark-sizing profile; arrival order =
+# event_id, lateness in exact microseconds.
+# ---------------------------------------------------------------------------
+
+
+def q126_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.out_of_order_depth(ev, "user_id", "ts", "event_id")
+
+
+Q126_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), r AS (
+  SELECT user_id, us,
+         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen
+  FROM e
+), l AS (
+  SELECT user_id, us, seen,
+         (seen IS NOT NULL AND us < seen) AS late
+  FROM r
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN late THEN seen - us ELSE 0 END) AS BIGINT)
+         AS max_disorder_us,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS p_late
+FROM l GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q127 — int8 quantization audit per embedding (operators/similarity.py:
+# int8_quantize_stats): scale + reconstruction MSE, all scan-side.
+# ---------------------------------------------------------------------------
+
+
+def q127_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.int8_quantize_stats(emb)
+
+
+Q127_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), m AS (
+  SELECT id, e,
+         list_min(e) AS vmin, list_max(e) AS vmax,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v
+), q AS (
+  SELECT id, vmin, vmax, scale,
+         CASE WHEN scale > 0 THEN
+           list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list_transform(e, x ->
+                 ((vmin + least(greatest(floor((x - vmin) / scale + 0.5),
+                                         0.0), 255.0) * scale) - x)
+                 * ((vmin + least(greatest(floor((x - vmin) / scale + 0.5),
+                                           0.0), 255.0) * scale) - x))),
+             (acc, t) -> acc + t)
+           / len(e)
+         ELSE 0.0 END AS mse
+  FROM m
+)
+SELECT id, vmin, vmax,
+       CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale_factor, mse
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# q128 — compaction planning (sources/lake.py:compaction_plan):
+# contiguous prefix-sum bucketing of per-day lineitem byte estimates
+# into ~64 KB-scaled output groups (planning-only; data never moves).
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 1 << 20  # 1 MiB of estimated row bytes per output group
+
+
+def q128_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # estimated bytes per ship-date partition: rows x fixed est row width
+    sizes = li.groupBy(
+        F.to_date("l_shipdate").alias("part_day")
+    ).agg((F.count(F.lit(1)) * F.lit(128)).alias("est_bytes"))
+    return lake.compaction_plan(
+        sizes, "part_day", "est_bytes", target_bytes=COMPACT_TARGET
+    )
+
+
+Q128_SQL = f"""
+WITH s AS (
+  SELECT CAST(l_shipdate AS DATE) AS part_day,
+         count(*) * 128 AS est_bytes
+  FROM lineitem GROUP BY 1
+), a AS (
+  SELECT part_day, est_bytes,
+         CAST(floor(coalesce(sum(est_bytes) OVER (ORDER BY part_day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {COMPACT_TARGET}) AS BIGINT) AS grp
+  FROM s
+)
+SELECT grp AS file_group, count(*) AS n_parts,
+       CAST(sum(est_bytes) AS BIGINT) AS group_bytes,
+       min(part_day) AS first_part, max(part_day) AS last_part
+FROM a GROUP BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5730,6 +5897,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_temperature_mix": q122_temperature_mix,
     "q123_containment_pairs": q123_containment_pairs,
     "q124_dedup_eval": q124_dedup_eval,
+    "q125_windowed_funnel": q125_windowed_funnel,
+    "q126_out_of_order": q126_out_of_order,
+    "q127_int8_quantize": q127_int8_quantize,
+    "q128_compaction_plan": q128_compaction_plan,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5857,4 +6028,8 @@ ORACLE_SQL: dict[str, str] = {
     "q122_temperature_mix": Q122_SQL,
     "q123_containment_pairs": Q123_SQL,
     "q124_dedup_eval": _dedup_eval_oracle_sql(),
+    "q125_windowed_funnel": Q125_SQL,
+    "q126_out_of_order": Q126_SQL,
+    "q127_int8_quantize": Q127_SQL,
+    "q128_compaction_plan": Q128_SQL,
 }

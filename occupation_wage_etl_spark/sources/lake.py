@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 PARTITION_COL = "snapshot_date"
@@ -360,3 +360,42 @@ def write_with_bloom(
         if ndv is not None:
             w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
     w.mode("overwrite").parquet(path)
+
+
+def compaction_plan(
+    sizes: DataFrame,
+    part_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planning as a pure query: assign CONTIGUOUS
+    runs of (sorted) partitions to output file groups so each group's
+    byte total lands near ``target_bytes`` — the planning half of
+    OPTIMIZE/compact jobs, kept contiguous so partition-range pruning
+    still works on the compacted files.
+
+    Greedy prefix-sum bucketing: group(p) = floor(cumulative_bytes_before(p)
+    / target) over partitions sorted by key.  One window over the
+    (already aggregated, one-row-per-partition) size table — the raw
+    data never moves during planning.  Exact integer arithmetic.
+
+    Returns (file_group, n_parts, group_bytes, first_part, last_part).
+    """
+    w = (
+        Window.orderBy(F.col(part_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = sizes.select(
+        F.col(part_col),
+        F.col(size_col),
+        F.floor(
+            F.coalesce(F.sum(size_col).over(w), F.lit(0))
+            / F.lit(target_bytes)
+        ).cast("long").alias("file_group"),
+    )
+    return assigned.groupBy("file_group").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(size_col).cast("long").alias("group_bytes"),
+        F.min(part_col).alias("first_part"),
+        F.max(part_col).alias("last_part"),
+    )

@@ -277,3 +277,68 @@ def cohort_retention(
         (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
         .alias("retention"),
     )
+
+
+def windowed_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_minutes: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-bounded ordered funnel (the ``windowFunnel`` analytics
+    primitive): per user, anchor at the EARLIEST step-1 event and count
+    how many of ``steps`` complete in order within ``window_minutes`` of
+    that anchor; report how many users reached each level.
+
+    Differs from :func:`funnel_conversion` (unbounded step-over-step
+    conversion) by the hard deadline — "viewed→carted→bought within an
+    hour" is a different product question from "eventually bought".
+    Anchoring at the earliest step-1 keeps the result deterministic and
+    engine-replayable (greedy multi-anchor variants depend on scan
+    order).
+
+    Plan: per step one filtered min-aggregate joined to the previous
+    frontier (same shape as funnel_conversion) with the anchor deadline
+    carried along — len(steps) small hash joins on the user key, no
+    windows over the raw stream.  Returns (level, step, n_users) with
+    level 1..len(steps); n_users is users whose furthest step is ≥ level.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    bound = window_minutes * 60 * 1_000_000
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .select(F.col(user_col).alias("u"), us.alias("t"))
+        .groupBy("u")
+        .agg(F.min("t").alias("t"))
+        .withColumn("anchor", F.col("t"))
+    )
+    counts = [frontier.agg(F.count(F.lit(1)).alias("c0"))]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("u"), us.alias("t2"))
+            .join(frontier, "u")
+            .filter(
+                (F.col("t2") >= F.col("t"))
+                & (F.col("t2") <= F.col("anchor") + F.lit(bound))
+            )
+            .groupBy("u", "anchor")
+            .agg(F.min("t2").alias("t"))
+            .select("u", "t", "anchor")
+        )
+        counts.append(nxt.agg(F.count(F.lit(1)).alias(f"c{i}")))
+        frontier = nxt
+    wide = counts[0]
+    for c in counts[1:]:
+        wide = wide.crossJoin(c)
+    rows = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("level"),
+            F.lit(step).alias("step"),
+            F.col(f"c{i}").alias("n_users"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

@@ -248,3 +248,46 @@ def test_temperature_mix_upweights_small_slices(spark):
     # proportional would keep 180/20; α=0.5 shifts toward 150/50
     assert n_small / max(n_big, 1) > 100 / 900
     assert abs(len(kept) - 200) < 60   # binomial concentration
+
+
+def test_out_of_order_depth(spark):
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    # arrival order (event_id): ts goes 0, 10, 5, 20 → one late event (5 < 10)
+    ev = spark.createDataFrame(
+        [(1, t, 1), (1, t + 10 * s, 2), (1, t + 5 * s, 3), (1, t + 20 * s, 4)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    r = timeseries.out_of_order_depth(ev, "user_id", "ts", "event_id").collect()[0]
+    assert (r.n_events, r.n_late, r.max_disorder_us) == (4, 1, 5_000_000)
+    assert r.p_late == 0.25
+
+
+def test_int8_quantize_roundtrip_error_bound(spark):
+    from occupation_wage_etl_spark.operators import similarity as SIM
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0, 255.0]), (2, [7.0, 7.0, 7.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r for r in SIM.int8_quantize_stats(emb).collect()}
+    # scale = 1.0: codes are exact integers → zero reconstruction error
+    assert out[1].scale_factor == 1.0 and out[1].mse == 0.0
+    # constant vector: lossless by convention
+    assert out[2].scale_factor == 0.0 and out[2].mse == 0.0
+
+
+def test_compaction_plan_contiguous_groups(spark):
+    from occupation_wage_etl_spark.sources import lake as LK
+    sizes = spark.createDataFrame(
+        [(d, 40) for d in range(10)], "part_day int, est_bytes long"
+    )
+    out = sorted(
+        LK.compaction_plan(sizes, "part_day", "est_bytes", 100).collect(),
+        key=lambda r: r.file_group,
+    )
+    # cumulative-before thresholds at 100, 200, 300: groups of 3,2,3,2? —
+    # prefix sums 0,40,...: group = floor(before/100) → sizes 3,2,3,2
+    assert [r.n_parts for r in out] == [3, 2, 3, 2]
+    # contiguity: each group's range doesn't overlap the next
+    for a, b in zip(out, out[1:]):
+        assert a.last_part < b.first_part

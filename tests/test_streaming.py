@@ -235,3 +235,27 @@ def test_stream_apply_cdc(spark, tmp_path):
     assert got[11] == 110        # insert appended
     assert 5 not in got          # delete removed
     assert len(got) == 10
+
+
+def test_windowed_funnel_deadline(spark):
+    import datetime as dt
+    from occupation_wage_etl_spark.streaming import events as SE
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1 completes all 3 within the hour
+        (1, 1, t, "view"), (2, 1, t + 5 * m, "click"), (3, 1, t + 10 * m, "purchase"),
+        # user 2: purchase OUTSIDE the 60-min window from first view
+        (4, 2, t, "view"), (5, 2, t + 5 * m, "click"), (6, 2, t + 90 * m, "purchase"),
+        # user 3: out-of-order (purchase before click) → stops at click? no:
+        # click precedes, purchase before click's min → not counted
+        (7, 3, t, "view"), (8, 3, t + 2 * m, "purchase"), (9, 3, t + 5 * m, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.level: r.n_users for r in SE.windowed_funnel(
+        ev, ["view", "click", "purchase"], window_minutes=60).collect()}
+    # level1: users 1,2,3 viewed; level2: all clicked after view;
+    # level3: only user 1 purchased after click within deadline
+    assert out == {1: 3, 2: 3, 3: 1}
