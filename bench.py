@@ -167,6 +167,10 @@ BENCH_QUERIES = [
     "q126_out_of_order",
     "q127_int8_quantize",
     "q128_compaction_plan",
+    "q129_exists_late_orders",
+    "q130_rollup",
+    "q131_ab_test",
+    "q132_gini",
 ]
 
 

@@ -5769,6 +5769,222 @@ FROM a GROUP BY grp
 
 
 # ---------------------------------------------------------------------------
+# q129 — TPC-H Q4 shape: orders with at least one late line, by
+# priority — the correlated-EXISTS that Catalyst decorrelates into a
+# left-semi join (the DataFrame form IS the decorrelated plan).
+# ---------------------------------------------------------------------------
+
+
+def q129_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late_orders = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60)
+        .select(F.col("l_orderkey").alias("__ok"))
+        .distinct()
+    )
+    return (
+        o.join(late_orders, o["o_orderkey"] == F.col("__ok"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q129_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 60
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q130 — ROLLUP hierarchy totals (region → nation → grand total), the
+# partial-grouping-sets complement of q48's CUBE; one Expand, one
+# shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q130_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+Q130_SQL = f"""
+SELECT r_name, n_name, count(*) AS n_customers,
+       {_DSUM.format(x='c_acctbal')} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q131 — deterministic A/B experiment readout: md5 split of users into
+# two arms, high-value-purchase conversion (value ≥ 150 — a metric with
+# headroom; plain purchase converts 100% here and a universal metric
+# zeroes the pooled variance) per arm, two-proportion z statistic from
+# exact integer counts (one closed-form double tree).
+# ---------------------------------------------------------------------------
+
+
+def q131_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    per_user = ev.groupBy(F.col("user_id"), arm.alias("arm")).agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+            ).cast("long")
+        ).alias("__c")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("__c").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pool = (c0 + c1) / (n0 + n1)
+    z = (p1 - p0) / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        p0.alias("rate_control"),
+        p1.alias("rate_treatment"),
+        z.alias("z_stat"),
+    )
+
+
+Q131_SQL = """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150
+             THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT arm, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv
+  FROM u GROUP BY arm
+), w AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS c1
+  FROM a
+)
+SELECT n0, c0, n1, c1,
+       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate_control,
+       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_treatment,
+       (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         AS z_stat
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# q132 — spend-concentration (Gini) per market segment: exact-decimal
+# cumulative spend over ranked customers, closed-form Gini from integer
+# ranks — the inequality/concentration profile of a key column.
+# ---------------------------------------------------------------------------
+
+
+def q132_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__s"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("__s"), F.asc("o_custkey")
+    )
+    ranked = spend.withColumn("__i", F.row_number().over(w))
+    # Gini = (2·Σ i·s_i) / (n·Σ s_i) − (n+1)/n with s sorted asc —
+    # Σ i·s_i is exact decimal (integer rank × decimal), both divisions
+    # one fixed double tree.
+    def dbl(col: F.Column) -> F.Column:
+        return col.cast("string").cast("double")
+
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.sum(F.col("__i").cast("decimal(20,0)") * F.col("__s"))).alias(
+            "__ws"
+        ),
+        dbl(F.sum("__s")).alias("__tot"),
+    )
+    n = F.col("n").cast("double")
+    gini = (F.lit(2.0) * F.col("__ws")) / (n * F.col("__tot")) - (
+        n + F.lit(1.0)
+    ) / n
+    return agg.select(
+        "c_mktsegment", "n", F.col("__tot").alias("total_spend"),
+        gini.alias("gini"),
+    )
+
+
+Q132_SQL = """
+WITH s AS (
+  SELECT c_mktsegment, o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+), r AS (
+  SELECT c_mktsegment, sp,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY sp, o_custkey) AS i
+  FROM s
+), a AS (
+  SELECT c_mktsegment, count(*) AS n,
+         CAST(CAST(sum(CAST(i AS DECIMAL(20,0)) * sp) AS VARCHAR) AS DOUBLE)
+           AS ws,
+         CAST(CAST(sum(sp) AS VARCHAR) AS DOUBLE) AS tot
+  FROM r GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, tot AS total_spend,
+       (2.0 * ws) / (CAST(n AS DOUBLE) * tot)
+       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5901,6 +6117,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_out_of_order": q126_out_of_order,
     "q127_int8_quantize": q127_int8_quantize,
     "q128_compaction_plan": q128_compaction_plan,
+    "q129_exists_late_orders": q129_exists_late_orders,
+    "q130_rollup": q130_rollup,
+    "q131_ab_test": q131_ab_test,
+    "q132_gini": q132_gini,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6032,4 +6252,8 @@ ORACLE_SQL: dict[str, str] = {
     "q126_out_of_order": Q126_SQL,
     "q127_int8_quantize": Q127_SQL,
     "q128_compaction_plan": Q128_SQL,
+    "q129_exists_late_orders": Q129_SQL,
+    "q130_rollup": Q130_SQL,
+    "q131_ab_test": Q131_SQL,
+    "q132_gini": Q132_SQL,
 }
