@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "q130_rollup",
     "q131_ab_test",
     "q132_gini",
+    "q133_ri_audit",
+    "q134_mutual_info",
 ]
 
 

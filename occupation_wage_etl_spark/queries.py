@@ -5985,6 +5985,151 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# q133 — cross-table referential-integrity audit: orphan counts for
+# every FK edge of the schema in one result — the data-quality sweep a
+# warehouse runs after every load (anti-join per edge, all counts exact).
+# ---------------------------------------------------------------------------
+
+
+def q133_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def orphans(child, fk, parent, pk):
+        return (
+            child.select(F.col(fk).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    edges = [
+        ("lineitem.l_orderkey->orders", orphans(li, "l_orderkey", o, "o_orderkey")),
+        ("lineitem.l_partkey->part", orphans(li, "l_partkey", p, "p_partkey")),
+        ("lineitem.l_suppkey->supplier", orphans(li, "l_suppkey", s, "s_suppkey")),
+        ("orders.o_custkey->customer", orphans(o, "o_custkey", c, "c_custkey")),
+        ("customer.c_nationkey->nation", orphans(c, "c_nationkey", n, "n_nationkey")),
+        ("supplier.s_nationkey->nation", orphans(s, "s_nationkey", n, "n_nationkey")),
+    ]
+    out = None
+    for name, df in edges:
+        row = df.select(
+            F.lit(name).alias("fk_edge"), F.col("n").alias("n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+Q133_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT count(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = s.s_nationkey))
+"""
+
+
+# ---------------------------------------------------------------------------
+# q134 — mutual information between two categorical columns
+# (returnflag × linestatus): the feature-relevance / association
+# profiler.  Exact integer cell counts; the Σ p·log term folds over the
+# SORTED cell list so the float accumulation order is pinned (same
+# ordered-fold discipline as q122's Σn^α).
+# ---------------------------------------------------------------------------
+
+
+def q134_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    margx = cells.groupBy("l_returnflag").agg(F.sum("nxy").alias("nx"))
+    margy = cells.groupBy("l_linestatus").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    joined = (
+        cells.join(F.broadcast(margx), "l_returnflag")
+        .join(F.broadcast(margy), "l_linestatus")
+        .join(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    term = (F.col("nxy").cast("double") / nd) * F.log(
+        (F.col("nxy").cast("double") * nd)
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    per_cell = joined.select(
+        F.struct(
+            F.col("l_returnflag").alias("x"),
+            F.col("l_linestatus").alias("y"),
+            term.alias("t"),
+        ).alias("s")
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("mutual_info"),
+    )
+
+
+Q134_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS nxy
+  FROM lineitem GROUP BY 1, 2
+), mx AS (
+  SELECT x, sum(nxy) AS nx FROM cells GROUP BY x
+), my AS (
+  SELECT y, sum(nxy) AS ny FROM cells GROUP BY y
+), t AS (
+  SELECT sum(nxy) AS n FROM cells
+), j AS (
+  SELECT cells.x, cells.y,
+         (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+         * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+              / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS term
+  FROM cells JOIN mx ON cells.x = mx.x
+             JOIN my ON cells.y = my.y, t
+)
+SELECT count(*) AS n_cells,
+       list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(
+             list_sort(list(struct_pack(x := x, y := y, t := term))),
+             s -> s.t)),
+         (acc, v) -> acc + v) AS mutual_info
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6121,6 +6266,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_rollup": q130_rollup,
     "q131_ab_test": q131_ab_test,
     "q132_gini": q132_gini,
+    "q133_ri_audit": q133_ri_audit,
+    "q134_mutual_info": q134_mutual_info,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6256,4 +6403,6 @@ ORACLE_SQL: dict[str, str] = {
     "q130_rollup": Q130_SQL,
     "q131_ab_test": Q131_SQL,
     "q132_gini": Q132_SQL,
+    "q133_ri_audit": Q133_SQL,
+    "q134_mutual_info": Q134_SQL,
 }
