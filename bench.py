@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q132_gini",
     "q133_ri_audit",
     "q134_mutual_info",
+    "q135_resample_lerp",
 ]
 
 

@@ -608,3 +608,68 @@ def out_of_order_depth(
             F.sum(late.cast("long")).cast("double") / F.count(F.lit(1))
         ).alias("p_late"),
     )
+
+
+def resample_lerp(
+    obs: DataFrame,
+    key_col: str,
+    slot_col: str,
+    val_col: str,
+    step: str = "interval 1 day",
+) -> DataFrame:
+    """Densify per-key observations onto a regular grid with LINEAR
+    interpolation — the other half of gap-filling (:func:`resample_ffill`
+    holds the last value; metrics/sensor pipelines usually want the
+    line between the bracketing observations instead).
+
+    For a missing slot at time t between observations (t₀,v₀) and
+    (t₁,v₁):  v = v₀ + (v₁ − v₀) · (t − t₀)/(t₁ − t₀), with the time
+    fractions computed on exact epoch seconds so the only float ops are
+    one subtraction, one multiply, one divide, one add — a fixed tree
+    both engines evaluate identically.  Leading/trailing edges carry
+    the nearest observation (no extrapolation).
+
+    Plan: same shape as ``resample_ffill`` — per-key grid via
+    ``sequence``+``explode`` (projection, no shuffle), one left join on
+    (key, slot), then ONE window per direction (last/first over
+    key-partitioned frames) to fetch the bracketing values and times.
+    Returns (key, slot, value, is_filled).
+    """
+    span = obs.groupBy(key_col).agg(
+        F.min(slot_col).alias("__lo"), F.max(slot_col).alias("__hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(slot_col),
+    )
+    joined = grid.join(obs, [key_col, slot_col], "left")
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(slot_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sec = F.unix_timestamp(F.col(slot_col)).cast("double")
+    v = F.col(val_col).cast("double")
+    obs_sec = F.when(v.isNotNull(), sec)
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_t = F.last(obs_sec, ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_t = F.first(obs_sec, ignorenulls=True).over(wf)
+    lerp = prev_v + (next_v - prev_v) * (sec - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(lerp)
+    )
+    return joined.select(
+        key_col,
+        slot_col,
+        filled.alias(val_col),
+        v.isNull().alias("is_filled"),
+    )

@@ -6130,6 +6130,59 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# q135 — dense resample with LINEAR interpolation (operators/
+# timeseries.py:resample_lerp): q75's grid with the line between
+# bracketing observations instead of a held value.
+# ---------------------------------------------------------------------------
+
+
+def q135_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max("value").alias("value"))
+    out = timeseries.resample_lerp(obs, "user_id", "day", "value")
+    return out.filter(F.col("user_id") % 10 == 0)
+
+
+Q135_SQL = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         max(value) AS value
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+  FROM span
+), j AS (
+  SELECT g.user_id, g.day, o.value,
+         epoch(g.day) AS sec,
+         CASE WHEN o.value IS NOT NULL THEN epoch(g.day) END AS obs_sec
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+), b AS (
+  SELECT user_id, day, value, sec,
+         last_value(value IGNORE NULLS) OVER wb AS pv,
+         last_value(obs_sec IGNORE NULLS) OVER wb AS pt,
+         first_value(value IGNORE NULLS) OVER wf AS nv,
+         first_value(obs_sec IGNORE NULLS) OVER wf AS nt
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (sec - pt) / (nt - pt) END AS value,
+       value IS NULL AS is_filled
+FROM b WHERE user_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6268,6 +6321,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_gini": q132_gini,
     "q133_ri_audit": q133_ri_audit,
     "q134_mutual_info": q134_mutual_info,
+    "q135_resample_lerp": q135_resample_lerp,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6405,4 +6459,5 @@ ORACLE_SQL: dict[str, str] = {
     "q132_gini": Q132_SQL,
     "q133_ri_audit": Q133_SQL,
     "q134_mutual_info": Q134_SQL,
+    "q135_resample_lerp": Q135_SQL,
 }

@@ -291,3 +291,18 @@ def test_compaction_plan_contiguous_groups(spark):
     # contiguity: each group's range doesn't overlap the next
     for a, b in zip(out, out[1:]):
         assert a.last_part < b.first_part
+
+
+def test_resample_lerp_interpolates_interior_gaps(spark):
+    t = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    obs = spark.createDataFrame(
+        [(1, t, 10.0), (1, t + 3 * day, 40.0)],
+        "k long, slot timestamp, v double",
+    )
+    out = {r.slot.day: (r.v, r.is_filled)
+           for r in timeseries.resample_lerp(obs, "k", "slot", "v").collect()}
+    assert out[1] == (10.0, False)
+    assert out[2] == (20.0, True)   # 10 + (40-10) * 1/3
+    assert out[3] == (30.0, True)
+    assert out[4] == (40.0, False)
