@@ -22,8 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from pyspark import StorageLevel
+from occupation_wage_etl_spark.operators._cache import cached
 
 from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
@@ -182,7 +181,7 @@ def semantic_dedup(
                 F.transform(F.col(vec_col), lambda x: x.cast("double") * inv),
             ).alias("v"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     l, r = cellv.alias("l"), cellv.alias("r")
     dropped = (
@@ -260,7 +259,7 @@ def _minhash_tables(
                 T.word_ngrams(F.col(text_col), shingle_n)
             ).alias("shingles"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     ex = shingled.select("id", F.explode("shingles").alias("s"))
     h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % P
@@ -486,8 +485,8 @@ def simhash_pairs(
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), bucket-join,
     verify by exact hamming distance.  Returns (id_a, id_b, hamming)."""
-    fps = simhash_fingerprints(_spread(df), text_col, id_col, hash_fn).persist(
-        StorageLevel.MEMORY_AND_DISK
+    fps = cached(
+        simhash_fingerprints(_spread(df), text_col, id_col, hash_fn)
     )
     banded = fps.select(
         "id",
@@ -570,7 +569,7 @@ def ngram_jaccard_pairs(
         )
     )
     if brute_force:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = base.transform(cached)
         l, r = base.alias("l"), base.alias("r")
         return (
             l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")))
@@ -589,7 +588,7 @@ def ngram_jaccard_pairs(
         "block",
         F.size("grams").alias("n"),
         F.explode("grams").alias("g"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     if prefix_filter:
         return _ngram_jaccard_prefix(base, tok, threshold)
     pairs = (
@@ -741,7 +740,7 @@ def embedding_near_dup_pairs_banded(
     signed = (
         similarity.lsh_signature(_spread(df), dim, n_planes, vec_col, seed)
         .select(id_col, "lsh_sig")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     banded = signed.select(
         F.col(id_col).alias("id"),
@@ -840,7 +839,7 @@ def containment_pairs(
                 T.word_ngrams(F.col(text_col), shingle_n)
             ).alias("grams"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     ex = shingled.select(
         "id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
@@ -850,9 +849,19 @@ def containment_pairs(
     ranked = ex.join(gdf, "gram").withColumn(
         "__rn", F.row_number().over(w)
     )
+    # Probe length ⌊(1-t)·n⌋+1 must round the EXACT rational value, not
+    # the IEEE product: for t=0.9, (1-t) is 0.09999999999999998, so
+    # (1-t)*10 = 0.9999999999999998 and a bare floor() gives 0 instead
+    # of 1 — one probe gram too few, silently breaking losslessness.
+    # A +1e-9 nudge inside the floor restores the exact-arithmetic
+    # bound for any threshold expressible to <9 decimal places; when it
+    # fires spuriously it only widens the probe (still lossless).
     probe = ranked.filter(
         F.col("__rn")
-        <= F.floor(F.lit(1.0 - threshold) * F.col("n")).cast("int") + 1
+        <= F.floor(
+            F.lit(1.0 - threshold) * F.col("n") + F.lit(1e-9)
+        ).cast("int")
+        + 1
     ).select(F.col("id").alias("id_a"), "gram")
     postings = ex.select(F.col("id").alias("id_b"), "gram")
     cand = (

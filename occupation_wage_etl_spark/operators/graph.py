@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from occupation_wage_etl_spark.operators._cache import cached
 
 
 def connected_components(
@@ -48,7 +48,7 @@ def connected_components(
     mat = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     sym = (
         mat.union(mat.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     # round 0 seeds comp = min(id, min neighbor) with a single aggregation
     # (every neighbor's label is its own id initially, so the first relax
@@ -130,7 +130,7 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
     # recomputes once per consumer.
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
@@ -148,7 +148,7 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
         F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     w1 = oe.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
     w2 = oe.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
     wedges = w1.join(w2, "a").filter(

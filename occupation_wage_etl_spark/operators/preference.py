@@ -43,6 +43,13 @@ def skyline_2d(
     ``maximize_col``).  Returns the input rows (original schema) that are
     on the Pareto frontier.
     """
+    # Dominance is undefined for NULL criteria — and Spark windows sort
+    # NULLs FIRST on asc (a NULL minimize group's max would wrongly seed
+    # the running max), while SQL engines sort them LAST.  Dropping NULL
+    # criterion rows up front pins ONE semantics for every engine.
+    df = df.filter(
+        F.col(minimize_col).isNotNull() & F.col(maximize_col).isNotNull()
+    )
     g = df.groupBy(minimize_col).agg(F.max(maximize_col).alias("__gmax"))
     w = (
         Window.orderBy(F.col(minimize_col).asc())

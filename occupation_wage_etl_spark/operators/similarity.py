@@ -434,6 +434,7 @@ def mutual_top1_match(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     arrow_threshold: int = 64,
+    dense_cap: int = 200_000,
 ) -> DataFrame:
     """Reciprocal best-match pairs between two embedding sets (the
     dataset-alignment primitive: bitext mining, image↔caption linking,
@@ -466,7 +467,20 @@ def mutual_top1_match(
     """
     an = a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"))
     bn = b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv"))
-    b_rows = bn.collect() if bn.count() > arrow_threshold else None
+    b_n = bn.count()
+    if b_n > dense_cap:
+        # The dense tier collects ALL of b to the driver — correct and
+        # fast for verification-scale inputs, impossible at corpus
+        # scale.  Fail loudly instead of OOMing the driver; the scale
+        # path is mutual_top1_match_lsh (bucketed candidates, no
+        # collect), which is also the registry query's route.
+        raise ValueError(
+            f"mutual_top1_match dense tier: b has {b_n} rows > "
+            f"dense_cap={dense_cap}; use mutual_top1_match_lsh for "
+            "corpus-scale alignment (bucketed LSH candidates, no "
+            "driver collect)"
+        )
+    b_rows = bn.collect() if b_n > arrow_threshold else None
     if b_rows:
         b_ids = np.array([r["b_id"] for r in b_rows], dtype=np.int64)
         B = np.stack(
@@ -512,6 +526,97 @@ def mutual_top1_match(
                 S.cosine_similarity(F.col("__av"), F.col("__bv")), 6
             ).alias("cosine"),
         )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cosine"), F.asc("a_id"))
+    ranked = scored.select(
+        "a_id",
+        "b_id",
+        "cosine",
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    return ranked.filter(
+        (F.col("__ra") == 1) & (F.col("__rb") == 1)
+    ).select("a_id", "b_id", "cosine")
+
+
+def mutual_top1_match_lsh(
+    a: DataFrame,
+    b: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: str = "owes",
+) -> DataFrame:
+    """Corpus-scale mutual best-match: reciprocal top-1 pairs over LSH
+    CANDIDATES instead of all |A|×|B| pairs — the registry/production
+    path (the dense tier in :func:`mutual_top1_match` is capped to
+    verification-scale inputs).
+
+    Candidate generation is the same banded random-hyperplane scheme as
+    :func:`lsh_knn`: both sides get a deterministic ``n_planes``-bit
+    sign signature (one Arrow matmul scan, no shuffle), each signature
+    splits into ``n_planes/band_bits`` bands, and (a, b) is a candidate
+    iff SOME band matches exactly — an equi-join on (band, key), never
+    a cross join.  Candidates get the exact interpreted-fold cosine
+    (6dp-rounded, bit-identical to the DuckDB oracle), then the same two
+    windowed argmax passes as the dense tier pick reciprocal best
+    matches AMONG CANDIDATES.
+
+    Scale shape: shuffles carry (band, key, id) triples and candidate
+    id pairs — fixed-width, uniformly-hashed keys; the vector payload
+    is re-attached by id-join only for scoring.  No driver collect
+    anywhere; every stage is an equi-join or a per-id window.  Approx
+    vs dense: a true mutual pair is missed only when the pair collides
+    in NO band (prob (1-s^band_bits)^n_bands for sign agreement s) —
+    the standard LSH recall trade, same policy as
+    ``embedding_near_dup_pairs_banded`` (q21).
+    """
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sig = lsh_signature(df, dim, n_planes, vec_col, seed).select(
+            F.col(id_col).alias(f"{side}_id"), "lsh_sig"
+        )
+        return sig.select(
+            f"{side}_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bnum).alias("band"),
+                            F.shiftright(F.col("lsh_sig"), bnum * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for bnum in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(f"{side}_id", "bk.band", "bk.key")
+
+    cand = (
+        banded(a, "a")
+        .join(banded(b, "b"), ["band", "key"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    an = a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"))
+    bn = b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv"))
+    scored = (
+        cand.join(an, "a_id")
+        .join(bn, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                S.cosine_similarity(F.col("__av"), F.col("__bv")), 6
+            ).alias("cosine"),
+        )
+    )
     wa = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("cosine"), F.asc("a_id"))
     ranked = scored.select(

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from occupation_wage_etl_spark.operators._cache import cached
+
 
 def grouped_exact_percentiles(
     df: DataFrame,
@@ -50,7 +52,11 @@ def grouped_exact_percentiles(
         F.count(F.lit(1)).alias("cnt")
     )
     w = Window.partitionBy(group_col).orderBy(value_col)
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    # cached: the cumulative histogram feeds BOTH the per-group n/rank
+    # table and the bracketing-value join — without it the base table is
+    # scanned (and the histogram shuffle paid) twice per call.  It holds
+    # one row per DISTINCT (group, value): far smaller than the input.
+    cum = cached(hist.withColumn("cum", F.sum("cnt").over(w)))
 
     n = F.col("n")
 
@@ -334,9 +340,16 @@ def grouped_mad(
     """
     med = grouped_exact_percentiles(df, group_col, value_col, {"__med": 0.5})
     v = F.col(value_col)
-    dev = (
+    # cached: the deviation projection feeds the second percentile pass
+    # AND the outlier count — one base-table scan total instead of one
+    # per consumer.  Only three narrow columns are materialized.
+    dev = cached(
         df.join(F.broadcast(med), group_col)
-        .withColumn("__adev", F.abs(v.cast("double") - F.col("__med")))
+        .select(
+            group_col,
+            "__med",
+            F.abs(v.cast("double") - F.col("__med")).alias("__adev"),
+        )
     )
     mad = grouped_exact_percentiles(dev, group_col, "__adev", {"__mad": 0.5})
     flagged = dev.join(F.broadcast(mad), group_col)
@@ -483,14 +496,18 @@ def grouped_weighted_median(
     only, then a min-aggregate over qualifying values.  The half-total
     test is ``2·cumw ≥ W`` — pure decimal comparison, no division, so
     the chosen value is a rank statistic that is bit-identical in any
-    engine.  NULL values and NULL/zero weights are excluded.
+    engine.  NULL values and NULL/non-positive weights are excluded:
+    weights must be POSITIVE — a negative weight would make the
+    cumulative-weight function non-monotonic and the rank test
+    meaningless, so such rows are dropped rather than silently skewing
+    the result.
 
     Returns (group, total_weight, wmedian).
     """
     g, v = F.col(group_col), F.col(value_col)
     w = F.col(weight_col).cast("decimal(18,2)")
     hist = (
-        df.filter(v.isNotNull() & w.isNotNull() & (w != 0))
+        df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
         .groupBy(group_col, value_col)
         .agg(F.sum(w).alias("__cw"))
     )

@@ -46,6 +46,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from occupation_wage_etl_spark.operators._cache import cached
 
 from occupation_wage_etl_spark.functions import cleaning
 from occupation_wage_etl_spark.sources import lake
@@ -2752,8 +2753,6 @@ FROM documents LEFT JOIN scored s ON documents.doc_id = s.id
 
 
 def q64_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
     docs = _t(spark, sf_dir, "documents")
     # persisted: the chunker and the source-lookup join both read the
     # curated slice — without this the whole quality→lang→dedup funnel
@@ -2761,7 +2760,7 @@ def q64_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated = (
         curation.curate_corpus(docs, min_quality=CURATE_MIN_Q, langs=("en",))
         .select("doc_id", "source", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     chunks = chunking.chunk_tokens(
         curated, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
@@ -3462,7 +3461,7 @@ _PHRASE_VALUES = ", ".join(
     f"({i}, '{t}')" for i, t in enumerate(PHRASE.split())
 )
 
-Q76_SQL = f"""
+Q76_SQL = rf"""
 WITH n AS (
   SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l FROM documents
 ), t AS (
@@ -4491,33 +4490,61 @@ WHERE s.prev IS NULL OR s.gmax > s.prev
 
 # ---------------------------------------------------------------------------
 # q100 — mutual nearest-neighbour alignment between two embedding sets
-# (operators/similarity.py:mutual_top1_match): labels 0-4 vs 5-9.
+# (operators/similarity.py:mutual_top1_match_lsh): labels 0-4 vs 5-9.
+# The registry runs the BUCKETED path (banded hyperplane-LSH candidate
+# join, no driver collect — the 100 TB shape); the dense matmul tier
+# (mutual_top1_match) stays as the capped verification sibling, benched
+# as x100_mutual_dense.  The oracle replays the same deterministic
+# hyperplanes/bands in DuckDB, so candidate-set equality is part of the
+# hash check (same replay policy as q22/q23/q24).
 # ---------------------------------------------------------------------------
 
 
 def q100_mutual_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.mutual_top1_match(
-        emb.filter(F.col("label") <= 4), emb.filter(F.col("label") >= 5)
+    return similarity.mutual_top1_match_lsh(
+        emb.filter(F.col("label") <= 4),
+        emb.filter(F.col("label") >= 5),
+        dim=EMB_DIM,
     )
 
 
-Q100_SQL = """
-WITH a AS (
-  SELECT vec_id AS a_id, embedding::DOUBLE[] AS av
+Q100_SQL = f"""
+WITH hp AS (
+  SELECT p.p, d.d,
+         ('0x' || substr(md5('owes:' || p.p || ':' || (d.d - 1)), 1, 8))::BIGINT
+           / 4294967295.0 * 2.0 - 1.0 AS w
+  FROM range(0, 16) p(p), range(1, {EMB_DIM + 1}) d(d)
+), dots AS (
+  SELECT e.vec_id, e.label, h.p,
+         sum(e.embedding[h.d]::DOUBLE * h.w) AS dot
+  FROM embeddings e, hp h
+  GROUP BY 1, 2, 3
+), sig AS (
+  SELECT vec_id, label,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM sig a, sig b, range(0, 4) r(band)
+  WHERE a.label <= 4 AND b.label >= 5
+    AND ((a.s >> (r.band * 4)) & 15) = ((b.s >> (r.band * 4)) & 15)
+), av AS (
+  SELECT vec_id AS a_id, embedding::DOUBLE[] AS v
   FROM embeddings WHERE label <= 4
-), b AS (
-  SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv
+), bv AS (
+  SELECT vec_id AS b_id, embedding::DOUBLE[] AS v
   FROM embeddings WHERE label >= 5
 ), scored AS (
-  SELECT a_id, b_id,
+  SELECT c.a_id, c.b_id,
          round(
-           list_sum(list_transform(range(1, len(av) + 1),
-                    i -> av[i] * bv[i]))
-           / (sqrt(list_sum(list_transform(av, x -> x * x)))
-              * sqrt(list_sum(list_transform(bv, x -> x * x)))),
+           list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
          6) AS cosine
-  FROM a, b
+  FROM cand c JOIN av a ON c.a_id = a.a_id JOIN bv b ON c.b_id = b.b_id
 ), ranked AS (
   SELECT a_id, b_id, cosine,
          row_number() OVER (PARTITION BY a_id
@@ -5099,7 +5126,7 @@ WITH h AS (
          sum(CAST(l_quantity AS DECIMAL(18,2))) AS cw
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-        AND l_quantity <> 0
+        AND l_quantity > 0
   GROUP BY 1, 2
 ), c AS (
   SELECT g, v,
@@ -6183,6 +6210,101 @@ FROM b WHERE user_id % 10 = 0
 
 
 # ---------------------------------------------------------------------------
+# q136 — SpaceSaving heavy hitters, batch run of the streaming sketch
+# (streaming/stateful.py:streaming_heavy_hitters /
+# heavy_hitters_batch — the SAME _spacesaving_merge fold the stream
+# keeps as typed state).  events has ≤ k distinct event types, so the
+# sketch is provably EXACT here and the oracle is the per-shard group
+# count; the stream==batch equality is asserted in tests.  Shard hash
+# is the portable md5 split so DuckDB replays it.
+# ---------------------------------------------------------------------------
+
+HH_SHARDS = 4
+HH_K = 8
+
+
+def q136_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.streaming import stateful
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    shard_expr = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % HH_SHARDS
+    )
+    return stateful.heavy_hitters_batch(e, shard_expr, "event_type", k=HH_K)
+
+
+Q136_SQL = f"""
+WITH sharded AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {HH_SHARDS} AS shard,
+         event_type AS item
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT shard, item, count(*) AS count_est
+FROM sharded GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q137 — event dedup, batch analogue of the streaming
+# dropDuplicatesWithinWatermark path (streaming/events.py:
+# streaming_dedup / dedup_events_batch): earliest row per
+# (user_id, event_type), deterministic tie-breaks.
+# ---------------------------------------------------------------------------
+
+
+def q137_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.streaming import events as stream_events
+
+    e = _t(spark, sf_dir, "events")
+    return stream_events.dedup_events_batch(
+        e, ["user_id", "event_type"]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+Q137_SQL = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q138 — per-user running totals, final-state equivalent of the
+# applyInPandasWithState accumulator (streaming/stateful.py:
+# running_user_totals; user_totals_batch is the stream==batch test
+# oracle).  The registry form sums the 2-decimal value column with the
+# exact-decimal trick so the result is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q138_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+Q138_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       {_DSUM.format(x='value')} AS total_value,
+       CAST(max(ts) AS TIMESTAMP) AS last_ts
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6322,6 +6444,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_ri_audit": q133_ri_audit,
     "q134_mutual_info": q134_mutual_info,
     "q135_resample_lerp": q135_resample_lerp,
+    "q136_heavy_hitters": q136_heavy_hitters,
+    "q137_event_dedup": q137_event_dedup,
+    "q138_user_totals": q138_user_totals,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6460,4 +6585,7 @@ ORACLE_SQL: dict[str, str] = {
     "q133_ri_audit": Q133_SQL,
     "q134_mutual_info": Q134_SQL,
     "q135_resample_lerp": Q135_SQL,
+    "q136_heavy_hitters": Q136_SQL,
+    "q137_event_dedup": Q137_SQL,
+    "q138_user_totals": Q138_SQL,
 }

@@ -115,6 +115,35 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def dedup_events_batch(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic batch analogue of :func:`streaming_dedup`'s final
+    table: one row per key, keeping the EARLIEST event (event-time asc,
+    id asc tie-break).  ``dropDuplicatesWithinWatermark`` keeps the
+    first-ARRIVING row; replaying a log in event-time order makes that
+    the earliest one, which is what this computes — so stream and batch
+    agree on ordered replays (asserted in tests) and the batch form is
+    fully oracle-checkable.
+
+    Plan: one window ranked per key — the shuffle carries only the key
+    columns as partition keys; no global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -116,6 +116,60 @@ HH_STATE_SCHEMA = StructType(
 )
 
 
+def _spacesaving_merge(sketch: dict, items: pd.Series, k: int) -> dict:
+    """Fold a batch of items into a SpaceSaving sketch of ≤ k slots
+    (Metwally et al.): known item → add; free slot → insert; full →
+    evict the min slot, inheriting its count (counts become upper
+    bounds, exact while the key space seen is ≤ k)."""
+    for item, n in items.value_counts().items():
+        n = int(n)
+        if item in sketch:
+            sketch[item] += n
+        elif len(sketch) < k:
+            sketch[item] = n
+        else:  # SpaceSaving eviction: inherit the min count
+            min_item = min(sketch, key=lambda x: (sketch[x], x))
+            sketch[item] = sketch.pop(min_item) + n
+    return sketch
+
+
+def heavy_hitters_batch(
+    events: DataFrame,
+    shard_expr,
+    item_col: str = "event_type",
+    k: int = 8,
+) -> DataFrame:
+    """Batch run of the SAME SpaceSaving sketch that
+    :func:`streaming_heavy_hitters` keeps as typed state — one sketch
+    per shard over the full input via ``applyInPandas`` (Arrow batches,
+    the sketch dict is the only per-shard memory: O(k) slots).
+
+    ``shard_expr`` is the shard-assignment Column (the registry query
+    uses a portable md5 hash so a SQL oracle can replay it; the
+    streaming sibling defaults to crc32).  Whenever a shard sees ≤ k
+    distinct items the sketch is EXACT — equal to the per-shard
+    groupBy count — which is the regime the oracle checks (and tests
+    assert the stream==batch equality on the same data).
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        sketch = _spacesaving_merge({}, pdf["item"], k)
+        items = sorted(sketch, key=lambda x: (-sketch[x], x))
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].iloc[:1].repeat(len(items)).values,
+                "item": items,
+                "count_est": [sketch[i] for i in items],
+            }
+        )
+
+    sharded = events.select(
+        shard_expr.cast("long").alias("shard"),
+        F.col(item_col).alias("item"),
+    )
+    return sharded.groupBy("shard").applyInPandas(fold, HH_OUT_SCHEMA)
+
+
 def streaming_heavy_hitters(
     events: DataFrame,
     item_col: str = "event_type",
@@ -149,15 +203,7 @@ def streaming_heavy_hitters(
         else:
             sketch = {}
         for pdf in pdfs:
-            for item, n in pdf["item"].value_counts().items():
-                n = int(n)
-                if item in sketch:
-                    sketch[item] += n
-                elif len(sketch) < k:
-                    sketch[item] = n
-                else:  # SpaceSaving eviction: inherit the min count
-                    min_item = min(sketch, key=lambda x: (sketch[x], x))
-                    sketch[item] = sketch.pop(min_item) + n
+            sketch = _spacesaving_merge(sketch, pdf["item"], k)
         items = sorted(sketch, key=lambda x: (-sketch[x], x))
         state.update((items, [sketch[i] for i in items]))
         yield pd.DataFrame(

@@ -77,8 +77,9 @@ def test_query_matches_oracle(name, spark, sf_tiny, oracle):
         print(f"{name}: max float deviation {max_float_dev:.3e}")
 
 
-@pytest.mark.parametrize("name", sorted(set(SPARK_QUERIES) - set(ORACLE_SQL)))
-def test_rows_only_queries_run(name, spark, sf_tiny):
-    df = SPARK_QUERIES[name](spark, sf_tiny)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_registry_query_is_oracle_paired():
+    """The registry's contract: every queries() entry carries an
+    oracle_sql() entry (the driver's strongest check).  If a future
+    query genuinely can't be SQL-expressed, add it to an explicit
+    allowlist here with a reason, don't silently drop the pairing."""
+    assert set(SPARK_QUERIES) == set(ORACLE_SQL)

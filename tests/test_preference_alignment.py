@@ -199,6 +199,51 @@ def test_ewma_restarts_per_key(spark):
     assert got == {1: 100.0, 2: 7.0}
 
 
+def test_skyline_drops_null_criteria_rows(spark):
+    # NULL criteria have no dominance semantics; they must neither
+    # appear in the skyline nor (Spark sorts NULLs FIRST on asc) poison
+    # the running max that real rows are tested against.
+    rows = [
+        (1, 10.0, 5),
+        (2, None, 99),   # NULL minimize — dropped
+        (3, 8.0, None),  # NULL maximize — dropped
+        (4, 8.0, 7),
+    ]
+    df = _parts(spark, rows)
+    got = {r.pk for r in preference.skyline_2d(df, "price", "size").collect()}
+    assert got == {4}
+
+
+def test_mutual_top1_lsh_matches_dense_on_colinear_pairs(spark):
+    # b vectors are scaled copies of their a partners: identical sign
+    # signatures ⇒ guaranteed band collision, so the bucketed path must
+    # recover exactly the dense mutual pairs.
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [0.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in similarity.mutual_top1_match_lsh(a, b, dim=2).collect()
+    }
+    assert got == {(1, 10), (2, 11)}
+
+
+def test_mutual_top1_dense_cap_raises(spark):
+    a = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="mutual_top1_match_lsh"):
+        similarity.mutual_top1_match(a, a, arrow_threshold=1, dense_cap=3)
+
+
 def test_containment_pairs_lossless_vs_naive(spark):
     # b contains ALL of a's text (a is an excerpt); c is unrelated.
     a = "one two three four five six"
@@ -223,3 +268,23 @@ def test_containment_pairs_lossless_vs_naive(spark):
             gx, gy = grams(rows[x]), grams(rows[y])
             c = len(gx & gy) / len(gx)
             assert (c >= 0.5) == ((x, y) in out), (x, y, c)
+
+
+def test_containment_probe_bound_exact_at_t09(spark):
+    # IEEE regression guard: at t=0.9 with |grams(a)|=10, (1-t)*10 is
+    # 0.9999999999999998 and a bare floor() yields probe length 1 — but
+    # losslessness needs 2 (one gram may be absent from b).  Construct
+    # the adversarial case: a's single missing gram is also its RAREST
+    # (df=1 — every shared gram also occurs in b, df≥2), so a 1-gram
+    # probe would examine exactly the missing gram and drop the pair.
+    words = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12".split()
+    a = " ".join(words)              # 12 tokens → 10 distinct 3-grams
+    b = " ".join(words[:11]) + " zz yy xx"  # grams g1..g9, not g10
+    docs = _docs(spark, [(1, a), (2, b)])
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            docs, shingle_n=3, threshold=0.9
+        ).collect()
+    }
+    assert out[(1, 2)] == 0.9

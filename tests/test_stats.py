@@ -155,3 +155,24 @@ def test_resample_ffill_semantics(spark):
         ("a", 4, 40.0, False),
         ("b", 2, 5.0, False),   # singleton span: no gaps
     ]
+
+
+def test_weighted_median_rejects_nonpositive_weights(spark):
+    from occupation_wage_etl_spark.operators.stats import grouped_weighted_median
+
+    df = spark.createDataFrame(
+        [
+            ("g", 1.0, 1.0),
+            ("g", 2.0, 1.0),
+            ("g", 3.0, 1.0),
+            # negative weight would make cumulative weight non-monotonic
+            # and shift the rank test; it must be DROPPED, not summed
+            ("g", 100.0, -5.0),
+            ("g", 200.0, 0.0),   # zero-weight rows carry no mass either
+        ],
+        "grp string, v double, w double",
+    )
+    out = grouped_weighted_median(df, "grp", "v", "w").collect()
+    assert len(out) == 1
+    assert out[0]["wmedian"] == 2.0
+    assert out[0]["total_weight"] == 3.0

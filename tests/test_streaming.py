@@ -259,3 +259,66 @@ def test_windowed_funnel_deadline(spark):
     # level1: users 1,2,3 viewed; level2: all clicked after view;
     # level3: only user 1 purchased after click within deadline
     assert out == {1: 3, 2: 3, 3: 1}
+
+
+def test_heavy_hitters_batch_equals_stream_final(spark, event_dir):
+    """The batch SpaceSaving run must equal the streaming sketch's final
+    state on the same data (exact regime: ≤ k distinct items/shard)."""
+    from occupation_wage_etl_spark.streaming import stateful
+
+    shard = (F.crc32(F.col("user_id").cast("string").cast("binary")) % 2).cast("long")
+    batch = {
+        (r["shard"], r["item"]): r["count_est"]
+        for r in stateful.heavy_hitters_batch(
+            spark.read.parquet(event_dir), shard, "event_type", k=8
+        ).collect()
+    }
+    stream = stateful.streaming_heavy_hitters(
+        spark.readStream.schema(
+            "user_id string, event_type string, value double, ts timestamp"
+        ).parquet(event_dir),
+        item_col="event_type",
+        shard_col="user_id",
+        k=8,
+        n_shards=2,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emitted row per (shard, item) is the final sketch state
+    rows = spark.table("hh").collect()
+    got = {(r["shard"], r["item"]): r["count_est"] for r in rows}
+    assert got == batch
+    # exact regime: counts equal plain groupBy counts
+    exact = {
+        (r["s"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(event_dir)
+        .groupBy(shard.alias("s"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert batch == exact
+
+
+def test_dedup_events_batch_keeps_earliest(spark):
+    import datetime as dt
+
+    rows = [
+        (3, dt.datetime(2026, 1, 1, 9, 5), 1, "click"),
+        (1, dt.datetime(2026, 1, 1, 9, 0), 1, "click"),   # earliest → kept
+        (2, dt.datetime(2026, 1, 1, 9, 0), 1, "click"),   # same ts, higher id
+        (4, dt.datetime(2026, 1, 1, 9, 9), 2, "view"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["event_id"]
+        for r in SE.dedup_events_batch(e, ["user_id", "event_type"]).collect()
+    }
+    assert got == {1, 4}

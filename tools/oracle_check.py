@@ -61,8 +61,16 @@ def main() -> int:
     from occupation_wage_etl_spark.queries import ORACLE_SQL, SPARK_QUERIES
     from occupation_wage_etl_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    from occupation_wage_etl_spark.operators._cache import release_cached
+
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json-out" in argv:
+        i = argv.index("--json-out")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark()
     con = duckdb.connect()
@@ -101,6 +109,7 @@ def main() -> int:
                 entry["oracle_rows"] = len(orows)
         except Exception as exc:  # noqa: BLE001
             entry["err"] = f"{type(exc).__name__}: {exc}"[:200]
+        release_cached()  # operator-internal persists die with the query
         dt = time.time() - t0
         ok = entry["hash_match"] is True or (
             entry["err"] == "no_oracle" and entry.get("spark_rows", 0) >= 0
@@ -112,6 +121,20 @@ def main() -> int:
         results[name] = entry
 
     print(json.dumps({"total": len(names), "bad": bad}))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(names),
+                    "bad": bad,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
     return 1 if bad else 0
 
 
