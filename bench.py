@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "q136_heavy_hitters",
     "q137_event_dedup",
     "q138_user_totals",
+    "q139_k_core",
+    "q140_stratified_exact",
+    "q141_record_linkage",
+    "q142_survival",
 ]
 
 

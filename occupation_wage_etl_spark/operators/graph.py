@@ -167,6 +167,59 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has degree ≥ k — the standard graph-curation filter for
+    separating tightly-knit duplicate/template cliques (high core) from
+    incidental near-dup links (shed in the first peels).
+
+    Iterative peel: each round computes degrees over surviving edges
+    and drops every node below k TOGETHER (the classic simultaneous
+    peel — order-independent, so the result is deterministic and
+    engine-portable).  Each round is one hash aggregate + two semi-joins
+    keyed by node id, ``localCheckpoint``-ed to truncate lineage; the
+    loop exits as soon as a round drops nobody.  Rounds needed = peel
+    depth of the graph (shallow for near-dup graphs; bounded by
+    ``max_rounds`` as a safety stop — at 100 TB swap the localCheckpoint
+    for reliable ``checkpoint()``, same note as
+    :func:`connected_components`).
+
+    Returns (node, core_degree): nodes of the k-core with their degree
+    INSIDE the core (≥ k by construction).
+    """
+    mat = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
+    sym = mat.union(
+        mat.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+
+    alive = sym
+    deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+    for _ in range(max_rounds):
+        keep = deg.filter(F.col("core_degree") >= k).select("u")
+        dropped = (
+            deg.filter(F.col("core_degree") < k).limit(1).count()
+        )
+        if dropped == 0:
+            break
+        alive = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+    return deg.filter(F.col("core_degree") >= k).select(
+        F.col("u").alias("node"), "core_degree"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id_a",

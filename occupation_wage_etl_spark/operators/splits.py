@@ -61,6 +61,51 @@ def stratified_sample(
     return df.filter(b < pct)
 
 
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    frac_num: int,
+    frac_den: int,
+) -> DataFrame:
+    """Stratified sample with EXACT per-stratum allocation: precisely
+    ``ceil(n_g · frac)`` rows from every stratum — the survey-sampling
+    guarantee (proportional allocation with deterministic counts), vs
+    :func:`stratified_sample`'s rate-based filter whose per-stratum
+    count is binomial.  Evaluation sets and class-balanced subsamples
+    need the exact form.
+
+    The fraction is the RATIONAL ``frac_num/frac_den`` and the target is
+    computed in integer arithmetic (``(n·num + den - 1) div den``) — an
+    IEEE product like ``ceil(0.2 * n)`` rounds differently per engine at
+    exact multiples.  Row choice is the md5 keystream order (uniform,
+    engine-replayable), stratum-keyed so adding a stratum never changes
+    another stratum's sample.
+
+    Plan: one per-stratum count window + one rank window, both
+    partitioned by the stratum — no global sort, no driver state.
+    """
+    key = F.md5(
+        F.concat(
+            F.col(strata_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        ).cast("binary")
+    )
+    wn = Window.partitionBy(strata_col)
+    wr = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    target = F.expr(
+        f"(__n * CAST({frac_num} AS BIGINT) + {frac_den - 1})"
+        f" div CAST({frac_den} AS BIGINT)"
+    )
+    return (
+        df.withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= target)
+        .drop("__n", "__rn")
+    )
+
+
 def sample_to_budget(
     df: DataFrame,
     group_col: str,

@@ -673,3 +673,89 @@ def resample_lerp(
         filled.alias(val_col),
         v.isNull().alias("is_filled"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over (duration, event) subject
+    rows — time-to-conversion / churn / failure curves, the standard
+    right-censored survival readout (event=1 observed, event=0
+    censored at its duration).
+
+    Classic product-limit form: at each observed EVENT time t,
+    ``S(t) = Π_{t_i ≤ t} (1 - d_i / n_i)`` with d_i = events at t_i
+    and n_i = subjects still at risk (all leave times ≥ t_i considered
+    via prefix sums of departures).
+
+    Determinism: the risk table collapses to one row per distinct
+    duration (hash aggregate), is assembled into ONE sorted array, and
+    every n_i prefix sum is exact integer arithmetic; each survival
+    value is a SEQUENTIAL left-fold product of ``1 - d/n`` doubles in
+    time order — the same fold an oracle engine replays element by
+    element, so results are bit-identical with no rounding.  The array
+    step is O(#distinct durations²) fold work on ONE executor — fine
+    for real risk tables (they are grid-sized, not data-sized); at
+    100 TB bucket durations to a coarse grid first, which is standard
+    survival practice anyway.
+
+    Returns (t, n_risk, n_events, survival) at event times, t asc.
+    """
+    d, e = F.col(duration_col), F.col(event_col)
+    tbl = (
+        df.filter(d.isNotNull())
+        .groupBy(d.cast("long").alias("t"))
+        .agg(
+            F.sum(F.when(e.cast("int") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+            F.count(F.lit(1)).cast("long").alias("leave"),
+        )
+    )
+    one = tbl.agg(
+        F.sum("leave").alias("n_total"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("d"), F.col("leave")))
+        ).alias("arr"),
+    )
+    # full risk table with integer prefix-sum n_risk, filtered to event
+    # times, then the sequential product fold per row
+    km = one.select(
+        F.expr(
+            """
+            filter(
+              transform(CASE WHEN size(arr) = 0 THEN array()
+                             ELSE sequence(1, size(arr)) END,
+                i -> struct(
+                  arr[i-1].t AS t,
+                  arr[i-1].d AS d,
+                  n_total - aggregate(slice(arr, 1, i-1),
+                                      CAST(0 AS BIGINT),
+                                      (acc, s) -> acc + s.leave) AS n_risk)),
+              s -> s.d > 0) AS evt
+            """
+        )
+    ).select(
+        F.expr(
+            """
+            transform(CASE WHEN size(evt) = 0 THEN array()
+                           ELSE sequence(1, size(evt)) END,
+              i -> struct(
+                evt[i-1].t AS t,
+                evt[i-1].n_risk AS n_risk,
+                evt[i-1].d AS n_events,
+                aggregate(slice(evt, 1, i), CAST(1.0 AS DOUBLE),
+                  (acc, s) -> acc * (CAST(1.0 AS DOUBLE)
+                              - CAST(s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE)))
+                  AS survival)) AS rows
+            """
+        )
+    )
+    return km.select(F.explode("rows").alias("r")).select(
+        F.col("r.t").alias("t"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.survival").alias("survival"),
+    )

@@ -6305,6 +6305,213 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q139 — k-core decomposition over the tile-sharing near-dup graph
+# (operators/graph.py:k_core): the graph-curation filter separating
+# tight duplicate cliques (the core) from incidental links.  The
+# oracle replays the simultaneous peel as unrolled rounds (peel order
+# never matters — all sub-k nodes drop together, so a fixed unroll ≥
+# the graph's peel depth is exact; the operator self-detects
+# convergence, the oracle just over-provisions rounds).
+# ---------------------------------------------------------------------------
+
+K_CORE_K = 2
+_KCORE_ROUNDS = 12
+
+
+def q139_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.k_core(edges, k=K_CORE_K)
+
+
+def _kcore_sql() -> str:
+    head = f"""
+WITH n AS (
+  SELECT doc_id AS id, {_NORM} AS s FROM documents
+), w AS (
+  SELECT id, list_distinct(list_transform(
+           range(0, greatest(CAST(ceil(length(s) / {ROLL_W}.0) AS INTEGER), 1)),
+           i -> md5(substr(s, i * {ROLL_W} + 1, {ROLL_W}))
+         )) AS fps
+  FROM n
+), ex AS (
+  SELECT id, unnest(fps) AS fp FROM w
+), e AS MATERIALIZED (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
+), s0 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+), d0 AS (
+  SELECT u, count(*) AS cd FROM s0 GROUP BY 1
+)"""
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f""", k{r - 1} AS (
+  SELECT u FROM d{r - 1} WHERE cd >= {K_CORE_K}
+), s{r} AS MATERIALIZED (
+  SELECT s.u, s.v FROM s{r - 1} s
+  JOIN k{r - 1} x ON s.u = x.u JOIN k{r - 1} y ON s.v = y.u
+), d{r} AS (
+  SELECT u, count(*) AS cd FROM s{r} GROUP BY 1
+)""")
+    tail = (
+        f"\nSELECT u AS node, cd AS core_degree FROM d{_KCORE_ROUNDS}"
+        f" WHERE cd >= {K_CORE_K}"
+    )
+    return head + "".join(rounds) + tail
+
+
+Q139_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# q140 — stratified sample with EXACT per-stratum allocation
+# (operators/splits.py:stratified_exact_sample): ceil(n_g/5) docs per
+# language, chosen by the md5 keystream — integer-rational target, no
+# IEEE ceil.
+# ---------------------------------------------------------------------------
+
+
+def q140_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return splits.stratified_exact_sample(
+        docs, "lang", "doc_id", frac_num=1, frac_den=5
+    ).select("doc_id", "lang")
+
+
+Q140_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM t WHERE rn <= (n + 4) // 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q141 — Fellegi–Sunter probabilistic record linkage
+# (operators/fuzzy_join.py:record_linkage_scores): part snapshots
+# blocked on brand, integer milli-unit log-likelihood weights.
+# ---------------------------------------------------------------------------
+
+FS_FIELDS = {"p_type": (1200, -800), "p_size": (900, -600)}
+FS_MIN_SCORE = 300
+
+
+def q141_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") % 3 == 0)
+    b = p.filter(F.col("p_partkey") % 3 != 0)
+    return fuzzy_join.record_linkage_scores(
+        a, b, "p_brand", FS_FIELDS, "p_partkey", "p_partkey",
+        min_score=FS_MIN_SCORE,
+    )
+
+
+Q141_SQL = f"""
+WITH a AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part WHERE p_partkey % 3 = 0
+), b AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part WHERE p_partkey % 3 <> 0
+), j AS (
+  SELECT a.p_partkey AS a_p_partkey, b.p_partkey AS b_p_partkey,
+         CAST(CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
+                   THEN 1200 ELSE -800 END
+            + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
+                   THEN 900 ELSE -600 END AS BIGINT) AS score_milli,
+         CAST(CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
+                   THEN 1 ELSE 0 END
+            + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_agree
+  FROM a JOIN b ON a.p_brand = b.p_brand
+)
+SELECT * FROM j WHERE score_milli >= {FS_MIN_SCORE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q142 — Kaplan–Meier time-to-purchase survival curve
+# (operators/timeseries.py:kaplan_meier): per-user duration from first
+# event to first purchase (censored at last event otherwise), exact
+# integer risk table, sequential product folds — bit-identical, no
+# rounding.
+# ---------------------------------------------------------------------------
+
+
+def q142_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tmax"),
+    )
+    subj = per_user.select(
+        (
+            F.unix_micros(F.coalesce(F.col("tp"), F.col("tmax")))
+            - F.unix_micros(F.col("t0"))
+        ).alias("duration"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    return timeseries.kaplan_meier(subj, "duration", "event")
+
+
+Q142_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+         max(ts) AS tmax
+  FROM events GROUP BY 1
+), subj AS (
+  SELECT epoch_us(coalesce(tp, tmax)) - epoch_us(t0) AS duration,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user
+), tbl AS (
+  SELECT duration AS t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS leave
+  FROM subj GROUP BY 1
+), one AS (
+  SELECT CAST(sum(leave) AS BIGINT) AS n_total,
+         list_sort(list(struct_pack(t := t, d := d, leave := leave))) AS arr
+  FROM tbl
+), ev AS (
+  SELECT list_filter(
+    list_transform(range(1, len(arr) + 1),
+      i -> struct_pack(
+        t := arr[i].t,
+        d := arr[i].d,
+        n_risk := n_total - list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_slice(arr, 1, i - 1), s -> s.leave)),
+          (a, v) -> a + v))),
+    s -> s.d > 0) AS evt
+  FROM one
+), r AS (
+  SELECT unnest(list_transform(range(1, len(evt) + 1),
+    i -> struct_pack(
+      t := evt[i].t,
+      n_risk := evt[i].n_risk,
+      n_events := evt[i].d,
+      survival := list_reduce(
+        list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(list_slice(evt, 1, i),
+            s -> CAST(1.0 AS DOUBLE)
+                 - CAST(s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE))),
+        (a, v) -> a * v)))) AS u
+  FROM ev
+)
+SELECT u.t AS t, u.n_risk AS n_risk, u.n_events AS n_events,
+       u.survival AS survival
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6447,6 +6654,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_heavy_hitters": q136_heavy_hitters,
     "q137_event_dedup": q137_event_dedup,
     "q138_user_totals": q138_user_totals,
+    "q139_k_core": q139_k_core,
+    "q140_stratified_exact": q140_stratified_exact,
+    "q141_record_linkage": q141_record_linkage,
+    "q142_survival": q142_survival,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6588,4 +6799,8 @@ ORACLE_SQL: dict[str, str] = {
     "q136_heavy_hitters": Q136_SQL,
     "q137_event_dedup": Q137_SQL,
     "q138_user_totals": Q138_SQL,
+    "q139_k_core": Q139_SQL,
+    "q140_stratified_exact": Q140_SQL,
+    "q141_record_linkage": Q141_SQL,
+    "q142_survival": Q142_SQL,
 }

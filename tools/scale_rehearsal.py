@@ -63,16 +63,24 @@ def build(spark) -> None:
             c = base
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
-            if t == "documents" and "text" in c.columns:
-                # distinct corpora per copy -> linear near-dup scaling
+            if t == "documents" and "text" in c.columns and i > 0:
+                # distinct-content copies: rotate the alphabet by i so
+                # every token (hence every shingle/gram) differs across
+                # copies while each copy keeps the ORIGINAL corpus's
+                # internal dup/similarity structure.  A suffix tag is
+                # not enough — suffixed copies are still near-dups of
+                # the original, giving every doc 9 cross-copy clones
+                # and inflating pair outputs ~45x beyond what a real
+                # 10x corpus would produce (round-2 verdict flagged
+                # q80/q123/q66/q101 numbers as replica artifacts).
+                lower = "abcdefghijklmnopqrstuvwxyz"
+                upper = lower.upper()
+                rot_l = lower[i:] + lower[:i]
+                rot_u = rot_l.upper()
                 c = c.withColumn(
                     "text",
-                    F.when(F.col("text").isNotNull() & F.lit(i > 0),
-                           F.concat(F.col("text"), F.lit(f" copytag{i}")))
-                    .otherwise(F.col("text")))
-                c = c.withColumn(
-                    "n_chars",
-                    F.length(F.col("text")).cast("long"))
+                    F.translate("text", lower + upper, rot_l + rot_u),
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
