@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "q140_stratified_exact",
     "q141_record_linkage",
     "q142_survival",
+    "q143_winnowing_pairs",
+    "q144_bpe_merges",
 ]
 
 

@@ -175,6 +175,52 @@ def rolling_fingerprints(col: Column, window: int = 16) -> Column:
     )
 
 
+def winnowing_fingerprints(
+    col: Column, k: int = 8, w: int = 8
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash EVERY ``k``-char gram of the
+    normalized text, then from each window of ``w`` consecutive gram
+    hashes keep the minimum (tie → leftmost).  Guarantees every shared
+    substring of length ≥ w+k-1 contributes at least one COMMON selected
+    fingerprint between two documents, while storing only ~2/(w+1) of
+    the grams — the local-fingerprinting tier between exact tiles
+    (:func:`rolling_fingerprints`, alignment-sensitive) and MinHash
+    (global, no position info).
+
+    Pure scan-side expression — per row: one transform building the
+    (hash, pos) gram array, one transform selecting per-window minima
+    (O(n·w) comparisons), one array_distinct.  Hashes are the first 32
+    md5 bits (as a long), so an oracle engine replays them exactly.
+    Returns array<struct<h:long, pos:int>> of selected fingerprints.
+    """
+    s = normalize_text(col)
+    n_g = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    gram_h = lambda i: F.conv(
+        F.substring(F.md5(F.substring(s, i + F.lit(1), k)), 1, 8), 16, 10
+    ).cast("long")
+    arr = F.transform(
+        F.sequence(F.lit(0), n_g - F.lit(1)),
+        lambda i: F.struct(gram_h(i).alias("h"), i.cast("int").alias("pos")),
+    )
+    n_w = F.greatest(n_g - F.lit(w - 1), F.lit(1))
+    pick = lambda sidx: F.aggregate(
+        F.slice(arr, sidx + F.lit(1), w),
+        F.struct(
+            F.lit(None).cast("long").alias("h"),
+            F.lit(None).cast("int").alias("pos"),
+        ),
+        lambda acc, x: F.when(
+            acc["h"].isNull()
+            | (x["h"] < acc["h"]),
+            x,
+        ).otherwise(acc),
+    )
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n_w - F.lit(1)), pick)
+    )
+
+
 # Fixed alphabet for char_entropy: the 26 ASCII letters + space.  A
 # FIXED literal list (not data-derived) keeps the per-class counts a
 # pure projection and the entropy sum a fixed-order expression tree.

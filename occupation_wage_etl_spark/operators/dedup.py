@@ -886,3 +886,81 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Local-fingerprint overlap pairs via winnowing (Schleimer et al.,
+    SIGMOD'03 — MOSS): two documents pair iff they share at least
+    ``min_shared`` selected fingerprints.  Winnowing's guarantee makes
+    this the principled partial-plagiarism tier: ANY shared substring of
+    length ≥ w+k-1 forces a common selected fingerprint, while only
+    ~2/(w+1) of gram hashes are kept — unlike stride tiles
+    (:func:`substring_dup_spans`' input) it is ALIGNMENT-INVARIANT (a
+    one-char prefix shift moves every tile boundary but barely moves
+    window minima).
+
+    Scale shape: fingerprint selection is a scan-side expression
+    (functions/text.py:winnowing_fingerprints); the only shuffles are
+    the explode→self-equi-join on the 32-bit hash and the pair count —
+    fixed-width keys, payload never shuffled.  Selected-hash posting
+    lists are naturally capped by winnowing's density bound.
+
+    Returns (id_a, id_b, n_shared), id_a < id_b.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # Selection is the hot loop: one md5 PER CHARACTER POSITION plus an
+    # O(n·w) window scan — interpreted SQL lambdas cost ~100x here (543 s
+    # vs ~4 s at sf0.1), so hashing+selection runs as an Arrow-batched
+    # UDF (same justification as lsh_signature's matmul).  NORMALIZATION
+    # STAYS JVM-SIDE (functions/text.py:normalize_text) so the bytes
+    # hashed are exactly what the SQL expression tier and the DuckDB
+    # oracle hash — md5 is bit-identical across all three.
+    def _select(col):  # untyped: local pandas import breaks hint resolution
+        out = []
+        for s in col:
+            if s is None or s == "":
+                out.append([])
+                continue
+            b = s.encode("utf-8")
+            n_g = max(len(b) - k + 1, 1)
+            h = np.empty(n_g, dtype=np.int64)
+            for i in range(n_g):
+                h[i] = int(
+                    hashlib.md5(b[i : i + k]).hexdigest()[:8], 16
+                )
+            if n_g <= w:
+                sel = {int(h.argmin())}
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h, w)
+                # argmin takes the FIRST minimum → leftmost tie-break,
+                # matching the SQL fold's keep-earlier semantics
+                sel = set((wins.argmin(axis=1) + np.arange(len(wins))).tolist())
+            out.append(sorted({int(h[p]) for p in sel}))
+        return pd.Series(out)
+
+    select_udf = pandas_udf(_select, "array<long>")
+    sel = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            select_udf(T.normalize_text(F.col(text_col)))
+        ).alias("h"),
+    )
+    l, r = sel.alias("l"), sel.alias("r")
+    return (
+        l.join(r, (F.col("l.h") == F.col("r.h")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -45,18 +45,44 @@ def grouped_exact_percentiles(
     row per group with the named percentile columns.  NULL values are
     excluded (matching SQL aggregate semantics).
     """
-    v, g = F.col(value_col), F.col(group_col)
+    v = F.col(value_col)
     rows = df.filter(v.isNotNull()).select(group_col, value_col)
-
-    hist = rows.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # cached: percentiles_from_histogram consumes its input twice (rank
+    # table + bracketing join); caching here keeps the base-table scan
+    # and the row-sized histogram shuffle to exactly one each.
+    hist = cached(
+        rows.groupBy(group_col, value_col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
-    w = Window.partitionBy(group_col).orderBy(value_col)
+    return percentiles_from_histogram(hist, group_col, value_col, percentiles)
+
+
+def percentiles_from_histogram(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """:func:`grouped_exact_percentiles` over a PRE-AGGREGATED value
+    histogram ``(group, value, cnt)`` — the composable form: once one
+    histogram exists, every derived order statistic (deviation medians,
+    clip bounds, re-percentiles after a monotone transform) can be
+    computed from histogram-sized data without ever touching the
+    row-sized table again.  Ranks treat ``cnt`` as row multiplicity, so
+    results are identical to running the row form on the expanded data.
+    """
     # cached: the cumulative histogram feeds BOTH the per-group n/rank
     # table and the bracketing-value join — without it the base table is
     # scanned (and the histogram shuffle paid) twice per call.  It holds
     # one row per DISTINCT (group, value): far smaller than the input.
-    cum = cached(hist.withColumn("cum", F.sum("cnt").over(w)))
+    # (Profiled at sf0.1: the histogram SHUFFLE dominates; the per-group
+    # window adds ~20% — a two-level bucketed prefix-sum was tried and
+    # REJECTED: its extra joins/shuffles cost more than the parallel
+    # sort saves.  Revisit only if #groups ≪ cores AND the per-group
+    # sort, not the shuffle, shows up as the bottleneck.)
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
 
     n = F.col("n")
 
@@ -332,35 +358,52 @@ def grouped_mad(
     normal data).  MAD survives the heavy tails that wreck z-scores —
     the robust sibling of :func:`grouped_zscore`.
 
-    Two :func:`grouped_exact_percentiles` passes (distributed histogram
-    + rank statistic each — never a per-group sort buffer), each joined
-    back as a #groups-row broadcast; the outlier test is a scan-side
-    comparison of bit-stable doubles.  Output: one row per group with
-    med, mad, n_rows, n_outliers.
+    The base table is scanned ONCE: the value histogram
+    ``(group, value, cnt)`` is the only row-sized aggregation, and
+    everything downstream — the median rank statistic, the deviation
+    histogram (``|v - med|`` is a per-distinct-value transform whose
+    counts re-aggregate by the transformed value), the MAD rank
+    statistic, and the outlier counts (a cnt-weighted sum over the
+    deviation histogram) — runs on histogram-sized data.  At 100 TB
+    rows ≫ distinct values, so the second "pass" costs a rounding
+    error; no per-group sort buffers anywhere.  Output: one row per
+    group with med, mad, n_rows, n_outliers.
     """
-    med = grouped_exact_percentiles(df, group_col, value_col, {"__med": 0.5})
     v = F.col(value_col)
-    # cached: the deviation projection feeds the second percentile pass
-    # AND the outlier count — one base-table scan total instead of one
-    # per consumer.  Only three narrow columns are materialized.
-    dev = cached(
-        df.join(F.broadcast(med), group_col)
-        .select(
+    # cached: the histogram feeds the median pass AND the deviation
+    # histogram below — one base-table scan + one row-sized shuffle.
+    hist = cached(
+        df.filter(v.isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    med = percentiles_from_histogram(
+        hist, group_col, value_col, {"__med": 0.5}
+    )
+    # cached: the deviation histogram feeds the MAD pass AND the final
+    # outlier aggregate.
+    dev_hist = cached(
+        hist.join(F.broadcast(med), group_col)
+        .groupBy(
             group_col,
-            "__med",
+            F.col("__med"),
             F.abs(v.cast("double") - F.col("__med")).alias("__adev"),
         )
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = grouped_exact_percentiles(dev, group_col, "__adev", {"__mad": 0.5})
-    flagged = dev.join(F.broadcast(mad), group_col)
+    mad = percentiles_from_histogram(
+        dev_hist, group_col, "__adev", {"__mad": 0.5}
+    )
+    flagged = dev_hist.join(F.broadcast(mad), group_col)
     return flagged.groupBy(group_col).agg(
         F.min("__med").alias("med"),
         F.min("__mad").alias("mad"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cnt").alias("n_rows"),
         F.sum(
             F.when(
-                F.col("__adev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"), 1
-            ).otherwise(0)
+                F.col("__adev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
         ).alias("n_outliers"),
     )
 

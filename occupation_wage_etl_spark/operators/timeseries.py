@@ -680,26 +680,27 @@ def kaplan_meier(
     duration_col: str,
     event_col: str,
 ) -> DataFrame:
-    """Kaplan–Meier survival estimator over (duration, event) subject
+    """Kaplan-Meier survival estimator over (duration, event) subject
     rows — time-to-conversion / churn / failure curves, the standard
     right-censored survival readout (event=1 observed, event=0
     censored at its duration).
 
     Classic product-limit form: at each observed EVENT time t,
-    ``S(t) = Π_{t_i ≤ t} (1 - d_i / n_i)`` with d_i = events at t_i
-    and n_i = subjects still at risk (all leave times ≥ t_i considered
-    via prefix sums of departures).
+    ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)`` with d_i = events at t_i
+    and n_i = subjects still at risk (all leave times >= t_i; censored
+    subjects leave the risk set too).
 
-    Determinism: the risk table collapses to one row per distinct
-    duration (hash aggregate), is assembled into ONE sorted array, and
-    every n_i prefix sum is exact integer arithmetic; each survival
-    value is a SEQUENTIAL left-fold product of ``1 - d/n`` doubles in
-    time order — the same fold an oracle engine replays element by
-    element, so results are bit-identical with no rounding.  The array
-    step is O(#distinct durations²) fold work on ONE executor — fine
-    for real risk tables (they are grid-sized, not data-sized); at
-    100 TB bucket durations to a coarse grid first, which is standard
-    survival practice anyway.
+    Determinism and scale shape: the risk table collapses to one row
+    per distinct duration (hash aggregate — the only row-sized pass);
+    ``n_risk`` is an INTEGER running sum over the ordered risk table
+    (integer window sums are exact in any accumulation order, so this
+    is engine-portable); the survival column is ONE sequential O(m)
+    left-fold over the sorted event-time array building the running
+    product — each value a sequential double product in time order,
+    bit-identical to an oracle's element-by-element fold, no rounding.
+    The fold runs on ONE executor over m = #distinct event times —
+    grid-sized, not data-sized; at 100 TB bucket durations to a coarse
+    grid first (standard survival practice anyway).
 
     Returns (t, n_risk, n_events, survival) at event times, t asc.
     """
@@ -714,42 +715,54 @@ def kaplan_meier(
             F.count(F.lit(1)).cast("long").alias("leave"),
         )
     )
-    one = tbl.agg(
-        F.sum("leave").alias("n_total"),
-        F.array_sort(
-            F.collect_list(F.struct(F.col("t"), F.col("d"), F.col("leave")))
-        ).alias("arr"),
+    # n_risk = total - departures strictly before t: integer window sums
+    # (exact regardless of order) over the distinct-duration table.  The
+    # single-partition window holds only grid-sized rows.
+    w_prev = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # full risk table with integer prefix-sum n_risk, filtered to event
-    # times, then the sequential product fold per row
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = tbl.select(
+        "t",
+        "d",
+        (
+            F.sum("leave").over(w_all)
+            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    one = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n_risk"))
+        ).alias("evt")
+    )
+    # one O(m) fold: carry the running product, emit the output row per
+    # step.  Sequential by construction -> bit-exact cross-engine.
     km = one.select(
         F.expr(
             """
-            filter(
-              transform(CASE WHEN size(arr) = 0 THEN array()
-                             ELSE sequence(1, size(arr)) END,
-                i -> struct(
-                  arr[i-1].t AS t,
-                  arr[i-1].d AS d,
-                  n_total - aggregate(slice(arr, 1, i-1),
-                                      CAST(0 AS BIGINT),
-                                      (acc, s) -> acc + s.leave) AS n_risk)),
-              s -> s.d > 0) AS evt
-            """
-        )
-    ).select(
-        F.expr(
-            """
-            transform(CASE WHEN size(evt) = 0 THEN array()
-                           ELSE sequence(1, size(evt)) END,
-              i -> struct(
-                evt[i-1].t AS t,
-                evt[i-1].n_risk AS n_risk,
-                evt[i-1].d AS n_events,
-                aggregate(slice(evt, 1, i), CAST(1.0 AS DOUBLE),
-                  (acc, s) -> acc * (CAST(1.0 AS DOUBLE)
-                              - CAST(s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE)))
-                  AS survival)) AS rows
+            aggregate(
+              evt,
+              named_struct(
+                'acc', CAST(1.0 AS DOUBLE),
+                'out', CAST(array() AS
+                  array<struct<t:bigint,n_risk:bigint,
+                               n_events:bigint,survival:double>>)),
+              (st, s) -> named_struct(
+                'acc',
+                st.acc * (CAST(1.0 AS DOUBLE)
+                          - CAST(s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE)),
+                'out',
+                concat(st.out, array(named_struct(
+                  't', s.t, 'n_risk', s.n_risk, 'n_events', s.d,
+                  'survival',
+                  st.acc * (CAST(1.0 AS DOUBLE)
+                            - CAST(s.d AS DOUBLE)
+                              / CAST(s.n_risk AS DOUBLE)))))),
+              fin -> fin.out
+            ) AS rows
             """
         )
     )

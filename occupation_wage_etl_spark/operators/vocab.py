@@ -121,3 +121,111 @@ def encode_corpus(
             F.coalesce(F.col("ids"), F.lit("")).alias("ids"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges (Sennrich et al. 2016) from
+    a corpus — the tokenizer-training step of an LLM data pipeline.
+
+    Classic word-type formulation: aggregate the corpus once to a
+    (word, freq) TYPE table (all later work is type-sized, not
+    corpus-sized), split each word into character symbols, then per
+    round (a) count adjacent symbol pairs weighted by word freq — one
+    scan-side explode + hash aggregate, (b) pick the argmax pair
+    (count desc, pair asc — fully deterministic), (c) replace the pair
+    with its concatenation LEFT-TO-RIGHT NON-OVERLAPPING in every word
+    via a scan-side fold ("aaa" + merge (a,a) → [aa, a]).
+
+    The argmax is a 1-row driver collect per round — a learned model
+    parameter, same policy as IVF centroids.  The symbol table is
+    localCheckpoint-ed per round so the R-deep fold lineage never
+    re-plans.  Shuffles per round: ONE hash aggregate on (left, right)
+    symbol pairs; everything else is projection.
+
+    Returns (round, merge_left, merge_right, merged, pair_count),
+    one row per learned merge, round = 1..``rounds``.
+    """
+    spark = df.sparkSession
+    t = F.trim(F.lower(F.col(text_col)))
+    words = (
+        df.select(
+            F.explode(F.split(t, r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        bl, br, bc = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((r, bl, br, bl + br, bc))
+        # left-to-right non-overlapping merge fold; '' marks "no pending
+        # symbol" (symbols are never empty strings)
+        merge_expr = (
+            "CASE WHEN fin.prev = '' THEN fin.out "
+            "ELSE concat(fin.out, array(fin.prev)) END"
+        )
+        words = words.select(
+            F.expr(
+                f"""
+                aggregate(
+                  syms,
+                  named_struct('out', CAST(array() AS array<string>),
+                               'prev', ''),
+                  (acc, x) -> CASE
+                    WHEN acc.prev = {_sql_str(bl)} AND x = {_sql_str(br)}
+                      THEN named_struct(
+                             'out',
+                             concat(acc.out, array({_sql_str(bl + br)})),
+                             'prev', '')
+                    WHEN acc.prev = ''
+                      THEN named_struct('out', acc.out, 'prev', x)
+                    ELSE named_struct(
+                           'out', concat(acc.out, array(acc.prev)),
+                           'prev', x)
+                  END,
+                  fin -> {merge_expr}
+                )
+                """
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "round int, merge_left string, merge_right string, "
+        "merged string, pair_count long",
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

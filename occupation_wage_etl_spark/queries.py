@@ -6475,40 +6475,154 @@ WITH per_user AS (
   SELECT duration AS t, CAST(sum(ev) AS BIGINT) AS d,
          CAST(count(*) AS BIGINT) AS leave
   FROM subj GROUP BY 1
-), one AS (
-  SELECT CAST(sum(leave) AS BIGINT) AS n_total,
-         list_sort(list(struct_pack(t := t, d := d, leave := leave))) AS arr
+), risk AS (
+  SELECT t, d,
+         CAST(sum(leave) OVER ()
+              - coalesce(sum(leave) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
   FROM tbl
-), ev AS (
-  SELECT list_filter(
-    list_transform(range(1, len(arr) + 1),
-      i -> struct_pack(
-        t := arr[i].t,
-        d := arr[i].d,
-        n_risk := n_total - list_reduce(
-          list_prepend(CAST(0 AS BIGINT),
-            list_transform(list_slice(arr, 1, i - 1), s -> s.leave)),
-          (a, v) -> a + v))),
-    s -> s.d > 0) AS evt
-  FROM one
-), r AS (
-  SELECT unnest(list_transform(range(1, len(evt) + 1),
-    i -> struct_pack(
-      t := evt[i].t,
-      n_risk := evt[i].n_risk,
-      n_events := evt[i].d,
-      survival := list_reduce(
-        list_prepend(CAST(1.0 AS DOUBLE),
-          list_transform(list_slice(evt, 1, i),
-            s -> CAST(1.0 AS DOUBLE)
-                 - CAST(s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE))),
-        (a, v) -> a * v)))) AS u
-  FROM ev
+), one AS (
+  SELECT list_sort(list({'t': t, 'd': d, 'n_risk': n_risk})) AS evt
+  FROM risk WHERE d > 0
+), idx AS (
+  SELECT unnest(range(1, len(evt) + 1)) AS i, evt FROM one
 )
-SELECT u.t AS t, u.n_risk AS n_risk, u.n_events AS n_events,
-       u.survival AS survival
-FROM r
+-- survival per row = independent sequential prefix-product fold (the
+-- same multiply sequence the engine-side running fold performs, so
+-- every prefix is bit-identical; DuckDB 1.0 list_reduce cannot carry a
+-- struct accumulator, hence scalar folds per row — O(m^2) only at
+-- oracle scale)
+SELECT evt[CAST(i AS INTEGER)].t AS t,
+       evt[CAST(i AS INTEGER)].n_risk AS n_risk,
+       evt[CAST(i AS INTEGER)].d AS n_events,
+       list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(list_slice(evt, 1, CAST(i AS INTEGER)),
+             s -> CAST(1.0 AS DOUBLE)
+                  - CAST(s.d AS DOUBLE) / CAST(s.n_risk AS DOUBLE))),
+         (a, v) -> a * v) AS survival
+FROM idx
 """
+
+
+# ---------------------------------------------------------------------------
+# q143 — winnowing local-fingerprint overlap pairs (operators/dedup.py:
+# winnowing_pairs over functions/text.py:winnowing_fingerprints): the
+# MOSS plagiarism-detection tier; alignment-invariant unlike stride
+# tiles.  Oracle replays gram hashing, window minima, and the pair join.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8
+WINNOW_W = 8
+WINNOW_MIN_SHARED = 2
+
+
+def q143_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnowing_pairs(
+        docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )
+
+
+Q143_SQL = f"""
+WITH n AS (
+  SELECT doc_id AS id, {_NORM} AS s FROM documents
+), g AS (
+  SELECT id, list_transform(
+           range(0, greatest(length(s) - {WINNOW_K - 1}, 1)),
+           i -> struct_pack(
+             h := ('0x' || substr(md5(substr(s, CAST(i AS INTEGER) + 1,
+                                             {WINNOW_K})), 1, 8))::BIGINT,
+             pos := CAST(i AS INTEGER))) AS arr
+  FROM n WHERE s IS NOT NULL
+), sel AS (
+  SELECT id, list_distinct(list_transform(
+           range(0, greatest(len(arr) - {WINNOW_W - 1}, 1)),
+           sx -> list_reduce(
+                   list_slice(arr, CAST(sx AS INTEGER) + 1,
+                              CAST(sx AS INTEGER) + {WINNOW_W}),
+                   (a, x) -> CASE WHEN x.h < a.h THEN x ELSE a END).h
+         )) AS hs
+  FROM g
+), ex AS (
+  SELECT DISTINCT id, unnest(hs) AS h FROM sel
+)
+SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+FROM ex l JOIN ex r ON l.h = r.h AND l.id < r.id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q144 — BPE merge learning (operators/vocab.py:bpe_merges): the first
+# R tokenizer merges from the corpus word-type table.  Deterministic
+# end-to-end (argmax ties break pair-asc; merges apply left-to-right
+# non-overlapping), so the oracle replays all R rounds as unrolled
+# materialized CTE stages with the same fold.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 4
+
+
+def q144_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.bpe_merges(docs, rounds=BPE_ROUNDS)
+
+
+def _bpe_sql() -> str:
+    head = r"""
+WITH w0 AS MATERIALIZED (
+  SELECT list_transform(range(1, length(w) + 1),
+           i -> substr(w, CAST(i AS INTEGER), 1)) AS syms,
+         count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE w <> ''
+  GROUP BY w
+)"""
+    stages = []
+    for r in range(1, BPE_ROUNDS + 1):
+        # DuckDB 1.0 lambda notes: struct_pack with a CAST-typed array
+        # field fails to parse, and list_reduce mis-evaluates STRUCT
+        # accumulators (fields fold independently) — so pair structs use
+        # brace literals and the merge fold carries a plain VARCHAR[]
+        # accumulator.  "Replace the trailing symbol when it equals l
+        # and the next is r" is exactly the prev-pending fold (the
+        # merged token l||r can never equal l — it is strictly longer),
+        # so both engines perform the same left-to-right
+        # non-overlapping merge.
+        stages.append(f""", p{r} AS MATERIALIZED (
+  SELECT (pr).l AS l, (pr).r AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+          i -> {{'l': syms[CAST(i AS INTEGER)],
+                 'r': syms[CAST(i AS INTEGER) + 1]}})) AS pr,
+               freq
+        FROM w{r - 1} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]),
+                        list_transform(syms, s -> [s])),
+           (a, x) -> CASE
+             WHEN len(a) > 0 AND a[len(a)] = b.l AND x[1] = b.r
+               THEN list_append(list_slice(a, 1, len(a) - 1), b.l || b.r)
+             ELSE list_append(a, x[1]) END) AS syms,
+         freq
+  FROM w{r - 1}, b{r} b
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, l AS merge_left, r AS merge_right, "
+        f"l || r AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return head + "".join(stages) + "\n" + finals
+
+
+Q144_SQL = _bpe_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -6658,6 +6772,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_stratified_exact": q140_stratified_exact,
     "q141_record_linkage": q141_record_linkage,
     "q142_survival": q142_survival,
+    "q143_winnowing_pairs": q143_winnowing_pairs,
+    "q144_bpe_merges": q144_bpe_merges,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6803,4 +6919,6 @@ ORACLE_SQL: dict[str, str] = {
     "q140_stratified_exact": Q140_SQL,
     "q141_record_linkage": Q141_SQL,
     "q142_survival": Q142_SQL,
+    "q143_winnowing_pairs": Q143_SQL,
+    "q144_bpe_merges": Q144_SQL,
 }

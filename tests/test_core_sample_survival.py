@@ -127,3 +127,82 @@ def test_kaplan_meier_closed_form(spark):
 def test_kaplan_meier_all_censored(spark):
     df = spark.createDataFrame([(5, 0), (7, 0)], "duration long, event int")
     assert timeseries.kaplan_meier(df, "duration", "event").count() == 0
+
+
+# ------------------------------------------------------------- winnowing
+
+def test_winnowing_pairs_guarantee_and_udf_parity(spark):
+    from pyspark.sql import functions as F
+
+    from occupation_wage_etl_spark.functions import text as T
+    from occupation_wage_etl_spark.operators import dedup
+
+    shared = "the identical stretch of text long enough to survive"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " tail alpha"),
+            (2, "a different beginning " + shared + " other end"),
+            (3, "completely unrelated content with nothing in common zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnowing_pairs(docs, k=8, w=8, min_shared=2).collect()
+    }
+    # winnowing guarantee: a shared substring of length >= w+k-1 forces
+    # common selected fingerprints -> (1,2) must pair; 3 must not
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+    # the Arrow-batched selection must agree with the SQL expression
+    # tier (functions/text.py:winnowing_fingerprints) hash-for-hash
+    expr_sel = {
+        r["doc_id"]: sorted(
+            {s["h"] for s in r["sel"]}
+        )
+        for r in docs.select(
+            "doc_id",
+            T.winnowing_fingerprints(F.col("text"), 8, 8).alias("sel"),
+        ).collect()
+    }
+    udf_rows = dedup.winnowing_pairs(docs, k=8, w=8, min_shared=1)
+    # recompute the per-doc hash sets through the operator's internal
+    # explode by re-deriving from the expression tier and comparing the
+    # pair counts: identical selections => identical n_shared
+    expr_pairs = {}
+    ids = sorted(expr_sel)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                n = len(set(expr_sel[i]) & set(expr_sel[j]))
+                if n >= 1:
+                    expr_pairs[(i, j)] = n
+    got_counts = {
+        (r.id_a, r.id_b): r.n_shared for r in udf_rows.collect()
+    }
+    assert got_counts == expr_pairs
+
+
+# ------------------------------------------------------------------ BPE
+
+def test_bpe_merges_known_corpus(spark):
+    from occupation_wage_etl_spark.operators import vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string"
+    )
+    rows = [
+        (r["round"], r["merge_left"], r["merge_right"], r["merged"],
+         r["pair_count"])
+        for r in vocab.bpe_merges(docs, rounds=4).collect()
+    ]
+    # round 1: (a,a) count 4 (two per 'aaab' x freq 2) beats (a,b) 3
+    # round 2: after merge 'aaab'->[aa,a,b], (a,b) 3 beats (aa,a) 2
+    # round 3: words are [aa,ab] x2 and [ab]: (aa,ab) 2
+    # round 4: no adjacent pairs left -> loop stops early
+    assert rows == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
