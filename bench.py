@@ -184,6 +184,13 @@ BENCH_QUERIES = [
     "q142_survival",
     "q143_winnowing_pairs",
     "q144_bpe_merges",
+    "q145_roc_auc",
+    "q146_calibration",
+    "q147_js_divergence",
+    "q148_psi",
+    "q149_mmr_rerank",
+    "q150_ndcg",
+    "q151_entity_resolution",
 ]
 
 

@@ -184,3 +184,140 @@ def check_constraints(
     n = len(checks)
     pairs = ", ".join(f"'{name}', {name}" for name, _ in checks)
     return one.selectExpr(f"stack({n}, {pairs}) AS (check_name, value)")
+
+
+def js_divergence_tokens(
+    df: DataFrame,
+    text_col: str,
+    slice_expr,
+    min_count: int = 1,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of two
+    corpus slices (``slice_expr`` boolean column: True side vs False
+    side) — the standard symmetric, bounded [0, ln 2] distribution-shift
+    readout for corpus slices (new crawl vs old, source A vs B).
+
+    JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2, in nats.  Per shared-vocab
+    token the two terms are ``½·p·ln(2p/(p+q)) + ½·q·ln(2q/(p+q))``
+    with p, q exact integer-count ratios; a zero side contributes
+    ``½·q·ln 2`` (the 0·ln 0 = 0 limit).  Terms are summed with the
+    sorted-fold trick (collect → array_sort → sequential fold), so the
+    float total is bit-identical in any engine — same policy as the
+    mutual-information operator.
+
+    Scale: one explode+hash-aggregate over (slice, token) — the only
+    row-sized stage; the fold runs over VOCAB-sized data.  Returns one
+    row (vocab_size, n_tokens_a, n_tokens_b, jsd).
+    """
+    from occupation_wage_etl_spark.functions import text as T
+
+    tok = df.select(
+        slice_expr.cast("int").alias("__sl"),
+        F.explode(T.tokens(F.col(text_col))).alias("__t"),
+    ).filter(F.col("__t") != "")
+    counts = (
+        tok.groupBy("__t")
+        .agg(
+            F.sum(F.when(F.col("__sl") == 1, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("__sl") == 0, 1).otherwise(0)).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") >= min_count)
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("ca").cast("double") / F.col("__ta").cast("double")
+    q = F.col("cb").cast("double") / F.col("__tb").cast("double")
+    # per-term round at 12dp: ln() differs between the JVM and C
+    # libraries in the last ULP (observed on real terms), so the raw
+    # doubles are not engine-portable; 1e-12 sits far above the ULP
+    # divergence and far below the smallest meaningful term.  Both
+    # engines' round(x, 12) produce the identical double (verified on
+    # the divergent term), so the folded sum is bit-identical.
+    term = F.round(
+        F.when(
+            F.col("ca") > 0,
+            F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q)),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("cb") > 0,
+            F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q)),
+        ).otherwise(F.lit(0.0)),
+        12,
+    )
+    per_tok = j.select(
+        F.struct(F.col("__t").alias("t"), term.alias("v")).alias("s"),
+        "ca",
+        "cb",
+    )
+    return per_tok.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("ca").alias("n_tokens_a"),
+        F.sum("cb").alias("n_tokens_b"),
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("jsd"),
+    )
+
+
+def psi(
+    old: DataFrame,
+    new: DataFrame,
+    bucket_col,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    feature pre-bucketed by ``bucket_col`` (a deterministic integer
+    bucketing expression, e.g. ``floor(price / 10000)``) — the industry
+    drift gate (rule of thumb: PSI < 0.1 stable, > 0.25 shifted).
+
+    PSI = Σ_buckets (p_i - q_i) · ln(p_i / q_i) with p, q the bucket
+    shares in old/new.  Buckets present in only ONE snapshot have an
+    undefined term (ln 0); the standard epsilon fudge is
+    engine-ambiguous, so such buckets are EXCLUDED from the sum and
+    COUNTED in the output instead — callers widen buckets if the count
+    is non-zero.  Shares are exact integer ratios; terms are summed
+    with the sorted-fold trick (bit-identical cross-engine).
+
+    Two hash aggregates + a bucket-keyed outer join on bucket-sized
+    data.  Returns one row
+    (n_buckets_shared, n_buckets_old_only, n_buckets_new_only, psi).
+    """
+    oc = old.select(bucket_col.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("co")
+    )
+    nc = new.select(bucket_col.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    both = oc.join(nc, "b", "full_outer")
+    tot = both.agg(
+        F.sum("co").alias("__to"), F.sum("cn").alias("__tn")
+    )
+    j = both.crossJoin(F.broadcast(tot))
+    p = F.col("co").cast("double") / F.col("__to").cast("double")
+    q = F.col("cn").cast("double") / F.col("__tn").cast("double")
+    shared = F.col("co").isNotNull() & F.col("cn").isNotNull()
+    per_bucket = j.select(
+        shared.alias("sh"),
+        F.col("co").isNotNull().alias("has_o"),
+        F.col("cn").isNotNull().alias("has_n"),
+        F.when(shared, F.struct(F.col("b").alias("b"),
+                                F.round((p - q) * F.log(p / q), 12)
+                                .alias("v"))).alias("s"),
+    )
+    return per_bucket.agg(
+        F.sum(F.when(F.col("sh"), 1).otherwise(0)).alias("n_buckets_shared"),
+        F.sum(F.when(F.col("has_o") & ~F.col("sh"), 1).otherwise(0)).alias(
+            "n_buckets_old_only"
+        ),
+        F.sum(F.when(F.col("has_n") & ~F.col("sh"), 1).otherwise(0)).alias(
+            "n_buckets_new_only"
+        ),
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("psi"),
+    )

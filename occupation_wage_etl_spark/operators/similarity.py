@@ -730,3 +730,81 @@ def int8_quantize_stats(
         F.when(scale > 0, scale).otherwise(F.lit(0.0)).alias("scale_factor"),
         mse.alias("mse"),
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    pool: int = 16,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    from the exact top-``pool`` cosine candidates, greedily select ``k``
+    results maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` — the
+    standard diversification step between ANN retrieval and a result
+    page / dedup-aware context assembly.
+
+    Split of labor: candidate scoring is distributed (the brute-force
+    scan + ``TakeOrderedAndProject`` of :func:`brute_force_knn`, plus a
+    pool×pool pairwise cosine join — all 6dp-rounded JVM folds); the
+    greedy selection runs DRIVER-SIDE over the ``pool``-bounded
+    candidate table (a model-parameter-sized collect, same policy as
+    the IVF centroid seeds — ``pool`` is a constant, never data-sized).
+    λ is the exact rational ``lam_num/lam_den`` and every score is the
+    fixed tree ``(qcos·num − maxsim·(den−num)) / den`` over 6dp-rounded
+    doubles, so an oracle replays selection bit-exactly.
+
+    Rank 1 is pure relevance (``max_sim`` NULL, score = qcos).  Ties
+    break (score desc, id asc).  Returns
+    (rank, id, qcos, max_sim, mmr_score).
+    """
+    pool_df = brute_force_knn(df, query_vec, k=pool, vec_col=vec_col, id_col=id_col)
+    pv = df.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv"))
+    # coalesce(1): the pool is `pool` rows; without it the non-equi
+    # self-join below fans out to partitions² empty tasks
+    pool_v = (
+        pool_df.join(pv, pool_df[id_col] == pv["__pid"])
+        .select(F.col(id_col).alias("id"), F.col("cosine").alias("qcos"), "__pv")
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    pc = (
+        pool_v.alias("a")
+        .join(pool_v.alias("b"), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.round(
+                S.cosine_similarity(F.col("a.__pv"), F.col("b.__pv")), 6
+            ).alias("c"),
+        )
+    )
+    qcos = {r["id"]: r["qcos"] for r in pool_v.select("id", "qcos").collect()}
+    sims = {(r["ia"], r["ib"]): r["c"] for r in pc.collect()}
+
+    selected: list[tuple] = []
+    chosen: list = []
+    remaining = set(qcos)
+    for rank in range(1, min(k, len(qcos)) + 1):
+        if rank == 1:
+            best = max(remaining, key=lambda d: (qcos[d], -d))
+            selected.append((1, best, qcos[best], None, qcos[best]))
+        else:
+            def score(d):
+                ms = max(sims[(d, s)] for s in chosen)
+                return ((qcos[d] * lam_num - ms * (lam_den - lam_num))
+                        / lam_den, ms)
+            best = max(remaining, key=lambda d: (score(d)[0], -d))
+            sc, ms = score(best)
+            selected.append((rank, best, qcos[best], ms, sc))
+        chosen.append(best)
+        remaining.discard(best)
+    return df.sparkSession.createDataFrame(
+        selected,
+        f"rank int, {id_col} long, qcos double, max_sim double, "
+        "mmr_score double",
+    )

@@ -60,6 +60,7 @@ from occupation_wage_etl_spark.operators import (
     curation,
     decontaminate,
     dedup,
+    evaluation,
     fuzzy_join,
     graph,
     multimodal,
@@ -6626,6 +6627,441 @@ Q144_SQL = _bpe_sql()
 
 
 # ---------------------------------------------------------------------------
+# q145/q146 — model evaluation: exact ROC-AUC and calibration deciles of
+# the heuristic quality score against an English-language label
+# (operators/evaluation.py).  AUC is the rank-sum identity in integer
+# arithmetic; calibration bins are exact-rank deciles with decimal-sum
+# mean scores.
+# ---------------------------------------------------------------------------
+
+_QUALITY_CTE = rf"""
+qm AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n,
+         regexp_replace(text, '\s+', '', 'g') AS nonspace,
+         string_split({_NORM}, ' ') AS toks
+  FROM documents
+), qr AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN length(nonspace) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(nonspace, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                   / CAST(length(nonspace) AS DOUBLE) END AS punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         END AS uniq
+  FROM qm
+), scored AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                           WHEN n < 100 THEN n / 100.0
+                           ELSE 20000.0 / n END)
+             + 0.3 * (1.0 - least(punct * 4, 1.0))
+             + 0.3 * uniq, 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM qr
+)"""
+
+
+def _quality_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+
+
+def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.roc_auc(_quality_labeled(spark, sf_dir), "score", "label")
+
+
+Q145_SQL = f"""
+WITH {_QUALITY_CTE}, g AS (
+  SELECT score AS s, CAST(sum(label) AS BIGINT) AS p,
+         CAST(sum(1 - label) AS BIGINT) AS n
+  FROM scored GROUP BY 1
+), ranked AS (
+  SELECT p, n,
+         CAST(coalesce(sum(p + n) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cumb
+  FROM g
+), agg AS (
+  SELECT CAST(sum(p) AS BIGINT) AS P, CAST(sum(n) AS BIGINT) AS N,
+         CAST(sum(p * (2 * cumb + p + n + 1)) AS BIGINT) AS twoR
+  FROM ranked
+)
+SELECT P AS n_pos, N AS n_neg,
+       CAST(twoR - P * (P + 1) AS DOUBLE) / CAST(2 * P * N AS DOUBLE) AS auc
+FROM agg
+"""
+
+
+CAL_BINS = 10
+
+
+def q146_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.calibration_bins(
+        _quality_labeled(spark, sf_dir), "score", "label", "doc_id",
+        bins=CAL_BINS,
+    )
+
+
+Q146_SQL = f"""
+WITH {_QUALITY_CTE}, binned AS (
+  SELECT score, label,
+         (CAST(row_number() OVER (ORDER BY score, doc_id) - 1 AS BIGINT)
+          * {CAL_BINS}) // count(*) OVER () AS bin
+  FROM scored
+)
+SELECT bin, count(*) AS n_rows, CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+       CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_score
+FROM binned GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# q147 — Jensen-Shannon divergence between English and non-English token
+# distributions (operators/profile.py:js_divergence_tokens): the
+# bounded symmetric corpus-shift readout; sorted-fold float sum.
+# ---------------------------------------------------------------------------
+
+
+def q147_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return profile.js_divergence_tokens(
+        docs, "text", F.col("lang") == "en"
+    )
+
+
+Q147_SQL = rf"""
+WITH tok AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS sl,
+         unnest(string_split({_NORM}, ' ')) AS t
+  FROM documents
+), tok2 AS (
+  SELECT sl, t FROM tok WHERE t <> ''
+), counts AS (
+  SELECT t, CAST(sum(CASE WHEN sl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN sl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tok2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+  FROM counts
+), terms AS (
+  SELECT t, ca, cb,
+         (CASE WHEN ca > 0 THEN
+            0.5 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+            * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                    + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+          ELSE 0.0 END
+          +
+          CASE WHEN cb > 0 THEN
+            0.5 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+            * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                    + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+          ELSE 0.0 END) AS vraw
+  FROM counts, tot
+), terms2 AS (
+  SELECT t, ca, cb, round(vraw, 12) AS v FROM terms
+)
+SELECT count(*) AS vocab_size,
+       CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+       CAST(sum(cb) AS BIGINT) AS n_tokens_b,
+       list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(
+             list_sort(list(struct_pack(t := t, v := v))), s -> s.v)),
+         (acc, x) -> acc + x) AS jsd
+FROM terms2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q148 — Population Stability Index of order totals between the mod-7 /
+# mod-11 snapshot split (operators/profile.py:psi): the industry drift
+# gate; shared-bucket-only sum, single-side buckets counted.
+# ---------------------------------------------------------------------------
+
+PSI_BUCKET = 10_000
+
+
+def q148_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 11 != 0)
+    b = F.floor(F.col("o_totalprice") / PSI_BUCKET).cast("long")
+    return profile.psi(old, new, b)
+
+
+Q148_SQL = f"""
+WITH oc AS (
+  SELECT CAST(floor(o_totalprice / {PSI_BUCKET}) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS co
+  FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1
+), nc AS (
+  SELECT CAST(floor(o_totalprice / {PSI_BUCKET}) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS cn
+  FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY 1
+), both_t AS (
+  SELECT coalesce(oc.b, nc.b) AS b, co, cn
+  FROM oc FULL OUTER JOIN nc ON oc.b = nc.b
+), tot AS (
+  SELECT CAST(sum(co) AS BIGINT) AS tco, CAST(sum(cn) AS BIGINT) AS tcn
+  FROM both_t
+), terms AS (
+  SELECT b, co IS NOT NULL AND cn IS NOT NULL AS sh,
+         co IS NOT NULL AS has_o, cn IS NOT NULL AS has_n,
+         CASE WHEN co IS NOT NULL AND cn IS NOT NULL THEN
+           ((CAST(co AS DOUBLE) / CAST(tco AS DOUBLE))
+            - (CAST(cn AS DOUBLE) / CAST(tcn AS DOUBLE)))
+           * ln((CAST(co AS DOUBLE) / CAST(tco AS DOUBLE))
+                / (CAST(cn AS DOUBLE) / CAST(tcn AS DOUBLE)))
+         END AS vraw
+  FROM both_t, tot
+)
+SELECT CAST(sum(CASE WHEN sh THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_shared,
+       CAST(sum(CASE WHEN has_o AND NOT sh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buckets_old_only,
+       CAST(sum(CASE WHEN has_n AND NOT sh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buckets_new_only,
+       list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(
+             list_sort(list(CASE WHEN sh
+                            THEN struct_pack(b := b, v := round(vraw, 12)) END)),
+             s -> CASE WHEN s IS NULL THEN 0.0 ELSE s.v END)),
+         (acc, x) -> acc + x) AS psi
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# q149 — MMR diversified re-ranking of the exact top-16 cosine pool
+# (operators/similarity.py:mmr_rerank): greedy λ-tradeoff selection,
+# oracle replays the unrolled greedy stages.
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 16
+MMR_K = 5
+
+
+def q149_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").first()
+    return similarity.mmr_rerank(
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID),
+        list(qrow["embedding"]),
+        k=MMR_K,
+        pool=MMR_POOL,
+    )
+
+
+def _mmr_sql() -> str:
+    head = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = {KNN_QUERY_ID}
+), pool AS MATERIALIZED (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS qcos
+  FROM embeddings e, q WHERE e.vec_id <> {KNN_QUERY_ID}
+  ORDER BY qcos DESC NULLS LAST, e.vec_id LIMIT {MMR_POOL}
+), pc AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib,
+         round(
+           list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+         6) AS c
+  FROM pool a, pool b WHERE a.id <> b.id
+), sel1 AS MATERIALIZED (
+  SELECT 1 AS rank, id, qcos, CAST(NULL AS DOUBLE) AS max_sim,
+         qcos AS mmr_score
+  FROM pool ORDER BY qcos DESC, id LIMIT 1
+), all1 AS (SELECT id FROM sel1)"""
+    stages = []
+    for r in range(2, MMR_K + 1):
+        stages.append(f""", ms{r} AS (
+  SELECT pc.ia AS id, max(pc.c) AS ms
+  FROM pc WHERE pc.ib IN (SELECT id FROM all{r - 1})
+  GROUP BY 1
+), sel{r} AS MATERIALIZED (
+  SELECT {r} AS rank, p.id, p.qcos, m.ms AS max_sim,
+         (p.qcos * 1 - m.ms * 1) / 2 AS mmr_score
+  FROM pool p JOIN ms{r} m ON p.id = m.id
+  WHERE p.id NOT IN (SELECT id FROM all{r - 1})
+  ORDER BY mmr_score DESC, p.id LIMIT 1
+), all{r} AS (
+  SELECT id FROM all{r - 1} UNION ALL SELECT id FROM sel{r}
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT rank, id AS vec_id, qcos, max_sim, mmr_score FROM sel{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return head + "".join(stages) + "\n" + finals
+
+
+Q149_SQL = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# q150 — NDCG@10 of the exact cosine ranking against a same-label
+# relevance standard (operators/evaluation.py:ndcg_at_k): retrieval
+# quality readout; log2 discounts are Python-literal doubles so no
+# engine log is evaluated.
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+def q150_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        "embedding", "label"
+    ).first()
+    knn = similarity.brute_force_knn(
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID),
+        list(qrow["embedding"]),
+        k=NDCG_K,
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = (
+        knn.withColumn("rank", F.row_number().over(w))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "rank",
+            F.when(F.col("label") == F.lit(int(qrow["label"])), 1.0)
+            .otherwise(0.0)
+            .alias("rel"),
+        )
+    )
+    return evaluation.ndcg_at_k(ranked, "rank", "rel", NDCG_K)
+
+
+def _ndcg_sql() -> str:
+    import math
+
+    # e-notation literals parse directly as DOUBLE in DuckDB; plain
+    # decimal literals unify the array to DECIMAL(17,16) and the cast
+    # back to DOUBLE double-rounds 3 of the 10 discounts (1-ULP skew)
+    discs = ", ".join(
+        f"{1.0 / math.log2(r + 1):.17e}" for r in range(1, NDCG_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv, label AS qlabel FROM embeddings
+  WHERE vec_id = {KNN_QUERY_ID}
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS cosine,
+         q.qlabel
+  FROM embeddings e, q WHERE e.vec_id <> {KNN_QUERY_ID}
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+           AS r,
+         CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END AS rel
+  FROM scored
+  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT {NDCG_K}
+), one AS (
+  SELECT list_sort(list({{'r': CAST(r AS INTEGER), 'rel': rel}})) AS arr,
+         [{discs}]::DOUBLE[] AS discs
+  FROM ranked
+), calc AS (
+  SELECT len(arr) AS n_ranked,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(arr, s -> s.rel * discs[s.r])),
+           (a, v) -> a + v) AS dcg,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(arr) + 1),
+               i -> list_sort(list_transform(arr, s -> -s.rel))
+                      [CAST(i AS INTEGER)] * -1.0
+                    * discs[CAST(i AS INTEGER)])),
+           (a, v) -> a + v) AS idcg
+  FROM one
+)
+SELECT {NDCG_K} AS k, n_ranked, dcg, idcg,
+       CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
+FROM calc
+"""
+
+
+Q150_SQL = _ndcg_sql()
+
+
+# ---------------------------------------------------------------------------
+# q151 — end-to-end entity resolution: Fellegi-Sunter linkage edges at
+# the both-fields-agree threshold → connected components → entity
+# summary (operators/fuzzy_join.py + graph.py — the dedup-entities
+# composition; oracle replays linkage + recursive closure).
+# ---------------------------------------------------------------------------
+
+ER_MIN_SCORE = 2000
+
+
+def q151_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") % 3 == 0)
+    b = p.filter(F.col("p_partkey") % 3 != 0)
+    edges = fuzzy_join.record_linkage_scores(
+        a, b, "p_brand", FS_FIELDS, "p_partkey", "p_partkey",
+        min_score=ER_MIN_SCORE,
+    ).select("a_p_partkey", "b_p_partkey")
+    cc = graph.connected_components(
+        edges, src="a_p_partkey", dst="b_p_partkey"
+    )
+    return cc.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+
+
+Q151_SQL = f"""
+WITH RECURSIVE a AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part WHERE p_partkey % 3 = 0
+), b AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part WHERE p_partkey % 3 <> 0
+), e AS (
+  SELECT a.p_partkey AS u, b.p_partkey AS v
+  FROM a JOIN b ON a.p_brand = b.p_brand
+  WHERE (CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
+              THEN 1200 ELSE -800 END
+       + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
+              THEN 900 ELSE -600 END) >= {ER_MIN_SCORE}
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), reach AS (
+  SELECT DISTINCT u AS id, u AS lbl FROM sym
+  UNION
+  SELECT s.u AS id, r.lbl
+  FROM sym s JOIN reach r ON r.id = s.v
+), comp AS (
+  SELECT id, min(lbl) AS component FROM reach GROUP BY id
+)
+SELECT component AS entity_id, CAST(count(*) AS BIGINT) AS n_records
+FROM comp GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6774,6 +7210,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_survival": q142_survival,
     "q143_winnowing_pairs": q143_winnowing_pairs,
     "q144_bpe_merges": q144_bpe_merges,
+    "q145_roc_auc": q145_roc_auc,
+    "q146_calibration": q146_calibration,
+    "q147_js_divergence": q147_js_divergence,
+    "q148_psi": q148_psi,
+    "q149_mmr_rerank": q149_mmr_rerank,
+    "q150_ndcg": q150_ndcg,
+    "q151_entity_resolution": q151_entity_resolution,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6921,4 +7364,11 @@ ORACLE_SQL: dict[str, str] = {
     "q142_survival": Q142_SQL,
     "q143_winnowing_pairs": Q143_SQL,
     "q144_bpe_merges": Q144_SQL,
+    "q145_roc_auc": Q145_SQL,
+    "q146_calibration": Q146_SQL,
+    "q147_js_divergence": Q147_SQL,
+    "q148_psi": Q148_SQL,
+    "q149_mmr_rerank": Q149_SQL,
+    "q150_ndcg": Q150_SQL,
+    "q151_entity_resolution": Q151_SQL,
 }

@@ -1,0 +1,119 @@
+"""Tests for the evaluation/analytics operators: exact ROC-AUC,
+calibration bins, JS divergence, PSI, MMR re-ranking
+(operators/evaluation.py, profile.py, similarity.py — q145-q149)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators import evaluation, profile, similarity
+
+
+# --------------------------------------------------------------------- AUC
+
+def test_roc_auc_perfect_and_reverse(spark):
+    rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    perfect = evaluation.roc_auc(df, "s", "y").collect()[0]
+    assert (perfect["n_pos"], perfect["n_neg"], perfect["auc"]) == (5, 5, 1.0)
+    rev = evaluation.roc_auc(
+        df.select((-F.col("s")).alias("s"), "y"), "s", "y"
+    ).collect()[0]
+    assert rev["auc"] == 0.0
+
+
+def test_roc_auc_ties_average_rank(spark):
+    # all scores equal -> AUC must be exactly 0.5 (average ranks)
+    df = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0)], "s double, y int"
+    )
+    assert evaluation.roc_auc(df, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_roc_auc_hand_computed(spark):
+    # scores: pos at 3,2; neg at 2,1 -> pairs: (3>2)=1, (3>1)=1,
+    # (2~2)=0.5, (2>1)=1 -> AUC = 3.5/4
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)], "s double, y int"
+    )
+    assert evaluation.roc_auc(df, "s", "y").collect()[0]["auc"] == 3.5 / 4
+
+
+# -------------------------------------------------------------- calibration
+
+def test_calibration_bins_shape_and_rates(spark):
+    rows = [(i, i / 20.0, 1 if i >= 10 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    out = evaluation.calibration_bins(df, "s", "y", "id", bins=4).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    assert all(r["n_rows"] == 5 for r in out)
+    # labels are 0 for the low half, 1 for the high half
+    assert [r["pos_rate"] for r in out] == [0.0, 0.0, 1.0, 1.0]
+    # mean_score of bin 0 = mean of 0/20..4/20 = 0.1
+    assert out[0]["mean_score"] == 0.1
+
+
+# ---------------------------------------------------------------------- JSD
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_jsd_identical_slices_zero(spark):
+    docs = _docs(
+        spark,
+        [(1, "en", "alpha beta gamma"), (2, "fr", "alpha beta gamma")],
+    )
+    r = profile.js_divergence_tokens(
+        docs, "text", F.col("lang") == "en"
+    ).collect()[0]
+    assert r["jsd"] == 0.0
+    assert r["vocab_size"] == 3
+
+
+def test_jsd_disjoint_slices_ln2(spark):
+    docs = _docs(spark, [(1, "en", "aa bb"), (2, "fr", "cc dd")])
+    r = profile.js_divergence_tokens(
+        docs, "text", F.col("lang") == "en"
+    ).collect()[0]
+    # disjoint supports -> JSD = ln 2 (up to the 12dp term rounds)
+    assert abs(r["jsd"] - math.log(2.0)) < 1e-9
+
+
+# ---------------------------------------------------------------------- PSI
+
+def test_psi_identical_zero_and_single_side_buckets(spark):
+    old = spark.createDataFrame([(i % 5,) for i in range(100)], "v long")
+    new = spark.createDataFrame([(i % 5,) for i in range(100)], "v long")
+    r = profile.psi(old, new, F.col("v")).collect()[0]
+    assert r["psi"] == 0.0
+    assert r["n_buckets_shared"] == 5
+    # a bucket present only in new is excluded from the sum but counted
+    new2 = new.union(spark.createDataFrame([(99,)], "v long"))
+    r2 = profile.psi(old, new2, F.col("v")).collect()[0]
+    assert r2["n_buckets_new_only"] == 1
+    assert r2["n_buckets_shared"] == 5
+
+
+# ---------------------------------------------------------------------- MMR
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # query = [1,0]; a/b nearly duplicate high-relevance docs, c less
+    # relevant but orthogonal-ish: rank1 = a (best qcos), rank2 must be
+    # c (b is too similar to a), rank3 = b
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.10]),    # a: qcos ~0.995 (best)
+            (2, [1.0, 0.12]),    # b: near-dup of a (sim(a,b) ~0.9999)
+            (3, [0.8, -0.6]),    # c: diverse (qcos 0.8, sim to a ~0.73)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.mmr_rerank(emb, [1.0, 0.0], k=3, pool=3)
+    rows = [(r["rank"], r["vec_id"]) for r in out.orderBy("rank").collect()]
+    assert rows == [(1, 1), (2, 3), (3, 2)]
+    first = out.filter(F.col("rank") == 1).collect()[0]
+    assert first["max_sim"] is None
+    assert first["mmr_score"] == first["qcos"]
