@@ -63,6 +63,31 @@ def build(spark) -> None:
             c = base
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
+            if t == "part" and i > 0:
+                # distinct-attribute copies: rotate the categorical
+                # attributes and shift sizes so blocking/linkage keys
+                # are disjoint across copies — otherwise every part has
+                # 9 attribute-identical clones and attribute-based ops
+                # (record linkage, entity resolution) see a quadratic
+                # cross-copy pair blowup a real 10x catalog wouldn't
+                # have (same argument as the text rotation below).
+                lower = "abcdefghijklmnopqrstuvwxyz"
+                upper = lower.upper()
+                rot_l = lower[i:] + lower[:i]
+                rot_u = rot_l.upper()
+                for col in ("p_brand", "p_type"):
+                    if col in c.columns:
+                        c = c.withColumn(
+                            col,
+                            F.translate(col, lower + upper, rot_l + rot_u),
+                        )
+                if "p_size" in c.columns:
+                    c = c.withColumn(
+                        "p_size",
+                        (F.col("p_size") + F.lit(i * 1000)).cast(
+                            dict(c.dtypes)["p_size"]
+                        ),
+                    )
             if t == "documents" and "text" in c.columns and i > 0:
                 # distinct-content copies: rotate the alphabet by i so
                 # every token (hence every shingle/gram) differs across
