@@ -250,23 +250,6 @@ def _x33_approx_percentiles(spark, sf_dir):
     )
 
 
-def _x14_ngram_prefix(spark, sf_dir):
-    """The PPJoin prefix-filter tier at its design point (t=0.8 — the
-    prefix is the ~20% rarest grams per doc).  q14's registry threshold
-    (0.2) is deliberately low for oracle coverage; there the count-based
-    tier wins (prefixes would keep 80% of grams), which is why
-    prefix_filter is an explicit opt-in.  Output equality between tiers
-    is proven at several thresholds in tests."""
-    from occupation_wage_etl_spark.operators import dedup
-    from occupation_wage_etl_spark.queries import SHINGLE_N
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.ngram_jaccard_pairs(
-        docs, ngram_n=SHINGLE_N, threshold=0.8,
-        block_col="lang", prefix_filter=True,
-    )
-
-
 def _x47_profile_hll(spark, sf_dir):
     """q47's 100 TB path: HyperLogLog++ distinct counts fold into one
     Expand-free hash aggregate (single scan, constant memory)."""
@@ -296,8 +279,11 @@ def _x100_mutual_dense(spark, sf_dir):
     )
 
 
+# x14_ngram_prefix was promoted to the oracle-gated registry entry
+# q152_ngram_prefix_pairs (the prefix tier is lossless, so the plain
+# Jaccard SQL at t=0.8 oracles it exactly); x33/x47 stay bench-only —
+# GK-quantile and HLL++ sketches are engine-specific by design.
 EXTRA_BENCH = {
-    "x14_ngram_prefix": _x14_ngram_prefix,
     "x33_approx_percentiles": _x33_approx_percentiles,
     "x47_profile_hll": _x47_profile_hll,
     "x100_mutual_dense": _x100_mutual_dense,

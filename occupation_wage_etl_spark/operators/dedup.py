@@ -895,6 +895,7 @@ def winnowing_pairs(
     k: int = 8,
     w: int = 8,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Local-fingerprint overlap pairs via winnowing (Schleimer et al.,
     SIGMOD'03 — MOSS): two documents pair iff they share at least
@@ -909,8 +910,18 @@ def winnowing_pairs(
     Scale shape: fingerprint selection is a scan-side expression
     (functions/text.py:winnowing_fingerprints); the only shuffles are
     the explode→self-equi-join on the 32-bit hash and the pair count —
-    fixed-width keys, payload never shuffled.  Selected-hash posting
-    lists are naturally capped by winnowing's density bound.
+    fixed-width keys, payload never shuffled.  Winnowing bounds how many
+    fingerprints one DOCUMENT emits (~2/(w+1) density), but not how many
+    documents share one FINGERPRINT: the pair join emits d² pairs for a
+    fingerprint with document frequency d, so ubiquitous grams
+    (boilerplate headers, license blocks) dominate at corpus scale.
+    ``max_df`` is the standard MOSS noise filter for exactly that:
+    fingerprints appearing in more than ``max_df`` documents are dropped
+    BEFORE the pair join (same policy as the MinHash band-cap).  The
+    heavy-fingerprint list is tiny by construction → broadcast anti-join,
+    no extra shuffle of the posting table.  A dropped fingerprint can
+    only LOWER n_shared — boilerplate-only overlaps disappear (that is
+    the point); substantive overlaps keep their distinctive grams.
 
     Returns (id_a, id_b, n_shared), id_a < id_b.
     """
@@ -933,12 +944,17 @@ def winnowing_pairs(
             if s is None or s == "":
                 out.append([])
                 continue
-            b = s.encode("utf-8")
-            n_g = max(len(b) - k + 1, 1)
+            # Grams are k CHARACTERS (encoded per gram), not k bytes of
+            # the whole-string encoding: the SQL tier and the DuckDB
+            # oracle both take substr() over characters, and md5 of a
+            # Spark string hashes its UTF-8 bytes — so char-slice +
+            # encode is the only scheme that agrees on non-ASCII text.
+            n_g = max(len(s) - k + 1, 1)
             h = np.empty(n_g, dtype=np.int64)
             for i in range(n_g):
                 h[i] = int(
-                    hashlib.md5(b[i : i + k]).hexdigest()[:8], 16
+                    hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:8],
+                    16,
                 )
             if n_g <= w:
                 sel = {int(h.argmin())}
@@ -957,6 +973,17 @@ def winnowing_pairs(
             select_udf(T.normalize_text(F.col(text_col)))
         ).alias("h"),
     )
+    if max_df is not None:
+        # cached: the posting table feeds the df-count AND the pair
+        # join — one Arrow selection pass, not two.
+        sel = cached(sel)
+        heavy = (
+            sel.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("h")
+        )
+        sel = sel.join(F.broadcast(heavy), "h", "left_anti")
     l, r = sel.alias("l"), sel.alias("r")
     return (
         l.join(r, (F.col("l.h") == F.col("r.h")) & (F.col("l.id") < F.col("r.id")))

@@ -14,6 +14,16 @@ operators are exact and engine-portable:
   scores as DECIMAL (order-independent exact), mean label is an
   integer ratio.
 
+Both need a GLOBAL prefix sum over a totally-ordered column — the one
+primitive a naive window (``ORDER BY`` with no ``PARTITION BY``) turns
+into a single-partition sort of the whole input, the classic Spark
+scale cliff.  :func:`_dist_cum_before` computes the identical integers
+with the two-level distributed scan instead: range-partition on the
+order key, per-partition cumulative sums (parallel spillable sorts),
+and a partition-offset table of ≤ ``spark.sql.shuffle.partitions``
+rows — the ONLY globally-ordered window in either plan runs over that
+config-bounded table, never over data-sized input.
+
 Reference analogue: none (the reference has no model evaluation);
 training-data extension surface.
 """
@@ -22,6 +32,65 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators._cache import cached
+
+
+def _dist_cum_before(
+    df: DataFrame,
+    order_cols: list[str],
+    weight: F.Column,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed exclusive prefix sum: append ``__cumb`` = sum of
+    ``weight`` over all rows STRICTLY BEFORE each row in ``order_cols``
+    order (which must be a total order — no duplicate keys).
+
+    Two-level scan, the textbook parallel prefix shape:
+
+    1. ``repartitionByRange`` on the order key → partition *i* holds a
+       contiguous key range below partition *i+1*'s.  The shuffled
+       frame is persisted (:func:`cached`) because range boundaries
+       come from SAMPLING — two independent evaluations could pick
+       different boundaries, so both consumers below must read the same
+       materialization for the offsets to line up.
+    2. within each partition, a window ordered by the key — parallel
+       per-partition external sorts, never a global one.
+    3. per-partition totals (≤ shuffle-partitions rows) get their own
+       exclusive prefix sum via an ordered window over ``__pid`` — the
+       only unpartitioned window, over a CONFIG-bounded row count —
+       and broadcast back as offsets.
+
+    Returns (rows + ``__cumb``, the 1-row grand-total frame) — the
+    total rides along so callers don't rescan the input for ``n``.
+    """
+    sp = df.sparkSession
+    n_parts = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    parted = cached(
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__w", weight)
+    )
+    totals = parted.groupBy("__pid").agg(F.sum("__w").alias("__pt"))
+    w_p = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pt").over(w_p), F.lit(0)).alias("__off"),
+    )
+    total = totals.agg(F.sum("__pt").alias("__total"))
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        parted.withColumn(
+            "__cin", F.coalesce(F.sum("__w").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("__cumb", F.col("__cin") + F.col("__off"))
+        .drop("__pid", "__w", "__cin", "__off")
+    )
+    return out, total
 
 
 def roc_auc(
@@ -41,9 +110,11 @@ def roc_auc(
     — every term a BIGINT (halves cancel by carrying 2R), so the single
     closing division ``(2R - P(P+1)) / (2PN)`` is the only float op.
 
-    Scale shape: one hash aggregate to distinct scores, one ordered
-    window over the score histogram (distinct-value-sized), one final
-    aggregate.  Returns one row (n_pos, n_neg, auc).
+    Scale shape: one hash aggregate to distinct scores, then the
+    distributed two-level prefix sum (:func:`_dist_cum_before`) for
+    each score's cumulative-before count — no globally-ordered window
+    over data-sized input, so raw double scores (distinct ≈ rows) cost
+    the same plan as coarse ones.  Returns one row (n_pos, n_neg, auc).
     """
     s, y = F.col(score_col), F.col(label_col).cast("long")
     g = (
@@ -54,11 +125,7 @@ def roc_auc(
             F.sum(F.lit(1) - y).alias("n"),
         )
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = g.withColumn(
-        "__cumb",
-        F.coalesce(F.sum(F.col("p") + F.col("n")).over(w), F.lit(0)),
-    )
+    ranked, _ = _dist_cum_before(g, ["__s"], F.col("p") + F.col("n"))
     agg = ranked.agg(
         F.sum("p").alias("P"),
         F.sum("n").alias("N"),
@@ -92,6 +159,10 @@ def calibration_bins(
     Binning is integer rank math — ``bin = (rank-1)*bins div total``
     over (score, id)-ordered ranks — so bins have deterministic
     membership and near-equal sizes with no IEEE boundary surprises.
+    The rank comes from the distributed two-level prefix count
+    (:func:`_dist_cum_before`; ``rank-1`` = rows strictly before under
+    the (score, id) total order), NOT from a global ``row_number``
+    window — every sort in the plan is per-range-partition.
     ``mean_score`` sums the 6dp-rounded scores as DECIMAL(18,6)
     (6dp doubles are exactly representable → order-independent exact
     sum); ``pos_rate`` is an integer ratio.
@@ -102,13 +173,11 @@ def calibration_bins(
     base = df.filter(s.isNotNull() & y.isNotNull()).select(
         s.alias("__s"), y.alias("__y"), F.col(id_col).alias("__id")
     )
-    binned = base.select(
+    ranked, total = _dist_cum_before(base, ["__s", "__id"], F.lit(1))
+    binned = ranked.crossJoin(F.broadcast(total)).select(
         "__s",
         "__y",
-        F.expr(
-            f"(CAST((row_number() OVER (ORDER BY __s, __id) - 1) AS BIGINT)"
-            f" * {bins}) div count(*) OVER ()"
-        ).alias("bin"),
+        F.expr(f"(__cumb * {bins}) div __total").alias("bin"),
     )
     return (
         binned.groupBy("bin")

@@ -546,8 +546,8 @@ def mutual_top1_match_lsh(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 16,
-    band_bits: int = 4,
+    n_planes: int = 64,
+    band_bits: int = 16,
     seed: str = "owes",
 ) -> DataFrame:
     """Corpus-scale mutual best-match: reciprocal top-1 pairs over LSH
@@ -573,6 +573,16 @@ def mutual_top1_match_lsh(
     in NO band (prob (1-s^band_bits)^n_bands for sign agreement s) —
     the standard LSH recall trade, same policy as
     ``embedding_near_dup_pairs_banded`` (q21).
+
+    BAND-KEY CARDINALITY is the scale parameter: a band has
+    2^band_bits possible keys, and for near-uniform signatures the band
+    equi-join emits ≈ |A|·|B| / 2^band_bits candidates PER BAND — with
+    4-bit bands that is numerically ~¼ of the cross product dressed as
+    an equi-join.  The 64-plane / 16-bit default gives 65,536 keys per
+    band (expected candidate volume ≈ n_bands·|A|·|B|/65,536 on random
+    data, and far fewer on clustered real embeddings); raise
+    ``n_planes``/``band_bits`` further if |A|·|B|/2^band_bits
+    approaches your shuffle budget.
     """
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1

@@ -33,17 +33,85 @@ from pyspark.sql import functions as F
 from occupation_wage_etl_spark.operators._cache import cached
 
 
+def _grouped_cum(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    cnt_col: str,
+    few_groups: bool,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Per-group INCLUSIVE cumulative sum of ``cnt_col`` over distinct
+    ``value_col`` order — the shared rank primitive under every order
+    statistic in this module.
+
+    Two shapes, chosen by the caller's knowledge of group cardinality:
+
+    - ``few_groups=False`` (safe default): one window partitioned by
+      group.  Parallelism = #groups — fine whenever groups ≥ cores.
+    - ``few_groups=True``: the grouped two-level distributed scan for
+      the #groups ≪ cores cliff (a 3-group corpus sorts in 3 tasks
+      otherwise, no matter the cluster size — measured 4.1 s for one
+      percentile pass over a 594k-row histogram at sf0.1).  Range-
+      partition on (group, value) → per-(partition, group) cumulative
+      sums run as ~shuffle-partitions parallel sorts; per-cell totals
+      (≈ #groups + n_parts rows, broadcast-safe BECAUSE groups are
+      few — that is what the flag asserts) get per-group exclusive
+      prefix offsets and broadcast back.  The shuffled frame is
+      persisted: range boundaries come from sampling, so both
+      consumers must read one materialization (same note as
+      ``evaluation._dist_cum_before``).
+
+    Integer/decimal sums either way — bit-identical results.
+    """
+    if not few_groups:
+        w = Window.partitionBy(group_col).orderBy(value_col)
+        return hist.withColumn(out_col, F.sum(cnt_col).over(w))
+    sp = hist.sparkSession
+    n_parts = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    parted = cached(
+        hist.repartitionByRange(n_parts, F.col(group_col), F.col(value_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = parted.groupBy("__pid", group_col).agg(
+        F.sum(cnt_col).alias("__pt")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__pt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.withColumn("__cin", F.sum(cnt_col).over(w_in))
+        .join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn(out_col, F.col("__cin") + F.col("__off"))
+        .drop("__pid", "__cin", "__off")
+    )
+
+
 def grouped_exact_percentiles(
     df: DataFrame,
     group_col: str,
     value_col: str,
     percentiles: dict[str, float],
+    few_groups: bool = False,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per ``group_col``.
 
     ``percentiles`` maps output column name -> p in [0, 1].  Returns one
     row per group with the named percentile columns.  NULL values are
-    excluded (matching SQL aggregate semantics).
+    excluded (matching SQL aggregate semantics).  Pass
+    ``few_groups=True`` when #groups ≪ cores (see :func:`_grouped_cum`).
     """
     v = F.col(value_col)
     rows = df.filter(v.isNotNull()).select(group_col, value_col)
@@ -55,7 +123,9 @@ def grouped_exact_percentiles(
             F.count(F.lit(1)).alias("cnt")
         )
     )
-    return percentiles_from_histogram(hist, group_col, value_col, percentiles)
+    return percentiles_from_histogram(
+        hist, group_col, value_col, percentiles, few_groups=few_groups
+    )
 
 
 def percentiles_from_histogram(
@@ -63,6 +133,7 @@ def percentiles_from_histogram(
     group_col: str,
     value_col: str,
     percentiles: dict[str, float],
+    few_groups: bool = False,
 ) -> DataFrame:
     """:func:`grouped_exact_percentiles` over a PRE-AGGREGATED value
     histogram ``(group, value, cnt)`` — the composable form: once one
@@ -71,18 +142,17 @@ def percentiles_from_histogram(
     computed from histogram-sized data without ever touching the
     row-sized table again.  Ranks treat ``cnt`` as row multiplicity, so
     results are identical to running the row form on the expanded data.
+
+    ``few_groups=True`` routes the cumulative rank through the grouped
+    two-level distributed scan (:func:`_grouped_cum`) — use it whenever
+    #groups ≪ cores, where the plain per-group window collapses to
+    #groups tasks.  (An earlier round rejected a two-level rewrite on
+    the grounds that "the histogram shuffle dominates" — re-profiled at
+    sf0.1 on a 99%-distinct value column with 3 groups, the per-group
+    window pass took 4.1 s vs 2.5 s for the histogram itself, so the
+    cliff is real exactly when the flag says it is.)
     """
-    # cached: the cumulative histogram feeds BOTH the per-group n/rank
-    # table and the bracketing-value join — without it the base table is
-    # scanned (and the histogram shuffle paid) twice per call.  It holds
-    # one row per DISTINCT (group, value): far smaller than the input.
-    # (Profiled at sf0.1: the histogram SHUFFLE dominates; the per-group
-    # window adds ~20% — a two-level bucketed prefix-sum was tried and
-    # REJECTED: its extra joins/shuffles cost more than the parallel
-    # sort saves.  Revisit only if #groups ≪ cores AND the per-group
-    # sort, not the shuffle, shows up as the bottleneck.)
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    cum = _grouped_cum(hist, group_col, value_col, "cnt", few_groups)
 
     n = F.col("n")
 
@@ -162,6 +232,7 @@ def equi_depth_histogram(
     group_col: str,
     value_col: str,
     buckets: int = 8,
+    few_groups: bool = False,
 ) -> DataFrame:
     """Equi-depth (equal-height) histogram of ``value_col`` per group —
     the optimizer-statistics shape (Piatetsky-Shapiro & Connell 1984),
@@ -187,8 +258,7 @@ def equi_depth_histogram(
         .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    cum = _grouped_cum(hist, group_col, value_col, "cnt", few_groups)
     totals = cum.groupBy(group_col).agg(F.sum("cnt").alias("n"))
     # boundary k (1..B-1) = min value with cum >= ceil(k*N/B)
     ranks = totals.select(
@@ -285,6 +355,7 @@ def winsorize(
     value_col: str,
     p_lo: float = 0.05,
     p_hi: float = 0.95,
+    few_groups: bool = False,
 ) -> DataFrame:
     """Clip ``value_col`` to its per-group [p_lo, p_hi] exact
     percentiles — the standard outlier treatment before training-metric
@@ -300,7 +371,8 @@ def winsorize(
     Returns the input plus ``<value_col>_wins``.
     """
     pct = grouped_exact_percentiles(
-        df, group_col, value_col, {"__lo": p_lo, "__hi": p_hi}
+        df, group_col, value_col, {"__lo": p_lo, "__hi": p_hi},
+        few_groups=few_groups,
     )
     v = F.col(value_col)
     return (
@@ -351,6 +423,7 @@ def grouped_mad(
     group_col: str,
     value_col: str,
     k: float = 3.0,
+    few_groups: bool = False,
 ) -> DataFrame:
     """Robust outlier profile per group via Median Absolute Deviation:
     med = p50(v), mad = p50(|v - med|), outlier iff
@@ -378,7 +451,7 @@ def grouped_mad(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     med = percentiles_from_histogram(
-        hist, group_col, value_col, {"__med": 0.5}
+        hist, group_col, value_col, {"__med": 0.5}, few_groups=few_groups
     )
     # cached: the deviation histogram feeds the MAD pass AND the final
     # outlier aggregate.
@@ -392,7 +465,7 @@ def grouped_mad(
         .agg(F.sum("cnt").alias("cnt"))
     )
     mad = percentiles_from_histogram(
-        dev_hist, group_col, "__adev", {"__mad": 0.5}
+        dev_hist, group_col, "__adev", {"__mad": 0.5}, few_groups=few_groups
     )
     flagged = dev_hist.join(F.broadcast(mad), group_col)
     return flagged.groupBy(group_col).agg(
@@ -526,6 +599,7 @@ def grouped_weighted_median(
     group_col: str,
     value_col: str,
     weight_col: str,
+    few_groups: bool = False,
 ) -> DataFrame:
     """Exact weighted (lower) median per group: the smallest value whose
     cumulative weight reaches half the group's total — "the price at
@@ -554,16 +628,20 @@ def grouped_weighted_median(
         .groupBy(group_col, value_col)
         .agg(F.sum(w).alias("__cw"))
     )
-    win = Window.partitionBy(group_col).orderBy(value_col)
-    cum = hist.withColumn(
-        "__cum", F.sum("__cw").over(win)
-    ).withColumn(
-        "__tot",
-        F.sum("__cw").over(
-            Window.partitionBy(group_col).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
+    if few_groups:
+        hist = cached(hist)  # feeds the cum scan AND the totals agg
+    cum0 = _grouped_cum(hist, group_col, value_col, "__cw", few_groups,
+                        out_col="__cum")
+    tot = hist.groupBy(group_col).agg(F.sum("__cw").alias("__tot"))
+    cum = cum0.join(F.broadcast(tot), group_col) if few_groups else (
+        cum0.withColumn(
+            "__tot",
+            F.sum("__cw").over(
+                Window.partitionBy(group_col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
     )
     qualified = cum.filter(F.lit(2) * F.col("__cum") >= F.col("__tot"))
     return qualified.groupBy(group_col).agg(

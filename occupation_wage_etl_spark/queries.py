@@ -4225,6 +4225,12 @@ def q94_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # few_groups stays False here: measured at sf0.1, the 3-task
+    # per-group window costs 1.1 s vs 1.9 s for the two-level scan
+    # (persist + offset stages dominate at histogram sizes that fit one
+    # task's sort).  Flip to True when per-group distinct counts exceed
+    # one task's comfortable sort (~tens of millions) — the 100 TB
+    # setting; see BENCH_SCALE.md "q94 floor" for the numbers.
     return stats.grouped_mad(li, "l_returnflag", "l_extendedprice", k=3.0)
 
 
@@ -4498,7 +4504,17 @@ WHERE s.prev IS NULL OR s.gmax > s.prev
 # as x100_mutual_dense.  The oracle replays the same deterministic
 # hyperplanes/bands in DuckDB, so candidate-set equality is part of the
 # hash check (same replay policy as q22/q23/q24).
+# Scale parameters: 64 planes / 16-bit bands → 65,536 keys per band, so
+# near-uniform signatures emit ≈ |A|·|B|/65,536 candidates per band —
+# the corpus-survivable configuration (4-bit bands have 16 keys and emit
+# ~¼ of the cross product; see the operator docstring).  The oracle
+# carries the signature as HUGEINT (bit 63 is a real signature bit; the
+# Spark side holds it as the BIGINT sign bit — band extraction
+# `(s >> shift) & 65535` reads identical bits either way).
 # ---------------------------------------------------------------------------
+
+MUTUAL_PLANES = 64
+MUTUAL_BAND_BITS = 16
 
 
 def q100_mutual_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4507,6 +4523,8 @@ def q100_mutual_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("label") <= 4),
         emb.filter(F.col("label") >= 5),
         dim=EMB_DIM,
+        n_planes=MUTUAL_PLANES,
+        band_bits=MUTUAL_BAND_BITS,
     )
 
 
@@ -4515,7 +4533,7 @@ WITH hp AS (
   SELECT p.p, d.d,
          ('0x' || substr(md5('owes:' || p.p || ':' || (d.d - 1)), 1, 8))::BIGINT
            / 4294967295.0 * 2.0 - 1.0 AS w
-  FROM range(0, 16) p(p), range(1, {EMB_DIM + 1}) d(d)
+  FROM range(0, {MUTUAL_PLANES}) p(p), range(1, {EMB_DIM + 1}) d(d)
 ), dots AS (
   SELECT e.vec_id, e.label, h.p,
          sum(e.embedding[h.d]::DOUBLE * h.w) AS dot
@@ -4523,14 +4541,15 @@ WITH hp AS (
   GROUP BY 1, 2, 3
 ), sig AS (
   SELECT vec_id, label,
-         CAST(sum(CASE WHEN dot >= 0
-                       THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS s
+         sum(CASE WHEN dot >= 0
+                  THEN (1::HUGEINT << CAST(p AS INT)) ELSE 0::HUGEINT END) AS s
   FROM dots GROUP BY 1, 2
 ), cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM sig a, sig b, range(0, 4) r(band)
+  FROM sig a, sig b, range(0, {MUTUAL_PLANES // MUTUAL_BAND_BITS}) r(band)
   WHERE a.label <= 4 AND b.label >= 5
-    AND ((a.s >> (r.band * 4)) & 15) = ((b.s >> (r.band * 4)) & 15)
+    AND ((a.s >> (r.band * {MUTUAL_BAND_BITS})) & {(1 << MUTUAL_BAND_BITS) - 1})
+      = ((b.s >> (r.band * {MUTUAL_BAND_BITS})) & {(1 << MUTUAL_BAND_BITS) - 1})
 ), av AS (
   SELECT vec_id AS a_id, embedding::DOUBLE[] AS v
   FROM embeddings WHERE label <= 4
@@ -6316,7 +6335,12 @@ FROM events GROUP BY 1
 # ---------------------------------------------------------------------------
 
 K_CORE_K = 2
-_KCORE_ROUNDS = 12
+# Over-provisioned to the operator's max_rounds: peel order never
+# matters, and extra rounds past convergence are no-ops on the oracle
+# side — while an unroll SHORTER than the true peel depth would falsely
+# mismatch.  The operator itself raises if max_rounds is ever hit
+# unconverged, so oracle and engine can't silently diverge.
+_KCORE_ROUNDS = 30
 
 
 def q139_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6511,18 +6535,24 @@ FROM idx
 # q143 — winnowing local-fingerprint overlap pairs (operators/dedup.py:
 # winnowing_pairs over functions/text.py:winnowing_fingerprints): the
 # MOSS plagiarism-detection tier; alignment-invariant unlike stride
-# tiles.  Oracle replays gram hashing, window minima, and the pair join.
+# tiles.  Oracle replays gram hashing, window minima, the df cap, and
+# the pair join.  WINNOW_MAX_DF is the MOSS boilerplate filter: a
+# fingerprint shared by d docs emits d² join pairs, and measured at
+# sf0.1 the df>100 fingerprints carried 41.6M of 42.9M pair emissions
+# (97%) — all template/license noise, capped before the join.
 # ---------------------------------------------------------------------------
 
 WINNOW_K = 8
 WINNOW_W = 8
 WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 100
 
 
 def q143_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.winnowing_pairs(
-        docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+        docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
     )
 
 
@@ -6546,8 +6576,12 @@ WITH n AS (
                    (a, x) -> CASE WHEN x.h < a.h THEN x ELSE a END).h
          )) AS hs
   FROM g
-), ex AS (
+), ex0 AS (
   SELECT DISTINCT id, unnest(hs) AS h FROM sel
+), ex AS (
+  SELECT id, h FROM ex0
+  WHERE h NOT IN (SELECT h FROM ex0 GROUP BY h
+                  HAVING count(*) > {WINNOW_MAX_DF})
 )
 SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
 FROM ex l JOIN ex r ON l.h = r.h AND l.id < r.id
@@ -7062,6 +7096,49 @@ FROM comp GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q152 — PPJoin prefix-filtered n-gram Jaccard at its design threshold
+# (operators/dedup.py:ngram_jaccard_pairs with prefix_filter=True,
+# t=0.8): promoted from the bench-only extra x14.  The prefix filter is
+# LOSSLESS (a pair above t must share a gram inside the (1-t)-prefix of
+# rarest grams), so the oracle is the plain blocked Jaccard join at the
+# same threshold — tier equality is also pytest-proven at several
+# thresholds.  q14's t=0.2 keeps the count-tier oracle coverage; this
+# entry oracle-gates the prefix tier at the threshold it exists for.
+# ---------------------------------------------------------------------------
+
+PPJOIN_T = 0.8
+
+
+def q152_ngram_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, ngram_n=SHINGLE_N, threshold=PPJOIN_T,
+        block_col="lang", prefix_filter=True,
+    )
+
+
+Q152_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         string_split({_NORM_SQL.format(x='text')}, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT id, lang, list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ')
+         )) AS grams
+  FROM d
+), pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b,
+         len(list_intersect(l.grams, r.grams)) * 1.0
+           / len(list_distinct(list_concat(l.grams, r.grams))) AS jaccard
+  FROM g l JOIN g r ON l.lang = r.lang AND l.id < r.id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {PPJOIN_T}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7217,6 +7294,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_mmr_rerank": q149_mmr_rerank,
     "q150_ndcg": q150_ndcg,
     "q151_entity_resolution": q151_entity_resolution,
+    "q152_ngram_prefix_pairs": q152_ngram_prefix_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7371,4 +7449,5 @@ ORACLE_SQL: dict[str, str] = {
     "q149_mmr_rerank": Q149_SQL,
     "q150_ndcg": Q150_SQL,
     "q151_entity_resolution": Q151_SQL,
+    "q152_ngram_prefix_pairs": Q152_SQL,
 }

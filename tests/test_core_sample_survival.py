@@ -184,6 +184,67 @@ def test_winnowing_pairs_guarantee_and_udf_parity(spark):
     assert got_counts == expr_pairs
 
 
+def test_winnowing_pairs_non_ascii_matches_expression_tier(spark):
+    # grams are k CHARACTERS: multi-byte text must select the same
+    # hashes through the Arrow path as through the SQL expression tier
+    # (a byte-sliced gram would shift every boundary after the first é).
+    from pyspark.sql import functions as F
+
+    from occupation_wage_etl_spark.functions import text as T
+    from occupation_wage_etl_spark.operators import dedup
+
+    shared = "déjà vu — l'été über straße naïve"
+    docs = spark.createDataFrame(
+        [
+            (1, "préfixe un " + shared + " queue alpha"),
+            (2, "un autre début " + shared + " autre fin"),
+        ],
+        "doc_id long, text string",
+    )
+    expr_sel = {
+        r["doc_id"]: {s["h"] for s in r["sel"]}
+        for r in docs.select(
+            "doc_id",
+            T.winnowing_fingerprints(F.col("text"), 8, 8).alias("sel"),
+        ).collect()
+    }
+    expected = len(expr_sel[1] & expr_sel[2])
+    got = dedup.winnowing_pairs(docs, k=8, w=8, min_shared=1).collect()
+    assert [(r.id_a, r.id_b, r.n_shared) for r in got] == [(1, 2, expected)]
+
+
+def test_winnowing_pairs_max_df_drops_boilerplate(spark):
+    # 6 docs share ONLY a boilerplate footer; docs 1,2 also share real
+    # content.  With max_df below the footer's df, footer-only pairs
+    # disappear while the substantive (1,2) overlap survives.
+    from occupation_wage_etl_spark.operators import dedup
+
+    footer = "standard license footer text appended to every document here"
+    real = "the genuinely shared plagiarized passage of this pair"
+    distinct_bodies = [
+        "quick brown foxes jump over lazy dogs repeatedly",
+        "sphinx of black quartz judge my vow tonight",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly daft zebras quack and waltz",
+    ]
+    docs = spark.createDataFrame(
+        [(1, f"alpha {real} one {footer}"), (2, f"beta {real} two {footer}")]
+        + [(i + 3, f"{body} {footer}") for i, body in enumerate(distinct_bodies)],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnowing_pairs(docs, min_shared=2).collect()
+    }
+    assert (3, 4) in uncapped  # footer alone pairs everyone
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnowing_pairs(docs, min_shared=2, max_df=5).collect()
+    }
+    assert (1, 2) in capped
+    assert all(a <= 2 and b <= 2 for a, b in capped)
+
+
 # ------------------------------------------------------------------ BPE
 
 def test_bpe_merges_known_corpus(spark):

@@ -41,6 +41,56 @@ def test_roc_auc_hand_computed(spark):
     assert evaluation.roc_auc(df, "s", "y").collect()[0]["auc"] == 3.5 / 4
 
 
+def test_roc_auc_many_distinct_scores_distributed(spark):
+    # ~1M DISTINCT raw scores — the shape that single-partitioned the old
+    # distinct-score window.  score = id with labels on a known pattern:
+    # positives are exactly the top P scores -> AUC must be exactly 1.0;
+    # then a mixed pattern checked against the closed-form rank sum.
+    n, p = 1_000_000, 1_000
+    df = spark.range(n).select(
+        (F.col("id").cast("double") / 7.0).alias("s"),
+        F.when(F.col("id") >= n - p, 1).otherwise(0).alias("y"),
+    )
+    r = evaluation.roc_auc(df, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (p, n - p, 1.0)
+    # interleaved: positives at even ids -> each positive beats exactly
+    # the negatives at lower odd ids; closed form AUC = 0.5 + 1/(2*(n/2))
+    # via R_pos = sum over k of rank(2k)=2k+1 -> compute directly
+    m = 100_000
+    df2 = spark.range(m).select(
+        F.col("id").cast("double").alias("s"),
+        (F.col("id") % 2 == 0).cast("int").alias("y"),
+    )
+    r2 = evaluation.roc_auc(df2, "s", "y").collect()[0]
+    half = m // 2
+    # positives at ranks 1,3,5,... -> R_pos = half^2; AUC = (half^2 -
+    # half*(half+1)/2) / half^2
+    expected = (half * half - half * (half + 1) / 2) / (half * half)
+    assert abs(r2["auc"] - expected) < 1e-15
+
+
+def test_evaluation_plans_have_no_data_sized_global_sort(spark):
+    # every Exchange SinglePartition in either plan must sit directly
+    # above the __pid partition-totals aggregate (<= shuffle-partitions
+    # rows, config-bounded) — never above data-sized input.
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id").cast("double") / 3.0).alias("s"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    for frame in (
+        evaluation.roc_auc(df, "s", "y"),
+        evaluation.calibration_bins(df, "s", "y", "doc_id"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        lines = plan.split("\n")
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            ctx = "\n".join(lines[i + 1 : i + 4])
+            assert "__pid" in ctx, f"data-sized global exchange:\n{ctx}"
+
+
 # -------------------------------------------------------------- calibration
 
 def test_calibration_bins_shape_and_rates(spark):
@@ -53,6 +103,38 @@ def test_calibration_bins_shape_and_rates(spark):
     assert [r["pos_rate"] for r in out] == [0.0, 0.0, 1.0, 1.0]
     # mean_score of bin 0 = mean of 0/20..4/20 = 0.1
     assert out[0]["mean_score"] == 0.1
+
+
+def test_calibration_bins_matches_global_window_reference(spark):
+    # heavy score ties straddling bin boundaries: the distributed
+    # two-level rank must agree bin-for-bin with the naive global
+    # row_number formulation it replaced.
+    n, bins = 10_007, 7
+    df = spark.createDataFrame(
+        [(i, float(i % 23) / 23.0, 1 if (i * 7) % 3 == 0 else 0) for i in range(n)],
+        "id long, s double, y int",
+    )
+    out = {
+        r["bin"]: (r["n_rows"], r["n_pos"], r["mean_score"])
+        for r in evaluation.calibration_bins(df, "s", "y", "id", bins=bins).collect()
+    }
+    df.createOrReplaceTempView("cal_ref_in")
+    ref = {
+        r["bin"]: (r["n_rows"], r["n_pos"], r["mean_score"])
+        for r in spark.sql(
+            f"""
+            SELECT bin, count(*) AS n_rows, sum(y) AS n_pos,
+                   CAST(sum(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_score
+            FROM (SELECT s, y,
+                         (CAST(row_number() OVER (ORDER BY s, id) - 1 AS BIGINT)
+                          * {bins}) div count(*) OVER () AS bin
+                  FROM cal_ref_in)
+            GROUP BY bin
+            """
+        ).collect()
+    }
+    assert out == ref
 
 
 # ---------------------------------------------------------------------- JSD

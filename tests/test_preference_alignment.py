@@ -233,6 +233,65 @@ def test_mutual_top1_lsh_matches_dense_on_colinear_pairs(spark):
     assert got == {(1, 10), (2, 11)}
 
 
+def test_mutual_top1_lsh_candidate_volume_scales_with_band_keys(spark):
+    # The scale guard behind q100's 64-plane/16-bit configuration: on a
+    # DENSE-signature corpus (pseudo-random vectors -> near-uniform sign
+    # bits), 16-bit bands must keep the band-join candidate volume a
+    # tiny fraction of |A|x|B|, while 4-bit bands (16 keys/band) emit
+    # a constant fraction of the cross product — structurally an
+    # equi-join, numerically a cross join.
+    import hashlib
+
+    from occupation_wage_etl_spark.operators.similarity import lsh_signature
+
+    dim, n = 16, 100
+
+    def vec(i):
+        return [
+            int(hashlib.md5(f"cv:{i}:{d}".encode()).hexdigest()[:8], 16)
+            / float(0xFFFFFFFF) * 2.0 - 1.0
+            for d in range(dim)
+        ]
+
+    a = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(1000 + i, vec(1000 + i)) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def n_candidates(n_planes, band_bits):
+        n_bands, mask = n_planes // band_bits, (1 << band_bits) - 1
+        def banded(df, side):
+            sig = lsh_signature(df, dim, n_planes).select(
+                F.col("vec_id").alias(f"{side}_id"), "lsh_sig"
+            )
+            return sig.select(
+                f"{side}_id",
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(bn).alias("band"),
+                        F.shiftright(F.col("lsh_sig"), bn * band_bits)
+                        .bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for bn in range(n_bands)
+                ])).alias("bk"),
+            ).select(f"{side}_id", "bk.band", "bk.key")
+        return (
+            banded(a, "a").join(banded(b, "b"), ["band", "key"])
+            .select("a_id", "b_id").distinct().count()
+        )
+
+    cross = n * n
+    wide = n_candidates(64, 16)    # q100's configuration
+    narrow = n_candidates(16, 4)   # the round-3 default under audit
+    assert wide < 0.01 * cross, (wide, cross)
+    # expected union prob over 4 independent 16-key bands:
+    # 1 - (1 - 1/16)^4 ~= 0.227 of the cross product
+    assert narrow > 0.2 * cross, (narrow, cross)
+
+
 def test_mutual_top1_dense_cap_raises(spark):
     a = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(5)],

@@ -420,3 +420,34 @@ class TestBloomFilterWrite:
 
         got = spark.read.parquet(path).filter(F.col("k") == 12345).collect()
         assert len(got) == 1 and got[0].k == 12345
+
+
+def test_jdbc_round_trip_live_when_available(spark):
+    """Live JDBC parity (reference load_data.py:203-213) — the one
+    reference edge the sandbox can't exercise (no Postgres, no JDBC
+    driver jar).  Env-gate it so any environment WITH a warehouse runs
+    the real round trip: set SPARK_GRAFT_JDBC_URL (e.g.
+    jdbc:postgresql://host/db?user=u&password=p) and ensure the driver
+    jar is on spark.jars."""
+    import os
+
+    import pytest
+
+    from occupation_wage_etl_spark.sources import warehouse
+
+    url = os.environ.get("SPARK_GRAFT_JDBC_URL")
+    if not url:
+        pytest.skip("no SPARK_GRAFT_JDBC_URL configured (no live warehouse)")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    )
+    warehouse.jdbc_append(df, url, "spark_graft_jdbc_smoke", "2026-08-14",
+                          mode="overwrite")
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "spark_graft_jdbc_smoke")
+        .load()
+    )
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "payload", "snapshot_date"}

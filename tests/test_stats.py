@@ -176,3 +176,53 @@ def test_weighted_median_rejects_nonpositive_weights(spark):
     assert len(out) == 1
     assert out[0]["wmedian"] == 2.0
     assert out[0]["total_weight"] == 3.0
+
+
+# --------------------------------------------------- few_groups two-level
+
+def test_few_groups_two_level_matches_window_path(spark):
+    # the #groups << cores escape hatch must be bit-identical to the
+    # default per-group-window path across every operator that takes it
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.hash("id").cast("double") / 7.0).alias("v"),
+        (F.col("id") % 9 + 1).cast("double").alias("w"),
+    )
+    a = stats.grouped_exact_percentiles(df, "g", "v", PS, few_groups=True)
+    b = stats.grouped_exact_percentiles(df, "g", "v", PS, few_groups=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    dfd = df.select("g", F.col("v").cast("decimal(18,6)").alias("v"), "w")
+    a = stats.grouped_weighted_median(dfd, "g", "v", "w", few_groups=True)
+    b = stats.grouped_weighted_median(dfd, "g", "v", "w", few_groups=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    a = stats.equi_depth_histogram(df, "g", "v", buckets=8, few_groups=True)
+    b = stats.equi_depth_histogram(df, "g", "v", buckets=8, few_groups=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    a = stats.grouped_mad(df, "g", "v", few_groups=True)
+    b = stats.grouped_mad(df, "g", "v", few_groups=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_few_groups_plan_has_no_per_group_global_sort(spark):
+    # with few_groups=True every sort in the plan is per-range-partition:
+    # no Window partitioned ONLY by the group column over the data-sized
+    # histogram (that shape runs #groups tasks regardless of cluster size)
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.hash("id").cast("double") / 7.0).alias("v"),
+    )
+    out = stats.grouped_exact_percentiles(df, "g", "v", PS, few_groups=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.split("\n"):
+        # the histogram-sized cum window would be partitioned by g and
+        # ORDERED BY the value column; the surviving g-partitioned
+        # window ordered by __pid is the cell-table offsets (tiny)
+        if (
+            "Window" in line
+            and "windowspecdefinition(g#" in line
+            and "v#" in line
+        ):
+            raise AssertionError(f"group-only window survived: {line[:140]}")
