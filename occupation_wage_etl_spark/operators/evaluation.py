@@ -40,6 +40,7 @@ def _dist_cum_before(
     df: DataFrame,
     order_cols: list[str],
     weight: F.Column,
+    extra_weights: dict[str, F.Column] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed exclusive prefix sum: append ``__cumb`` = sum of
     ``weight`` over all rows STRICTLY BEFORE each row in ``order_cols``
@@ -62,35 +63,55 @@ def _dist_cum_before(
 
     Returns (rows + ``__cumb``, the 1-row grand-total frame) — the
     total rides along so callers don't rescan the input for ``n``.
+
+    ``extra_weights`` maps output column name -> weight expression for
+    ADDITIONAL prefix sums computed in the same pass (same shuffle,
+    same windows, offsets table grows by one column each) — e.g. AUC
+    variants needing separate positive/negative cumulatives.  Their
+    grand totals ride on the total frame as ``<name>_total``.
     """
     sp = df.sparkSession
     n_parts = int(sp.conf.get("spark.sql.shuffle.partitions"))
-    parted = cached(
-        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__w", weight)
+    ws = {"__cumb": weight, **(extra_weights or {})}
+    parted = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    for name, expr in ws.items():
+        parted = parted.withColumn(f"__w{name}", expr)
+    parted = cached(parted)
+    totals = parted.groupBy("__pid").agg(
+        *[F.sum(f"__w{n}").alias(f"__pt{n}") for n in ws]
     )
-    totals = parted.groupBy("__pid").agg(F.sum("__w").alias("__pt"))
     w_p = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__pid",
-        F.coalesce(F.sum("__pt").over(w_p), F.lit(0)).alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__pt{n}").over(w_p), F.lit(0)).alias(f"__off{n}")
+            for n in ws
+        ],
     )
-    total = totals.agg(F.sum("__pt").alias("__total"))
+    total = totals.agg(
+        F.sum("__pt__cumb").alias("__total"),
+        *[
+            F.sum(f"__pt{n}").alias(f"{n}_total")
+            for n in ws
+            if n != "__cumb"
+        ],
+    )
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = (
-        parted.withColumn(
-            "__cin", F.coalesce(F.sum("__w").over(w_in), F.lit(0))
+    out = parted
+    for n in ws:
+        out = out.withColumn(
+            f"__cin{n}", F.coalesce(F.sum(f"__w{n}").over(w_in), F.lit(0))
         )
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn("__cumb", F.col("__cin") + F.col("__off"))
-        .drop("__pid", "__w", "__cin", "__off")
-    )
-    return out, total
+    out = out.join(F.broadcast(offsets), "__pid")
+    for n in ws:
+        out = out.withColumn(n, F.col(f"__cin{n}") + F.col(f"__off{n}"))
+        out = out.drop(f"__w{n}", f"__cin{n}", f"__off{n}")
+    return out.drop("__pid"), total
 
 
 def roc_auc(
@@ -195,6 +216,173 @@ def calibration_bins(
             ).alias("mean_score"),
         )
         .orderBy("bin")
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact fixed-point average precision (PR-AUC, the step-function
+    definition): ``AP = Σ_thresholds (ΔTP/P) · precision@threshold``
+    with one threshold per DISTINCT score (all ties enter together —
+    the standard convention).  The skew-robust companion to
+    :func:`roc_auc` for rare-positive corpora (AUC stays high when
+    positives are 0.1%; AP collapses — which is the point).
+
+    Engine-portability: each threshold's term is the exact rational
+    ``p_g·TP_g / (P·(TP_g+FP_g))``; floats would make the SUM
+    partition-order-dependent, so every term is floor-quantized to
+    ``1/scale`` units IN INTEGER ARITHMETIC —
+    ``(p_g·TP_g·scale) div (P·(TP_g+FP_g))`` as DECIMAL(38,0)
+    (products reach ~1e36 at corpus scale; BIGINT would overflow,
+    HUGEINT mirrors it in the oracle) — and the integer sum divides by
+    ``scale`` once at the end.  Quantization error is < #distinct/1e12:
+    absorbed by the definition ("12-decimal fixed-point AP"), and every
+    intermediate is order/partition/engine independent.
+
+    Scale shape: identical to :func:`roc_auc` — distinct-score
+    histogram, one two-level distributed prefix pass (positive and
+    negative cumulatives share the pass via ``extra_weights``), one
+    final hash aggregate.  Returns one row (n_pos, n_neg, ap).
+    """
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(y).alias("p"),
+            F.sum(F.lit(1) - y).alias("n"),
+        )
+    )
+    ranked, total = _dist_cum_before(
+        g, ["__s"], F.col("p"), extra_weights={"__cumn": F.col("n")}
+    )
+    # score >= threshold g  ⇔  NOT strictly-below g:
+    #   TP_g = P - cumb_p(g),  FP_g = N - cumb_n(g)
+    j = ranked.crossJoin(F.broadcast(total))
+    P = F.col("__total")          # total positives (weight was p)
+    N = F.col("__cumn_total")
+    tp = (P - F.col("__cumb")).cast("decimal(38,0)")
+    fp = (N - F.col("__cumn")).cast("decimal(38,0)")
+    num = F.col("p").cast("decimal(38,0)") * tp * F.lit(scale)
+    den = P.cast("decimal(38,0)") * (tp + fp)
+    # decimal division ROUNDS (to the result scale), which could cross
+    # an integer boundary and corrupt the floor; the remainder identity
+    # floor(a/b) = (a - a%b)/b stays exact on non-negative decimals
+    # (decimal % is exact, the final division is integral).  den = 0
+    # only when P = 0 (no positives: AP undefined -> NULL; ANSI mode
+    # would otherwise raise on the modulo).
+    fl = F.when(den > 0, ((num - (num % den)) / den).cast("decimal(38,0)"))
+    agg = j.agg(
+        F.max(P).alias("n_pos"),
+        F.max(N).alias("n_neg"),
+        F.sum(fl).alias("__ap_scaled"),
+    )
+    return agg.select(
+        F.col("n_pos"),
+        F.col("n_neg"),
+        (F.col("__ap_scaled").cast("double") / F.lit(float(scale))).alias("ap"),
+    )
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Confusion matrix and derived rates at ``score >= threshold`` —
+    the deployment-readout companion to the threshold-free AUC/AP
+    curves.  Counts are one hash aggregate; precision/recall/F1/
+    accuracy are exact integer ratios (single IEEE division each, no
+    rounding needed); degenerate denominators yield NULL.
+
+    Returns one row (tp, fp, fn, tn, precision, recall, f1, accuracy).
+    """
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        (s >= F.lit(threshold)).cast("long").alias("__pred"), y.alias("__y")
+    )
+    c = base.agg(
+        F.sum(F.col("__pred") * F.col("__y")).alias("tp"),
+        F.sum(F.col("__pred") * (F.lit(1) - F.col("__y"))).alias("fp"),
+        F.sum((F.lit(1) - F.col("__pred")) * F.col("__y")).alias("fn"),
+        F.sum(
+            (F.lit(1) - F.col("__pred")) * (F.lit(1) - F.col("__y"))
+        ).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    ratio = lambda num, den: F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    )
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+        ratio(tp + tn, tp + fp + fn + tn).alias("accuracy"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelers (heuristic
+    classifier vs gold slice, two annotation pipelines) — agreement
+    corrected for chance.  With ``agree`` the count of matching rows
+    and ``e = Σ_c count_a(c)·count_b(c)`` the chance-agreement mass:
+
+        kappa = (n·agree - e) / (n² - e)
+
+    — every term a product of counts, so the whole statistic is ONE
+    integer-exact fraction evaluated in a single closing division
+    (DECIMAL(38,0) products; n² reaches 1e24 at corpus scale).
+
+    Scale shape: one hash aggregate per marginal (category-sized) plus
+    one for the diagonal; the marginal join is category×category-sized.
+    NULL labels on either side are excluded.  Returns one row
+    (n_rows, n_agree, kappa).
+    """
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    base = cached(base)  # feeds diagonal agg + two marginals
+    diag = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long")).alias("agree"),
+    )
+    ma = base.groupBy("__a").agg(F.count(F.lit(1)).alias("ca"))
+    mb = base.groupBy("__b").agg(F.count(F.lit(1)).alias("cb"))
+    e = (
+        ma.join(mb, ma["__a"] == mb["__b"])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("ca").cast("decimal(38,0)")
+                    * F.col("cb").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("e")
+        )
+    )
+    j = diag.crossJoin(F.broadcast(e))
+    n = F.col("n").cast("decimal(38,0)")
+    agree = F.col("agree").cast("decimal(38,0)")
+    num = n * agree - F.col("e")
+    den = n * n - F.col("e")
+    # string-route decimal->double: both sides exceed 2^53 at corpus
+    # scale and the direct casts round differently cross-engine
+    dbl = lambda c: c.cast("string").cast("double")
+    return j.select(
+        F.col("n").alias("n_rows"),
+        F.col("agree").alias("n_agree"),
+        F.when(den > 0, dbl(num) / dbl(den)).alias("kappa"),
     )
 
 

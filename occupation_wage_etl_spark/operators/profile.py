@@ -321,3 +321,110 @@ def psi(
             lambda acc, s: acc + s["v"],
         ).alias("psi"),
     )
+
+
+def gini_token_frequencies(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Gini coefficient of the token-TYPE frequency distribution — the
+    single-number corpus-diversity readout (0 = every type equally
+    frequent, →1 = a few types dominate; natural corpora sit ~0.8-0.95,
+    template/boilerplate floods push higher).
+
+    Exact rank-weighted identity over the FREQUENCY histogram
+    (#types per frequency — far smaller than the vocab): a run of
+    ``cnt`` types sharing frequency ``x`` after ``cumb`` lower-ranked
+    types contributes ranks ``cumb+1 .. cumb+cnt``, so
+
+        2·S = Σ_runs x · cnt · (2·cumb + cnt + 1)
+        gini = (2·S − (n+1)·T) / (n·T)
+
+    with n = #types, T = total tokens — every term an exact integer
+    (DECIMAL(38,0) products; x·cnt·cumb reaches ~1e30 at corpus scale),
+    one closing IEEE division.  The rank prefix ``cumb`` comes from the
+    distributed two-level scan (``evaluation._dist_cum_before``), so no
+    global-order window anywhere.  Returns one row
+    (n_types, n_tokens, gini).
+    """
+    from occupation_wage_etl_spark.functions import text as T
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
+    )
+
+    types = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    fhist = types.groupBy(F.col("__f").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked, _ = _dist_cum_before(fhist, ["x"], F.col("cnt"))
+    d = lambda c: c.cast("decimal(38,0)")
+    agg = ranked.agg(
+        F.sum("cnt").alias("n_types"),
+        F.sum(d(F.col("x")) * d(F.col("cnt"))).alias("__T"),
+        F.sum(
+            d(F.col("x"))
+            * d(F.col("cnt"))
+            * (F.lit(2) * d(F.col("__cumb")) + d(F.col("cnt")) + F.lit(1))
+        ).alias("__twoS"),
+    )
+    n = d(F.col("n_types"))
+    T_, twoS = F.col("__T"), F.col("__twoS")
+    # decimal -> double via STRING on both factors: numerator/denominator
+    # exceed 2^53 at corpus scale, and Spark's direct decimal->double
+    # cast rounds via the shortest string while DuckDB's HUGEINT->double
+    # rounds the binary value — the string route is correctly rounded
+    # from the exact integer in both engines (q49/grouped_zscore rule).
+    dbl = lambda c: c.cast("string").cast("double")
+    gini = dbl(twoS - (n + 1) * T_) / dbl(n * T_)
+    return agg.select(
+        F.col("n_types"),
+        T_.cast("long").alias("n_tokens"),
+        gini.alias("gini"),
+    )
+
+
+def chao1_vocab_richness(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Chao1 estimate of TOTAL vocabulary size (observed + unseen) from
+    the singleton/doubleton type counts — "how much vocab would more
+    data reveal?", the coverage readout for corpus-growth decisions.
+
+    Bias-corrected Chao1 (defined for f2 = 0):
+
+        chao1 = D + f1·(f1−1) / (2·(f2+1))
+
+    with D observed types, f1 singleton types, f2 doubleton types —
+    integer counts off the same frequency histogram as the Gini
+    operator, one exact closing division.  Returns one row
+    (n_types, f1, f2, chao1).
+    """
+    from occupation_wage_etl_spark.functions import text as T
+
+    types = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    agg = types.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__f") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__f") == 2).cast("long")).alias("f2"),
+    )
+    f1, f2 = F.col("f1"), F.col("f2")
+    # f1·(f1−1) exceeds BIGINT once singletons pass ~3e9: exact decimal
+    # product, then the string-route double conversion (see gini note)
+    num = (f1.cast("decimal(38,0)") * (f1 - 1).cast("decimal(38,0)"))
+    chao1 = (
+        F.col("n_types").cast("double")
+        + num.cast("string").cast("double")
+        / (F.lit(2) * (f2 + 1)).cast("double")
+    )
+    return agg.select("n_types", "f1", "f2", chao1.alias("chao1"))

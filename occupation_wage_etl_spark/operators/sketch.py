@@ -1,0 +1,183 @@
+"""Deterministic, oracle-replayable sketches: HyperLogLog and Count-Min.
+
+Spark ships engine-specific sketches (``approx_count_distinct``'s
+HLL++, datasketches functions) whose internals can't be replayed by
+another engine — fine for production estimates (bench path x47), but
+invisible to this repo's cross-engine correctness gate.  These two
+operators implement the CLASSIC sketch constructions from md5-derived
+hashes, so a DuckDB oracle reproduces every register/counter and the
+final estimate BIT-FOR-BIT:
+
+- :func:`hll_distinct` — Flajolet et al. 2007 HyperLogLog: 2^b
+  registers keyed by the hash's top bits, register value = position of
+  the first 1-bit in the remaining window.  The harmonic-mean step sums
+  ``2^-rho`` terms — dyadic rationals whose float sums are EXACT in
+  any order, so the estimate needs no rounding (only the small-range
+  ``ln`` correction rounds, 6dp).
+- :func:`cms_heavy_hitters` — Cormode & Muthukrishnan 2005 Count-Min:
+  ``depth`` independent hash rows of ``width`` counters; a point query
+  reads the MINIMUM across rows (overestimates only).  Pure integer
+  arithmetic end-to-end.
+
+Both are one hash-aggregate pipelines over the token stream: the
+sketch state (2^b registers, depth×width counters) is constant-size
+regardless of input — the 100 TB property that makes sketches worth
+having.  Reference analogue: none (training-data extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col: F.Column, salt: str = "") -> F.Column:
+    """60-bit non-negative BIGINT from md5 — 15 hex chars keeps the
+    value positive in both engines (16 would hit the BIGINT sign bit)."""
+    prefixed = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(prefixed), 1, 15), 16, 10).cast("long")
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col,
+    b: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``value_col`` with
+    ``m = 2^b`` registers (default 256 → ~6.5% standard error).
+
+    Register index = top ``b`` bits of the 60-bit md5 hash; rho =
+    position of the first 1-bit in the remaining ``60-b`` bits (the
+    all-zero window maps to ``60-b+1``).  One hash aggregate
+    ``groupBy(register).max(rho)`` — m rows out, constant memory.
+
+    Estimate: ``E = alpha_m · m² / Σ_j 2^(−M_j)`` (absent registers
+    contribute 2^0 = 1), with the standard small-range correction
+    ``E* = m·ln(m/V)`` when ``E ≤ 2.5m`` and V (= empty registers) > 0.
+    Every ``2^-rho`` term is a dyadic rational — float addition of
+    these is exact in any order, so ``raw_estimate`` is deterministic
+    without rounding; the correction's ``ln`` rounds at 6dp (the
+    cross-engine libm guard).  ``alpha_m`` is a Python-computed literal
+    (identical parse in any engine).
+
+    Returns one row (m, n_empty_registers, raw_estimate, estimate).
+    """
+    m = 1 << b
+    window = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _h60(value_col.cast("string"), salt="hll:")
+    reg = F.shiftright(h, window).bitwiseAND(F.lit(m - 1))
+    w = h.bitwiseAND(F.lit((1 << window) - 1))
+    # msb position via the binary-string length (conv drops leading
+    # zeros in both engines); w = 0 → rho = window + 1
+    rho = F.when(
+        w == 0, F.lit(window + 1)
+    ).otherwise(F.lit(window) - F.length(F.conv(w, 10, 2)) + 1)
+    regs = (
+        df.filter(value_col.isNotNull())
+        .select(reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy("__reg")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    # 2^-M as an exact double: 1 / (1 << M) — integer shift + one exact
+    # power-of-two division (pow() may go through exp/log and drift)
+    inv = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(__M AS INT)) AS DOUBLE)"
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(inv).alias("__sum_present"),
+    )
+    present = F.col("__present")
+    sum_inv = F.col("__sum_present") + (F.lit(m) - present).cast("double")
+    raw = F.lit(alpha * m * m) / sum_inv
+    empty = (F.lit(m) - present).cast("long")
+    corrected = F.round(
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")), 6
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        empty.alias("n_empty_registers"),
+        raw.alias("raw_estimate"),
+        F.when((raw <= F.lit(2.5 * m)) & (empty > 0), corrected)
+        .otherwise(raw)
+        .alias("estimate"),
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min point estimates for the ``k`` most frequent values,
+    reported against their true counts — the audit form of the sketch
+    (how much do ``depth``×``width`` counters overestimate THIS
+    corpus's heavy hitters?).
+
+    Sketch build: each row increments one counter per hash row —
+    ``depth`` deterministic md5 hashes mod ``width``; implemented as a
+    value-histogram first (one row-sized shuffle), then the
+    depth-explode and counter aggregate run on TYPE-sized data.  Point
+    query: min over the value's ``depth`` counters — upward-biased
+    only.  All integers; top-k ties break value-ascending.
+
+    Returns k rows (value, true_count, cms_estimate), ordered by
+    (true_count desc, value asc).
+    """
+    counts = (
+        df.filter(value_col.isNotNull())
+        .groupBy(value_col.cast("string").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    counts = cached(counts)  # feeds counters, and top-k probe
+    buckets = counts.select(
+        "__v",
+        "__c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_h60(F.col("__v"), salt=f"cms{d}:") % width).alias(
+                            "bkt"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__v", "__c", "__b.d", "__b.bkt")
+    counters = buckets.groupBy("d", "bkt").agg(F.sum("__c").alias("ctr"))
+    top = (
+        counts.orderBy(F.desc("__c"), F.asc("__v"))
+        .limit(k)
+        .select("__v", F.col("__c").alias("true_count"))
+    )
+    probe = top.select(
+        "__v",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_h60(F.col("__v"), salt=f"cms{d}:") % width).alias(
+                            "bkt"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__v", "true_count", "__b.d", "__b.bkt")
+    est = (
+        probe.join(counters, ["d", "bkt"])
+        .groupBy(F.col("__v").alias("value"), "true_count")
+        .agg(F.min("ctr").alias("cms_estimate"))
+    )
+    return est.orderBy(F.desc("true_count"), F.asc("value"))

@@ -355,3 +355,79 @@ def vocab_novelty(
         )
         .select(F.col("slc").alias(slice_col), "n_tokens", "n_new")
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the head of the token-frequency distribution:
+    OLS of ln(frequency) on ln(rank) for the ``top_k`` most frequent
+    types — slope ≈ −1 is the natural-language signature; a flat slope
+    flags synthetic/templated corpora, a cliff flags boilerplate floods.
+    (Zipf behavior is a HEAD property; the tail bends away from the
+    power law in every natural corpus, hence the rank cutoff — which is
+    also what bounds the fit state, making the operator scale-free.)
+
+    Determinism: ranks are exact (count desc, token asc ties);
+    ``ln`` values round at 12dp (identical doubles cross-engine — the
+    q147 rule); the five OLS moment sums run as SEQUENTIAL rank-ordered
+    folds over the ≤ top_k collected terms (array_sort + aggregate —
+    bit-identical to the oracle's list_reduce), and the closed-form
+    slope/intercept/r² is one fixed scalar tree.  Everything after the
+    type histogram is top_k-sized.
+
+    Returns one row (n_ranks, slope, intercept, r2).
+    """
+    types = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    head = (
+        types.orderBy(F.desc("__f"), F.asc("__t"))
+        .limit(top_k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("__f"), F.asc("__t")))
+            .alias("__r"),
+            "__f",
+        )
+    )
+    terms = head.select(
+        F.struct(
+            F.col("__r").alias("r"),
+            F.round(F.log(F.col("__r").cast("double")), 12).alias("x"),
+            F.round(F.log(F.col("__f").cast("double")), 12).alias("y"),
+        ).alias("s")
+    )
+    one = terms.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.array_sort(F.collect_list("s")).alias("arr"),
+    )
+    fold = lambda expr: F.expr(
+        f"aggregate(arr, CAST(0.0 AS DOUBLE), (acc, s) -> acc + {expr})"
+    )
+    sums = one.select(
+        "n_ranks",
+        fold("s.x").alias("sx"),
+        fold("s.y").alias("sy"),
+        fold("s.x * s.y").alias("sxy"),
+        fold("s.x * s.x").alias("sxx"),
+        fold("s.y * s.y").alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    r = cov / (F.sqrt(dx) * F.sqrt(dy))
+    return sums.select(
+        "n_ranks",
+        F.when(dx > 0, cov / dx).alias("slope"),
+        F.when(dx > 0, (sy - (cov / dx) * sx) / n).alias("intercept"),
+        F.when((dx > 0) & (dy > 0), r * r).alias("r2"),
+    )

@@ -70,6 +70,7 @@ from occupation_wage_etl_spark.operators import (
     range_join,
     retrieval,
     similarity,
+    sketch,
     skew,
     splits,
     stats,
@@ -7139,6 +7140,351 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {PPJOIN_T}
 
 
 # ---------------------------------------------------------------------------
+# q153-q155 — classifier evaluation II (operators/evaluation.py):
+# fixed-point average precision (the rare-positive companion to AUC),
+# confusion matrix at a deployment threshold, and Cohen's kappa between
+# two labelers.  All integer arithmetic until one closing division;
+# AP's per-threshold terms are floor-quantized to 1e-12 in DECIMAL/
+# HUGEINT so the sum is partition-order and engine independent.
+# ---------------------------------------------------------------------------
+
+AP_SCALE = 10**12
+CONF_THRESHOLD = 0.5
+
+
+def q153_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.average_precision(
+        _quality_labeled(spark, sf_dir), "score", "label", scale=AP_SCALE
+    )
+
+
+Q153_SQL = f"""
+WITH {_QUALITY_CTE}, g AS (
+  SELECT score AS s, CAST(sum(label) AS BIGINT) AS p,
+         CAST(sum(1 - label) AS BIGINT) AS n
+  FROM scored GROUP BY 1
+), ranked AS (
+  -- aliases must not collide with p/n: DuckDB identifiers are
+  -- case-insensitive, so "AS P" would resolve back to column p
+  SELECT p, n,
+         CAST(coalesce(sum(p) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cbp,
+         CAST(coalesce(sum(n) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cbn,
+         CAST(sum(p) OVER () AS BIGINT) AS ptot,
+         CAST(sum(n) OVER () AS BIGINT) AS ntot
+  FROM g
+), terms AS (
+  SELECT ptot, ntot,
+         (p::HUGEINT * (ptot - cbp)::HUGEINT * {AP_SCALE})
+           // (ptot::HUGEINT * ((ptot - cbp) + (ntot - cbn))::HUGEINT) AS t
+  FROM ranked
+)
+SELECT max(ptot) AS n_pos, max(ntot) AS n_neg,
+       CAST(sum(t) AS DOUBLE) / {float(AP_SCALE)} AS ap
+FROM terms
+"""
+
+
+def q154_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.confusion_at_threshold(
+        _quality_labeled(spark, sf_dir), "score", "label", CONF_THRESHOLD
+    )
+
+
+Q154_SQL = f"""
+WITH {_QUALITY_CTE}, c AS (
+  SELECT
+    CAST(sum(CASE WHEN score >= {CONF_THRESHOLD} AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN score >= {CONF_THRESHOLD} AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN score < {CONF_THRESHOLD} AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN score < {CONF_THRESHOLD} AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       END AS f1,
+       CASE WHEN tp + fp + fn + tn > 0
+            THEN CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+       END AS accuracy
+FROM c
+"""
+
+
+def q155_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("ra"),
+        F.when(
+            T.quality_score(F.col("text")) >= CONF_THRESHOLD, "en"
+        ).otherwise("other").alias("rb"),
+    )
+    return evaluation.cohens_kappa(rated, "ra", "rb")
+
+
+Q155_SQL = f"""
+WITH {_QUALITY_CTE}, labels AS (
+  SELECT doc_id,
+         CASE WHEN label = 1 THEN 'en' ELSE 'other' END AS ra,
+         CASE WHEN score >= {CONF_THRESHOLD} THEN 'en' ELSE 'other' END AS rb
+  FROM scored
+), diag AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM labels
+), ma AS (
+  SELECT ra AS c, CAST(count(*) AS BIGINT) AS ca FROM labels GROUP BY 1
+), mb AS (
+  SELECT rb AS c, CAST(count(*) AS BIGINT) AS cb FROM labels GROUP BY 1
+), ee AS (
+  SELECT coalesce(sum(ca::HUGEINT * cb::HUGEINT), 0::HUGEINT) AS e
+  FROM ma JOIN mb USING (c)
+)
+SELECT n AS n_rows, agree AS n_agree,
+       CASE WHEN n::HUGEINT * n::HUGEINT - e > 0
+            THEN CAST(n::HUGEINT * agree::HUGEINT - e AS DOUBLE)
+                 / CAST(n::HUGEINT * n::HUGEINT - e AS DOUBLE)
+       END AS kappa
+FROM diag, ee
+"""
+
+
+# ---------------------------------------------------------------------------
+# q156-q158 — corpus-distribution profiling (operators/profile.py /
+# text_analysis.py): Gini inequality of type frequencies (rank-weighted
+# integer identity over the frequency histogram, ranks from the
+# distributed two-level prefix scan), Chao1 unseen-vocab estimate, and
+# the Zipf log-log OLS over the top-1000 head.
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = f"""
+tok0 AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS t FROM documents
+), tok AS (
+  SELECT t FROM tok0 WHERE t <> ''
+), types AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1
+)"""
+
+
+def q156_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return profile.gini_token_frequencies(docs, "text")
+
+
+Q156_SQL = f"""
+WITH {_TOK_CTE}, fhist AS (
+  SELECT f AS x, CAST(count(*) AS BIGINT) AS cnt FROM types GROUP BY 1
+), ranked AS (
+  SELECT x, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cumb
+  FROM fhist
+), agg AS (
+  SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+         sum(x::HUGEINT * cnt::HUGEINT) AS T,
+         sum(x::HUGEINT * cnt::HUGEINT
+             * (2::HUGEINT * cumb::HUGEINT + cnt::HUGEINT + 1::HUGEINT))
+           AS twoS
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_types, CAST(T AS BIGINT) AS n_tokens,
+       CAST(twoS - (n + 1) * T AS DOUBLE) / CAST(n * T AS DOUBLE) AS gini
+FROM agg
+"""
+
+
+def q157_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return profile.chao1_vocab_richness(docs, "text")
+
+
+Q157_SQL = f"""
+WITH {_TOK_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(count(*) AS DOUBLE)
+         + CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::HUGEINT
+                * (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1)::HUGEINT
+             AS DOUBLE)
+           / CAST(2 * (sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+         AS chao1
+FROM types
+"""
+
+ZIPF_TOP_K = 1000
+
+
+def q158_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.zipf_fit(docs, "text", top_k=ZIPF_TOP_K)
+
+
+Q158_SQL = f"""
+WITH {_TOK_CTE}, head AS (
+  SELECT t, f FROM types ORDER BY f DESC, t LIMIT {ZIPF_TOP_K}
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY f DESC, t) AS r, f FROM head
+), terms AS (
+  SELECT list_sort(list({{'r': CAST(r AS BIGINT),
+                          'x': round(ln(CAST(r AS DOUBLE)), 12),
+                          'y': round(ln(CAST(f AS DOUBLE)), 12)}})) AS arr,
+         CAST(count(*) AS BIGINT) AS n_ranks
+  FROM ranked
+), sums AS (
+  SELECT n_ranks,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(arr, s -> s.x)), (a, v) -> a + v) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(arr, s -> s.y)), (a, v) -> a + v) AS sy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(arr, s -> s.x * s.y)), (a, v) -> a + v) AS sxy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(arr, s -> s.x * s.x)), (a, v) -> a + v) AS sxx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(arr, s -> s.y * s.y)), (a, v) -> a + v) AS syy
+  FROM terms
+)
+SELECT n_ranks,
+       CASE WHEN CAST(n_ranks AS DOUBLE) * sxx - sx * sx > 0
+            THEN (CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx) END AS slope,
+       CASE WHEN CAST(n_ranks AS DOUBLE) * sxx - sx * sx > 0
+            THEN (sy - ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n_ranks AS DOUBLE) END AS intercept,
+       CASE WHEN CAST(n_ranks AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n_ranks AS DOUBLE) * syy - sy * sy > 0
+            THEN ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n_ranks AS DOUBLE) * syy - sy * sy)))
+                 * ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                    / (sqrt(CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
+                       * sqrt(CAST(n_ranks AS DOUBLE) * syy - sy * sy)))
+       END AS r2
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# q159-q160 — oracle-replayable sketches (operators/sketch.py): classic
+# HyperLogLog (md5-derived registers; the harmonic sum is dyadic-exact
+# so even the float estimate hash-matches) audited against the exact
+# distinct count, and Count-Min point estimates for the top-10 tokens
+# against their true counts.  The engine-native sketches (HLL++ /
+# approx_count_distinct) stay on the bench-only x47 path — these
+# entries make the sketch MATH itself oracle-checkable.
+# ---------------------------------------------------------------------------
+
+HLL_B = 8
+CMS_K, CMS_DEPTH, CMS_WIDTH = 10, 4, 1024
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def q159_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir)
+    est = sketch.hll_distinct(toks, F.col("tok"), b=HLL_B)
+    exact = toks.agg(F.count_distinct(F.col("tok")).alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_empty_registers",
+        "raw_estimate",
+        "estimate",
+        "exact_distinct",
+        (
+            (F.col("estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+Q159_SQL = f"""
+WITH {_TOK_CTE}, hashed AS (
+  SELECT ('0x' || substr(md5('hll:' || t), 1, 15))::BIGINT AS h FROM tok
+), rr AS (
+  SELECT (h >> 52) & 255 AS reg,
+         CASE WHEN (h & {(1 << 52) - 1}) = 0 THEN 53
+              ELSE 52 - length(bin(h & {(1 << 52) - 1})) + 1 END AS rho
+  FROM hashed
+), regs AS (
+  SELECT reg, max(rho) AS M FROM rr GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS present,
+         sum(1.0 / CAST(1::BIGINT << CAST(M AS INTEGER) AS DOUBLE))
+           AS sum_present
+  FROM regs
+), est AS (
+  SELECT 256 AS m, CAST(256 - present AS BIGINT) AS n_empty_registers,
+         7.18272593249545843e-01 * 65536.0
+           / (sum_present + CAST(256 - present AS DOUBLE)) AS raw_estimate,
+         present
+  FROM agg
+), fin AS (
+  SELECT m, n_empty_registers, raw_estimate,
+         CASE WHEN raw_estimate <= 640.0 AND n_empty_registers > 0
+              THEN round(256.0 * ln(256.0 / CAST(n_empty_registers AS DOUBLE)), 6)
+              ELSE raw_estimate END AS estimate
+  FROM est
+)
+SELECT m, n_empty_registers, raw_estimate, estimate,
+       (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok) AS exact_distinct,
+       (estimate - CAST((SELECT count(DISTINCT t) FROM tok) AS DOUBLE))
+         / CAST((SELECT count(DISTINCT t) FROM tok) AS DOUBLE) AS rel_error
+FROM fin
+"""
+
+
+def q160_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir)
+    return sketch.cms_heavy_hitters(
+        toks, F.col("tok"), k=CMS_K, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+
+
+def _cms_sql() -> str:
+    bucket = (
+        "('0x' || substr(md5('cms' || {d} || ':' || t), 1, 15))::BIGINT"
+        f" % {CMS_WIDTH}"
+    )
+    return f"""
+WITH {_TOK_CTE}, buckets AS (
+  SELECT t, f, d.d, {bucket.format(d='d.d')} AS bkt
+  FROM types, range(0, {CMS_DEPTH}) d(d)
+), counters AS (
+  SELECT d, bkt, CAST(sum(f) AS BIGINT) AS ctr FROM buckets GROUP BY 1, 2
+), top AS (
+  SELECT t, f FROM types ORDER BY f DESC, t LIMIT {CMS_K}
+), probe AS (
+  SELECT top.t, top.f, d.d, {bucket.format(d='d.d')} AS bkt
+  FROM top, range(0, {CMS_DEPTH}) d(d)
+)
+SELECT probe.t AS value, CAST(probe.f AS BIGINT) AS true_count,
+       CAST(min(counters.ctr) AS BIGINT) AS cms_estimate
+FROM probe JOIN counters ON probe.d = counters.d AND probe.bkt = counters.bkt
+GROUP BY 1, 2
+ORDER BY true_count DESC, value
+"""
+
+
+Q160_SQL = _cms_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7295,6 +7641,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_ndcg": q150_ndcg,
     "q151_entity_resolution": q151_entity_resolution,
     "q152_ngram_prefix_pairs": q152_ngram_prefix_pairs,
+    "q153_average_precision": q153_average_precision,
+    "q154_confusion": q154_confusion,
+    "q155_cohens_kappa": q155_cohens_kappa,
+    "q156_gini_tokens": q156_gini_tokens,
+    "q157_chao1": q157_chao1,
+    "q158_zipf_fit": q158_zipf_fit,
+    "q159_hll_distinct": q159_hll_distinct,
+    "q160_cms_heavy": q160_cms_heavy,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7450,4 +7804,12 @@ ORACLE_SQL: dict[str, str] = {
     "q150_ndcg": Q150_SQL,
     "q151_entity_resolution": Q151_SQL,
     "q152_ngram_prefix_pairs": Q152_SQL,
+    "q153_average_precision": Q153_SQL,
+    "q154_confusion": Q154_SQL,
+    "q155_cohens_kappa": Q155_SQL,
+    "q156_gini_tokens": Q156_SQL,
+    "q157_chao1": Q157_SQL,
+    "q158_zipf_fit": Q158_SQL,
+    "q159_hll_distinct": Q159_SQL,
+    "q160_cms_heavy": Q160_SQL,
 }
