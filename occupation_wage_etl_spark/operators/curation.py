@@ -174,3 +174,134 @@ def cluster_representatives(
         (-F.col("__w.neg_id")).alias("rep_id"),
         F.col("__w.s").alias("rep_score"),
     )
+
+
+def unigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram language
+    model — the dependency-free stand-in for CCNet/RedPajama's KenLM
+    perplexity filter: documents whose token distribution diverges from
+    the corpus (gibberish, key-mash, foreign-language leaks) score
+    high; dead-center prose scores near the corpus entropy.
+
+        CE(d) = − Σ_t c_dt · ln(c_t / T) / len_d     (nats/token)
+
+    Determinism: each type's log-probability is an integer-ratio
+    division (exact, identical cross-engine) ln-rounded at 12dp (the
+    q147 rule); the per-document sum is a SORTED SEQUENTIAL fold over
+    the document's own (token, term) array — bounded by the document's
+    distinct-type count, the same per-row array scale as tokenization
+    itself — and the closing division is one IEEE op.  No corpus-sized
+    float fold anywhere.
+
+    Scale shape: one explode + (doc, token) hash aggregate (row-sized,
+    the tokenization shuffle), one vocab-sized aggregate for the LM,
+    one equi-join on token (vocab side is dictionary-sized; Catalyst/
+    AQE picks broadcast when it fits), one per-doc collect_list of its
+    own types.  Returns (id, n_tokens, n_types, cross_entropy).
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(T.tokens(F.col(text_col))).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+    )
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    dt = cached(
+        tok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    )  # feeds the corpus LM and the per-doc join
+    # the LM branch renames the token AT ITS SOURCE projection: lmp
+    # descends from dt, and a same-named join key on self-lineage is an
+    # AMBIGUOUS_REFERENCE at analysis time
+    lm = (
+        dt.select(F.col("__t").alias("__lt"), "__c")
+        .groupBy("__lt")
+        .agg(F.sum("__c").alias("__ct"))
+    )
+    tot = lm.agg(F.sum("__ct").alias("__T"))
+    lmp = lm.crossJoin(F.broadcast(tot)).select(
+        "__lt",
+        F.round(
+            F.log(
+                F.col("__ct").cast("double") / F.col("__T").cast("double")
+            ),
+            12,
+        ).alias("__lnp"),
+    )
+    terms = dt.join(lmp, dt["__t"] == lmp["__lt"]).select(
+        "__id",
+        "__c",
+        F.struct(
+            F.col("__t").alias("t"),
+            (F.col("__c").cast("double") * F.col("__lnp")).alias("v"),
+        ).alias("__s"),
+    )
+    per_doc = terms.groupBy("__id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.aggregate(
+            F.array_sort(F.collect_list("__s")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("__sum"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_types",
+        (-F.col("__sum") / F.col("n_tokens").cast("double")).alias(
+            "cross_entropy"
+        ),
+    )
+
+
+def ngram_repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-rule repetition signal: the fraction of a document's word
+    ``n``-grams claimed by its single most repeated n-gram — loops,
+    boilerplate stutter, and SEO keyword-stuffing push it toward 1
+    while natural prose stays near 1/#ngrams.
+
+    Pure integer plan: explode n-grams → (doc, gram) hash aggregate →
+    per-doc argmax via ``max(struct(count, gram))`` (deterministic,
+    ties to the LARGEST gram — the :func:`stats.grouped_mode` trick, no
+    window) → one exact integer-ratio division.  Documents shorter than
+    ``n`` tokens follow ``word_ngrams``' one-whole-text-shingle rule
+    (ratio 1.0 over a single gram) — filter on ``n_ngrams`` downstream
+    if the rule should only judge long-enough documents.
+
+    Returns (id, n_ngrams, top_ngram, top_count, repetition_ratio).
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(T.word_ngrams(F.col(text_col), n)).alias("__g"),
+        )
+        .filter(F.col("__g") != "")
+    )
+    counts = grams.groupBy("__id", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = counts.groupBy("__id").agg(
+        F.sum("__c").alias("n_ngrams"),
+        F.max(F.struct(F.col("__c"), F.col("__g"))).alias("__m"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_ngrams",
+        F.col("__m.__g").alias("top_ngram"),
+        F.col("__m.__c").alias("top_count"),
+        (
+            F.col("__m.__c").cast("double")
+            / F.col("n_ngrams").cast("double")
+        ).alias("repetition_ratio"),
+    )

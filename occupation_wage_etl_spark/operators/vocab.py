@@ -149,6 +149,23 @@ def bpe_merges(
     Returns (round, merge_left, merge_right, merged, pair_count),
     one row per learned merge, round = 1..``rounds``.
     """
+    merges, _ = _bpe_learn(df, text_col, rounds)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "round int, merge_left string, merge_right string, "
+        "merged string, pair_count long",
+    )
+
+
+def _bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    rounds: int,
+):
+    """Shared BPE core: returns (merge rows, final word-type symbol
+    table) so :func:`bpe_merges` reports the learned merges and
+    :func:`bpe_token_counts` reports the vocabulary they induce without
+    re-deriving the fold."""
     spark = df.sparkSession
     t = F.trim(F.lower(F.col(text_col)))
     words = (
@@ -220,10 +237,38 @@ def bpe_merges(
             ).alias("syms"),
             "freq",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "round int, merge_left string, merge_right string, "
-        "merged string, pair_count long",
+    return merges, words
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> DataFrame:
+    """Apply the first ``rounds`` learned BPE merges and report the
+    resulting TOKEN vocabulary histogram — the encode half of the
+    tokenizer loop (:func:`bpe_merges` is the learn half): after R
+    merges, which subword units exist and how much corpus mass does
+    each carry?
+
+    Runs the identical learn-then-fold pipeline (word-TYPE table, so
+    every post-aggregation stage is type-sized) and finishes with one
+    explode + hash aggregate over the final symbol table.
+    ``n_positions`` counts the token's slots across word TYPES;
+    ``token_count`` weights each slot by its word's corpus frequency —
+    both integer-exact.
+
+    Returns (token, n_positions, token_count), one row per surviving
+    vocabulary unit.
+    """
+    _, words = _bpe_learn(df, text_col, rounds)
+    return (
+        words.select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum("freq").alias("token_count"),
+        )
     )
 
 

@@ -6661,6 +6661,21 @@ WITH w0 AS MATERIALIZED (
 Q144_SQL = _bpe_sql()
 
 
+def _bpe_encode_sql() -> str:
+    # q163: the same unrolled learn pipeline, finished by the token
+    # histogram of the final symbol table instead of the merge list
+    full = _bpe_sql()
+    # the merge-list finals start at the only "\nSELECT " (the UNION ALL
+    # branches are "\nUNION ALL SELECT")
+    head_and_stages = full[: full.rindex("\nSELECT ")]
+    return head_and_stages + f"""
+SELECT t AS token, CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(sum(freq) AS BIGINT) AS token_count
+FROM (SELECT unnest(syms) AS t, freq FROM w{BPE_ROUNDS})
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # q145/q146 — model evaluation: exact ROC-AUC and calibration deciles of
 # the heuristic quality score against an English-language label
@@ -7485,6 +7500,94 @@ Q160_SQL = _cms_sql()
 
 
 # ---------------------------------------------------------------------------
+# q161-q163 — corpus-curation II: per-document unigram cross-entropy
+# (operators/curation.py:unigram_cross_entropy — the KenLM-free CCNet
+# perplexity-filter analogue), the Gopher n-gram repetition rule
+# (curation.py:ngram_repetition_ratio), and BPE encode
+# (operators/vocab.py:bpe_token_counts — the vocabulary the q144
+# merges induce, same unrolled oracle plus a final histogram).
+# ---------------------------------------------------------------------------
+
+REP_N = 3
+
+
+def q161_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return curation.unigram_cross_entropy(docs, "text", "doc_id")
+
+
+Q161_SQL = f"""
+WITH tokd0 AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+), tokd AS (
+  SELECT doc_id, t FROM tokd0 WHERE t <> ''
+), dt AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tokd GROUP BY 1, 2
+), lm AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM dt GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS grand FROM lm
+), lmp AS (
+  SELECT t, round(ln(CAST(ct AS DOUBLE) / CAST(grand AS DOUBLE)), 12) AS lnp
+  FROM lm, tot
+), terms AS (
+  SELECT dt.doc_id, dt.c,
+         {{'t': dt.t, 'v': CAST(dt.c AS DOUBLE) * lmp.lnp}} AS s
+  FROM dt JOIN lmp USING (t)
+), per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         list_sort(list(s)) AS arr
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(arr, s -> s.v)), (a, v) -> a + v))
+         / CAST(n_tokens AS DOUBLE) AS cross_entropy
+FROM per
+"""
+
+
+def q162_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return curation.ngram_repetition_ratio(docs, "text", "doc_id", n=REP_N)
+
+
+Q162_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), g0 AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks) - {REP_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {REP_N - 1}), ' ')
+         )) AS g
+  FROM d
+), g AS (
+  SELECT doc_id, g FROM g0 WHERE g <> ''
+), counts AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, g, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_ngrams,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, g DESC) AS rn
+  FROM counts
+)
+SELECT doc_id, n_ngrams, g AS top_ngram, c AS top_count,
+       CAST(c AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS repetition_ratio
+FROM ranked WHERE rn = 1
+"""
+
+
+def q163_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.bpe_token_counts(docs, rounds=BPE_ROUNDS)
+
+
+Q163_SQL = _bpe_encode_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7649,6 +7752,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q158_zipf_fit": q158_zipf_fit,
     "q159_hll_distinct": q159_hll_distinct,
     "q160_cms_heavy": q160_cms_heavy,
+    "q161_cross_entropy": q161_cross_entropy,
+    "q162_repetition": q162_repetition,
+    "q163_bpe_encode": q163_bpe_encode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7812,4 +7918,7 @@ ORACLE_SQL: dict[str, str] = {
     "q158_zipf_fit": Q158_SQL,
     "q159_hll_distinct": Q159_SQL,
     "q160_cms_heavy": Q160_SQL,
+    "q161_cross_entropy": Q161_SQL,
+    "q162_repetition": Q162_SQL,
+    "q163_bpe_encode": Q163_SQL,
 }

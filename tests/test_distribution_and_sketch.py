@@ -155,3 +155,89 @@ def test_cms_estimates_upper_bound_and_order(spark):
         # depth-4 min over 1024-wide rows: collisions with 500 singleton
         # noise tokens should stay tiny
         assert r["cms_estimate"] <= r["true_count"] + 10
+
+
+# --------------------------------------------- curation II / BPE encode
+
+def test_unigram_cross_entropy_uniform_corpus(spark):
+    from occupation_wage_etl_spark.operators import curation
+
+    # 4 equally frequent types -> every doc's CE = ln 4 regardless of mix
+    docs = _docs(spark, ["a b", "c d", "a b c d"])
+    out = {
+        r["doc_id"]: r
+        for r in curation.unigram_cross_entropy(docs, "text").collect()
+    }
+    for r in out.values():
+        assert abs(r["cross_entropy"] - math.log(4.0)) < 1e-9
+    assert out[2]["n_tokens"] == 4 and out[2]["n_types"] == 4
+
+
+def test_unigram_cross_entropy_flags_divergent_doc(spark):
+    from occupation_wage_etl_spark.operators import curation
+
+    common = ["the quick brown fox jumps over the lazy dog again"] * 20
+    weird = ["zxqv wvzk qqzz xkcd zzzz zxqv wvzk qqzz xkcd zzzz"]
+    docs = _docs(spark, common + weird)
+    rows = curation.unigram_cross_entropy(docs, "text").collect()
+    weird_ce = [r for r in rows if r["doc_id"] == 20][0]["cross_entropy"]
+    normal_ce = [r for r in rows if r["doc_id"] == 0][0]["cross_entropy"]
+    assert weird_ce > normal_ce + 1.0  # rare-type doc scores clearly higher
+
+
+def test_ngram_repetition_ratio_detects_loops(spark):
+    from occupation_wage_etl_spark.operators import curation
+
+    looped = " ".join(["spam ham eggs"] * 10)          # trigram loop
+    prose = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [looped, prose])
+    out = {
+        r["doc_id"]: r
+        for r in curation.ngram_repetition_ratio(docs, "text", n=3).collect()
+    }
+    assert out[0]["top_ngram"] == "spam ham eggs"
+    assert out[0]["repetition_ratio"] > 0.3
+    assert out[1]["top_count"] == 1
+    assert abs(out[1]["repetition_ratio"] - 1.0 / out[1]["n_ngrams"]) < 1e-15
+
+
+def test_bpe_token_counts_matches_hand_merge(spark):
+    from occupation_wage_etl_spark.operators import vocab
+
+    # corpus "aaab aaab ab" (q144's fixture): after 4 rounds the merges
+    # are (a,a)->aa, (aa,a)->aaa? -- assert against a direct recompute:
+    # encode must be consistent with bpe_merges' learned sequence
+    docs = _docs(spark, ["aaab aaab ab"])
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in vocab.bpe_merges(docs, rounds=4).collect()
+    ]
+
+    def apply_merges(word):
+        syms = list(word)
+        for l, r in merges:
+            out, prev = [], ""
+            for x in syms:
+                if prev == l and x == r:
+                    out.append(l + r)
+                    prev = ""
+                elif prev == "":
+                    prev = x
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev:
+                out.append(prev)
+            syms = out
+        return syms
+
+    expected = {}
+    for word, freq in (("aaab", 2), ("ab", 1)):
+        for s in apply_merges(word):
+            n, c = expected.get(s, (0, 0))
+            expected[s] = (n + 1, c + freq)
+    got = {
+        r["token"]: (r["n_positions"], r["token_count"])
+        for r in vocab.bpe_token_counts(docs, rounds=4).collect()
+    }
+    assert got == expected

@@ -451,3 +451,42 @@ def test_jdbc_round_trip_live_when_available(spark):
     )
     assert back.count() == 2
     assert set(back.columns) == {"id", "payload", "snapshot_date"}
+
+
+def test_jsonl_read_with_quarantine(spark, tmp_path):
+    """JSONL corpus source (sources/jsonl.py): enforced schema, torn
+    lines quarantined instead of failing the read."""
+    from occupation_wage_etl_spark.sources import jsonl
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "source": "web", "lang": "en", "text": "hello world"}\n'
+        '{"doc_id": 2, "source": "web", "lang": "fr", "text": "bonjour"}\n'
+        '{"doc_id": 3, "source": "web", "lang":\n'          # torn line
+        'not json at all\n'
+        '{"doc_id": 4, "text": "fields may be absent"}\n'
+    )
+    clean, quarantine = jsonl.read_documents(spark, str(p))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["text"] == "hello world"
+    assert rows[4]["lang"] is None  # absent field -> NULL, not corrupt
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert "not json at all" in bad
+
+
+def test_jsonl_schema_is_projection_pushdown(spark, tmp_path):
+    """The enforced schema must act as a parse-time projection: extra
+    fields in the file are skipped, not errors."""
+    from occupation_wage_etl_spark.sources import jsonl
+
+    p = tmp_path / "wide.jsonl"
+    p.write_text(
+        '{"doc_id": 7, "text": "keep", "huge_unwanted_field": "x", "n": 5}\n'
+    )
+    clean, quarantine = jsonl.read_documents(
+        spark, str(p), schema="doc_id LONG, text STRING"
+    )
+    assert [tuple(r) for r in clean.collect()] == [(7, "keep")]
+    assert quarantine.count() == 0
