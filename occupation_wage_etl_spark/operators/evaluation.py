@@ -386,6 +386,152 @@ def cohens_kappa(
     )
 
 
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score — mean squared error of the probability forecast
+    against the 0/1 outcome, the strictly-proper scoring rule that
+    punishes BOTH miscalibration and low sharpness (AUC can't see the
+    former, calibration bins can't see the latter).
+
+    Determinism without a sorted fold: scores round at 6dp and square
+    as DECIMAL(18,6) — decimal subtraction/multiplication are exact, so
+    the squared terms sum order-independently as DECIMAL(38,12); the
+    single closing division converts via the string route.  Fully
+    distributed one-aggregate plan.  Returns one row (n_rows, brier).
+    """
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    # the difference re-narrows to (18,6) — subtraction widens to
+    # (19,6), and squaring THAT is precision 39 > 38, where Spark
+    # silently drops the product scale to 11 (rounded products, sum
+    # drift).  |score − label| ≤ 1 plus slack, so the narrow is exact.
+    term = (
+        F.round(s, 6).cast("decimal(18,6)")
+        - y.cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    agg = df.filter(s.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(term * term).alias("__sq"),
+    )
+    return agg.select(
+        "n_rows",
+        (
+            F.col("__sq").cast("string").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("brier"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """ECE — the one-number summary of the :func:`calibration_bins`
+    table: ``Σ_b (n_b/N) · |pos_rate_b − mean_score_b|``.  Composes the
+    distributed binning operator, then folds the ≤ ``bins`` per-bin
+    terms in bin order (bounded array — scale-free); every term is a
+    product/difference of the bins' already-deterministic doubles, so
+    the fold is bit-stable with no further rounding.
+
+    Returns one row (bins, n_rows, ece).
+    """
+    tbl = calibration_bins(df, score_col, label_col, id_col, bins)
+    one = tbl.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bin").alias("b"),
+                    (
+                        F.col("n_rows").cast("double")
+                        * F.abs(F.col("pos_rate") - F.col("mean_score"))
+                    ).alias("v"),
+                )
+            )
+        ).alias("arr"),
+    )
+    return one.select(
+        F.lit(bins).alias("bins"),
+        "n_rows",
+        (
+            F.aggregate(
+                F.col("arr"), F.lit(0.0), lambda acc, s: acc + s["v"]
+            )
+            / F.col("n_rows").cast("double")
+        ).alias("ece"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation with AVERAGE-rank tie handling — the
+    monotone-association readout for score-vs-score audits (does the
+    heuristic quality score order documents like length does?) that
+    Pearson gets wrong on heavy tails.
+
+    Exactness end-to-end: a value with ``cumb`` rows strictly below and
+    ``cnt`` ties has average rank ``(2·cumb + cnt + 1) / 2`` — carried
+    DOUBLED as an integer (``2r``), so every moment sum
+    (Σ2rx, Σ(2rx)², Σ2rx·2ry, …) is an exact DECIMAL(38,0); the halves
+    cancel in the Pearson-of-ranks formula, leaving two sqrt and one
+    division as the only float ops (fixed tree, string-route converts).
+    Ranks come from :func:`_dist_cum_before` over each variable's
+    distinct-value histogram (no global window) and re-attach by value
+    equi-join — the dimension-table shape.
+
+    Returns one row (n_rows, rho); NULL rho when either side is
+    constant.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    base = cached(base)  # scanned for both rank dimensions + the join
+
+    def ranks(col: str, out: str) -> DataFrame:
+        h = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        ranked, _ = _dist_cum_before(h, [col], F.col("cnt"))
+        return ranked.select(
+            F.col(col).alias(f"{out}_key"),
+            (F.lit(2) * F.col("__cumb") + F.col("cnt") + F.lit(1)).alias(out),
+        )
+
+    rx, ry = ranks("__x", "__rx"), ranks("__y", "__ry")
+    j = (
+        base.join(rx, base["__x"] == rx["__rx_key"])
+        .join(ry, base["__y"] == ry["__ry_key"])
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d(F.col("__rx"))).alias("sx"),
+        F.sum(d(F.col("__ry"))).alias("sy"),
+        F.sum(d(F.col("__rx")) * d(F.col("__rx"))).alias("sxx"),
+        F.sum(d(F.col("__ry")) * d(F.col("__ry"))).alias("syy"),
+        F.sum(d(F.col("__rx")) * d(F.col("__ry"))).alias("sxy"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")
+    n = F.col("n_rows").cast("decimal(38,0)")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "n_rows",
+        F.when(
+            (vx > 0) & (vy > 0),
+            dbl(cov) / (F.sqrt(dbl(vx)) * F.sqrt(dbl(vy))),
+        ).alias("rho"),
+    )
+
+
 def ndcg_at_k(
     ranked: DataFrame,
     rank_col: str,

@@ -7588,6 +7588,113 @@ Q163_SQL = _bpe_encode_sql()
 
 
 # ---------------------------------------------------------------------------
+# q164-q166 — classifier evaluation III (operators/evaluation.py):
+# Brier score (order-independent exact-decimal squared terms), expected
+# calibration error (the calibration_bins one-number summary, bounded
+# bin-order fold), and Spearman rank correlation (average ranks carried
+# DOUBLED as integers from the distributed prefix scan — exact moments,
+# two sqrt + one division as the only float ops).
+# ---------------------------------------------------------------------------
+
+
+def q164_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.brier_score(
+        _quality_labeled(spark, sf_dir), "score", "label"
+    )
+
+
+Q164_SQL = f"""
+WITH {_QUALITY_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((CAST(round(score, 6) AS DECIMAL(18,6))
+                 - CAST(label AS DECIMAL(18,6)))
+                * (CAST(round(score, 6) AS DECIMAL(18,6))
+                   - CAST(label AS DECIMAL(18,6)))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS brier
+FROM scored
+"""
+
+
+def q165_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.expected_calibration_error(
+        _quality_labeled(spark, sf_dir), "score", "label", "doc_id",
+        bins=CAL_BINS,
+    )
+
+
+Q165_SQL = f"""
+WITH {_QUALITY_CTE}, binned AS (
+  SELECT score, label,
+         (CAST(row_number() OVER (ORDER BY score, doc_id) - 1 AS BIGINT)
+          * {CAL_BINS}) // count(*) OVER () AS bin
+  FROM scored
+), tbl AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+         CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_score
+  FROM binned GROUP BY bin
+), folded AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         list_sort(list({{'b': bin,
+                          'v': CAST(n_rows AS DOUBLE)
+                               * abs(pos_rate - mean_score)}})) AS arr
+  FROM tbl
+)
+SELECT {CAL_BINS} AS bins, n_rows,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(arr, s -> s.v)), (a, v) -> a + v)
+         / CAST(n_rows AS DOUBLE) AS ece
+FROM folded
+"""
+
+
+def q166_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        T.quality_score(F.col("text")).alias("score"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+    return evaluation.spearman_corr(rated, "score", "n_chars")
+
+
+Q166_SQL = f"""
+WITH {_QUALITY_CTE}, b AS (
+  SELECT s.score AS x, CAST(length(d.text) AS BIGINT) AS y
+  FROM scored s JOIN documents d USING (doc_id)
+), hx AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+), rx AS (
+  SELECT x, CAST(2 * coalesce(sum(cnt) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS BIGINT) AS r2x
+  FROM hx
+), hy AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+), ry AS (
+  SELECT y, CAST(2 * coalesce(sum(cnt) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS BIGINT) AS r2y
+  FROM hy
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(r2x::HUGEINT) AS sx, sum(r2y::HUGEINT) AS sy,
+         sum(r2x::HUGEINT * r2x::HUGEINT) AS sxx,
+         sum(r2y::HUGEINT * r2y::HUGEINT) AS syy,
+         sum(r2x::HUGEINT * r2y::HUGEINT) AS sxy
+  FROM b JOIN rx USING (x) JOIN ry USING (y)
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS rho
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7755,6 +7862,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q161_cross_entropy": q161_cross_entropy,
     "q162_repetition": q162_repetition,
     "q163_bpe_encode": q163_bpe_encode,
+    "q164_brier": q164_brier,
+    "q165_ece": q165_ece,
+    "q166_spearman": q166_spearman,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7921,4 +8031,7 @@ ORACLE_SQL: dict[str, str] = {
     "q161_cross_entropy": Q161_SQL,
     "q162_repetition": Q162_SQL,
     "q163_bpe_encode": Q163_SQL,
+    "q164_brier": Q164_SQL,
+    "q165_ece": Q165_SQL,
+    "q166_spearman": Q166_SQL,
 }

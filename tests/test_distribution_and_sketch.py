@@ -241,3 +241,68 @@ def test_bpe_token_counts_matches_hand_merge(spark):
         for r in vocab.bpe_token_counts(docs, rounds=4).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------- brier / ece / spearman
+
+def test_brier_score_hand_value_and_decimal_exactness(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0), (0.8, 1), (0.3, 0)], "s double, y int"
+    )
+    r = evaluation.brier_score(df, "s", "y").collect()[0]
+    assert (r["n_rows"], r["brier"]) == (4, 0.0375)  # exact, not approx
+    # perfect forecaster -> 0
+    perfect = spark.createDataFrame([(1.0, 1), (0.0, 0)], "s double, y int")
+    assert evaluation.brier_score(perfect, "s", "y").collect()[0]["brier"] == 0.0
+
+
+def test_expected_calibration_error_hand_value(spark):
+    df = spark.createDataFrame(
+        [(i, s, y) for i, (s, y) in enumerate(
+            [(0.1, 0), (0.3, 0), (0.8, 1), (0.9, 1)]
+        )],
+        "id long, s double, y int",
+    )
+    r = evaluation.expected_calibration_error(df, "s", "y", "id", bins=2)
+    row = r.collect()[0]
+    # bin0 {0.1,0.3}: |0 - 0.2| * 2; bin1 {0.8,0.9}: |1 - 0.85| * 2
+    assert row["bins"] == 2 and row["n_rows"] == 4
+    assert abs(row["ece"] - (0.4 + 0.3) / 4) < 1e-15
+
+
+def test_spearman_monotone_ties_and_constant(spark):
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 25.0)], "x double, y double"
+    )
+    assert abs(
+        evaluation.spearman_corr(mono, "x", "y").collect()[0]["rho"] - 1.0
+    ) < 1e-12
+    rev = spark.createDataFrame(
+        [(1.0, 30.0), (2.0, 20.0), (3.0, 10.0)], "x double, y double"
+    )
+    assert abs(
+        evaluation.spearman_corr(rev, "x", "y").collect()[0]["rho"] + 1.0
+    ) < 1e-12
+    # tie-heavy independence: x {1,1,2,2}, y {5,7,6,6} -> rho exactly 0
+    ties = spark.createDataFrame(
+        [(1.0, 5.0), (1.0, 7.0), (2.0, 6.0), (2.0, 6.0)], "x double, y double"
+    )
+    assert evaluation.spearman_corr(ties, "x", "y").collect()[0]["rho"] == 0.0
+    # constant side -> NULL
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (1.0, 6.0)], "x double, y double"
+    )
+    assert evaluation.spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_spearman_matches_scipy_formula_on_distinct_ranks(spark):
+    # no ties -> rho = 1 - 6*sum(d^2)/(n(n^2-1)); check on a permutation
+    perm = [3, 1, 4, 0, 2]
+    df = spark.createDataFrame(
+        [(float(i), float(perm[i])) for i in range(5)], "x double, y double"
+    )
+    n = 5
+    d2 = sum((i - perm[i]) ** 2 for i in range(n))
+    expected = 1 - 6 * d2 / (n * (n * n - 1))
+    got = evaluation.spearman_corr(df, "x", "y").collect()[0]["rho"]
+    assert abs(got - expected) < 1e-12
