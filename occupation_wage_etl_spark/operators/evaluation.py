@@ -594,3 +594,162 @@ def ndcg_at_k(
         idcg.alias("idcg"),
         F.when(idcg > 0, dcg / idcg).alias("ndcg"),
     )
+
+
+def mrr_recall_at_k(
+    ranked: DataFrame,
+    rank_col: str,
+    rel_col: str,
+    k: int,
+    total_relevant: DataFrame,
+) -> DataFrame:
+    """Mean reciprocal rank (of the single ranked list) and recall@k:
+    ``mrr = 1/rank`` of the first relevant result, ``recall_at_k`` =
+    relevant results in the top k over ALL relevant items in the
+    corpus (``total_relevant``: 1-row frame with column ``n_rel``).
+
+    Both are list-sized aggregates over an already-ranked candidate
+    frame (the expensive part — scoring — happened upstream);
+    reciprocal rank is exact (one integer min, one division).
+
+    Returns one row: (first_rel_rank, mrr, hits_at_k, n_rel, recall_at_k).
+    """
+    r, rel = F.col(rank_col), F.col(rel_col)
+    agg = ranked.agg(
+        F.min(F.when(rel > 0, r)).alias("first_rel_rank"),
+        F.sum(
+            F.when((rel > 0) & (r <= k), 1).otherwise(0)
+        ).alias("hits_at_k"),
+    )
+    return agg.crossJoin(F.broadcast(total_relevant)).select(
+        "first_rel_rank",
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+            F.lit(0.0),
+        ).alias("mrr"),
+        "hits_at_k",
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("hits_at_k").cast("double")
+            / F.col("n_rel").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("recall_at_k"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    rater_cols: list[str],
+) -> DataFrame:
+    """Fleiss' kappa inter-rater agreement for m raters assigning each
+    row to one of a set of categories (each ``rater_cols`` entry is one
+    rater's integer category vote).
+
+    Exact integer path: per row, per category j, ``n_ij`` = votes;
+    ``Σ_i Σ_j n_ij²`` and per-category totals are BIGINT sums, so
+
+        P̄  = (Σ n_ij² − N·m) / (N·m·(m−1))
+        P̄e = Σ_j (Σ_i n_ij / (N·m))²
+
+    and kappa = (P̄ − P̄e)/(1 − P̄e) is a handful of double ops over
+    exact integers — order-independent, engine-portable.  Categories
+    are discovered from the data (category-count-sized fold, sorted).
+
+    One aggregate over the input; returns one row
+    (n_rows, n_raters, p_bar, p_e, kappa).
+    """
+    m = len(rater_cols)
+    votes = df.select(
+        F.array(*[F.col(c).cast("long") for c in rater_cols]).alias(
+            "__votes"
+        )
+    ).filter(~F.array_contains(F.transform(
+        F.col("__votes"), lambda v: v.isNull()
+    ), F.lit(True)))
+    # per-row, per-category counts: explode votes -> (row id implicit)
+    # better: per-row n_ij via array ops over the distinct categories
+    cats = (
+        votes.select(F.explode("__votes").alias("c"))
+        .distinct()
+        .orderBy("c")
+    )
+    cat_list = [r["c"] for r in cats.collect()]  # category-count-sized
+
+    def _n_votes(cc):
+        # single-param lambda on purpose: a 2-param lambda would be
+        # called by F.filter as (element, INDEX) and shadow the capture
+        return F.size(F.filter("__votes", lambda v: v == F.lit(cc)))
+
+    nij = votes.select(
+        *[
+            _n_votes(c).cast("long").alias(f"__n_{i}")
+            for i, c in enumerate(cat_list)
+        ]
+    )
+    agg = nij.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum(
+            sum(
+                (F.col(f"__n_{i}") * F.col(f"__n_{i}"))
+                for i in range(len(cat_list))
+            )
+        ).alias("sum_sq"),
+        *[
+            F.sum(f"__n_{i}").alias(f"__t_{i}")
+            for i in range(len(cat_list))
+        ],
+    )
+    Nd = F.col("N").cast("double")
+    md = float(m)
+    p_bar = (
+        (F.col("sum_sq").cast("double") - Nd * md)
+        / (Nd * md * (md - 1.0))
+    )
+    p_e = sum(
+        (
+            (F.col(f"__t_{i}").cast("double") / (Nd * md))
+            * (F.col(f"__t_{i}").cast("double") / (Nd * md))
+        )
+        for i in range(len(cat_list))
+    )
+    return agg.select(
+        F.col("N").alias("n_rows"),
+        F.lit(m).alias("n_raters"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+    )
+
+
+def mcnemar(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    label_col: str,
+) -> DataFrame:
+    """McNemar's test for two paired classifiers: over rows where the
+    classifiers DISAGREE on correctness, ``b`` = A right / B wrong,
+    ``c`` = A wrong / B right, statistic ``(b−c)²/(b+c)`` (χ², 1 dof).
+    The standard "is filter B actually better than filter A" readout
+    on a shared labeled slice.
+
+    One aggregate, all-integer until the closing division.
+    Returns one row: (n_rows, b_count, c_count, mcnemar_stat).
+    """
+    a_ok = (F.col(pred_a_col) == F.col(label_col)).cast("long")
+    b_ok = (F.col(pred_b_col) == F.col(label_col)).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(a_ok * (1 - b_ok)).alias("b_count"),
+        F.sum((1 - a_ok) * b_ok).alias("c_count"),
+    )
+    diff = F.col("b_count") - F.col("c_count")
+    tot = F.col("b_count") + F.col("c_count")
+    return agg.select(
+        "n_rows",
+        "b_count",
+        "c_count",
+        F.when(
+            tot > 0, (diff * diff).cast("double") / tot.cast("double")
+        ).alias("mcnemar_stat"),
+    )

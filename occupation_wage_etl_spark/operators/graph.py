@@ -308,3 +308,149 @@ def pagerank(
         F.col("u").alias("node"),
         F.col("rank").alias("rank_scaled"),
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list: for
+    every NON-adjacent pair (u, v) sharing >= 1 neighbor, score
+
+        AA(u, v) = sum over common neighbors w of 1 / ln(deg(w))
+
+    — the standard "which docs are probably duplicates we missed"
+    readout over a near-dup graph (high AA = many tightly-connected
+    mutual neighbors).
+
+    Shape: one degree aggregate, a wedge self-join enumerated AT the
+    common neighbor (so each candidate pair is found once per shared
+    neighbor), an anti-join removing already-adjacent pairs, then a
+    per-pair fold.  Hub neighbors are dropped BEFORE the wedge join
+    (``deg > max_degree`` — a boilerplate template touching thousands
+    of docs emits deg^2 wedges and carries ~zero AA weight anyway,
+    1/ln(d) -> 0); that cap is what bounds the join output at corpus
+    scale, the same policy as the MinHash band caps.  The per-pair
+    1/ln(d) fold runs over the SORTED common-neighbor degree array
+    (neighborhood-sized) so the double sum is order-deterministic in
+    any engine.
+
+    Returns (id_a, id_b, n_common, aa_score), id_a < id_b, scores > 0.
+    """
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).transform(cached)
+    sym = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # wedge enumeration at the common neighbor w, hubs pre-filtered
+    nbrs = (
+        sym.select(F.col("v").alias("w"), F.col("u").alias("n"))
+        .join(F.broadcast(deg.filter(F.col("d") <= max_degree)), "w")
+        .transform(cached)
+    )
+    a = nbrs.select("w", "d", F.col("n").alias("id_a"))
+    b = nbrs.select("w", F.col("n").alias("id_b"))
+    wedges = a.join(b, "w").filter(F.col("id_a") < F.col("id_b"))
+    cand = wedges.join(e0.select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
+    ), ["id_a", "id_b"], "left_anti")
+    return (
+        cand.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # ln() is not correctly-rounded-mandated by IEEE 754 — JVM
+            # Math.log and libm differ by 1 ULP on some inputs — so the
+            # score is 6dp-rounded, the repo's standard policy for
+            # transcendental folds (see queries.py header).
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("d")),
+                    F.lit(0.0),
+                    lambda acc, d: acc
+                    + F.lit(1.0) / F.log(d.cast("double")),
+                ),
+                6,
+            ).alias("aa_score"),
+        )
+    )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+    node_col: str = "node",
+    seed_col: str = "seed_label",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Semi-supervised label spread: seed labels on a subset of nodes,
+    then ``rounds`` synchronous votes — every UNSEEDED node takes the
+    most frequent label among its labeled neighbors (ties -> smallest
+    label; seeds never change).  The standard trick for pushing a
+    quality/topic label through a near-dup graph when only a slice is
+    labeled.
+
+    Synchronous + deterministic tie-break makes the result independent
+    of partitioning and engine-portable (an unrolled SQL oracle
+    replaying the same rounds gets bit-identical labels), unlike the
+    classic async LPA.  Each round is one edge->label join + one
+    count/argmax aggregate, ``localCheckpoint``-ed to truncate lineage
+    (swap for reliable ``checkpoint()`` on a real cluster).
+
+    ``nodes``: (node_col, seed_col) with seed_col NULL for unseeded.
+    Returns (node, label, seeded) for all nodes labeled after
+    ``rounds`` (unreached nodes are absent).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        nodes.select(
+            F.col(node_col).alias("node"),
+            F.col(seed_col).alias("label"),
+        )
+        .filter(F.col("label").isNotNull())
+        .localCheckpoint()
+    )
+    labels = seeds.withColumn("seeded", F.lit(True))
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        # argmax votes, ties -> smallest label; seeds override
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n_votes")).alias("neg"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("top")
+            )
+            .select("node", F.col("top.label").alias("label"))
+        )
+        labels = (
+            seeds.withColumn("seeded", F.lit(True))
+            .unionByName(
+                best.join(seeds.select("node"), "node", "left_anti")
+                .withColumn("seeded", F.lit(False))
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -1,0 +1,317 @@
+"""Distributed hypothesis tests: KS two-sample, chi-square
+independence (+ Cramér's V), Welch's t, Kruskal-Wallis H.
+
+A data pipeline that A/B-tests a curation change or checks whether two
+corpus slices come from the same distribution needs the classic tests
+computed EXACTLY and at scale.  Every operator here follows the repo's
+scale-shape policy:
+
+- all rank machinery runs over the per-distinct-value histogram with
+  the two-level distributed prefix sum (``_dist_cum_before`` from
+  :mod:`operators.evaluation`) — never a globally-ordered window over
+  data-sized input;
+- sums that feed the statistic are kept in integer / DECIMAL
+  arithmetic for order-independence, with one closing float division;
+- where a float fold is unavoidable (k-group terms, contingency
+  cells), the fold runs over a SORTED bounded array (group count /
+  cell count sized, never data-sized) so both Spark and any oracle
+  engine evaluate the same IEEE ops in the same order.
+
+Reference analogue: none (the reference computes means only,
+``pipeline/transform.py``); training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators.evaluation import _dist_cum_before
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic
+    ``D = sup_x |F_a(x) - F_b(x)|``.
+
+    Shape: hash-aggregate to the distinct-value histogram with
+    per-group counts, distributed prefix sums for both groups'
+    cumulative counts, then ``D`` as a single integer max —
+    ``|ca*Nb - cb*Na|`` over distinct values (the common-denominator
+    form), divided once at the end.  No data-sized sort anywhere;
+    raw doubles (distinct ≈ rows) cost the same plan as coarse values.
+
+    Returns one row: (n_a, n_b, ks_stat).
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    h = (
+        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    ranked, _ = _dist_cum_before(
+        h,
+        ["__v"],
+        F.col("ca"),
+        extra_weights={"__cumb_b": F.col("cb")},
+    )
+    # inclusive CDF numerators at each distinct value; Na/Nb are needed
+    # inside the row-wise max, so compute totals first and broadcast
+    # them back over the histogram (scalar attach).
+    fa = F.col("__cumb") + F.col("ca")
+    fb = F.col("__cumb_b") + F.col("cb")
+    totals = ranked.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d_num = (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(fa * F.col("n_b") - fb * F.col("n_a")).alias("__d")
+        )
+        .agg(F.max("__d").alias("__dmax"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(d_num))
+        .select(
+            "n_a",
+            "n_b",
+            (
+                F.col("__dmax").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size.
+
+    Shape: one hash aggregate to the r×c contingency table, broadcast
+    row/column marginals back onto it (contingency-sized joins), then
+    the chi-square sum folds over the SORTED cell array — cells are
+    category-product-sized (bounded), so the fold is deterministic and
+    the per-cell double terms ``(o-e)^2/e`` add in a fixed order in
+    any engine.
+
+    Returns one row: (n_rows, n_levels_row, n_levels_col, chi2,
+    dof, cramers_v).
+    """
+    r, c = F.col(row_col), F.col(col_col)
+    cells = (
+        df.filter(r.isNotNull() & c.isNotNull())
+        .groupBy(r.alias("__r"), c.alias("__c"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = cells.groupBy("__r").agg(F.sum("o").alias("rt"))
+    col_m = cells.groupBy("__c").agg(F.sum("o").alias("ct"))
+    n = cells.agg(
+        F.sum("o").alias("n_rows"),
+        F.count_distinct("__r").alias("n_levels_row"),
+        F.count_distinct("__c").alias("n_levels_col"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_m), "__r")
+        .join(F.broadcast(col_m), "__c")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (
+        F.col("o").cast("double")
+        - F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n_rows").cast("double")
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n_rows").cast("double")
+    )
+    folded = joined.select(
+        "n_rows",
+        "n_levels_row",
+        "n_levels_col",
+        F.struct(
+            F.col("__r").alias("r"),
+            F.col("__c").alias("c"),
+            (term * term / e).alias("t"),
+        ).alias("cell"),
+    ).groupBy("n_rows", "n_levels_row", "n_levels_col").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("cell")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("chi2")
+    )
+    dof = (F.col("n_levels_row") - 1) * (F.col("n_levels_col") - 1)
+    min_dim = F.least(
+        F.col("n_levels_row"), F.col("n_levels_col")
+    ) - F.lit(1)
+    return folded.select(
+        "n_rows",
+        "n_levels_row",
+        "n_levels_col",
+        "chi2",
+        dof.cast("long").alias("dof"),
+        F.when(
+            min_dim > 0,
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n_rows").cast("double") * min_dim.cast("double"))
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between two groups, with
+    the Welch-Satterthwaite degrees of freedom.
+
+    Values are rounded to 2dp and summed as DECIMAL(18,2) /
+    DECIMAL(38,4) (sum and sum-of-squares) so the moments are
+    order-independent exact; t and df are closed-form doubles over
+    those six exact numbers.  One aggregate, no shuffle beyond it.
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, t_stat, welch_df).
+    """
+    v2 = F.round(F.col(value_col), 2).cast("decimal(18,2)")
+    g = F.col(group_col)
+    agg = (
+        df.filter(F.col(value_col).isNotNull() & g.isin(group_a, group_b))
+        .groupBy()
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(g == group_a, v2)).alias("sa"),
+            F.sum(F.when(g == group_b, v2)).alias("sb"),
+            F.sum(F.when(g == group_a, v2 * v2)).alias("qa"),
+            F.sum(F.when(g == group_b, v2 * v2)).alias("qb"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    # unbiased variance: (Q - S^2/n) / (n-1), exact numerators first
+    va = (F.col("qa").cast("double") - ma * F.col("sa").cast("double")) / (
+        na - 1
+    )
+    vb = (F.col("qb").cast("double") - mb * F.col("sb").cast("double")) / (
+        nb - 1
+    )
+    se2a, se2b = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    wdf = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        t.alias("t_stat"),
+        wdf.alias("welch_df"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test (k-group rank ANOVA) with tie correction.
+
+    Average ranks come from the per-distinct-value histogram: doubled
+    rank ``r2 = 2*cum_before + t + 1`` per distinct value (integer),
+    doubled rank-sums per group ``R2_g = Σ cnt_g * r2`` (BIGINT), so
+
+        H = 3 * Σ_g R2_g^2 / n_g / (N(N+1)) - 3(N+1)
+
+    with the per-group terms folded over the SORTED k-row group array
+    (k is category-sized, so the double fold is deterministic).  Tie
+    correction sums ``t^3 - t`` per distinct value as DECIMAL(38,0)
+    (N^3 overflows BIGINT at corpus scale).
+
+    Returns one row: (n_rows, n_groups, h_stat, tie_correction,
+    h_adjusted).
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    h = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .groupBy(v.alias("__v"), g.alias("__g"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_v = h.groupBy("__v").agg(F.sum("cnt").alias("t"))
+    ranked_v, _ = _dist_cum_before(per_v, ["__v"], F.col("t"))
+    # r2 = doubled average rank of the tie block at this value
+    r2 = (F.lit(2) * F.col("__cumb") + F.col("t") + F.lit(1)).alias("r2")
+    ties = ranked_v.agg(
+        F.sum("t").alias("N"),
+        F.sum(
+            (
+                F.col("t").cast("decimal(38,0)")
+                * F.col("t").cast("decimal(38,0)")
+                * F.col("t").cast("decimal(38,0)")
+                - F.col("t").cast("decimal(38,0)")
+            )
+        ).alias("tie_sum"),
+    )
+    groups = (
+        h.join(
+            ranked_v.select("__v", r2),
+            "__v",
+        )
+        .groupBy("__g")
+        .agg(
+            F.sum("cnt").alias("n_g"),
+            F.sum(F.col("cnt") * F.col("r2")).alias("R2"),
+        )
+    )
+    folded = groups.select(
+        F.struct(
+            F.col("__g").alias("g"),
+            (
+                F.col("R2").cast("double")
+                * F.col("R2").cast("double")
+                / F.col("n_g").cast("double")
+            ).alias("t"),
+        ).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.aggregate(
+            F.array_sort(F.collect_list("grp")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("sum_r2sq"),
+    )
+    out = folded.crossJoin(F.broadcast(ties))
+    nd = F.col("N").cast("double")
+    h_stat = (
+        F.lit(3.0) * F.col("sum_r2sq") / (nd * (nd + 1)) - 3.0 * (nd + 1)
+    )
+    tie_c = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return out.select(
+        F.col("N").alias("n_rows"),
+        "n_groups",
+        h_stat.alias("h_stat"),
+        tie_c.alias("tie_correction"),
+        (h_stat / tie_c).alias("h_adjusted"),
+    )

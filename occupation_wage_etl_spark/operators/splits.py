@@ -342,3 +342,123 @@ def temperature_mix(
             F.col("__thresh").alias("keep_threshold"),
         )
     )
+
+
+def _portable_hash_key(col: Column, salt: str) -> Column:
+    """60-bit BIGINT shuffle key from md5 of the salted decimal id —
+    replayable in any engine as
+    ``('0x' || substr(md5(id::VARCHAR || salt), 1, 15))::BIGINT``."""
+    hx = F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary")),
+        1,
+        15,
+    )
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def epoch_shuffle_batches(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    batch_size: int,
+) -> DataFrame:
+    """Deterministic epoch shuffle + global batch assignment: rows are
+    ordered by a salted hash of their id (salt = the epoch number, so
+    every epoch is a DIFFERENT but fully reproducible permutation) and
+    cut into consecutive batches of ``batch_size``.
+
+    The global rank under (hash_key, id) comes from the two-level
+    distributed prefix count (:func:`~.evaluation._dist_cum_before`) —
+    range-partitioned parallel sorts, never a single global one — so
+    the shuffle order is identical on any cluster layout or engine
+    (``randomSplit``/``rand()`` are partitioning-dependent; this is
+    not).
+
+    Returns per-batch stats (batch, n_rows, id_checksum) — the
+    training loader consumes the ranked frame upstream of this
+    aggregate; the checksum (sum of ids) lets two runs verify they
+    built identical batches without comparing row-by-row.
+    """
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
+    )
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        _portable_hash_key(F.col(id_col), f"#e{epoch}").alias("__k"),
+    )
+    ranked, _ = _dist_cum_before(keyed, ["__k", "__id"], F.lit(1))
+    return (
+        ranked.select(
+            (F.col("__cumb") / batch_size).cast("long").alias("batch"),
+            "__id",
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__id").alias("id_checksum"),
+        )
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    n_buckets: int = 8,
+    head: int = 20,
+) -> DataFrame:
+    """Curriculum schedule with difficulty mixing: rows are cut into
+    ``n_buckets`` exact-rank difficulty tiers, shuffled WITHIN each
+    tier by a portable hash, and interleaved round-robin (position p
+    takes one row from each tier in turn) — the standard "every batch
+    sees the full difficulty spectrum" ordering for curriculum or
+    anti-curriculum training.
+
+    Both ranks are distributed: the difficulty rank (tier assignment =
+    ``rank * n_buckets div total``, exact-rank math as in
+    :func:`~.evaluation.calibration_bins`) and the within-tier shuffle
+    rank, which rides the SAME two-level prefix scan as one extra
+    weight column per tier (tier count is config-bounded) — no
+    per-tier single-partition window.
+
+    Returns the first ``head`` rows of the schedule:
+    (schedule_pos, id, bucket) ordered by schedule_pos.
+    """
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
+    )
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(difficulty_col).alias("__d"),
+        _portable_hash_key(F.col(id_col), "#cur").alias("__k"),
+    )
+    ranked, total = _dist_cum_before(keyed, ["__d", "__id"], F.lit(1))
+    binned = ranked.crossJoin(F.broadcast(total)).select(
+        "__id",
+        "__k",
+        F.expr(f"(__cumb * {n_buckets}) div __total").alias("bucket"),
+    )
+    pos_ranked, _ = _dist_cum_before(
+        binned.select("__id", "__k", "bucket"),
+        ["__k", "__id"],
+        F.lit(0),
+        extra_weights={
+            f"__p{b}": (F.col("bucket") == b).cast("long")
+            for b in range(n_buckets)
+        },
+    )
+    pos = F.lit(None).cast("long")
+    for b in range(n_buckets):
+        pos = F.when(F.col("bucket") == b, F.col(f"__p{b}")).otherwise(pos)
+    sched = pos_ranked.select(
+        "__id",
+        "bucket",
+        (pos * n_buckets + F.col("bucket")).alias("schedule_pos"),
+    )
+    return (
+        sched.orderBy("schedule_pos")
+        .limit(head)
+        .select("schedule_pos", F.col("__id").alias("id"), "bucket")
+    )

@@ -772,3 +772,123 @@ def kaplan_meier(
         F.col("r.n_events").alias("n_events"),
         F.col("r.survival").alias("survival"),
     )
+
+
+def acf(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Per-group autocorrelation function at lags 1..``max_lag`` over
+    the group's series in ``order_col`` order (observation-order ACF —
+    gaps in the axis are treated as adjacent observations).
+
+    For integer-valued series (event counts) the statistic is computed
+    EXACTLY: with S = Σx, Q = Σx², and per lag k the cross sum
+    P = Σ x_t·x_{t+k} plus head/tail sums H, T over the overlapping
+    windows,
+
+        r_k = (n²P − nS(H+T) + (n−k)S²) / (n(nQ − S²))
+
+    — every term integer (DECIMAL(38,0) — n²P reaches ~4e18 at corpus
+    scale), one closing double division.
+
+    Scale shape: the series is collected per GROUP as a sorted array —
+    valid because a per-group series is axis-sized (days/hours), orders
+    of magnitude below row counts; the heavy lifting (row → per-bucket
+    value) must happen upstream in a hash aggregate.  Lag sums are
+    O(n·max_lag) array folds inside codegen, no shuffle beyond the one
+    groupBy.
+
+    Returns (group, lag, n_obs, acf) for groups with n_obs > lag.
+    """
+    arr = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).cast("long").alias("x"),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(
+            "grp",
+            F.transform(F.col("s"), lambda s: s["x"]).alias("xs"),
+        )
+        .select(
+            "grp",
+            "xs",
+            F.size("xs").alias("n"),
+            F.aggregate(
+                "xs",
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc + x.cast("decimal(38,0)"),
+            ).alias("S"),
+            F.aggregate(
+                "xs",
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc
+                + (x * x).cast("decimal(38,0)"),
+            ).alias("Q"),
+        )
+    )
+    lagged = arr.select(
+        "grp",
+        "xs",
+        "n",
+        "S",
+        "Q",
+        F.explode(
+            F.expr(
+                f"CASE WHEN n > 1 THEN sequence(1, least({max_lag}, n - 1)) "
+                "ELSE array() END"
+            )
+        ).alias("lag"),
+    )
+    head = F.expr("slice(xs, 1, n - lag)")
+    tail = F.expr("slice(xs, lag + 1, n - lag)")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = lagged.select(
+        "grp",
+        "lag",
+        "n",
+        "S",
+        "Q",
+        F.aggregate(
+            F.zip_with(head, tail, lambda a, b: a * b),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, p: acc + dec(p),
+        ).alias("P"),
+        F.aggregate(
+            head,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + dec(x),
+        ).alias("H"),
+        F.aggregate(
+            tail,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + dec(x),
+        ).alias("T"),
+    )
+    nD = F.col("n").cast("decimal(38,0)")
+    kD = F.col("lag").cast("decimal(38,0)")
+    num = (
+        nD * nD * F.col("P")
+        - nD * F.col("S") * (F.col("H") + F.col("T"))
+        + (nD - kD) * F.col("S") * F.col("S")
+    )
+    den = nD * (nD * F.col("Q") - F.col("S") * F.col("S"))
+    return sums.select(
+        F.col("grp").alias(group_col),
+        "lag",
+        F.col("n").alias("n_obs"),
+        F.when(
+            den != F.lit(0).cast("decimal(38,0)"),
+            num.cast("double") / den.cast("double"),
+        ).alias("acf"),
+    )

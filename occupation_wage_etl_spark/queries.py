@@ -63,6 +63,7 @@ from occupation_wage_etl_spark.operators import (
     evaluation,
     fuzzy_join,
     graph,
+    hypothesis,
     multimodal,
     prefix_join,
     preference,
@@ -7698,6 +7699,599 @@ FROM m
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# q167-q170 — hypothesis tests (operators/hypothesis.py): KS two-sample,
+# chi-square independence + Cramér's V, Welch's t, Kruskal-Wallis H.
+# All rank machinery is distinct-value-histogram-sized with the
+# two-level distributed prefix sum; float folds only over SORTED
+# category-sized arrays.  Reference analogue: none (transform.py
+# computes means only); training-data extension surface.
+# ---------------------------------------------------------------------------
+
+KS_GROUP_A, KS_GROUP_B = "1-URGENT", "5-LOW"
+
+
+def q167_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hypothesis.ks_two_sample(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        KS_GROUP_A,
+        KS_GROUP_B,
+    )
+
+
+Q167_SQL = f"""
+WITH f AS (
+  SELECT o_totalprice AS v, o_orderpriority AS g FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), h AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = '{KS_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = '{KS_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM f GROUP BY 1
+), t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM h
+), c AS (
+  SELECT CAST(sum(ca) OVER w AS BIGINT) AS fa,
+         CAST(sum(cb) OVER w AS BIGINT) AS fb
+  FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT max(abs(fa * t.n_b - fb * t.n_a)) AS dmax FROM c, t
+)
+SELECT t.n_a, t.n_b,
+       CAST(m.dmax AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE) AS ks_stat
+FROM t, m
+"""
+
+
+def q168_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hypothesis.chi_square_independence(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+Q168_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+), rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT r) AS BIGINT) AS nr,
+         CAST(count(DISTINCT c) AS BIGINT) AS nc
+  FROM cells
+), folded AS (
+  SELECT n.n_rows, n.nr, n.nc,
+         list_sort(list({'r': cells.r, 'c': cells.c,
+           't': (CAST(o AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                   / CAST(n.n_rows AS DOUBLE))
+                * (CAST(o AS DOUBLE)
+                   - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(n.n_rows AS DOUBLE))
+                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                   / CAST(n.n_rows AS DOUBLE))})) AS arr
+  FROM cells JOIN rm USING (r) JOIN cm USING (c), n
+  GROUP BY 1, 2, 3
+)
+SELECT n_rows, nr AS n_levels_row, nc AS n_levels_col,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(arr, s -> s.t)), (a, v) -> a + v) AS chi2,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       CASE WHEN least(nr, nc) - 1 > 0 THEN
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(arr, s -> s.t)), (a, v) -> a + v)
+              / (CAST(n_rows AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE)))
+       END AS cramers_v
+FROM folded
+"""
+
+
+def q169_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hypothesis.welch_t_test(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag",
+        "R", "N",
+    )
+
+
+Q169_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS v,
+         l_returnflag AS g
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+), a AS (
+  SELECT CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN g = 'R' THEN v END) AS DOUBLE) AS sa,
+         CAST(sum(CASE WHEN g = 'N' THEN v END) AS DOUBLE) AS sb,
+         CAST(sum(CASE WHEN g = 'R' THEN v * v END) AS DOUBLE) AS qa,
+         CAST(sum(CASE WHEN g = 'N' THEN v * v END) AS DOUBLE) AS qb
+  FROM f
+), m AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         sa / CAST(n_a AS DOUBLE) AS ma, sb / CAST(n_b AS DOUBLE) AS mb,
+         sa, sb, qa, qb
+  FROM a
+), v AS (
+  SELECT n_a, n_b, ma, mb, na, nb,
+         ((qa - ma * sa) / (na - 1)) / na AS se2a,
+         ((qb - mb * sb) / (nb - 1)) / nb AS se2b
+  FROM m
+)
+SELECT n_a, n_b, ma AS mean_a, mb AS mean_b,
+       (ma - mb) / sqrt(se2a + se2b) AS t_stat,
+       (se2a + se2b) * (se2a + se2b)
+         / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)) AS welch_df
+FROM v
+"""
+
+
+def q170_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hypothesis.kruskal_wallis(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
+Q170_SQL = """
+WITH f AS (
+  SELECT o_totalprice AS v, o_orderpriority AS g FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), h AS (
+  SELECT v, g, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2
+), pv AS (
+  SELECT v, CAST(sum(cnt) AS BIGINT) AS t FROM h GROUP BY 1
+), rv AS (
+  SELECT v, t,
+         CAST(2 * coalesce(sum(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2
+  FROM pv
+), ties AS (
+  SELECT CAST(sum(t) AS BIGINT) AS N,
+         sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+             - CAST(t AS HUGEINT)) AS tie_sum
+  FROM rv
+), grp AS (
+  SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g,
+         CAST(sum(cnt * r2) AS BIGINT) AS R2
+  FROM h JOIN rv USING (v) GROUP BY 1
+), folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_sort(list({'g': g,
+             't': CAST(R2 AS DOUBLE) * CAST(R2 AS DOUBLE)
+                  / CAST(n_g AS DOUBLE)})), s -> s.t)),
+           (a, v) -> a + v) AS sum_r2sq
+  FROM grp
+)
+SELECT N AS n_rows, n_groups,
+       (3.0 * sum_r2sq) / (CAST(N AS DOUBLE) * (CAST(N AS DOUBLE) + 1))
+         - 3.0 * (CAST(N AS DOUBLE) + 1) AS h_stat,
+       1.0 - CAST(tie_sum AS DOUBLE)
+             / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
+                - CAST(N AS DOUBLE)) AS tie_correction,
+       ((3.0 * sum_r2sq) / (CAST(N AS DOUBLE) * (CAST(N AS DOUBLE) + 1))
+         - 3.0 * (CAST(N AS DOUBLE) + 1))
+       / (1.0 - CAST(tie_sum AS DOUBLE)
+                / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
+                   - CAST(N AS DOUBLE))) AS h_adjusted
+FROM folded, ties
+"""
+
+
+# ---------------------------------------------------------------------------
+# q171 — per-type autocorrelation of the daily event-count series
+# (operators/timeseries.py:acf).  Heavy lifting is the row->day hash
+# aggregate; the per-type series is axis-sized, folded exactly in
+# DECIMAL(38,0) with one closing double division per lag.
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q171_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return (
+        timeseries.acf(daily, "event_type", "day", "x", max_lag=ACF_MAX_LAG)
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            "acf",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+Q171_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         list_transform(list_sort(list({{'o': day, 'x': x}})), r -> r.x) AS xs
+  FROM d GROUP BY 1
+), m AS (
+  SELECT event_type, xs, CAST(len(xs) AS BIGINT) AS n,
+         CAST(list_sum(xs) AS HUGEINT) AS S,
+         CAST(list_sum(list_transform(xs, v -> v * v)) AS HUGEINT) AS Q
+  FROM s
+), l AS (
+  SELECT event_type, xs, n, S, Q,
+         unnest(range(1, least({ACF_MAX_LAG}, n - 1) + 1)) AS lag
+  FROM m WHERE n > 1
+), sums AS (
+  SELECT event_type, lag, n, S, Q,
+         CAST(list_sum(list_transform(range(1, n - lag + 1),
+           i -> xs[CAST(i AS INTEGER)] * xs[CAST(i + lag AS INTEGER)]))
+           AS HUGEINT) AS P,
+         CAST(list_sum(xs[1:CAST(n - lag AS INTEGER)]) AS HUGEINT) AS H,
+         CAST(list_sum(xs[CAST(lag + 1 AS INTEGER):CAST(n AS INTEGER)])
+           AS HUGEINT) AS T
+  FROM l
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_obs,
+       CASE WHEN CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * Q - S * S) <> 0
+            THEN CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * P
+                      - CAST(n AS HUGEINT) * S * (H + T)
+                      + (CAST(n AS HUGEINT) - CAST(lag AS HUGEINT)) * S * S
+                      AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT)
+                        * (CAST(n AS HUGEINT) * Q - S * S) AS DOUBLE)
+       END AS acf
+FROM sums
+ORDER BY event_type, lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q172-q173 — graph extension over the q20 fingerprint-overlap edges:
+# Adamic-Adar link prediction (wedge join at the common neighbor, hub
+# cap) and deterministic semi-supervised label propagation (3 unrolled
+# synchronous rounds, seeds fixed).
+# ---------------------------------------------------------------------------
+
+AA_MAX_DEGREE = 1000
+LP_ROUNDS = 3
+LP_SEED_PCT = 30
+
+_EDGE_CTE = f"""n AS (
+  SELECT doc_id AS id, {{norm}} AS s FROM documents
+), w AS (
+  SELECT id, list_distinct(list_transform(
+           range(0, greatest(CAST(ceil(length(s) / {{roll}}.0) AS INTEGER), 1)),
+           i -> md5(substr(s, i * {{roll}} + 1, {{roll}}))
+         )) AS fps
+  FROM n
+), ex AS (
+  SELECT id, unnest(fps) AS fp FROM w
+), e AS MATERIALIZED (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
+)"""
+
+
+def _edge_cte() -> str:
+    return _EDGE_CTE.format(norm=_NORM, roll=ROLL_W)
+
+
+def q172_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.adamic_adar(edges, max_degree=AA_MAX_DEGREE)
+
+
+Q172_SQL = f"""
+WITH {{edges}}, sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+), nb AS MATERIALIZED (
+  SELECT s.v AS w, s.u AS n, d.d
+  FROM sym s JOIN deg d ON d.w = s.v WHERE d.d <= {AA_MAX_DEGREE}
+), wedge AS (
+  SELECT a.w, a.d, a.n AS id_a, b.n AS id_b
+  FROM nb a JOIN nb b USING (w) WHERE a.n < b.n
+), cand AS (
+  SELECT * FROM wedge wg
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wg.id_a AND e.b = wg.id_b)
+)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(list_sort(list(d)),
+           x -> 1.0 / ln(CAST(x AS DOUBLE)))),
+         (a, v) -> a + v), 6) AS aa_score
+FROM cand GROUP BY 1, 2
+""".format(edges=_edge_cte())
+
+
+def q173_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seeded = splits.hash_bucket(F.col("doc_id")) < LP_SEED_PCT
+    nodes = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(
+            seeded, F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).alias("seed_label"),
+    )
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.label_propagation(nodes, edges, rounds=LP_ROUNDS)
+
+
+def _label_prop_sql() -> str:
+    head = f"""
+WITH {{edges}}, sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), seeds AS MATERIALIZED (
+  SELECT doc_id AS node,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
+        < {LP_SEED_PCT}
+), l0 AS MATERIALIZED (SELECT node, label FROM seeds)"""
+    rounds = []
+    for r in range(1, LP_ROUNDS + 1):
+        rounds.append(f""", v{r} AS (
+  SELECT s.u AS node, l.label, count(*) AS nv
+  FROM sym s JOIN l{r - 1} l ON l.node = s.v GROUP BY 1, 2
+), b{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY nv DESC, label) AS rn
+    FROM v{r}) WHERE rn = 1
+), l{r} AS MATERIALIZED (
+  SELECT node, label FROM seeds
+  UNION ALL
+  SELECT b.node, b.label FROM b{r} b
+  WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.node = b.node)
+)""")
+
+    tail = f"""
+SELECT l.node, l.label, s.node IS NOT NULL AS seeded
+FROM l{LP_ROUNDS} l LEFT JOIN seeds s USING (node)"""
+    return (head + "".join(rounds) + tail).format(edges=_edge_cte())
+
+
+Q173_SQL = _label_prop_sql()
+
+
+# ---------------------------------------------------------------------------
+# q174 — retrieval metrics (MRR + recall@k) over the q150 kNN ranking;
+# q175-q176 — inter-rater agreement (Fleiss' kappa over three
+# deterministic raters) and McNemar's paired-classifier test on the
+# quality-scored corpus.
+# ---------------------------------------------------------------------------
+
+
+def q174_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        "embedding", "label"
+    ).first()
+    knn = similarity.brute_force_knn(
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID),
+        list(qrow["embedding"]),
+        k=NDCG_K,
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = (
+        knn.withColumn("rank", F.row_number().over(w))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "rank",
+            F.when(F.col("label") == F.lit(int(qrow["label"])), 1.0)
+            .otherwise(0.0)
+            .alias("rel"),
+        )
+    )
+    total_rel = (
+        emb.filter(
+            (F.col("vec_id") != KNN_QUERY_ID)
+            & (F.col("label") == F.lit(int(qrow["label"])))
+        )
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    return evaluation.mrr_recall_at_k(ranked, "rank", "rel", NDCG_K, total_rel)
+
+
+def _mrr_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv, label AS qlabel FROM embeddings
+  WHERE vec_id = {KNN_QUERY_ID}
+), scored AS (
+  SELECT e.vec_id, e.label, q.qlabel,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> {KNN_QUERY_ID}
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cosine DESC NULLS LAST, vec_id) AS r,
+         CASE WHEN label = qlabel THEN 1.0 ELSE 0.0 END AS rel
+  FROM scored
+  ORDER BY cosine DESC NULLS LAST, vec_id LIMIT {NDCG_K}
+), agg AS (
+  SELECT CAST(min(CASE WHEN rel > 0 THEN r END) AS INTEGER)
+           AS first_rel_rank,
+         CAST(sum(CASE WHEN rel > 0 AND r <= {NDCG_K} THEN 1 ELSE 0 END)
+           AS BIGINT) AS hits_at_k
+  FROM ranked
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rel
+  FROM embeddings e, q
+  WHERE e.vec_id <> {KNN_QUERY_ID} AND e.label = q.qlabel
+)
+SELECT first_rel_rank,
+       coalesce(1.0 / CAST(first_rel_rank AS DOUBLE), 0.0) AS mrr,
+       hits_at_k, n_rel,
+       CASE WHEN n_rel > 0
+            THEN CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
+            ELSE 0.0 END AS recall_at_k
+FROM agg, tot
+"""
+
+
+Q174_SQL = _mrr_sql()
+
+FLEISS_LEN_T = 500
+
+
+def _rater_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _quality_labeled(spark, sf_dir).join(docs, "doc_id").select(
+        (F.col("score") >= 0.5).cast("int").alias("r1"),
+        F.col("label").alias("r2"),
+        (F.col("n_chars") >= FLEISS_LEN_T).cast("int").alias("r3"),
+    )
+
+
+def q175_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.fleiss_kappa(
+        _rater_frame(spark, sf_dir), ["r1", "r2", "r3"]
+    )
+
+
+Q175_SQL = f"""
+WITH {_QUALITY_CTE}, r AS (
+  SELECT CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END
+         + s.label
+         + CASE WHEN d.n_chars >= {FLEISS_LEN_T} THEN 1 ELSE 0 END AS n1
+  FROM scored s JOIN documents d USING (doc_id)
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS N,
+         CAST(sum((3 - n1) * (3 - n1) + n1 * n1) AS BIGINT) AS sum_sq,
+         CAST(sum(3 - n1) AS BIGINT) AS t0,
+         CAST(sum(n1) AS BIGINT) AS t1
+  FROM r
+), k AS (
+  SELECT N, sum_sq, t0, t1,
+         (CAST(sum_sq AS DOUBLE) - CAST(N AS DOUBLE) * 3.0)
+           / (CAST(N AS DOUBLE) * 3.0 * 2.0) AS p_bar,
+         (CAST(t0 AS DOUBLE) / (CAST(N AS DOUBLE) * 3.0))
+           * (CAST(t0 AS DOUBLE) / (CAST(N AS DOUBLE) * 3.0))
+         + (CAST(t1 AS DOUBLE) / (CAST(N AS DOUBLE) * 3.0))
+           * (CAST(t1 AS DOUBLE) / (CAST(N AS DOUBLE) * 3.0)) AS p_e
+  FROM a
+)
+SELECT N AS n_rows, 3 AS n_raters, p_bar, p_e,
+       (p_bar - p_e) / (1.0 - p_e) AS kappa
+FROM k
+"""
+
+
+def q176_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    preds = _quality_labeled(spark, sf_dir).join(docs, "doc_id").select(
+        (F.col("score") >= 0.5).cast("int").alias("pred_a"),
+        (F.col("n_chars") >= FLEISS_LEN_T).cast("int").alias("pred_b"),
+        F.col("label"),
+    )
+    return evaluation.mcnemar(preds, "pred_a", "pred_b", "label")
+
+
+Q176_SQL = f"""
+WITH {_QUALITY_CTE}, p AS (
+  SELECT CASE WHEN (CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END) = s.label
+              THEN 1 ELSE 0 END AS a_ok,
+         CASE WHEN (CASE WHEN d.n_chars >= {FLEISS_LEN_T} THEN 1 ELSE 0 END)
+              = s.label THEN 1 ELSE 0 END AS b_ok
+  FROM scored s JOIN documents d USING (doc_id)
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS b_count,
+         CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS c_count
+  FROM p
+)
+SELECT n_rows, b_count, c_count,
+       CASE WHEN b_count + c_count > 0 THEN
+         CAST((b_count - c_count) * (b_count - c_count) AS DOUBLE)
+         / CAST(b_count + c_count AS DOUBLE)
+       END AS mcnemar_stat
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# q177-q178 — training schedules (operators/splits.py): deterministic
+# epoch shuffle into global batches, and curriculum interleave mixing
+# exact-rank difficulty tiers round-robin.  Both ranks are the
+# two-level distributed prefix count; the shuffle key is the portable
+# salted md5 so any engine replays the identical permutation.
+# ---------------------------------------------------------------------------
+
+EPOCH_N, BATCH_SIZE = 1, 256
+CUR_BUCKETS, CUR_HEAD = 8, 20
+
+
+def q177_epoch_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.epoch_shuffle_batches(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        epoch=EPOCH_N, batch_size=BATCH_SIZE,
+    )
+
+
+Q177_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#e{EPOCH_N}'), 1, 15))::BIGINT
+           AS kk
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY kk, doc_id) - 1 AS BIGINT) AS rk
+  FROM k
+)
+SELECT rk // {BATCH_SIZE} AS batch, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM r GROUP BY 1
+"""
+
+
+def q178_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.curriculum_interleave(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars",
+        n_buckets=CUR_BUCKETS, head=CUR_HEAD,
+    )
+
+
+Q178_SQL = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#cur'), 1, 15))::BIGINT AS kk
+  FROM documents
+), b AS (
+  SELECT doc_id, kk,
+         (CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+          * {CUR_BUCKETS}) // count(*) OVER () AS bucket
+  FROM k
+), p AS (
+  SELECT doc_id, bucket,
+         CAST(row_number() OVER (PARTITION BY bucket ORDER BY kk, doc_id) - 1
+           AS BIGINT) AS pos
+  FROM b
+)
+SELECT pos * {CUR_BUCKETS} + bucket AS schedule_pos, doc_id AS id, bucket
+FROM p ORDER BY schedule_pos LIMIT {CUR_HEAD}
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -7865,6 +8459,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164_brier": q164_brier,
     "q165_ece": q165_ece,
     "q166_spearman": q166_spearman,
+    "q167_ks_test": q167_ks_test,
+    "q168_chi_square": q168_chi_square,
+    "q169_welch_t": q169_welch_t,
+    "q170_kruskal_wallis": q170_kruskal_wallis,
+    "q171_acf": q171_acf,
+    "q172_adamic_adar": q172_adamic_adar,
+    "q173_label_prop": q173_label_prop,
+    "q174_mrr_recall": q174_mrr_recall,
+    "q175_fleiss_kappa": q175_fleiss_kappa,
+    "q176_mcnemar": q176_mcnemar,
+    "q177_epoch_batches": q177_epoch_batches,
+    "q178_curriculum": q178_curriculum,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8034,4 +8640,16 @@ ORACLE_SQL: dict[str, str] = {
     "q164_brier": Q164_SQL,
     "q165_ece": Q165_SQL,
     "q166_spearman": Q166_SQL,
+    "q167_ks_test": Q167_SQL,
+    "q168_chi_square": Q168_SQL,
+    "q169_welch_t": Q169_SQL,
+    "q170_kruskal_wallis": Q170_SQL,
+    "q171_acf": Q171_SQL,
+    "q172_adamic_adar": Q172_SQL,
+    "q173_label_prop": Q173_SQL,
+    "q174_mrr_recall": Q174_SQL,
+    "q175_fleiss_kappa": Q175_SQL,
+    "q176_mcnemar": Q176_SQL,
+    "q177_epoch_batches": Q177_SQL,
+    "q178_curriculum": Q178_SQL,
 }
