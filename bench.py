@@ -191,6 +191,39 @@ BENCH_QUERIES = [
     "q149_mmr_rerank",
     "q150_ndcg",
     "q151_entity_resolution",
+    "q152_ngram_prefix_pairs",
+    "q153_average_precision",
+    "q154_confusion",
+    "q155_cohens_kappa",
+    "q156_gini_tokens",
+    "q157_chao1",
+    "q158_zipf_fit",
+    "q159_hll_distinct",
+    "q160_cms_heavy",
+    "q161_cross_entropy",
+    "q162_repetition",
+    "q163_bpe_encode",
+    "q164_brier",
+    "q165_ece",
+    "q166_spearman",
+    "q167_ks_test",
+    "q168_chi_square",
+    "q169_welch_t",
+    "q170_kruskal_wallis",
+    "q171_acf",
+    "q172_adamic_adar",
+    "q173_label_prop",
+    "q174_mrr_recall",
+    "q175_fleiss_kappa",
+    "q176_mcnemar",
+    "q177_epoch_batches",
+    "q178_curriculum",
+    "q179_cov_matrix",
+    "q180_multi_ols",
+    "q181_target_encode",
+    "q182_kfold_encode",
+    "q183_volume_shipping",
+    "q184_market_share",
 ]
 
 

@@ -651,3 +651,204 @@ def grouped_weighted_median(
         .alias("total_weight"),
         F.min(value_col).alias("wmedian"),
     )
+
+
+# --------------------------------------------------------------------- moments
+# Shared scalar formulas for the moment-based operators below.  They are
+# SQL-syntax strings evaluated with F.expr on the Spark side and pasted
+# verbatim into the DuckDB oracle — one source of truth, so both engines
+# run the IDENTICAL expression tree over identical exact inputs and the
+# doubles come out bit-equal (the q49 moment-sum discipline).
+
+COV_FORMULA = "(({sij}) - ({si}) * ({sj}) / n) / (n - 1.0)"
+CORR_FORMULA = (
+    "(n * ({sij}) - ({si}) * ({sj}))"
+    " / (sqrt(n * ({sii}) - ({si}) * ({si}))"
+    "    * sqrt(n * ({sjj}) - ({sj}) * ({sj})))"
+)
+
+OLS2_DET = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+OLS2_B0 = (
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y)) / det"
+)
+OLS2_B1 = (
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2)) / det"
+)
+OLS2_B2 = (
+    "(n * (s11 * s2y - s1y * s12)"
+    " - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2)) / det"
+)
+OLS2_SSE = (
+    "(syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y)"
+    " + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22"
+    "    + 2.0 * b0 * b1 * s1 + 2.0 * b0 * b2 * s2"
+    "    + 2.0 * b1 * b2 * s12))"
+)
+OLS2_R2 = "1.0 - sse / (syy - sy * sy / n)"
+
+
+def _dec2(c: str) -> Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _dbl_exact(col: Column) -> Column:
+    # decimal -> STRING -> double (exact digits, correctly-rounded parse
+    # in both engines); see q49's scale note in queries.py.
+    return col.cast("string").cast("double")
+
+
+def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact sample covariance + Pearson correlation matrix over
+    ``cols`` (upper triangle incl. diagonal, d(d+1)/2 rows).
+
+    One map-side-combinable hash aggregate computes every first and
+    second moment as DECIMAL(18,2)/(37,4) sums (order-independent
+    exact, 2dp-rounded inputs), stringly-cast to double; the per-pair
+    covariance/correlation then evaluates :data:`COV_FORMULA` /
+    :data:`CORR_FORMULA` — the same strings the oracle runs — so
+    results are bit-equal across engines and partition layouts.  Rows
+    with a NULL in ANY of ``cols`` are dropped (complete-case, the
+    standard matrix convention).
+
+    Scale: one aggregate over the input, d² tiny columns; the matrix
+    explode is d²-sized.  Returns (col_x, col_y, n_rows, cov, corr).
+    """
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, ci in enumerate(cols):
+        aggs.append(_dbl_exact(F.sum(_dec2(ci))).alias(f"s{i}"))
+        for j, cj in enumerate(cols):
+            if i <= j:
+                aggs.append(
+                    _dbl_exact(F.sum(_dec2(ci) * _dec2(cj))).alias(
+                        f"s{i}_{j}"
+                    )
+                )
+    sums = base.agg(*aggs)
+    cells = []
+    for i, ci in enumerate(cols):
+        for j, cj in enumerate(cols):
+            if i > j:
+                continue
+            sub = {
+                "si": f"s{i}",
+                "sj": f"s{j}",
+                "sij": f"s{i}_{j}",
+                "sii": f"s{i}_{i}",
+                "sjj": f"s{j}_{j}",
+            }
+            cells.append(
+                F.struct(
+                    F.lit(ci).alias("col_x"),
+                    F.lit(cj).alias("col_y"),
+                    F.expr(COV_FORMULA.format(**sub)).alias("cov"),
+                    F.expr(CORR_FORMULA.format(**sub)).alias("corr"),
+                )
+            )
+    return sums.select(
+        F.col("n").cast("long").alias("n_rows"), F.inline(F.array(*cells))
+    ).select("col_x", "col_y", "n_rows", "cov", "corr")
+
+
+def multi_ols(
+    df: DataFrame, y_col: str, x_cols: list[str]
+) -> DataFrame:
+    """Multiple linear regression by the normal equations.
+
+    For exactly TWO features the 3×3 system is solved in closed form
+    (Cramer's rule over exact decimal moment sums — :data:`OLS2_B0` ..
+    :data:`OLS2_R2`, the same expression strings the oracle evaluates,
+    so coefficients and R² are bit-equal across engines).  For d > 2
+    the Gram matrix (a (d+1)² model-parameter-sized frame) is collected
+    to the driver and solved with numpy — still one distributed
+    aggregate over the data, but not oracle-replayable (no closed
+    form); use the 2-feature tier for parity-checked paths.
+
+    Returns one row: (n_rows, b0, b1, b2, r2) for d=2;
+    (n_rows, b0..bd, r2) for the numpy tier.
+    """
+    if len(x_cols) != 2:
+        return _multi_ols_numpy(df, y_col, x_cols)
+    x1, x2 = x_cols
+    base = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x1).isNotNull()
+        & F.col(x2).isNotNull()
+    )
+    sums = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dbl_exact(F.sum(_dec2(y_col))).alias("sy"),
+        _dbl_exact(F.sum(_dec2(y_col) * _dec2(y_col))).alias("syy"),
+        _dbl_exact(F.sum(_dec2(x1))).alias("s1"),
+        _dbl_exact(F.sum(_dec2(x2))).alias("s2"),
+        _dbl_exact(F.sum(_dec2(x1) * _dec2(x1))).alias("s11"),
+        _dbl_exact(F.sum(_dec2(x2) * _dec2(x2))).alias("s22"),
+        _dbl_exact(F.sum(_dec2(x1) * _dec2(x2))).alias("s12"),
+        _dbl_exact(F.sum(_dec2(x1) * _dec2(y_col))).alias("s1y"),
+        _dbl_exact(F.sum(_dec2(x2) * _dec2(y_col))).alias("s2y"),
+    )
+    staged = (
+        sums.withColumn("det", F.expr(OLS2_DET))
+        .withColumn("b0", F.expr(OLS2_B0))
+        .withColumn("b1", F.expr(OLS2_B1))
+        .withColumn("b2", F.expr(OLS2_B2))
+        .withColumn("sse", F.expr(OLS2_SSE))
+    )
+    return staged.select(
+        F.col("n").cast("long").alias("n_rows"),
+        "b0",
+        "b1",
+        "b2",
+        F.expr(OLS2_R2).alias("r2"),
+    )
+
+
+def _multi_ols_numpy(
+    df: DataFrame, y_col: str, x_cols: list[str]
+) -> DataFrame:
+    """numpy tier of :func:`multi_ols` — the Gram matrix is
+    model-parameter-sized ((d+1)² doubles), so the driver solve is the
+    same bounded-collect class as IVF centroids."""
+    import numpy as np
+
+    base = df
+    for c in [y_col, *x_cols]:
+        base = base.filter(F.col(c).isNotNull())
+    feats = [F.lit(1.0), *[F.col(c).cast("double") for c in x_cols]]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, fi in enumerate(feats):
+        aggs.append(F.sum(fi * F.col(y_col).cast("double")).alias(f"xy{i}"))
+        for j, fj in enumerate(feats):
+            if i <= j:
+                aggs.append(F.sum(fi * fj).alias(f"g{i}_{j}"))
+    aggs.append(
+        F.sum(F.col(y_col).cast("double") * F.col(y_col).cast("double"))
+        .alias("syy")
+    )
+    row = base.agg(*aggs).collect()[0]
+    d = len(feats)
+    gram = np.zeros((d, d))
+    for i in range(d):
+        for j in range(d):
+            gram[i, j] = row[f"g{min(i, j)}_{max(i, j)}"]
+    xty = np.array([row[f"xy{i}"] for i in range(d)])
+    beta = np.linalg.solve(gram, xty)
+    sse = row["syy"] - 2 * beta @ xty + beta @ gram @ beta
+    sst = row["syy"] - row["xy0"] ** 2 / row["n"]
+    spark = df.sparkSession
+    out = [(int(row["n"]), *[float(b) for b in beta], float(1 - sse / sst))]
+    names = ["n_rows"] + [f"b{i}" for i in range(d)] + ["r2"]
+    return spark.createDataFrame(out, ", ".join(
+        f"{nm} {'long' if nm == 'n_rows' else 'double'}" for nm in names
+    ))

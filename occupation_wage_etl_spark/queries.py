@@ -60,6 +60,7 @@ from occupation_wage_etl_spark.operators import (
     curation,
     decontaminate,
     dedup,
+    encoding,
     evaluation,
     fuzzy_join,
     graph,
@@ -8292,6 +8293,335 @@ FROM p ORDER BY schedule_pos LIMIT {CUR_HEAD}
 """
 
 
+# ---------------------------------------------------------------------------
+# q179-q180 — moment-matrix analytics (operators/stats.py): exact
+# covariance/correlation matrix and closed-form 2-feature OLS (normal
+# equations via Cramer).  Both sides evaluate the SAME formula strings
+# (stats.COV_FORMULA etc.) over identical exact decimal moment sums.
+# ---------------------------------------------------------------------------
+
+COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q179_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.covariance_matrix(_t(spark, sf_dir, "lineitem"), COV_COLS)
+
+
+def _cov_matrix_sql() -> str:
+    d = len(COV_COLS)
+    sum_cols = ["CAST(count(*) AS DOUBLE) AS n"]
+    for i, ci in enumerate(COV_COLS):
+        sum_cols.append(
+            f"CAST(CAST(sum(CAST({ci} AS DECIMAL(18,2))) AS VARCHAR)"
+            f" AS DOUBLE) AS s{i}"
+        )
+        for j, cj in enumerate(COV_COLS):
+            if i <= j:
+                sum_cols.append(
+                    f"CAST(CAST(sum(CAST({ci} AS DECIMAL(18,2))"
+                    f" * CAST({cj} AS DECIMAL(18,2))) AS VARCHAR)"
+                    f" AS DOUBLE) AS s{i}_{j}"
+                )
+    where = " AND ".join(f"{c} IS NOT NULL" for c in COV_COLS)
+    rows = []
+    for i, ci in enumerate(COV_COLS):
+        for j, cj in enumerate(COV_COLS):
+            if i > j:
+                continue
+            sub = {
+                "si": f"s{i}", "sj": f"s{j}", "sij": f"s{i}_{j}",
+                "sii": f"s{i}_{i}", "sjj": f"s{j}_{j}",
+            }
+            rows.append(
+                f"SELECT '{ci}' AS col_x, '{cj}' AS col_y,"
+                f" CAST(n AS BIGINT) AS n_rows,"
+                f" {stats.COV_FORMULA.format(**sub)} AS cov,"
+                f" {stats.CORR_FORMULA.format(**sub)} AS corr FROM s"
+            )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sum_cols)
+        + f" FROM lineitem WHERE {where})\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+Q179_SQL = _cov_matrix_sql()
+
+
+def q180_multi_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.multi_ols(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+    )
+
+
+Q180_SQL = f"""
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS sy,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS syy,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS s2,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS s11,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS s22,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS s12,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS s1y,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+           AS DOUBLE) AS s2y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+), st1 AS (SELECT *, {stats.OLS2_DET} AS det FROM s),
+st2 AS (SELECT *, {stats.OLS2_B0} AS b0, {stats.OLS2_B1} AS b1,
+               {stats.OLS2_B2} AS b2 FROM st1),
+st3 AS (SELECT *, {stats.OLS2_SSE} AS sse FROM st2)
+SELECT CAST(n AS BIGINT) AS n_rows, b0, b1, b2, {stats.OLS2_R2} AS r2
+FROM st3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q181-q182 — categorical target encoding (operators/encoding.py):
+# smoothed, and the leakage-free k-fold variant (totals minus own fold).
+# ---------------------------------------------------------------------------
+
+TE_M, TE_FOLDS = 100.0, 5
+
+
+def q181_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return encoding.target_encode(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        m=TE_M,
+    )
+
+
+Q181_SQL = f"""
+WITH b AS (
+  SELECT o_orderpriority AS category, o_totalprice AS y FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), pc AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(CAST(sum(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_c
+  FROM b GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_all,
+         CAST(CAST(sum(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           AS s_all
+  FROM b
+)
+SELECT category, n_rows,
+       (s_c + {TE_M} * (s_all / n_all)) / (CAST(n_rows AS DOUBLE) + {TE_M})
+         AS target_enc
+FROM pc, g
+"""
+
+
+def q182_kfold_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "fold", splits.hash_bucket(F.col("o_orderkey"), TE_FOLDS)
+    )
+    return encoding.kfold_target_encode(
+        orders, "o_orderpriority", "o_totalprice", "fold", m=TE_M
+    )
+
+
+Q182_SQL = f"""
+WITH b AS (
+  SELECT o_orderpriority AS category, o_totalprice AS y,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::INTEGER
+           % {TE_FOLDS} AS fold
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), cf AS (
+  SELECT category, fold, CAST(count(*) AS BIGINT) AS n_cf,
+         CAST(CAST(sum(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           AS s_cf
+  FROM b GROUP BY 1, 2
+), ct AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n_c,
+         CAST(CAST(sum(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_c
+  FROM b GROUP BY 1
+), ft AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_f,
+         CAST(CAST(sum(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_f
+  FROM b GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(CAST(sum(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           AS s_all
+  FROM b
+)
+SELECT cf.category, cf.fold, cf.n_cf AS n_rows,
+       ((s_c - s_cf) + {TE_M} * ((s_all - s_f)
+                                 / CAST(n_all - n_f AS DOUBLE)))
+       / (CAST(n_c - n_cf AS DOUBLE) + {TE_M}) AS target_enc
+FROM cf JOIN ct USING (category) JOIN ft USING (fold), g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q183-q184 — TPC-H Q7/Q8 join shapes on the engine's tables: bilateral
+# volume shipping by year, and per-year market share of one supplier
+# nation.  Demonstrate the multi-dim broadcast join plans; revenue is
+# the q117 exact-decimal convention.
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q8_REGION, Q8_TYPE, Q8_NATION = "EUROPE", "PROMO", "NATION_5"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)")
+        - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+def q183_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nat.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .filter(pair)
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dbl(F.sum(_rev())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q183_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR)
+         AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+   OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q184_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE
+    ).select("p_partkey")
+    cn = nat.join(
+        F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(cn), "c_nationkey", "left_semi")
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), "s_nationkey")
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        dbl(
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, _rev())
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            )
+        ).alias("__nat"),
+        dbl(F.sum(_rev())).alias("__tot"),
+    )
+    return agg.select(
+        "o_year", (F.col("__nat") / F.col("__tot")).alias("mkt_share")
+    ).orderBy("o_year")
+
+
+Q184_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(3,2)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR)
+           AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = '{Q8_TYPE}'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -8471,6 +8801,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_mcnemar": q176_mcnemar,
     "q177_epoch_batches": q177_epoch_batches,
     "q178_curriculum": q178_curriculum,
+    "q179_cov_matrix": q179_cov_matrix,
+    "q180_multi_ols": q180_multi_ols,
+    "q181_target_encode": q181_target_encode,
+    "q182_kfold_encode": q182_kfold_encode,
+    "q183_volume_shipping": q183_volume_shipping,
+    "q184_market_share": q184_market_share,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8652,4 +8988,10 @@ ORACLE_SQL: dict[str, str] = {
     "q176_mcnemar": Q176_SQL,
     "q177_epoch_batches": Q177_SQL,
     "q178_curriculum": Q178_SQL,
+    "q179_cov_matrix": Q179_SQL,
+    "q180_multi_ols": Q180_SQL,
+    "q181_target_encode": Q181_SQL,
+    "q182_kfold_encode": Q182_SQL,
+    "q183_volume_shipping": Q183_SQL,
+    "q184_market_share": Q184_SQL,
 }
