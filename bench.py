@@ -224,6 +224,9 @@ BENCH_QUERIES = [
     "q182_kfold_encode",
     "q183_volume_shipping",
     "q184_market_share",
+    "q185_theta_overlap",
+    "q186_seasonal",
+    "q187_bootstrap_ci",
 ]
 
 

@@ -181,3 +181,70 @@ def cms_heavy_hitters(
         .agg(F.min("ctr").alias("cms_estimate"))
     )
     return est.orderBy(F.desc("true_count"), F.asc("value"))
+
+
+def theta_overlap(
+    df: DataFrame,
+    set_col: str,
+    value_col,
+    set_a: str,
+    set_b: str,
+    theta_bits: int = 8,
+) -> DataFrame:
+    """Fixed-threshold theta sketch (the KMV/bottom-k idea with a FIXED
+    sampling threshold) estimating distinct counts, union, intersection
+    and Jaccard between two sets' values — "how much token vocabulary
+    do two corpus slices share" without materializing either
+    vocabulary.
+
+    Every distinct value whose 60-bit md5 hash falls below
+    ``theta = 2^(60 - theta_bits)`` is kept — an exactly-replayable
+    1/2^theta_bits uniform sample of the DISTINCT domain.  Estimates
+    are kept-counts scaled by ``2^theta_bits``; Jaccard is the exact
+    integer ratio of kept-intersection to kept-union.  Unlike a
+    bottom-k sketch there is no per-set global sort or collect: the
+    plan is filter → distinct (hash aggregate) → one self-equi-join on
+    the kept hashes — every stage distributed, sketch size
+    ~distinct/2^theta_bits rows.
+
+    All-integer until three closing divisions.  Returns one row:
+    (kept_a, kept_b, kept_union, kept_inter, est_a, est_b, est_union,
+    est_inter, jaccard_est).
+    """
+    scale = 2**theta_bits
+    theta = 2 ** (60 - theta_bits)
+    s, v = F.col(set_col), F.col(value_col)
+    kept = (
+        df.filter(s.isin(set_a, set_b) & v.isNotNull())
+        .select(
+            (s == set_a).alias("in_a"),
+            _h60(v.cast("string"), salt="th#").alias("h"),
+        )
+        .filter(F.col("h") < theta)
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("in_a"), 1).otherwise(0)).alias("a"),
+            F.max(F.when(~F.col("in_a"), 1).otherwise(0)).alias("b"),
+        )
+    )
+    agg = kept.agg(
+        F.sum("a").alias("kept_a"),
+        F.sum("b").alias("kept_b"),
+        F.count(F.lit(1)).alias("kept_union"),
+        F.sum(F.col("a") * F.col("b")).alias("kept_inter"),
+    )
+    return agg.select(
+        "kept_a",
+        "kept_b",
+        "kept_union",
+        "kept_inter",
+        (F.col("kept_a") * scale).alias("est_a"),
+        (F.col("kept_b") * scale).alias("est_b"),
+        (F.col("kept_union") * scale).alias("est_union"),
+        (F.col("kept_inter") * scale).alias("est_inter"),
+        F.when(
+            F.col("kept_union") > 0,
+            F.col("kept_inter").cast("double")
+            / F.col("kept_union").cast("double"),
+        ).alias("jaccard_est"),
+    )

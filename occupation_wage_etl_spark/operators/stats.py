@@ -852,3 +852,97 @@ def _multi_ols_numpy(
     return spark.createDataFrame(out, ", ".join(
         f"{nm} {'long' if nm == 'n_rows' else 'double'}" for nm in names
     ))
+
+
+# Poisson(1) CDF cutoffs scaled to the 60-bit hash domain: replicate
+# weight w = j iff  T[j-1] <= h < T[j]  (T[-1] = 0).  INTEGER
+# comparisons — no float literal parsing divergence between engines.
+import math as _math
+
+_POIS_CDF = []
+_acc = 0.0
+for _j in range(7):
+    _acc += _math.exp(-1.0) / _math.factorial(_j)
+    _POIS_CDF.append(min(int(_acc * (2**60)), 2**60))
+POISSON_CUTOFFS: tuple[int, ...] = tuple(_POIS_CDF)  # w capped at 7
+del _POIS_CDF, _acc, _j
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b_reps: int = 40,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Poissonized bootstrap confidence interval for the mean — the
+    standard bootstrap-at-scale construction: instead of resampling n
+    rows WITH replacement (a global multinomial no distributed engine
+    can do cheaply), each row enters replicate ``b`` with weight
+    ``w ~ Poisson(1)`` derived DETERMINISTICALLY from
+    ``md5(id || '#b' || b)`` — so any engine replays the identical
+    resamples bit-for-bit and reruns are stable.
+
+    Per-replicate means are exact-decimal weighted sums (w is a small
+    integer, values 2dp) with one double division; the CI picks order
+    statistics of the ``b_reps`` means (a b_reps-sized sorted array).
+    Work is b_reps× map-side; the shuffle carries only b_reps partial
+    rows per task (map-side combine), so the plan scales like one
+    aggregate.
+
+    Returns one row: (n_rows, b_reps, mean_point, ci_lo, ci_hi).
+    """
+    cuts = POISSON_CUTOFFS
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("__id"),
+        _dec2(value_col).alias("__v"),
+    )
+    rep = base.select(
+        "__id", "__v", F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("__b")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("__id"), F.lit("#b"), F.col("__b").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(len(cuts))
+    for j in range(len(cuts) - 1, -1, -1):
+        w = F.when(h < F.lit(cuts[j]), F.lit(j)).otherwise(w)
+    means = (
+        rep.select("__b", "__v", w.alias("__w"))
+        .groupBy("__b")
+        .agg(
+            _dbl_exact(
+                F.sum(F.col("__w").cast("decimal(4,0)") * F.col("__v"))
+            ).alias("s"),
+            F.sum("__w").alias("n"),
+        )
+        .select(
+            (F.col("s") / F.col("n").cast("double")).alias("m")
+        )
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dbl_exact(F.sum("__v")).alias("s_all"),
+    )
+    k = int((alpha / 2) * b_reps)
+    arr = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    return point.crossJoin(F.broadcast(arr)).select(
+        "n_rows",
+        F.lit(b_reps).alias("b_reps"),
+        (F.col("s_all") / F.col("n_rows").cast("double")).alias(
+            "mean_point"
+        ),
+        F.element_at("ms", k + 1).alias("ci_lo"),
+        F.element_at("ms", b_reps - k).alias("ci_hi"),
+    )

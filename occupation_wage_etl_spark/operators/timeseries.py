@@ -892,3 +892,61 @@ def acf(
             num.cast("double") / den.cast("double"),
         ).alias("acf"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal index per series: classical decomposition's
+    seasonal component for integer-valued series (event counts) —
+    trend = centered ``period``-row moving average, seasonal(phase) =
+    mean of the detrended values at that phase.
+
+    Exactness: for integer x the detrended value scaled by ``period``
+    is the INTEGER ``period*x - S_w`` (S_w = the window sum), so the
+    per-phase mean is a ratio of exact integers — one closing double
+    division, order-independent, engine-portable.  Phase is the
+    epoch-day modulo ``period`` (portable across engines, unlike
+    locale-dependent dayofweek numbering).
+
+    Scale: one window partitioned BY SERIES (axis-sized rows after the
+    upstream per-bucket aggregate) + one phase-grain hash aggregate.
+    Only full windows contribute (edge rows are dropped), matching the
+    classical definition.  Returns (group, phase, n_obs, seasonal).
+    """
+    half = period // 2
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("d")
+        .rowsBetween(-half, half)
+    )
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(date_col).alias("d"),
+        x.alias("x"),
+    ).withColumn("sw", F.sum("x").over(w)).withColumn(
+        "wn", F.count(F.lit(1)).over(w)
+    )
+    full = base.filter(F.col("wn") == period).select(
+        "grp",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            % period
+        ).alias("phase"),
+        (F.lit(period) * F.col("x") - F.col("sw")).alias("dev"),
+    )
+    return (
+        full.groupBy(F.col("grp").alias(group_col), "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (
+                F.sum("dev").cast("double")
+                / (F.lit(float(period)) * F.count(F.lit(1)).cast("double"))
+            ).alias("seasonal"),
+        )
+    )

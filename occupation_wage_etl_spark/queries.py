@@ -8622,6 +8622,157 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q185-q187 — theta-sketch vocabulary overlap between two corpus
+# slices (operators/sketch.py), additive seasonal decomposition of the
+# event stream (operators/timeseries.py), and a deterministic
+# Poissonized bootstrap CI for the mean (operators/stats.py).
+# ---------------------------------------------------------------------------
+
+THETA_BITS = 4
+THETA_SRC_A, THETA_SRC_B = "src0", "src1"
+
+
+def q185_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    return sketch.theta_overlap(
+        toks, "source", "token", THETA_SRC_A, THETA_SRC_B,
+        theta_bits=THETA_BITS,
+    )
+
+
+Q185_SQL = f"""
+WITH tk AS (
+  SELECT source, unnest(str_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE source IN ('{THETA_SRC_A}', '{THETA_SRC_B}')
+), kept AS (
+  SELECT ('0x' || substr(md5('th#' || token), 1, 15))::BIGINT AS h,
+         CAST(max(CASE WHEN source = '{THETA_SRC_A}' THEN 1 ELSE 0 END)
+           AS BIGINT) AS a,
+         CAST(max(CASE WHEN source <> '{THETA_SRC_A}' THEN 1 ELSE 0 END)
+           AS BIGINT) AS b
+  FROM tk
+  WHERE ('0x' || substr(md5('th#' || token), 1, 15))::BIGINT
+        < {2 ** (60 - THETA_BITS)}
+  GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(a) AS BIGINT) AS kept_a, CAST(sum(b) AS BIGINT) AS kept_b,
+         CAST(count(*) AS BIGINT) AS kept_union,
+         CAST(sum(a * b) AS BIGINT) AS kept_inter
+  FROM kept
+)
+SELECT kept_a, kept_b, kept_union, kept_inter,
+       kept_a * {2 ** THETA_BITS} AS est_a,
+       kept_b * {2 ** THETA_BITS} AS est_b,
+       kept_union * {2 ** THETA_BITS} AS est_union,
+       kept_inter * {2 ** THETA_BITS} AS est_inter,
+       CASE WHEN kept_union > 0
+            THEN CAST(kept_inter AS DOUBLE) / CAST(kept_union AS DOUBLE)
+       END AS jaccard_est
+FROM agg
+"""
+
+SEASON_PERIOD = 7
+
+
+def q186_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return (
+        timeseries.seasonal_decompose(
+            daily, "event_type", "day", "x", period=SEASON_PERIOD
+        )
+        .select(
+            "event_type",
+            F.col("phase").cast("long").alias("phase"),
+            "n_obs",
+            "seasonal",
+        )
+        .orderBy("event_type", "phase")
+    )
+
+
+Q186_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, x,
+         sum(x) OVER win AS sw, count(*) OVER win AS wn
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {SEASON_PERIOD // 2} PRECEDING
+                          AND {SEASON_PERIOD // 2} FOLLOWING)
+), full_w AS (
+  SELECT event_type,
+         (day - DATE '1970-01-01') % {SEASON_PERIOD} AS phase,
+         {SEASON_PERIOD} * x - sw AS dev
+  FROM w WHERE wn = {SEASON_PERIOD}
+)
+SELECT event_type, CAST(phase AS BIGINT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(dev) AS DOUBLE)
+         / ({SEASON_PERIOD}.0 * CAST(count(*) AS DOUBLE)) AS seasonal
+FROM full_w GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+BOOT_B, BOOT_ALPHA = 40, 0.1
+
+
+def q187_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.bootstrap_mean_ci(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey",
+        b_reps=BOOT_B, alpha=BOOT_ALPHA,
+    )
+
+
+def _bootstrap_sql() -> str:
+    cuts = stats.POISSON_CUTOFFS
+    w_case = "CASE " + " ".join(
+        f"WHEN h < {c} THEN {j}" for j, c in enumerate(cuts)
+    ) + f" ELSE {len(cuts)} END"
+    k = int((BOOT_ALPHA / 2) * BOOT_B)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey::VARCHAR AS id, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+), rep AS (
+  SELECT id, v, unnest(range(0, {BOOT_B})) AS b FROM base
+), hashed AS (
+  SELECT v, b,
+         ('0x' || substr(md5(id || '#b' || b::VARCHAR), 1, 15))::BIGINT AS h
+  FROM rep
+), weighted AS (
+  SELECT b, v, {w_case} AS w FROM hashed
+), means AS (
+  SELECT CAST(CAST(sum(CAST(w AS DECIMAL(4,0)) * v) AS VARCHAR) AS DOUBLE)
+           / CAST(sum(w) AS DOUBLE) AS m
+  FROM weighted GROUP BY b
+), arr AS (
+  SELECT list_sort(list(m)) AS ms FROM means
+), point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS s_all
+  FROM base
+)
+SELECT n_rows, {BOOT_B} AS b_reps,
+       s_all / CAST(n_rows AS DOUBLE) AS mean_point,
+       ms[{k + 1}] AS ci_lo, ms[{BOOT_B - k}] AS ci_hi
+FROM point, arr
+"""
+
+
+Q187_SQL = _bootstrap_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -8807,6 +8958,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_kfold_encode": q182_kfold_encode,
     "q183_volume_shipping": q183_volume_shipping,
     "q184_market_share": q184_market_share,
+    "q185_theta_overlap": q185_theta_overlap,
+    "q186_seasonal": q186_seasonal,
+    "q187_bootstrap_ci": q187_bootstrap_ci,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8994,4 +9148,7 @@ ORACLE_SQL: dict[str, str] = {
     "q182_kfold_encode": Q182_SQL,
     "q183_volume_shipping": Q183_SQL,
     "q184_market_share": Q184_SQL,
+    "q185_theta_overlap": Q185_SQL,
+    "q186_seasonal": Q186_SQL,
+    "q187_bootstrap_ci": Q187_SQL,
 }
