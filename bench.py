@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     "q185_theta_overlap",
     "q186_seasonal",
     "q187_bootstrap_ci",
+    "q188_train_logreg",
+    "q189_best_threshold",
 ]
 
 

@@ -305,3 +305,83 @@ def ngram_repetition_ratio(
             / F.col("n_ngrams").cast("double")
         ).alias("repetition_ratio"),
     )
+
+
+def train_logreg(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 1.0,
+    iters: int = 3,
+) -> DataFrame:
+    """Train a logistic-regression quality filter IN the engine:
+    ``iters`` full-batch gradient-descent steps, each ONE distributed
+    aggregate over the data.
+
+        w <- w + lr * (1/n) * sum_i x_i * (y_i - sigmoid(w . x_i))
+
+    Determinism contract (the repo's float-fold policy): features and
+    per-row residuals are 6dp-rounded and summed as DECIMAL — exact,
+    order-independent — so the weight trajectory is bit-reproducible
+    across partition layouts and engines (sigmoid's ``exp`` is the one
+    transcendental; rounding before the sum absorbs its cross-engine
+    ULPs).  Between steps only the (d+1)-vector of weights moves to
+    the driver — model-parameter-sized, same class as IVF centroids —
+    and re-enters the next step's plan as literals.
+
+    Fixed ``iters`` (no convergence test) keeps the computation an
+    unrollable, oracle-replayable DAG.  Features are used as given
+    (scale them upstream); an intercept is always prepended.
+
+    Returns one row: (n_rows, w0..wd, train_accuracy).
+    """
+    d = len(feature_cols)
+    base = df
+    for c in [label_col, *feature_cols]:
+        base = base.filter(F.col(c).isNotNull())
+    feats = [F.lit(1.0), *[
+        F.round(F.col(c).cast("double"), 6) for c in feature_cols
+    ]]
+    y = F.col(label_col).cast("double")
+
+    weights = [0.0] * (d + 1)
+    n_rows = None
+    for _ in range(iters):
+        z = F.lit(weights[0]) * feats[0]
+        for j in range(1, d + 1):
+            z = z + F.lit(weights[j]) * feats[j]
+        resid = F.round(y - F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for j, fj in enumerate(feats):
+            aggs.append(
+                F.sum(
+                    (fj * resid).cast("decimal(28,12)")
+                ).cast("string").cast("double").alias(f"g{j}")
+            )
+        row = base.agg(*aggs).collect()[0]
+        n_rows = row["n"]
+        weights = [
+            weights[j] + lr * (row[f"g{j}"] / float(n_rows))
+            for j in range(d + 1)
+        ]
+
+    z = F.lit(weights[0]) * feats[0]
+    for j in range(1, d + 1):
+        z = z + F.lit(weights[j]) * feats[j]
+    pred = (z >= 0).cast("long")
+    acc = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(pred == F.col(label_col).cast("long"), 1).otherwise(0)
+        ).alias("correct"),
+    )
+    w_cols = [
+        F.lit(float(w)).alias(f"w{j}") for j, w in enumerate(weights)
+    ]
+    return acc.select(
+        "n_rows",
+        *w_cols,
+        (
+            F.col("correct").cast("double") / F.col("n_rows").cast("double")
+        ).alias("train_accuracy"),
+    )

@@ -753,3 +753,83 @@ def mcnemar(
             tot > 0, (diff * diff).cast("double") / tot.cast("double")
         ).alias("mcnemar_stat"),
     )
+
+
+def best_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """One-pass model selection: sweep EVERY distinct score as the
+    decision threshold (predict 1 iff score >= t) and return the
+    accuracy-maximizing threshold with its confusion counts and F1 —
+    the in-engine replacement for a driver-side grid search.
+
+    Shape: the per-distinct-score histogram + the two-level distributed
+    prefix sum gives, for each candidate threshold, the positives and
+    negatives BELOW it (``__cumb`` pair) — so TP/FP/TN/FN for all
+    thresholds materialize in one pass, all-integer.  The argmax picks
+    (accuracy, then F1 numerator, then smallest threshold) — a total
+    order, so the winner is deterministic in any engine.  No
+    data-sized sort: candidates are distinct-score-sized, the argmax
+    is one min(struct) aggregate.
+
+    Returns one row: (threshold, tp, fp, tn, fn, accuracy, f1).
+    """
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(y).alias("p"),
+            F.sum(F.lit(1) - y).alias("n"),
+        )
+    )
+    ranked, total = _dist_cum_before(
+        g,
+        ["__s"],
+        F.col("p"),
+        extra_weights={"__cumb_n": F.col("n")},
+    )
+    # totals ride on the 1-row frame: P = __total, N = __cumb_n_total
+    cand = ranked.crossJoin(F.broadcast(total)).select(
+        "__s",
+        # predict 1 iff score >= __s: below-threshold counts are the
+        # exclusive prefix sums at __s
+        (F.col("__total") - F.col("__cumb")).alias("tp"),
+        (F.col("__cumb_n_total") - F.col("__cumb_n")).alias("fp"),
+        F.col("__cumb_n").alias("tn"),
+        F.col("__cumb").alias("fn"),
+    )
+    # argmax by (correct count, then F1 numerator 2TP vs denominator —
+    # compare as cross-multiplied integers), then smallest threshold
+    pick = cand.select(
+        F.struct(
+            (-(F.col("tp") + F.col("tn"))).alias("neg_correct"),
+            (-F.col("tp")).alias("neg_tp"),
+            F.col("__s").alias("threshold"),
+            F.col("tp"),
+            F.col("fp"),
+            F.col("tn"),
+            F.col("fn"),
+        ).alias("c")
+    ).agg(F.min("c").alias("best"))
+    b = F.col("best")
+    acc = (b["tp"] + b["tn"]).cast("double") / (
+        b["tp"] + b["fp"] + b["tn"] + b["fn"]
+    ).cast("double")
+    f1_den = (
+        F.lit(2) * b["tp"] + b["fp"] + b["fn"]
+    )
+    return pick.select(
+        b["threshold"].alias("threshold"),
+        b["tp"].alias("tp"),
+        b["fp"].alias("fp"),
+        b["tn"].alias("tn"),
+        b["fn"].alias("fn"),
+        acc.alias("accuracy"),
+        F.when(
+            f1_den > 0,
+            (F.lit(2) * b["tp"]).cast("double") / f1_den.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("f1"),
+    )

@@ -8773,6 +8773,113 @@ FROM point, arr
 Q187_SQL = _bootstrap_sql()
 
 
+# ---------------------------------------------------------------------------
+# q188-q189 — in-engine model fitting and selection: full-batch
+# logistic-regression training (curation.train_logreg, 3 unrolled GD
+# steps, exact-decimal gradient sums) and a one-pass decision-threshold
+# sweep over every distinct score (evaluation.best_threshold).
+# ---------------------------------------------------------------------------
+
+LOGREG_LR, LOGREG_ITERS = 1.0, 3
+LOGREG_LEN_SCALE = 20000.0
+
+
+def _logreg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _quality_labeled(spark, sf_dir).join(docs, "doc_id").select(
+        "label",
+        F.col("score").alias("x1"),
+        (F.col("n_chars").cast("double") / LOGREG_LEN_SCALE).alias("x2"),
+    )
+
+
+def q188_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.train_logreg(
+        _logreg_frame(spark, sf_dir), ["x1", "x2"], "label",
+        lr=LOGREG_LR, iters=LOGREG_ITERS,
+    )
+
+
+def _logreg_sql() -> str:
+    feats = f"""f AS (
+  SELECT CAST(s.label AS DOUBLE) AS y, s.label AS yl,
+         round(s.score, 6) AS x1,
+         round(CAST(d.n_chars AS DOUBLE) / {LOGREG_LEN_SCALE}, 6) AS x2
+  FROM scored s JOIN documents d USING (doc_id)
+), w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    steps = []
+    for i in range(LOGREG_ITERS):
+        z = "(w0 * 1.0 + w1 * x1 + w2 * x2)"
+        r = f"round(y - 1.0 / (1.0 + exp(-{z})), 6)"
+        steps.append(f""", g{i} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(1.0 * {r} AS DECIMAL(28,12))) AS VARCHAR)
+           AS DOUBLE) AS g0,
+         CAST(CAST(sum(CAST(x1 * {r} AS DECIMAL(28,12))) AS VARCHAR)
+           AS DOUBLE) AS g1,
+         CAST(CAST(sum(CAST(x2 * {r} AS DECIMAL(28,12))) AS VARCHAR)
+           AS DOUBLE) AS g2
+  FROM f, w{i}_
+), w{i + 1}_ AS (
+  SELECT w0 + {LOGREG_LR} * (g0 / CAST(n AS DOUBLE)) AS w0,
+         w1 + {LOGREG_LR} * (g1 / CAST(n AS DOUBLE)) AS w1,
+         w2 + {LOGREG_LR} * (g2 / CAST(n AS DOUBLE)) AS w2
+  FROM w{i}_, g{i}
+)""")
+    wf = f"w{LOGREG_ITERS}_"
+    return (
+        f"WITH {_QUALITY_CTE}, "
+        + feats
+        + "".join(steps)
+        + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       any_value(w0) AS w0, any_value(w1) AS w1, any_value(w2) AS w2,
+       CAST(sum(CASE WHEN (CASE WHEN (w0 * 1.0 + w1 * x1 + w2 * x2) >= 0
+                                THEN 1 ELSE 0 END) = yl
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS train_accuracy
+FROM f, {wf}
+"""
+    )
+
+
+Q188_SQL = _logreg_sql()
+
+
+def q189_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.best_threshold(
+        _quality_labeled(spark, sf_dir), "score", "label"
+    )
+
+
+Q189_SQL = f"""
+WITH {_QUALITY_CTE}, g AS (
+  SELECT score AS s, CAST(sum(label) AS BIGINT) AS p,
+         CAST(sum(1 - label) AS BIGINT) AS n
+  FROM scored GROUP BY 1
+), t AS (
+  SELECT CAST(sum(p) AS BIGINT) AS P, CAST(sum(n) AS BIGINT) AS N FROM g
+), c AS (
+  SELECT s, CAST(coalesce(sum(p) OVER w, 0) AS BIGINT) AS cp,
+         CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS cn
+  FROM g WINDOW w AS (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), cand AS (
+  SELECT s, t.P - cp AS tp, t.N - cn AS fp, cn AS tn, cp AS fn
+  FROM c, t
+), best AS (
+  SELECT * FROM cand ORDER BY -(tp + tn), -tp, s LIMIT 1
+)
+SELECT s AS threshold, tp, fp, tn, fn,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE)
+         AS accuracy,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+            ELSE 0.0 END AS f1
+FROM best
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -8961,6 +9068,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_theta_overlap": q185_theta_overlap,
     "q186_seasonal": q186_seasonal,
     "q187_bootstrap_ci": q187_bootstrap_ci,
+    "q188_train_logreg": q188_train_logreg,
+    "q189_best_threshold": q189_best_threshold,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9151,4 +9260,6 @@ ORACLE_SQL: dict[str, str] = {
     "q185_theta_overlap": Q185_SQL,
     "q186_seasonal": Q186_SQL,
     "q187_bootstrap_ci": Q187_SQL,
+    "q188_train_logreg": Q188_SQL,
+    "q189_best_threshold": Q189_SQL,
 }
