@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "q187_bootstrap_ci",
     "q188_train_logreg",
     "q189_best_threshold",
+    "q190_bfs_hops",
+    "q191_golden_records",
 ]
 
 

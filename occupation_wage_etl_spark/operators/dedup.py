@@ -991,3 +991,56 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def golden_records(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    mode_cols: list[str],
+    max_cols: list[str],
+) -> DataFrame:
+    """Survivorship merge ("golden record"): collapse each duplicate
+    cluster to one canonical row — per attribute, the most frequent
+    non-null value (ties → smallest value), per numeric the maximum,
+    plus the smallest member id as the stable record key.  The classic
+    MDM step after entity resolution: near-dup docs disagree on
+    scraped metadata, downstream wants ONE row per entity.
+
+    Shape: one cluster-grain aggregate for the base (min id, maxes,
+    member count) plus one (cluster, value)-grain count + argmax per
+    mode column — all hash aggregates keyed by cluster; the argmax is
+    ``min(struct(-count, value))``, a deterministic total order any
+    engine replays.  Joins between the per-column results are
+    cluster-grain equi-joins (already co-partitioned by the aggregate's
+    own shuffle, no extra exchange under AQE).
+
+    Returns (cluster, record_id, n_members, <col>_mode..., <col>_max...).
+    """
+    cl = F.col(cluster_col).alias("cluster")
+    base = df.groupBy(cl).agg(
+        F.min(F.col(id_col)).alias("record_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.max(F.col(c)).alias(f"{c}_max") for c in max_cols],
+    )
+    out = base
+    for c in mode_cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(cl, F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        mode = (
+            counts.groupBy("cluster")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__cnt")).alias("neg"),
+                        F.col("__v").alias("v"),
+                    )
+                ).alias("__top")
+            )
+            .select("cluster", F.col("__top.v").alias(f"{c}_mode"))
+        )
+        out = out.join(mode, "cluster", "left")
+    return out

@@ -454,3 +454,57 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Level-synchronous BFS over an undirected edge list: the hop
+    distance (<= ``max_hops``) from the nearest seed for every
+    reachable node — "how far is this doc from a known-bad cluster"
+    in a near-dup graph.
+
+    Each level is one join (frontier -> neighbors) + one anti-join
+    (drop already-visited) + a distinct, ``localCheckpoint``-ed so the
+    loop never re-plans accumulated lineage (swap for reliable
+    ``checkpoint()`` on a real cluster).  Level-synchronous expansion
+    makes the result independent of partition order — hop counts are
+    the true shortest distances, engine-portable for an unrolled
+    oracle.  The loop exits early when a frontier empties.
+
+    Returns (node, hops), hops = 0 for the seeds themselves.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(h))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

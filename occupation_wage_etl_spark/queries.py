@@ -8880,6 +8880,104 @@ FROM best
 """
 
 
+# ---------------------------------------------------------------------------
+# q190-q191 — graph BFS hop distance from a seed slice
+# (graph.bfs_hops, unrolled level-synchronous oracle) and golden-record
+# survivorship merge over near-dup clusters (dedup.golden_records).
+# ---------------------------------------------------------------------------
+
+BFS_SEED_PCT, BFS_MAX_HOPS = 5, 4
+
+
+def q190_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.filter(
+        splits.hash_bucket(F.col("doc_id")) < BFS_SEED_PCT
+    ).select(F.col("doc_id").alias("node"))
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).select(
+        "node", F.col("hops").cast("long").alias("hops")
+    )
+
+
+def _bfs_sql() -> str:
+    head = f"""
+WITH {{edges}}, sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS node FROM documents
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
+        < {BFS_SEED_PCT}
+), vis0 AS MATERIALIZED (SELECT node, 0 AS hops FROM l0)"""
+    parts = []
+    for h in range(1, BFS_MAX_HOPS + 1):
+        parts.append(f""", l{h} AS MATERIALIZED (
+  SELECT DISTINCT s.u AS node
+  FROM sym s JOIN l{h - 1} f ON f.node = s.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{h - 1} x WHERE x.node = s.u)
+), vis{h} AS MATERIALIZED (
+  SELECT node, hops FROM vis{h - 1}
+  UNION ALL SELECT node, {h} AS hops FROM l{h}
+)""")
+    tail = f"""
+SELECT node, CAST(hops AS BIGINT) AS hops FROM vis{BFS_MAX_HOPS}"""
+    return (head + "".join(parts) + tail).format(edges=_edge_cte())
+
+
+Q190_SQL = _bfs_sql()
+
+
+def q191_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    clusters = graph.connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    members = docs.join(clusters, "doc_id")
+    return dedup.golden_records(
+        members, "doc_id", "cluster_id",
+        mode_cols=["lang", "source"], max_cols=["n_chars"],
+    )
+
+
+Q191_SQL = """
+WITH RECURSIVE {edges}, sym AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), reach AS (
+  SELECT DISTINCT u AS id, u AS lbl FROM sym
+  UNION
+  SELECT s.u AS id, r.lbl FROM sym s JOIN reach r ON r.id = s.v
+), clusters AS MATERIALIZED (
+  SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+), members AS MATERIALIZED (
+  SELECT d.doc_id, c.cluster, d.lang, d.source, d.n_chars
+  FROM documents d JOIN clusters c USING (doc_id)
+), base AS (
+  SELECT cluster, CAST(min(doc_id) AS BIGINT) AS record_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(n_chars) AS BIGINT) AS n_chars_max
+  FROM members GROUP BY 1
+), lm AS (
+  SELECT cluster, lang AS lang_mode FROM (
+    SELECT cluster, lang,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY count(*) DESC, lang) AS rn
+    FROM members WHERE lang IS NOT NULL GROUP BY cluster, lang
+  ) WHERE rn = 1
+), sm AS (
+  SELECT cluster, source AS source_mode FROM (
+    SELECT cluster, source,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY count(*) DESC, source) AS rn
+    FROM members WHERE source IS NOT NULL GROUP BY cluster, source
+  ) WHERE rn = 1
+)
+SELECT base.cluster, record_id, n_members, lang_mode, source_mode,
+       n_chars_max
+FROM base LEFT JOIN lm USING (cluster) LEFT JOIN sm USING (cluster)
+""".format(edges=_edge_cte())
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -9070,6 +9168,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_bootstrap_ci": q187_bootstrap_ci,
     "q188_train_logreg": q188_train_logreg,
     "q189_best_threshold": q189_best_threshold,
+    "q190_bfs_hops": q190_bfs_hops,
+    "q191_golden_records": q191_golden_records,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9262,4 +9362,6 @@ ORACLE_SQL: dict[str, str] = {
     "q187_bootstrap_ci": Q187_SQL,
     "q188_train_logreg": Q188_SQL,
     "q189_best_threshold": Q189_SQL,
+    "q190_bfs_hops": Q190_SQL,
+    "q191_golden_records": Q191_SQL,
 }
