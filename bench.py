@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "q189_best_threshold",
     "q190_bfs_hops",
     "q191_golden_records",
+    "q192_assoc_rules",
+    "q193_item_cf",
+    "q194_clustering_coeff",
 ]
 
 

@@ -508,3 +508,48 @@ def bfs_hops(
         ).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per node: 2·t(v) / (d(v)·(d(v)−1)).
+
+    Distinguishes clique-ish near-dup neighborhoods (coeff → 1: a
+    template family where every pair overlaps) from star hubs
+    (coeff → 0: one boilerplate doc touching many unrelated docs) —
+    the per-node refinement of :func:`triangle_counts`' corner counts.
+
+    Composition: one degree hash-aggregate over the canonical edge
+    list, the degree-oriented triangle count (wedges enumerated at the
+    lowest-degree corner, see :func:`triangle_counts`), and a single
+    equi-join — nodes in no triangle keep coeff 0 via the left join.
+    Nodes of degree 1 are excluded (coefficient undefined).  The
+    ratio is one int64→double division, bit-stable for the oracle.
+
+    ``edges`` must be canonical (src < dst, no duplicates).
+    """
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).transform(cached)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(e0, "u", "v")
+    return deg.join(tri, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+        (
+            (F.coalesce(F.col("n_triangles"), F.lit(0)) * F.lit(2)).cast(
+                "double"
+            )
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double")
+        ).alias("coeff"),
+    )

@@ -70,6 +70,7 @@ from occupation_wage_etl_spark.operators import (
     preference,
     profile,
     range_join,
+    recommend,
     retrieval,
     similarity,
     sketch,
@@ -8978,6 +8979,164 @@ FROM base LEFT JOIN lm USING (cluster) LEFT JOIN sm USING (cluster)
 """.format(edges=_edge_cte())
 
 
+# ---------------------------------------------------------------------------
+# q192 — market-basket association rules (operators/recommend.py:
+# association_rules): brand-level rules over order baskets — which
+# brands co-occur in an order beyond chance (lift), with directional
+# confidence.  A-priori prune + basket-size cap before the pair join.
+# ---------------------------------------------------------------------------
+
+MB_MIN_SUPPORT, MB_TOP_K, MB_MAX_BASKET = 20, 50, 1000
+
+
+def q192_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return recommend.association_rules(
+        baskets,
+        "l_orderkey",
+        "p_brand",
+        min_pair_support=MB_MIN_SUPPORT,
+        k=MB_TOP_K,
+        max_basket=MB_MAX_BASKET,
+    )
+
+
+Q192_SQL = f"""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), sizes AS (
+  SELECT b FROM inc GROUP BY b HAVING count(*) <= {MB_MAX_BASKET}
+), items AS MATERIALIZED (
+  SELECT inc.b, inc.i FROM inc JOIN sizes USING (b)
+), nb AS (
+  SELECT count(DISTINCT b) AS n FROM items
+), marg AS MATERIALIZED (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_item FROM items
+  GROUP BY i HAVING count(*) >= {MB_MIN_SUPPORT}
+), pruned AS MATERIALIZED (
+  SELECT b, i FROM items WHERE i IN (SELECT i FROM marg)
+), pair AS (
+  SELECT a.i AS ia, c.i AS ic, CAST(count(*) AS BIGINT) AS pair_baskets
+  FROM pruned a JOIN pruned c ON a.b = c.b AND a.i <> c.i
+  GROUP BY 1, 2 HAVING count(*) >= {MB_MIN_SUPPORT}
+)
+SELECT ia AS antecedent, ic AS consequent, pair_baskets,
+       CAST(pair_baskets AS DOUBLE) / ma.n_item AS confidence,
+       CAST(pair_baskets * nb.n AS DOUBLE)
+         / CAST(ma.n_item * mc.n_item AS DOUBLE) AS lift
+FROM pair JOIN marg ma ON ma.i = ia JOIN marg mc ON mc.i = ic, nb
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {MB_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q193 — item-item collaborative filtering (operators/recommend.py:
+# item_item_cf): cosine neighbors over the binary customer x brand
+# purchase matrix (Sarwar et al., WWW'01) — top-3 most co-purchased
+# brands per brand, exact integer counting with one float division.
+# ---------------------------------------------------------------------------
+
+CF_MIN_USERS, CF_TOP_NBRS = 5, 3
+
+
+def q193_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    )
+    return recommend.item_item_cf(
+        baskets,
+        "o_custkey",
+        "p_brand",
+        min_users=CF_MIN_USERS,
+        n_neighbors=CF_TOP_NBRS,
+        max_basket=MB_MAX_BASKET,
+    ).withColumnRenamed("rank", "nbr_rank")
+
+
+Q193_SQL = f"""
+WITH inc AS (
+  SELECT DISTINCT o_custkey AS b, p_brand AS i
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+), sizes AS (
+  SELECT b FROM inc GROUP BY b HAVING count(*) <= {MB_MAX_BASKET}
+), items AS MATERIALIZED (
+  SELECT inc.b, inc.i FROM inc JOIN sizes USING (b)
+), marg AS MATERIALIZED (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_users FROM items
+  GROUP BY i HAVING count(*) >= {CF_MIN_USERS}
+), pruned AS MATERIALIZED (
+  SELECT b, i FROM items WHERE i IN (SELECT i FROM marg)
+), both_c AS (
+  SELECT a.i AS item, c.i AS neighbor, CAST(count(*) AS BIGINT) AS n_both
+  FROM pruned a JOIN pruned c ON a.b = c.b AND a.i <> c.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT item, neighbor, n_both,
+         CAST(n_both AS DOUBLE)
+           / sqrt(CAST(na.n_users * nx.n_users AS DOUBLE)) AS cosine
+  FROM both_c
+  JOIN marg na ON na.i = item
+  JOIN marg nx ON nx.i = neighbor
+), ranked AS (
+  SELECT item, neighbor, n_both, cosine,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY cosine DESC, neighbor) AS rn
+  FROM scored
+)
+SELECT item, neighbor, n_both, cosine, CAST(rn AS BIGINT) AS nbr_rank
+FROM ranked WHERE rn <= {CF_TOP_NBRS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q194 — local clustering coefficient (operators/graph.py:
+# clustering_coefficient) over the q20 rolling-fingerprint overlap
+# graph: 2·t(v)/(d(v)·(d(v)−1)) separates clique-ish template families
+# (coeff → 1) from star boilerplate hubs (coeff → 0).
+# ---------------------------------------------------------------------------
+
+
+def q194_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.clustering_coefficient(edges)
+
+
+Q194_SQL = """
+WITH {edges}, sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM sym
+  GROUP BY 1 HAVING count(*) >= 2
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), tc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM corners
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(tc.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CAST(coalesce(tc.n_triangles, CAST(0 AS BIGINT)) * 2 AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS coeff
+FROM deg d LEFT JOIN tc USING (node)
+""".format(edges=_edge_cte())
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -9170,6 +9329,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_best_threshold": q189_best_threshold,
     "q190_bfs_hops": q190_bfs_hops,
     "q191_golden_records": q191_golden_records,
+    "q192_assoc_rules": q192_assoc_rules,
+    "q193_item_cf": q193_item_cf,
+    "q194_clustering_coeff": q194_clustering_coeff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9364,4 +9526,7 @@ ORACLE_SQL: dict[str, str] = {
     "q189_best_threshold": Q189_SQL,
     "q190_bfs_hops": Q190_SQL,
     "q191_golden_records": Q191_SQL,
+    "q192_assoc_rules": Q192_SQL,
+    "q193_item_cf": Q193_SQL,
+    "q194_clustering_coeff": Q194_SQL,
 }
