@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "q192_assoc_rules",
     "q193_item_cf",
     "q194_clustering_coeff",
+    "q195_stump",
 ]
 
 

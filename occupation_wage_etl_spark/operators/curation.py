@@ -385,3 +385,79 @@ def train_logreg(
             F.col("correct").cast("double") / F.col("n_rows").cast("double")
         ).alias("train_accuracy"),
     )
+
+
+def train_stump(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Exact best-split search for a depth-1 decision tree (stump) —
+    the split primitive every histogram-GBDT (LightGBM/XGBoost) repeats
+    per node, run IN the engine as one distributed plan.
+
+    For every feature and every distinct value ``v`` (rule: ``x <= v``
+    goes left), the weighted Gini impurity of the split is
+
+        G = NL*gini_L + NR*gini_R
+          = (NL^2 - pL^2 - nL^2)/NL + (NR^2 - pR^2 - nR^2)/NR
+
+    computed from exact integer class counts; the returned split
+    minimizes G (ties: feature name, then threshold).
+
+    Scale shape: per feature, one hash-aggregate to distinct values
+    (histogram-sized), then :func:`evaluation._dist_cum_before` for the
+    left-side cumulative (pos, count) — the distributed two-level
+    prefix sum, NO globally-ordered window — a broadcast 1-row totals
+    attach, and a TakeOrderedAndProject argmin over the unioned
+    candidate set.  Numerator products are carried in DOUBLE (exact up
+    to 2^53 rows; int64 would overflow at ~2M rows since G scales as
+    N^3) with a fixed expression shape, so the scoring is
+    bit-reproducible across engines.
+
+    Returns one row: (feature, threshold, n_left, pos_left, n_right,
+    pos_right, gini) with ``gini`` = G/N, the weighted mean impurity.
+    """
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
+    )
+
+    y = F.col(label_col).cast("long")
+    cands = None
+    for fc in feature_cols:
+        g = (
+            df.filter(F.col(fc).isNotNull() & y.isNotNull())
+            .groupBy(F.col(fc).cast("double").alias("v"))
+            .agg(F.sum(y).alias("p"), F.count(F.lit(1)).alias("c"))
+        )
+        ranked, total = _dist_cum_before(
+            g, ["v"], F.col("c"), {"__cp": F.col("p")}
+        )
+        nl = F.col("__cumb") + F.col("c")
+        pl = F.col("__cp") + F.col("p")
+        nr = F.col("__total") - nl
+        pr = F.col("__cp_total") - pl
+        nnl = nl - pl
+        nnr = nr - pr
+        nld, pld, nnld = (x.cast("double") for x in (nl, pl, nnl))
+        nrd, prd, nnrd = (x.cast("double") for x in (nr, pr, nnr))
+        a = nld * nld - pld * pld - nnld * nnld
+        b = nrd * nrd - prd * prd - nnrd * nnrd
+        score = (a * nrd + b * nld) / (nld * nrd)
+        cand = (
+            ranked.join(F.broadcast(total), how="cross")
+            .filter(nr > 0)
+            .select(
+                F.lit(fc).alias("feature"),
+                F.col("v").alias("threshold"),
+                nl.cast("long").alias("n_left"),
+                pl.cast("long").alias("pos_left"),
+                nr.cast("long").alias("n_right"),
+                pr.cast("long").alias("pos_right"),
+                (score / F.col("__total").cast("double")).alias("gini"),
+            )
+        )
+        cands = cand if cands is None else cands.unionByName(cand)
+    return cands.orderBy(
+        F.asc("gini"), F.asc("feature"), F.asc("threshold")
+    ).limit(1)

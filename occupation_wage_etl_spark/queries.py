@@ -9137,6 +9137,74 @@ FROM deg d LEFT JOIN tc USING (node)
 """.format(edges=_edge_cte())
 
 
+# ---------------------------------------------------------------------------
+# q195 — exact best-split decision stump (operators/curation.py:
+# train_stump): the histogram-GBDT split primitive run in-engine over
+# the quality features — distinct-value histograms + distributed
+# prefix sums, argmin by weighted Gini.
+# ---------------------------------------------------------------------------
+
+
+def q195_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    f = _quality_labeled(spark, sf_dir).join(docs, "doc_id").select(
+        "label",
+        F.col("score").alias("x1"),
+        F.col("n_chars").cast("double").alias("x2"),
+    )
+    return curation.train_stump(f, ["x1", "x2"], "label")
+
+
+def _stump_sql() -> str:
+    per_feat = []
+    for fc in ("x1", "x2"):
+        per_feat.append(f"""
+SELECT '{fc}' AS feature, v, nl, pl, n, pt
+FROM (
+  SELECT v,
+         CAST(sum(c) OVER w AS BIGINT) AS nl,
+         CAST(sum(p) OVER w AS BIGINT) AS pl,
+         CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(sum(p) OVER () AS BIGINT) AS pt
+  FROM (
+    SELECT CAST({fc} AS DOUBLE) AS v, CAST(sum(label) AS BIGINT) AS p,
+           CAST(count(*) AS BIGINT) AS c
+    FROM f GROUP BY 1
+  ) WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)""")
+    feats = " UNION ALL ".join(per_feat)
+    return f"""
+WITH {_QUALITY_CTE}, f AS (
+  SELECT s.label AS label, s.score AS x1, CAST(d.n_chars AS DOUBLE) AS x2
+  FROM scored s JOIN documents d USING (doc_id)
+), cand AS (
+  SELECT feature, v AS threshold, nl, pl, n - nl AS nr, pt - pl AS pr, n
+  FROM ({feats})
+  WHERE n - nl > 0
+), sc AS (
+  SELECT feature, threshold,
+         nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+         ((CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)
+            - CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+            - CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+              * CAST(nr AS DOUBLE)
+          + (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
+            - CAST(pr AS DOUBLE) * CAST(pr AS DOUBLE)
+            - CAST(nr - pr AS DOUBLE) * CAST(nr - pr AS DOUBLE))
+              * CAST(nl AS DOUBLE))
+         / (CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE))
+         / CAST(n AS DOUBLE) AS gini
+  FROM cand
+)
+SELECT feature, threshold, n_left, pos_left, n_right, pos_right, gini
+FROM sc ORDER BY gini, feature, threshold LIMIT 1
+"""
+
+
+Q195_SQL = _stump_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -9332,6 +9400,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q192_assoc_rules": q192_assoc_rules,
     "q193_item_cf": q193_item_cf,
     "q194_clustering_coeff": q194_clustering_coeff,
+    "q195_stump": q195_stump,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9529,4 +9598,5 @@ ORACLE_SQL: dict[str, str] = {
     "q192_assoc_rules": Q192_SQL,
     "q193_item_cf": Q193_SQL,
     "q194_clustering_coeff": Q194_SQL,
+    "q195_stump": Q195_SQL,
 }
