@@ -33,7 +33,10 @@ import os
 import sys
 import time
 
-from occupation_wage_etl_spark.operators._cache import release_cached
+from occupation_wage_etl_spark.operators._cache import (
+    release_cached,
+    release_checkpoints,
+)
 from occupation_wage_etl_spark.queries import SPARK_QUERIES
 from occupation_wage_etl_spark.session import get_spark
 
@@ -394,6 +397,7 @@ def main() -> None:
     for name, fn in runs:
         force(fn(spark, sf_dir))
         release_cached()  # drop tracked operator-internal persists
+        release_checkpoints(spark)  # drop iterative ops' localCheckpoints
         spark.catalog.clearCache()  # operator-internal persists must not
         # carry into the timed pass — each timed query recomputes fully
 
@@ -409,6 +413,7 @@ def main() -> None:
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
             release_cached()
+            release_checkpoints(spark)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)

@@ -87,3 +87,21 @@ def cached_scope():
                 df.unpersist()
             except Exception:
                 pass
+
+def release_checkpoints(spark) -> int:
+    """Unpersist ALL persistent RDDs left in the session — the
+    ``localCheckpoint`` blocks written by the iterative operators
+    (connected_components, bfs_hops, k_core, label_propagation), which
+    :func:`release_cached` cannot see (they are RDD-level, not tracked
+    SQL caches) and the OPERATOR cannot release (its output's lineage
+    is truncated onto them, so dropping the blocks while the result is
+    live would make the frame unrecomputable).
+
+    HARNESS-LOOP ONLY: call between queries, when no operator output is
+    still to be consumed — bench.py and tools/oracle_check.py do this
+    per query.  Returns the number of RDDs unpersisted."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = int(jmap.size())
+    for rdd in jmap.values():
+        rdd.unpersist()
+    return n

@@ -3,7 +3,22 @@ golden-record survivorship (dedup.golden_records — q191)."""
 
 from __future__ import annotations
 
+import pytest
+
 from occupation_wage_etl_spark.operators import dedup, graph
+
+
+@pytest.fixture(autouse=True)
+def _unpersist_checkpoints(spark):
+    """bfs_hops/connected_components localCheckpoint their frontier each
+    round; the checkpoint RDDs stay persisted in the shared session
+    after the result is collected (lineage is truncated onto them, so
+    the OPERATOR cannot release them while its output is live).  Drop
+    them after each test so later tests' persisted-RDD accounting
+    (test_cache_lifecycle) starts from zero."""
+    yield
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
 
 
 def test_bfs_hops_path_graph(spark):

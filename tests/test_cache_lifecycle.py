@@ -76,3 +76,19 @@ def test_cached_scope_releases_on_error(spark):
         pass
     assert len(_cache._TRACKED) == 0
     assert _n_persisted(spark) == 0
+
+
+def test_release_checkpoints_clears_iterative_blocks(spark):
+    from occupation_wage_etl_spark.operators import graph
+    from occupation_wage_etl_spark.operators._cache import (
+        release_checkpoints,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    graph.connected_components(edges).collect()
+    assert _n_persisted(spark) > 0  # localCheckpoint blocks left behind
+    released = release_checkpoints(spark)
+    assert released > 0
+    assert _n_persisted(spark) == 0

@@ -61,7 +61,10 @@ def main() -> int:
     from occupation_wage_etl_spark.queries import ORACLE_SQL, SPARK_QUERIES
     from occupation_wage_etl_spark.session import get_spark
 
-    from occupation_wage_etl_spark.operators._cache import release_cached
+    from occupation_wage_etl_spark.operators._cache import (
+        release_cached,
+        release_checkpoints,
+    )
 
     argv = list(sys.argv[1:])
     json_out = None
@@ -110,6 +113,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             entry["err"] = f"{type(exc).__name__}: {exc}"[:200]
         release_cached()  # operator-internal persists die with the query
+        release_checkpoints(spark)  # and so do iterative localCheckpoints
         dt = time.time() - t0
         ok = entry["hash_match"] is True or (
             entry["err"] == "no_oracle" and entry.get("spark_rows", 0) >= 0
