@@ -238,6 +238,13 @@ BENCH_QUERIES = [
     "q193_item_cf",
     "q194_clustering_coeff",
     "q195_stump",
+    "q196_min_cost_supplier",
+    "q197_product_profit",
+    "q198_important_parts",
+    "q199_order_count_distribution",
+    "q200_top_supplier",
+    "q201_supplier_part_counts",
+    "q202_dominant_suppliers",
 ]
 
 

@@ -9205,6 +9205,394 @@ FROM sc ORDER BY gini, feature, threshold LIMIT 1
 Q195_SQL = _stump_sql()
 
 
+# ---------------------------------------------------------------------------
+# q196-q202 — the remaining TPC-H query shapes (Q2, Q9, Q11, Q13, Q15,
+# Q16, Q20) adapted to this lake's tables.  The testdata has no
+# partsupp relation, so the supply relation is DERIVED from lineitem
+# (per supplier-part aggregates) wherever the original uses ps_* —
+# the correlated-subquery / scalar-threshold / distribution join
+# SHAPES (the part that matters for plan quality) are unchanged.
+# Revenue/profit follow the q117 exact-decimal convention; scalar
+# thresholds attach as crossJoin(broadcast(1-row agg)).
+# ---------------------------------------------------------------------------
+
+Q2_TYPE = "LARGE"
+Q9_PREFIX = "red"
+Q11_MULT = 1.5  # "important" = revenue > 1.5x the average part's
+Q13_EXCL = "1-URGENT"
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+Q16_EXCL_BRAND, Q16_EXCL_TYPE = "Brand#1", "PROMO"
+Q16_SIZES = (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+Q20_PREFIX = "blue"
+
+
+def q196_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part (one type), the supplier offering the
+    MINIMUM unit cost — the correlated-min rewritten as aggregate+join.
+    Unit cost derives from lineitem (min extendedprice/quantity per
+    supplier-part pair) in place of ps_supplycost."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q2_TYPE
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # sp feeds both the per-part min and the final equality join —
+    # persist it (tracked) or the lineitem scan + aggregate runs twice.
+    sp = cached(
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("cost")
+        )
+    )
+    best = sp.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        sp.join(
+            best,
+            (sp.l_partkey == best.bp) & (sp.cost == best.min_cost),
+        )
+        .join(F.broadcast(supp), sp.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+Q196_SQL = f"""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q2_TYPE}'
+  GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey AS bp, min(cost) AS min_cost FROM sp GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, sp.l_partkey AS p_partkey, cost
+FROM sp
+JOIN best ON sp.l_partkey = best.bp AND sp.cost = best.min_cost
+JOIN supplier ON sp.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q197_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    part-name family; cost term is 0.60 * p_retailprice * l_quantity in
+    place of ps_supplycost (retailprice has <=2dp, quantity is integral,
+    so the decimal pipeline stays exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q9_PREFIX)
+    ).select("p_partkey", "p_retailprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _revenue() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.60").cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount).cast("decimal(38,6)")
+            .cast("string").cast("double").alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q197_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(CAST(sum({_REV_SQL}
+           - CAST(p_retailprice AS DECIMAL(12,2))
+             * CAST('0.60' AS DECIMAL(3,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6))
+         AS VARCHAR) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '{Q9_PREFIX}%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q198_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a threshold derived
+    from TOTAL revenue — the scalar-subquery attach as a broadcast
+    1-row aggregate, never a driver collect.  The original's fixed
+    fraction-of-total is scale-DEPENDENT (10x more parts halves every
+    share 10x and empties the result), so the threshold is a multiple
+    of the AVERAGE part's revenue — scale-free under growth."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    dbl = lambda c: c.cast("decimal(38,4)").cast("string").cast("double")  # noqa: E731
+    # per_part feeds the grand-total aggregate AND the threshold
+    # filter — one persist.
+    per_part = cached(
+        li.groupBy("l_partkey").agg(dbl(F.sum(_revenue())).alias("revenue"))
+    )
+    # re-quantize the per-part doubles into DECIMAL before the grand
+    # total: a plain double sum is partition-order-dependent.
+    total = per_part.agg(
+        dbl(F.sum(F.col("revenue").cast("decimal(38,4)"))).alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("revenue")
+            > F.lit(Q11_MULT) * (F.col("__total") / F.col("__n"))
+        )
+        .select("l_partkey", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    )
+
+
+Q198_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR)
+           AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(CAST(CAST(sum(CAST(revenue AS DECIMAL(38,4)))
+           AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS t,
+         CAST(count(*) AS BIGINT) AS n
+  FROM per_part
+)
+SELECT l_partkey, revenue
+FROM per_part, tot
+WHERE revenue > {Q11_MULT} * (t / n)
+ORDER BY revenue DESC, l_partkey
+"""
+
+
+def q199_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count
+    INCLUDING zero-order customers — the filtered left join + double
+    aggregation."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != Q13_EXCL
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q199_SQL = f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '{Q13_EXCL}') o
+    ON c_custkey = o.o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q200_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue supplier(s) of one quarter via
+    a scalar max over the revenue view (broadcast 1-row attach + an
+    equality filter — returns ALL ties, as the original requires)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    dbl = lambda c: c.cast("decimal(38,4)").cast("string").cast("double")  # noqa: E731
+    # rev feeds the scalar max AND the equality filter — one persist.
+    rev = cached(
+        li.groupBy("l_suppkey").agg(
+            dbl(F.sum(_revenue())).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q200_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(CAST(CAST(sum({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR)
+           AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+    AND l_shipdate < TIMESTAMP '{Q15_END}'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q201_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, excluding one brand/type and flagged suppliers (negative
+    account balance stands in for the complaints filter) via anti-join.
+    The supplier-part relation derives from lineitem."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+Q201_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q202_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate the supply of a part
+    family — shipped more than twice the part's AVERAGE per-supplier
+    quantity (the original's 0.5*sum(availqty) excess test, re-based on
+    the average because this lake's supply is many-supplier fragmented)
+    — with the nested correlated subqueries rewritten as two
+    aggregations over the derived supply relation and a threshold
+    join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_PREFIX)
+    ).select("p_partkey")
+    dbl = lambda c: c.cast("decimal(38,2)").cast("string").cast("double")  # noqa: E731
+    fam = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # sp feeds the per-part totals AND the threshold join — one persist.
+    sp = cached(
+        fam.groupBy("l_partkey", "l_suppkey").agg(
+            dbl(F.sum(F.col("l_quantity").cast("decimal(12,2)")))
+            .alias("sp_qty")
+        )
+    )
+    tot = sp.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("sp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    dominant = sp.join(tot, sp.l_partkey == tot.tp).filter(
+        F.col("sp_qty")
+        > F.lit(2.0) * (F.col("part_qty") / F.col("n_supp"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name", "n_dominant_parts")
+        .orderBy("s_name")
+    )
+
+
+Q202_SQL = f"""
+WITH fam AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{Q20_PREFIX}%'
+), sp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+           AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sp_qty
+  FROM fam GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey AS tp, sum(sp_qty) AS part_qty,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM sp GROUP BY 1
+)
+SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS n_dominant_parts
+FROM sp
+JOIN tot ON sp.l_partkey = tot.tp
+JOIN supplier ON sp.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE sp_qty > 2.0 * (part_qty / n_supp)
+GROUP BY 1, 2
+ORDER BY s_name
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -9401,6 +9789,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q193_item_cf": q193_item_cf,
     "q194_clustering_coeff": q194_clustering_coeff,
     "q195_stump": q195_stump,
+    "q196_min_cost_supplier": q196_min_cost_supplier,
+    "q197_product_profit": q197_product_profit,
+    "q198_important_parts": q198_important_parts,
+    "q199_order_count_distribution": q199_order_count_distribution,
+    "q200_top_supplier": q200_top_supplier,
+    "q201_supplier_part_counts": q201_supplier_part_counts,
+    "q202_dominant_suppliers": q202_dominant_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9599,4 +9994,11 @@ ORACLE_SQL: dict[str, str] = {
     "q193_item_cf": Q193_SQL,
     "q194_clustering_coeff": Q194_SQL,
     "q195_stump": Q195_SQL,
+    "q196_min_cost_supplier": Q196_SQL,
+    "q197_product_profit": Q197_SQL,
+    "q198_important_parts": Q198_SQL,
+    "q199_order_count_distribution": Q199_SQL,
+    "q200_top_supplier": Q200_SQL,
+    "q201_supplier_part_counts": Q201_SQL,
+    "q202_dominant_suppliers": Q202_SQL,
 }
