@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "q200_top_supplier",
     "q201_supplier_part_counts",
     "q202_dominant_suppliers",
+    "q203_sorted_neighborhood",
+    "q204_personalized_pagerank",
 ]
 
 

@@ -9593,6 +9593,107 @@ ORDER BY s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q203 — sorted-neighborhood blocking (operators/fuzzy_join.py:
+# sorted_neighborhood_pairs): Hernández-Stolfo linkage candidates over
+# customer names — distributed prefix-sum ranks + rank+offset
+# equi-join, no global sort.
+# ---------------------------------------------------------------------------
+
+SNB_WINDOW = 5
+
+
+def q203_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_join.sorted_neighborhood_pairs(
+        c, "c_name", "c_custkey", window=SNB_WINDOW
+    )
+
+
+Q203_SQL = f"""
+WITH base AS (
+  SELECT c_name AS k, c_custkey AS id FROM customer
+), r AS (
+  SELECT k, id,
+         CAST(row_number() OVER (ORDER BY k, id) - 1 AS BIGINT) AS rnk
+  FROM base
+)
+SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {SNB_WINDOW}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q204 — personalized PageRank (operators/graph.py:
+# personalized_pagerank): seed-restart rank over the q20 near-dup
+# graph from the q190 seed slice — fixed-point integer arithmetic,
+# unrolled oracle.
+# ---------------------------------------------------------------------------
+
+PPR_SEED_PCT = 5
+
+
+def q204_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.filter(
+        splits.hash_bucket(F.col("doc_id")) < PPR_SEED_PCT
+    ).select(F.col("doc_id").alias("node"))
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.personalized_pagerank(edges, seeds, iters=PR_ITERS)
+
+
+def _ppr_oracle_sql() -> str:
+    num, den, scale = 17, 20, 10**12
+    head = f"""
+WITH {{edges}}, sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), sd AS (
+  SELECT DISTINCT doc_id AS u FROM documents
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
+        < {PPR_SEED_PCT}
+), dg AS (
+  SELECT deg.u, deg.deg,
+         CASE WHEN sd.u IS NOT NULL THEN 1 ELSE 0 END AS isd
+  FROM deg LEFT JOIN sd ON deg.u = sd.u
+), nsq AS (
+  SELECT CAST(sum(isd) AS BIGINT) AS ns FROM dg
+), r0 AS (
+  SELECT u, deg, isd, ns,
+         CASE WHEN isd = 1 THEN CAST({scale} AS BIGINT) // ns
+              ELSE CAST(0 AS BIGINT) END AS rank
+  FROM dg, nsq
+)"""
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        iters.append(f"""
+, c{i} AS (
+  SELECT u, rank // deg AS contrib FROM {prev}
+), i{i} AS (
+  SELECT s.v AS u, CAST(sum(c.contrib) AS BIGINT) AS s
+  FROM sym s JOIN c{i} c ON s.u = c.u GROUP BY s.v
+), r{i} AS (
+  SELECT d.u, d.deg, d.isd, d.ns,
+         CASE WHEN d.isd = 1
+              THEN CAST({scale * (den - num)} AS BIGINT)
+                   // (CAST({den} AS BIGINT) * d.ns)
+              ELSE CAST(0 AS BIGINT) END
+         + (CAST({num} AS BIGINT)
+            * coalesce(i{i}.s, CAST(0 AS BIGINT))) // {den} AS rank
+  FROM {prev} d LEFT JOIN i{i} ON d.u = i{i}.u
+)""")
+    tail = f"""
+SELECT u AS node, CAST(rank AS BIGINT) AS rank_scaled FROM r{PR_ITERS}
+"""
+    return (head + "".join(iters) + tail).format(edges=_edge_cte())
+
+
+Q204_SQL = _ppr_oracle_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -9796,6 +9897,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_top_supplier": q200_top_supplier,
     "q201_supplier_part_counts": q201_supplier_part_counts,
     "q202_dominant_suppliers": q202_dominant_suppliers,
+    "q203_sorted_neighborhood": q203_sorted_neighborhood,
+    "q204_personalized_pagerank": q204_personalized_pagerank,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10001,4 +10104,6 @@ ORACLE_SQL: dict[str, str] = {
     "q200_top_supplier": Q200_SQL,
     "q201_supplier_part_counts": Q201_SQL,
     "q202_dominant_suppliers": Q202_SQL,
+    "q203_sorted_neighborhood": Q203_SQL,
+    "q204_personalized_pagerank": Q204_SQL,
 }
