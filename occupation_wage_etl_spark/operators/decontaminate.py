@@ -181,18 +181,26 @@ def contrastive_pairs(
     deterministic).
 
     Scale notes: N and the md5 roll are engine-side (one 1-row count
-    broadcast, no driver collect); the corpus index is a row_number
-    over id — at 100 TB swap in a precomputed id dictionary (the same
-    note as vocab's global rank).  The anti-join against known pairs
-    carries only id pairs.
+    broadcast, no driver collect); the corpus index is the two-level
+    distributed prefix count (:func:`~occupation_wage_etl_spark.
+    operators.evaluation._dist_cum_before` over ``[id_col]`` with
+    weight 1 — identical 0-based integers to a global ``row_number``,
+    with range-partitioned parallel sorts instead of one data-sized
+    single-partition window).  The nidx==idx lookup join is left to
+    AQE (the index is corpus-sized — never force-broadcast it); the
+    anti-join against known pairs carries only id pairs.
     """
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
+    )
+
     anchors = pairs.select(
         F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
     )
     n_tbl = df.agg(F.count(F.lit(1)).alias("n"))
-    idx = df.select(F.col(id_col)).withColumn(
-        "idx",
-        F.row_number().over(Window.orderBy(id_col)).cast("long") - 1,
+    indexed, _ = _dist_cum_before(df.select(F.col(id_col)), [id_col], F.lit(1))
+    idx = indexed.select(
+        F.col(id_col), F.col("__cumb").cast("long").alias("idx")
     )
     expanded = anchors.select(
         "anchor",
@@ -221,7 +229,7 @@ def contrastive_pairs(
     cand = (
         expanded.crossJoin(F.broadcast(n_tbl))
         .withColumn("nidx", roll)
-        .join(F.broadcast(idx), F.col("nidx") == F.col("idx"))
+        .join(idx, F.col("nidx") == F.col("idx"))
         .select(
             "anchor",
             "positive",

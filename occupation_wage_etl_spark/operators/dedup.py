@@ -983,7 +983,11 @@ def winnowing_pairs(
             .filter(F.col("__df") > max_df)
             .select("h")
         )
-        sel = sel.join(F.broadcast(heavy), "h", "left_anti")
+        # no explicit broadcast hint: the heavy-fingerprint set is tiny
+        # on realistic inputs but not constant-bounded — let AQE decide
+        # under autoBroadcastJoinThreshold so a pathological corpus
+        # degrades to a shuffle anti-join instead of a driver OOM.
+        sel = sel.join(heavy, "h", "left_anti")
     l, r = sel.alias("l"), sel.alias("r")
     return (
         l.join(r, (F.col("l.h") == F.col("r.h")) & (F.col("l.id") < F.col("r.id")))

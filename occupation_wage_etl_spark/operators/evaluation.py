@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.operators._cache import cached
+from occupation_wage_etl_spark.operators._conf import shuffle_partitions
 
 
 def _dist_cum_before(
@@ -71,7 +72,7 @@ def _dist_cum_before(
     grand totals ride on the total frame as ``<name>_total``.
     """
     sp = df.sparkSession
-    n_parts = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(sp)
     ws = {"__cumb": weight, **(extra_weights or {})}
     parted = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
     parted = parted.withColumn("__pid", F.spark_partition_id())

@@ -338,10 +338,21 @@ def adamic_adar(
     any engine.
 
     Returns (id_a, id_b, n_common, aa_score), id_a < id_b, scores > 0.
+
+    The input edge list is canonicalized defensively (least/greatest +
+    distinct, self-loops dropped) — a reversed or duplicated edge would
+    otherwise survive the adjacency anti-join and be reported as a
+    predicted link, and duplicate edges would double-count wedges.
     """
-    e0 = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).transform(cached)
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(cached)
+    )
     sym = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -102,9 +102,11 @@ def association_rules(
     # Cached: the marginal feeds both self-join sides and both rule
     # endpoints (4 consumers), and it is small (item-type-sized).
     keep = cached(marg.filter(F.col("n_item") >= min_pair_support))
-    pruned = items.join(
-        F.broadcast(keep.select("i")), "i"
-    ).select("b", "i")
+    # no explicit broadcast hints on the pruned marginals: item-type-
+    # sized in practice but not constant-bounded — AQE broadcasts them
+    # when they fit under autoBroadcastJoinThreshold and falls back to
+    # a shuffle join instead of an OOM when they don't.
+    pruned = items.join(keep.select("i"), "i").select("b", "i")
     lhs = pruned.select("b", F.col("i").alias("ia"))
     rhs = pruned.select("b", F.col("i").alias("ic"))
     pair = (
@@ -114,8 +116,8 @@ def association_rules(
         .agg(F.count(F.lit(1)).alias("pair_baskets"))
         .filter(F.col("pair_baskets") >= min_pair_support)
     )
-    ma = F.broadcast(keep.select(F.col("i").alias("ia"), F.col("n_item").alias("na")))
-    mc = F.broadcast(keep.select(F.col("i").alias("ic"), F.col("n_item").alias("nc")))
+    ma = keep.select(F.col("i").alias("ia"), F.col("n_item").alias("na"))
+    mc = keep.select(F.col("i").alias("ic"), F.col("n_item").alias("nc"))
     scored = (
         pair.join(ma, "ia")
         .join(mc, "ic")
@@ -164,7 +166,9 @@ def item_item_cf(
     items = sets.select("b", F.explode("iset").alias("i"))
     marg = items.groupBy("i").agg(F.count(F.lit(1)).alias("n_users"))
     keep = cached(marg.filter(F.col("n_users") >= min_users))
-    pruned = items.join(F.broadcast(keep.select("i")), "i")
+    # hint-free joins on the pruned marginals (same AQE note as
+    # association_rules: small in practice, not constant-bounded)
+    pruned = items.join(keep.select("i"), "i")
     lhs = pruned.select("b", F.col("i").alias("item"))
     rhs = pruned.select("b", F.col("i").alias("neighbor"))
     both = (
@@ -173,13 +177,9 @@ def item_item_cf(
         .groupBy("item", "neighbor")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    na = F.broadcast(
-        keep.select(F.col("i").alias("item"), F.col("n_users").alias("na"))
-    )
-    nb = F.broadcast(
-        keep.select(
-            F.col("i").alias("neighbor"), F.col("n_users").alias("nb")
-        )
+    na = keep.select(F.col("i").alias("item"), F.col("n_users").alias("na"))
+    nb = keep.select(
+        F.col("i").alias("neighbor"), F.col("n_users").alias("nb")
     )
     scored = (
         both.join(na, "item")

@@ -390,7 +390,11 @@ def epoch_shuffle_batches(
     ranked, _ = _dist_cum_before(keyed, ["__k", "__id"], F.lit(1))
     return (
         ranked.select(
-            (F.col("__cumb") / batch_size).cast("long").alias("batch"),
+            # integer `div`, not double division: the double quotient
+            # can round up across an integer boundary once ranks exceed
+            # ~2^52/batch_size, and the oracle cuts with exact rk //
+            # batch_size (same discipline as calibration_bins).
+            F.expr(f"__cumb div {int(batch_size)}").alias("batch"),
             "__id",
         )
         .groupBy("batch")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.operators._cache import cached
+from occupation_wage_etl_spark.operators._conf import shuffle_partitions
 
 
 def _grouped_cum(
@@ -68,7 +69,7 @@ def _grouped_cum(
         w = Window.partitionBy(group_col).orderBy(value_col)
         return hist.withColumn(out_col, F.sum(cnt_col).over(w))
     sp = hist.sparkSession
-    n_parts = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(sp)
     parted = cached(
         hist.repartitionByRange(n_parts, F.col(group_col), F.col(value_col))
         .withColumn("__pid", F.spark_partition_id())

@@ -423,11 +423,14 @@ def session_paths(
     counts = paths.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+    # top-k as orderBy+limit → TakeOrderedAndProject (per-partition
+    # k-row heaps + one k-row merge), NOT a global row_number window
+    # (which would sort the full distinct-path table in one task just
+    # to keep k rows).  The rank column is derived AFTER the limit, so
+    # the only ordered window in the plan runs over k rows.
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
     wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        counts.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))
 
 
 def cusum_changepoint(
@@ -523,23 +526,29 @@ def rfm_segments(
     ``1..buckets`` quantile scores and a composite segment code like
     ``'545'``.
 
-    Determinism: every ntile orders by an exact integer or decimal
+    Determinism: every score orders by an exact integer or decimal
     (recency in microseconds, count, decimal money sum) with
     ``user_col`` as the final tiebreak, so bucket boundaries are
-    total-order stable; ntile's equal-height split (earlier buckets get
-    the remainder) is the ANSI behavior both engines implement.
+    total-order stable; the equal-height split (earlier buckets get
+    the remainder) is the ANSI ``ntile`` behavior, reproduced as exact
+    integer bucket math over exact global ranks.
 
-    Plan: one filtered hash aggregate per user, then three ntile windows
-    over the AGGREGATED table (cardinality = #users, already collapsed).
-    The windows are unpartitioned by design — a global quantile needs a
-    global order — but they sort #users rows of four narrow columns,
-    not events; at larger scale swap ntile for bucketing against
-    :func:`~occupation_wage_etl_spark.operators.stats.
-    grouped_exact_percentiles` boundaries (broadcast), which needs no
-    global sort.
+    Plan: one filtered hash aggregate per user, then three DISTRIBUTED
+    global ranks over the AGGREGATED table via the two-level prefix
+    count (:func:`~occupation_wage_etl_spark.operators.evaluation.
+    _dist_cum_before`: range-partition on the sort key → parallel
+    per-partition sorts → a config-bounded offsets table) — never an
+    unpartitioned ``ntile`` window pushing every user through one
+    task.  Bucket assignment is then pure arithmetic on the rank:
+    with ``N`` users, ``q = N div b``, ``r = N mod b``, the first
+    ``r`` buckets hold ``q+1`` rows — exactly ANSI ntile, no window.
 
     Returns (user, last_us, freq, monetary, r, f, m, segment).
     """
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
+    )
+
     per_user = (
         events.filter(F.col(type_col) == conversion_type)
         .groupBy(user_col)
@@ -548,18 +557,51 @@ def rfm_segments(
             F.count(F.lit(1)).alias("freq"),
             F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__m"),
         )
+        .withColumn("__negr", -F.col("last_us"))
+        .withColumn("__negf", -F.col("freq"))
+        .withColumn("__negm", -F.col("__m"))
     )
-    wr = Window.orderBy(F.desc("last_us"), F.asc(user_col))
-    wf = Window.orderBy(F.desc("freq"), F.asc(user_col))
-    wm = Window.orderBy(F.desc("__m"), F.asc(user_col))
-    scored = per_user.select(
+    ranked, total = _dist_cum_before(per_user, ["__negr", user_col], F.lit(1))
+    ranked = ranked.withColumnRenamed("__cumb", "__rkr")
+    ranked, _ = _dist_cum_before(ranked, ["__negf", user_col], F.lit(1))
+    ranked = ranked.withColumnRenamed("__cumb", "__rkf")
+    ranked, _ = _dist_cum_before(ranked, ["__negm", user_col], F.lit(1))
+    ranked = ranked.withColumnRenamed("__cumb", "__rkm")
+
+    scored = (
+        ranked.crossJoin(
+            F.broadcast(
+                total.select(F.col("__total").cast("long").alias("__N"))
+            )
+        )
+        .withColumn("__q", F.expr(f"__N div {int(buckets)}"))
+        .withColumn("__r", F.expr(f"__N % {int(buckets)}"))
+        .withColumn("__cut", (F.col("__q") + F.lit(1)) * F.col("__r"))
+    )
+
+    def _tile(rk_col: str) -> F.Column:
+        # exact ANSI ntile from the 0-based prefix count: rank = cum+1;
+        # ranks <= cut fall in the first r (size q+1) buckets, the rest
+        # in size-q buckets.  CaseWhen is lazy per branch, so the div-q
+        # arm is never evaluated when q == 0 (N < buckets).
+        rk = f"({rk_col} + 1)"
+        return (
+            F.when(
+                F.col(rk_col) + 1 <= F.col("__cut"),
+                F.expr(f"({rk} - 1) div (__q + 1) + 1"),
+            )
+            .otherwise(F.expr(f"__r + ({rk} - __cut - 1) div __q + 1"))
+            .cast("long")
+        )
+
+    scored = scored.select(
         user_col,
         "last_us",
         "freq",
         F.col("__m").cast("string").cast("double").alias("monetary"),
-        F.ntile(buckets).over(wr).cast("long").alias("r"),
-        F.ntile(buckets).over(wf).cast("long").alias("f"),
-        F.ntile(buckets).over(wm).cast("long").alias("m"),
+        _tile("__rkr").alias("r"),
+        _tile("__rkf").alias("f"),
+        _tile("__rkm").alias("m"),
     )
     return scored.withColumn(
         "segment",
@@ -903,50 +945,80 @@ def seasonal_decompose(
 ) -> DataFrame:
     """Additive seasonal index per series: classical decomposition's
     seasonal component for integer-valued series (event counts) —
-    trend = centered ``period``-row moving average, seasonal(phase) =
-    mean of the detrended values at that phase.
+    trend = centered ``period``-row moving average (for EVEN periods,
+    the classical 2×period MA: a ``period+1``-row window with half
+    weight on both end rows, so the average stays phase-centered),
+    seasonal(phase) = mean of the detrended values at that phase.
 
     Exactness: for integer x the detrended value scaled by ``period``
-    is the INTEGER ``period*x - S_w`` (S_w = the window sum), so the
-    per-phase mean is a ratio of exact integers — one closing double
-    division, order-independent, engine-portable.  Phase is the
+    (odd) is the INTEGER ``period*x - S_w`` (S_w = the window sum);
+    for even periods scaled by ``2*period`` it is
+    ``2*period*x - (S_outer + S_inner)`` (S_outer = the ``period+1``-row
+    window sum, S_inner = the inner ``period-1``-row sum — end rows
+    counted once, interior rows twice = the 2×MA numerator).  Either
+    way the per-phase mean is a ratio of exact integers — one closing
+    double division, order-independent, engine-portable.  Phase is the
     epoch-day modulo ``period`` (portable across engines, unlike
     locale-dependent dayofweek numbering).
 
-    Scale: one window partitioned BY SERIES (axis-sized rows after the
-    upstream per-bucket aggregate) + one phase-grain hash aggregate.
-    Only full windows contribute (edge rows are dropped), matching the
-    classical definition.  Returns (group, phase, n_obs, seasonal).
+    Scale: one window pass partitioned BY SERIES (axis-sized rows after
+    the upstream per-bucket aggregate) + one phase-grain hash
+    aggregate.  Only full windows contribute (edge rows are dropped),
+    matching the classical definition.  Returns
+    (group, phase, n_obs, seasonal).
     """
+    if period < 2:
+        raise ValueError("period must be >= 2")
     half = period // 2
-    w = (
-        Window.partitionBy("grp")
-        .orderBy("d")
-        .rowsBetween(-half, half)
-    )
     x = F.col(value_col).cast("long")
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(date_col).alias("d"),
         x.alias("x"),
-    ).withColumn("sw", F.sum("x").over(w)).withColumn(
-        "wn", F.count(F.lit(1)).over(w)
     )
-    full = base.filter(F.col("wn") == period).select(
-        "grp",
-        (
-            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-            % period
-        ).alias("phase"),
-        (F.lit(period) * F.col("x") - F.col("sw")).alias("dev"),
-    )
+    phase = (
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % period
+    ).alias("phase")
+    if period % 2 == 1:
+        w = Window.partitionBy("grp").orderBy("d").rowsBetween(-half, half)
+        base = base.withColumn("sw", F.sum("x").over(w)).withColumn(
+            "wn", F.count(F.lit(1)).over(w)
+        )
+        full = base.filter(F.col("wn") == period).select(
+            "grp",
+            phase,
+            (F.lit(period) * F.col("x") - F.col("sw")).alias("dev"),
+        )
+        scale = float(period)
+    else:
+        wo = Window.partitionBy("grp").orderBy("d").rowsBetween(-half, half)
+        wi = (
+            Window.partitionBy("grp")
+            .orderBy("d")
+            .rowsBetween(-(half - 1), half - 1)
+        )
+        base = (
+            base.withColumn("swo", F.sum("x").over(wo))
+            .withColumn("wno", F.count(F.lit(1)).over(wo))
+            .withColumn("swi", F.sum("x").over(wi))
+        )
+        full = base.filter(F.col("wno") == period + 1).select(
+            "grp",
+            phase,
+            (
+                F.lit(2 * period) * F.col("x")
+                - F.col("swo")
+                - F.col("swi")
+            ).alias("dev"),
+        )
+        scale = float(2 * period)
     return (
         full.groupBy(F.col("grp").alias(group_col), "phase")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
             (
                 F.sum("dev").cast("double")
-                / (F.lit(float(period)) * F.count(F.lit(1)).cast("double"))
+                / (F.lit(scale) * F.count(F.lit(1)).cast("double"))
             ).alias("seasonal"),
         )
     )

@@ -201,6 +201,24 @@ def test_adamic_adar_excludes_adjacent_and_caps_hubs(spark):
     assert graph.adamic_adar(edges, max_degree=4).count() == 0
 
 
+def test_adamic_adar_canonicalizes_messy_edges(spark):
+    # the same square graph, but with reversed duplicates and a
+    # self-loop: defensive canonicalization must make the output
+    # identical to the clean edge list (no adjacent pair reported as a
+    # predicted link, no double-counted wedges)
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (1, 4), (2, 2)],
+        "id_a int, id_b int",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["aa_score"])
+        for r in graph.adamic_adar(messy).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    expect = round(2 / math.log(2), 6)
+    assert out[(1, 3)] == (2, expect) and out[(2, 4)] == (2, expect)
+
+
 # --------------------------------------------------- label propagation
 
 def test_label_propagation_path_graph(spark):

@@ -89,6 +89,53 @@ def test_seasonal_decompose_drops_partial_windows(spark):
     assert all(r["seasonal"] == 0.0 for r in out)  # constant series
 
 
+def test_seasonal_decompose_even_period_pure_pattern(spark):
+    import datetime as dt
+
+    # x = 10 + phase (period 4): the 2x4 centered MA of a pure periodic
+    # pattern is the pattern mean (11.5), so seasonal(p) = p - 1.5
+    base = dt.date(2024, 1, 1)  # epoch-day 19723 -> phase 19723 % 4 = 3
+    rows = [
+        ("g", base + dt.timedelta(days=i), 10 + (19723 + i) % 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, x int")
+    out = {
+        r["phase"]: r["seasonal"]
+        for r in timeseries.seasonal_decompose(
+            df, "g", "d", "x", period=4
+        ).collect()
+    }
+    for p in (0, 1, 2, 3):
+        assert abs(out[p] - (p - 1.5)) < 1e-9
+
+
+def test_seasonal_decompose_even_period_full_window_count(spark):
+    import datetime as dt
+
+    rows = [
+        ("g", dt.date(2024, 1, 1) + dt.timedelta(days=i), 5)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, x int")
+    out = timeseries.seasonal_decompose(df, "g", "d", "x", period=4).collect()
+    # even period 4 needs period+1 = 5-row outer windows: 10 days -> 6
+    assert sum(r["n_obs"] for r in out) == 6
+    assert all(r["seasonal"] == 0.0 for r in out)  # constant series
+
+
+def test_seasonal_decompose_rejects_period_below_two(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("g", dt.date(2024, 1, 1), 1)], "g string, d date, x int"
+    )
+    with _pytest.raises(ValueError):
+        timeseries.seasonal_decompose(df, "g", "d", "x", period=1)
+
+
 # --------------------------------------------------------- bootstrap
 
 def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
