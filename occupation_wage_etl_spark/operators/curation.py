@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.functions import text as T
 from occupation_wage_etl_spark.operators import dedup, text_analysis
+from occupation_wage_etl_spark.operators._cache import cached
 
 
 def curate_corpus(
@@ -461,3 +462,54 @@ def train_stump(
     return cands.orderBy(
         F.asc("gini"), F.asc("feature"), F.asc("threshold")
     ).limit(1)
+
+
+def source_mixing_weights(
+    df: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights for training-mix
+    design (the multilingual/multi-source standard: sample source s
+    with probability ∝ count_s^α, α = 1/2 here) — upweights small
+    high-value sources relative to raw proportional sampling without
+    letting any source dominate.
+
+    α = 1/2 keeps the power exact: ``sqrt`` IS correctly-rounded under
+    IEEE 754 (unlike pow/log), so each source's √count is
+    bit-identical in any engine.  The normalizer Σ√count is a float
+    fold whose value depends on accumulation order — so it is computed
+    as ONE sequential fold over the source-sorted count array (the
+    source axis is category-sized; same bounded-fold pattern as
+    kaplan_meier's product limit), making the sum — and every weight —
+    deterministic and oracle-reproducible.
+
+    Returns (source, n_docs, weight, raw_share) — weight the tempered
+    probability, raw_share the untempered count share (both exact-
+    denominator single divisions).
+    """
+    counts = df.filter(F.col(source_col).isNotNull()).groupBy(
+        F.col(source_col).alias("source")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = cached(counts)
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_docs"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_docs"].cast("double")),
+        ).alias("z"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            (F.sqrt(F.col("n_docs").cast("double")) / F.col("z")).alias(
+                "weight"
+            ),
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("raw_share"),
+        )
+    )

@@ -115,6 +115,51 @@ def _dist_cum_before(
     return out.drop("__pid"), total
 
 
+def _dist_max_before(
+    df: DataFrame,
+    order_cols: list[str],
+    value: F.Column,
+    out_col: str = "__maxb",
+) -> DataFrame:
+    """Distributed exclusive prefix MAX: append ``out_col`` = max of
+    ``value`` over all rows STRICTLY BEFORE each row in ``order_cols``
+    order (a total order), NULL when no row precedes — the running-max
+    sibling of :func:`_dist_cum_before`, same two-level scan (max is
+    associative, so partition offsets compose exactly like sums).
+
+    Used by skyline staircases and any "best so far" readout that a
+    naive ``max().over(Window.orderBy(...))`` would turn into a
+    single-partition sort of the whole input.
+    """
+    sp = df.sparkSession
+    n_parts = shuffle_partitions(sp)
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", value)
+    )
+    parted = cached(parted)
+    totals = parted.groupBy("__pid").agg(F.max("__v").alias("__pt"))
+    w_p = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.max("__pt").over(w_p).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parted.withColumn("__cin", F.max("__v").over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        # greatest() skips NULLs: NULL only when neither a partition
+        # offset nor an in-partition predecessor exists — exactly the
+        # "no preceding row" semantics of the single-window form
+        .withColumn(out_col, F.greatest("__cin", "__off"))
+        .drop("__pid", "__v", "__cin", "__off")
+    )
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,

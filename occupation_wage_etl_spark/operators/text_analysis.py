@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.functions import text as T
+from occupation_wage_etl_spark.operators._cache import cached
 
 
 def lang_id_table(
@@ -430,4 +431,55 @@ def zipf_fit(
         F.when(dx > 0, cov / dx).alias("slope"),
         F.when(dx > 0, (sy - (cov / dx) * sx) / n).alias("intercept"),
         F.when((dx > 0) & (dy > 0), r * r).alias("r2"),
+    )
+
+
+def pmi_table(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pointwise mutual information between two categorical columns —
+    PMI(a, b) = log(N·c_ab / (c_a·c_b)) per observed cell, the
+    association readout behind "which sources over-produce which
+    languages" corpus-mix diagnostics (chi-square in
+    ``operators/hypothesis`` answers IS there association; this says
+    WHERE).
+
+    Exactness: the log argument is a ratio of exact integer products
+    (int64 — counts bounded by corpus size keep N·c_ab well under
+    2⁶³); one double division then one log.  ``log`` is not
+    correctly-rounded-mandated by IEEE 754, so the value is 6dp-rounded
+    (the repo's standard policy for transcendental tails).
+
+    Shape: one cell aggregate + two marginal aggregates off it (cell
+    table is category²-sized, so the re-aggregation is cheap) + a
+    1-row total cross-joined broadcast; marginal joins are
+    category-sized.  Returns (a, b, n_both, pmi).
+    """
+    cells = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_both"))
+    cells = cached(cells)
+    ma = cells.groupBy("a").agg(F.sum("n_both").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_both").alias("n_b"))
+    tot = cells.agg(F.sum("n_both").alias("n"))
+    return (
+        cells.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n") * F.col("n_both")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )

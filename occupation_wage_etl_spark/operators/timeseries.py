@@ -757,24 +757,26 @@ def kaplan_meier(
             F.count(F.lit(1)).cast("long").alias("leave"),
         )
     )
-    # n_risk = total - departures strictly before t: integer window sums
-    # (exact regardless of order) over the distinct-duration table.  The
-    # single-partition window holds only grid-sized rows.
-    w_prev = (
-        Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # n_risk = total - departures strictly before t: integer prefix sums
+    # (exact regardless of order) over the distinct-duration table, run
+    # on the two-level distributed scan — the duration axis can approach
+    # subject cardinality, so no single-task window.
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+
+    ranked, total = _dist_cum_before(tbl, ["t"], F.col("leave"))
+    risk = (
+        ranked.crossJoin(
+            F.broadcast(total.select(F.col("__total").alias("__n")))
+        )
+        .select(
+            "t",
+            "d",
+            (F.col("__n") - F.col("__cumb")).alias("n_risk"),
+        )
+        .filter(F.col("d") > 0)
     )
-    risk = tbl.select(
-        "t",
-        "d",
-        (
-            F.sum("leave").over(w_all)
-            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
-        ).alias("n_risk"),
-    ).filter(F.col("d") > 0)
     one = risk.agg(
         F.array_sort(
             F.collect_list(F.struct("t", "d", "n_risk"))
@@ -1021,4 +1023,37 @@ def seasonal_decompose(
                 / (F.lit(scale) * F.count(F.lit(1)).cast("double"))
             ).alias("seasonal"),
         )
+    )
+
+
+def record_highs(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Running-record detection: the rows whose value STRICTLY exceeds
+    every earlier value in ``key_col`` order (record-setting days — the
+    classic "new all-time high" readout, also the streak primitive
+    under drawdown/recovery analyses).
+
+    The running maximum is the two-level distributed prefix MAX
+    (:func:`~occupation_wage_etl_spark.operators.evaluation.
+    _dist_max_before`) — range-partitioned parallel scans, never one
+    data-sized single-partition window.  ``key_col`` must be a total
+    order (one row per key — aggregate first).
+
+    Returns (key, value, prev_max) for record rows; the first key
+    always qualifies (prev_max NULL).
+    """
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_max_before,
+    )
+
+    marked = _dist_max_before(df, [key_col], F.col(value_col), "__prev")
+    return marked.filter(
+        F.col("__prev").isNull() | (F.col(value_col) > F.col("__prev"))
+    ).select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col("__prev").alias("prev_max"),
     )

@@ -5807,9 +5807,9 @@ WITH s AS (
   FROM lineitem GROUP BY 1
 ), a AS (
   SELECT part_day, est_bytes,
-         CAST(floor(coalesce(sum(est_bytes) OVER (ORDER BY part_day
+         CAST(coalesce(sum(est_bytes) OVER (ORDER BY part_day
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              / {COMPACT_TARGET}) AS BIGINT) AS grp
+              // {COMPACT_TARGET} AS BIGINT) AS grp
   FROM s
 )
 SELECT grp AS file_group, count(*) AS n_parts,
@@ -9694,6 +9694,250 @@ SELECT u AS node, CAST(rank AS BIGINT) AS rank_scaled FROM r{PR_ITERS}
 Q204_SQL = _ppr_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# q205 — EVEN-period seasonal decomposition (operators/timeseries.py:
+# seasonal_decompose): the classical 2×period centered moving average
+# (period+1-row outer window, half weight on the end rows, realized as
+# outer+inner window sums in exact integers).  Exercises the even
+# branch the round-4 advisor flagged as unreachable; period=4 over the
+# per-type daily event series.
+# ---------------------------------------------------------------------------
+
+SEASON_EVEN_PERIOD = 4
+
+
+def q205_seasonal_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return (
+        timeseries.seasonal_decompose(
+            daily, "event_type", "day", "x", period=SEASON_EVEN_PERIOD
+        )
+        .select(
+            "event_type",
+            F.col("phase").cast("long").alias("phase"),
+            "n_obs",
+            "seasonal",
+        )
+        .orderBy("event_type", "phase")
+    )
+
+
+Q205_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, x,
+         sum(x) OVER wo AS swo, count(*) OVER wo AS wno,
+         sum(x) OVER wi AS swi
+  FROM d
+  WINDOW wo AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN {SEASON_EVEN_PERIOD // 2} PRECEDING
+                         AND {SEASON_EVEN_PERIOD // 2} FOLLOWING),
+         wi AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN {SEASON_EVEN_PERIOD // 2 - 1} PRECEDING
+                         AND {SEASON_EVEN_PERIOD // 2 - 1} FOLLOWING)
+), full_w AS (
+  SELECT event_type,
+         (day - DATE '1970-01-01') % {SEASON_EVEN_PERIOD} AS phase,
+         {2 * SEASON_EVEN_PERIOD} * x - swo - swi AS dev
+  FROM w WHERE wno = {SEASON_EVEN_PERIOD + 1}
+)
+SELECT event_type, CAST(phase AS BIGINT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(dev) AS DOUBLE)
+         / ({2 * SEASON_EVEN_PERIOD}.0 * CAST(count(*) AS DOUBLE)) AS seasonal
+FROM full_w GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q206 — HITS hubs & authorities (operators/graph.py:hits): bipartite
+# supplier→part incidence from lineitem, 2 exact-integer rounds.
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 2
+
+
+def q206_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return graph.hits(edges, rounds=HITS_ROUNDS)
+
+
+Q206_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem
+), a1 AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY d
+), h1 AS (
+  SELECT s, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a1 USING (d) GROUP BY s
+), a2 AS (
+  SELECT d, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h1 USING (s) GROUP BY d
+), h2 AS (
+  SELECT s, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a2 USING (d) GROUP BY s
+)
+SELECT 'hub' AS side, s AS node, h AS score FROM h2
+UNION ALL
+SELECT 'authority' AS side, d AS node, a AS score FROM a2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q207 — degree assortativity (operators/graph.py:assortativity) of the
+# q20 near-dup graph: Pearson degree-degree correlation in exact
+# decimal moments, sqrt-free symmetric form.
+# ---------------------------------------------------------------------------
+
+
+def q207_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return graph.assortativity(edges)
+
+
+Q207_SQL = """
+WITH {edges}, sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u AS n, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+), pairs AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM sym JOIN deg du ON du.n = sym.u JOIN deg dv ON dv.n = sym.v
+), mom AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS m,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+  FROM pairs
+)
+SELECT CAST(m AS BIGINT) AS m_directed,
+       CASE WHEN CAST(CAST(m * sxx - sx * sx AS VARCHAR) AS DOUBLE) <> 0.0
+            THEN CAST(CAST(m * sxy - sx * sx AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(m * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+       END AS assortativity
+FROM mom
+""".format(edges=_edge_cte())
+
+
+# ---------------------------------------------------------------------------
+# q208 — record-setting revenue days (operators/timeseries.py:
+# record_highs): days whose order revenue strictly exceeds every
+# earlier day's — running max via the distributed prefix-MAX scan.
+# ---------------------------------------------------------------------------
+
+
+def q208_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    rec = timeseries.record_highs(daily, "day", "rev")
+    return rec.select(
+        "day",
+        F.col("rev").cast("string").cast("double").alias("rev"),
+        F.col("prev_max").cast("string").cast("double").alias("prev_max"),
+    ).orderBy("day")
+
+
+Q208_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS rev
+  FROM orders GROUP BY 1
+), marked AS (
+  SELECT day, rev,
+         max(rev) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM daily
+)
+SELECT day, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev,
+       CAST(CAST(prev_max AS VARCHAR) AS DOUBLE) AS prev_max
+FROM marked
+WHERE prev_max IS NULL OR rev > prev_max
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q209 — lang × source pointwise mutual information
+# (operators/text_analysis.py:pmi_table): where the corpus mix is
+# associated, cell by cell (chi-square q167's "where" companion).
+# ---------------------------------------------------------------------------
+
+
+def q209_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.pmi_table(docs, "lang", "source").select(
+        F.col("a").alias("lang"),
+        F.col("b").alias("source"),
+        "n_both",
+        "pmi",
+    ).orderBy("lang", "source")
+
+
+Q209_SQL = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n_both
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), ma AS (
+  SELECT a, CAST(sum(n_both) AS BIGINT) AS n_a FROM cells GROUP BY a
+), mb AS (
+  SELECT b, CAST(sum(n_both) AS BIGINT) AS n_b FROM cells GROUP BY b
+), tot AS (
+  SELECT CAST(sum(n_both) AS BIGINT) AS n FROM cells
+)
+SELECT a AS lang, b AS source, n_both,
+       round(ln(CAST(n * n_both AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6)
+         AS pmi
+FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q210 — temperature-scaled source mixing weights
+# (operators/curation.py:source_mixing_weights): √count sampling
+# weights with a sorted sequential normalizer fold.
+# ---------------------------------------------------------------------------
+
+
+def q210_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return curation.source_mixing_weights(docs, "source").orderBy("source")
+
+
+Q210_SQL = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), z AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_sort(list({'source': source,
+                                          'n_docs': n_docs})),
+             s -> sqrt(CAST(s.n_docs AS DOUBLE)))),
+           (acc, v) -> acc + v) AS z
+  FROM counts
+)
+SELECT source, n_docs,
+       sqrt(CAST(n_docs AS DOUBLE)) / z AS weight,
+       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS raw_share
+FROM counts CROSS JOIN z
+ORDER BY source
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -9899,6 +10143,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q202_dominant_suppliers": q202_dominant_suppliers,
     "q203_sorted_neighborhood": q203_sorted_neighborhood,
     "q204_personalized_pagerank": q204_personalized_pagerank,
+    "q205_seasonal_even": q205_seasonal_even,
+    "q206_hits": q206_hits,
+    "q207_assortativity": q207_assortativity,
+    "q208_record_days": q208_record_days,
+    "q209_pmi": q209_pmi,
+    "q210_mixing_weights": q210_mixing_weights,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10106,4 +10356,10 @@ ORACLE_SQL: dict[str, str] = {
     "q202_dominant_suppliers": Q202_SQL,
     "q203_sorted_neighborhood": Q203_SQL,
     "q204_personalized_pagerank": Q204_SQL,
+    "q205_seasonal_even": Q205_SQL,
+    "q206_hits": Q206_SQL,
+    "q207_assortativity": Q207_SQL,
+    "q208_record_days": Q208_SQL,
+    "q209_pmi": Q209_SQL,
+    "q210_mixing_weights": Q210_SQL,
 }

@@ -374,24 +374,27 @@ def compaction_plan(
     OPTIMIZE/compact jobs, kept contiguous so partition-range pruning
     still works on the compacted files.
 
-    Greedy prefix-sum bucketing: group(p) = floor(cumulative_bytes_before(p)
-    / target) over partitions sorted by key.  One window over the
-    (already aggregated, one-row-per-partition) size table — the raw
-    data never moves during planning.  Exact integer arithmetic.
+    Greedy prefix-sum bucketing: group(p) = cumulative_bytes_before(p)
+    div target over partitions sorted by key.  The cumulative sum runs
+    on the two-level distributed prefix scan
+    (:func:`~occupation_wage_etl_spark.operators.evaluation.
+    _dist_cum_before`) — the size table is one row per partition, which
+    at lake scale is itself a large axis, so no single-task window.
+    Exact integer arithmetic (integer ``div``, never a double quotient).
 
     Returns (file_group, n_parts, group_bytes, first_part, last_part).
     """
-    w = (
-        Window.orderBy(F.col(part_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
     )
-    assigned = sizes.select(
+
+    summed, _ = _dist_cum_before(
+        sizes, [part_col], F.col(size_col).cast("long")
+    )
+    assigned = summed.select(
         F.col(part_col),
         F.col(size_col),
-        F.floor(
-            F.coalesce(F.sum(size_col).over(w), F.lit(0))
-            / F.lit(target_bytes)
-        ).cast("long").alias("file_group"),
+        F.expr(f"__cumb div {int(target_bytes)}").alias("file_group"),
     )
     return assigned.groupBy("file_group").agg(
         F.count(F.lit(1)).alias("n_parts"),

@@ -9,7 +9,15 @@ records the scale-relevant facts:
 - joins: broadcast-hash vs sort-merge vs nested-loop counts;
 - exchanges (shuffles) and whole-stage-codegen coverage;
 - Python boundaries (ArrowEvalPython / FlatMapGroupsInPandas /
-  BatchEvalPython) — row-at-a-time BatchEvalPython is flagged.
+  BatchEvalPython) — row-at-a-time BatchEvalPython is flagged;
+- GLOBAL single-partition exchanges (the physical shape under any
+  unpartitioned window / global sort): each one is classified against
+  a bounded-input whitelist — k-limited subtree (GlobalLimit /
+  TakeOrderedAndProject), scalar-aggregate merge (partial
+  HashAggregate with zero grouping keys), the config-bounded `__pid`
+  offsets tables of the distributed prefix scans, or driver-literal
+  LocalTableScan inputs.  Anything else pushes data-sized input
+  through ONE task and is flagged for review.
 
 Writes PLANS.md (one row per query + per-query notes) so plan shape is
 reviewable per round without re-running Spark.  Usage:
@@ -45,6 +53,93 @@ def plans(df) -> tuple[str, str]:
     return buf_f.getvalue(), buf_s.getvalue()
 
 
+def _global_exchange_audit(plan: str) -> tuple[int, int, list[str]]:
+    """Classify every `Exchange SinglePartition` in the formatted plan.
+
+    Returns (n_bounded, n_flagged, flag_notes).  A single-partition
+    exchange funnels its whole input through one task — fine only when
+    that input is provably small:
+
+    - ``limit``: the subtree holds a GlobalLimit / TakeOrderedAndProject
+      / CollectLimit, so at most k rows reach the exchange;
+    - ``scalar-agg``: the direct child is a partial aggregate with zero
+      grouping keys — one row per upstream partition;
+    - ``pid-offsets``: the subtree aggregates on ``__pid`` — the
+      per-partition totals table of the two-level distributed prefix
+      scans, bounded by spark.sql.shuffle.partitions;
+    - ``local-literal``: the subtree reads only driver-side literals
+      (LocalTableScan), no parquet / RDD scan.
+    """
+    bounded, flagged, notes = 0, 0, []
+    # each tree section (main plan + any subqueries) is parsed alone so
+    # subtree extraction never crosses tree boundaries
+    for section in re.split(r"={3,}\s*Subquer", plan):
+        tree: list[tuple[int, int, str]] = []  # (depth, node_id, name)
+        for line in section.splitlines():
+            m = re.match(
+                r"^([ :+\-]*(?:\* )?)([A-Za-z][\w .]*?) \((\d+)\)\s*$", line
+            )
+            if m:
+                # depth excludes the codegen "* " marker so starred and
+                # unstarred siblings measure the same tree level
+                depth = len(re.sub(r"\* $", "", m.group(1)))
+                tree.append((depth, int(m.group(3)), m.group(2)))
+        details: dict[int, str] = {}
+        for m in re.finditer(
+            r"^\((\d+)\) ([^\n]+)\n((?:(?!\(\d+\) ).*\n?)*)",
+            section,
+            re.M,
+        ):
+            details[int(m.group(1))] = m.group(3)
+        for i, (depth, nid, nname) in enumerate(tree):
+            if nname.strip() != "Exchange":
+                continue
+            if "SinglePartition" not in details.get(nid, ""):
+                continue
+            sub = []
+            for d2, id2, n2 in tree[i + 1 :]:
+                if d2 <= depth:
+                    break
+                sub.append((id2, n2))
+            sub_names = " ".join(n for _, n in sub)
+            verdict = None
+            if re.search(
+                r"GlobalLimit|TakeOrderedAndProject|CollectLimit", sub_names
+            ):
+                verdict = "limit"
+            elif sub and re.match(
+                r"(Hash|Sort|ObjectHash)Aggregate", sub[0][1]
+            ) and re.search(
+                r"Keys(?: \[0\])?: \[\]", details.get(sub[0][0], "")
+            ):
+                verdict = "scalar-agg"
+            elif any(
+                re.match(r"(Hash|Sort|ObjectHash)Aggregate", n)
+                and (
+                    km := re.search(
+                        r"Keys \[\d+\]: \[([^\]]*)\]",
+                        details.get(sid, "") or "",
+                    )
+                )
+                and "__pid" in km.group(1)
+                for sid, n in sub
+            ):
+                verdict = "pid-offsets"
+            elif sub and not re.search(
+                r"Scan parquet|Scan ExistingRDD", sub_names
+            ) and "LocalTableScan" in sub_names:
+                verdict = "local-literal"
+            if verdict:
+                bounded += 1
+            else:
+                flagged += 1
+                notes.append(
+                    f"node ({nid}) SinglePartition exchange over "
+                    f"[{' > '.join(n for _, n in sub[:4]) or 'leaf'}]"
+                )
+    return bounded, flagged, notes
+
+
 def audit_one(name: str, plan: str, simple: str) -> dict:
     scans = []
     for m in re.finditer(
@@ -57,7 +152,11 @@ def audit_one(name: str, plan: str, simple: str) -> dict:
         scans.append((table, ncols, TABLE_WIDTHS.get(table)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     pushed_nonempty = sum(1 for p in pushed if p.strip())
+    gb, gf, gnotes = _global_exchange_audit(plan)
     return {
+        "global_1p_bounded": gb,
+        "global_1p_flagged": gf,
+        "global_1p_notes": gnotes,
         "name": name,
         "scans": scans,
         "pushed_filters": pushed_nonempty,
@@ -103,13 +202,19 @@ def main() -> None:
         "py = Arrow-batched Python ops (row-at-a-time BatchEvalPython would be",
         "flagged in **bold** — none should exist).",
         "",
-        "| query | scans (read/width) | joins b/s/n | shuffles | codegen | py |",
-        "|---|---|---|---|---|---|",
+        "",
+        "`global 1p` = single-partition exchanges: `n ok` are bounded-input",
+        "(limit / scalar-agg merge / __pid offsets / driver literals — see",
+        "tools/plan_audit.py:_global_exchange_audit), flagged ones appear in",
+        "Review flags with their subtree.",
+        "",
+        "| query | scans (read/width) | joins b/s/n | shuffles | codegen | py | global 1p |",
+        "|---|---|---|---|---|---|---|",
     ]
     warnings = []
     for r in rows:
         if "error" in r:
-            lines.append(f"| {r['name']} | ERROR {r['error']} | | | | |")
+            lines.append(f"| {r['name']} | ERROR {r['error']} | | | | | |")
             continue
         scans = ", ".join(f"{t}:{n}/{w}" for t, n, w in r["scans"]) or "—"
         py = r["arrow_python"] + r["slow_python"]
@@ -117,13 +222,22 @@ def main() -> None:
         ex = str(r["exchanges"])
         if r["reused_exchanges"]:
             ex += f" (+{r['reused_exchanges']} reused)"
+        g1 = "—"
+        if r["global_1p_bounded"] or r["global_1p_flagged"]:
+            g1 = f"{r['global_1p_bounded']} ok"
+            if r["global_1p_flagged"]:
+                g1 += f" + **{r['global_1p_flagged']} FLAG**"
         lines.append(
             f"| {r['name']} | {scans} | {r['bhj']}/{r['smj']}/{r['bnlj']} "
-            f"| {ex} | {r['codegen']} | {py_s} |"
+            f"| {ex} | {r['codegen']} | {py_s} | {g1} |"
         )
         if r["slow_python"]:
             warnings.append(
                 f"- {r['name']}: row-at-a-time BatchEvalPython in plan"
+            )
+        for note in r["global_1p_notes"]:
+            warnings.append(
+                f"- {r['name']}: unbounded single-partition exchange — {note}"
             )
         for t in r["full_width_scans"]:
             # full-width reads are fine only when the query truly needs
