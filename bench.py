@@ -247,6 +247,16 @@ BENCH_QUERIES = [
     "q202_dominant_suppliers",
     "q203_sorted_neighborhood",
     "q204_personalized_pagerank",
+    "q205_seasonal_even",
+    "q206_hits",
+    "q207_assortativity",
+    "q208_record_days",
+    "q209_pmi",
+    "q210_mixing_weights",
+    "q211_pca_top_component",
+    "q212_isotonic",
+    "q213_woe_iv",
+    "q214_kmeans",
 ]
 
 

@@ -142,3 +142,67 @@ def kfold_target_encode(
             ).alias("target_enc"),
         )
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight of evidence + information value per category — the
+    credit-scoring-standard readout of how much a categorical feature
+    separates a binary label (here: which corpus slices carry the
+    quality signal).  Complements :func:`target_encode` (which outputs
+    a smoothed rate for MODELING; WoE outputs a log-odds-ratio for
+    FEATURE AUDIT).
+
+    Half-count (Laplace ½) adjustment keeps empty cells finite, and
+    keeps the log argument a ratio of exact integers:
+
+        WoE_c = ln( (2·pos_c + 1)·N  /  ((2·neg_c + 1)·P) )
+
+    (P/N = global positive/negative totals).  ``ln`` is not correctly-
+    rounded-mandated, so WoE and the IV term are 6dp-rounded (repo
+    policy for transcendental tails); the adjusted shares are single
+    IEEE divisions of exact integers.
+
+        iv_term_c = (pos_share_c − neg_share_c) · WoE_c,
+        pos_share_c = (2·pos_c + 1) / (2·P)
+
+    Shape: one category hash-aggregate + a 1-row totals broadcast —
+    category-axis output, nothing data-sized past the first aggregate.
+    Returns (category, n_pos, n_neg, woe, iv_term).
+    """
+    y = F.col(label_col).cast("long")
+    cells = df.filter(F.col(cat_col).isNotNull() & y.isNotNull()).groupBy(
+        F.col(cat_col).alias("category")
+    ).agg(
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1) - y).alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("p"), F.sum("n_neg").alias("n")
+    )
+    woe = F.round(
+        F.log(
+            ((2 * F.col("n_pos") + 1) * F.col("n")).cast("double")
+            / ((2 * F.col("n_neg") + 1) * F.col("p")).cast("double")
+        ),
+        6,
+    )
+    sp = (2 * F.col("n_pos") + 1).cast("double") / (
+        2 * F.col("p")
+    ).cast("double")
+    sn = (2 * F.col("n_neg") + 1).cast("double") / (
+        2 * F.col("n")
+    ).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_pos",
+            "n_neg",
+            woe.alias("woe"),
+            F.round((sp - sn) * woe, 6).alias("iv_term"),
+        )
+    )

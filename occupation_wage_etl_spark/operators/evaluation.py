@@ -879,3 +879,82 @@ def best_threshold(
             (F.lit(2) * b["tp"]).cast("double") / f1_den.cast("double"),
         ).otherwise(F.lit(0.0)).alias("f1"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Isotonic (PAVA) calibration map over exact-rank score bins —
+    the monotone repair of a reliability table: the best monotone
+    non-decreasing fit of observed positive rate vs score rank, the
+    standard way to turn a raw quality score into a probability
+    without assuming a sigmoid shape (Zadrozny & Elkan '02).
+
+    Binning is IDENTICAL to :func:`calibration_bins` (exact-rank,
+    distributed two-level prefix count — near-equal bins, no IEEE
+    boundary surprises).  The fit uses the minimax characterization of
+    isotonic regression (Robertson-Wright-Dykstra):
+
+        fitted[k] = max_{i ≤ k} min_{j ≥ k}  pos(i..j) / n(i..j)
+
+    — mathematically equal to pool-adjacent-violators, but expressible
+    as pure max/min over the O(B²) contiguous segment means, so the
+    DuckDB oracle can replay it without data-dependent recursion.  The
+    B-row bin table is collected and the O(B³) minimax runs driver-side
+    (the ``multi_ols`` parameter-sized contract; B is a config, never
+    data-sized).  Segment means are IEEE divisions of exact integers
+    < 2⁵³ — correctly rounded, so every compare (and the fit) is
+    bit-identical in any engine.
+
+    Returns (bin, n_rows, n_pos, pos_rate, fitted) — ``fitted`` is
+    non-decreasing in ``bin`` by construction.
+    """
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y"), F.col(id_col).alias("__id")
+    )
+    ranked, total = _dist_cum_before(base, ["__s", "__id"], F.lit(1))
+    binned = ranked.crossJoin(F.broadcast(total)).select(
+        "__y", F.expr(f"(__cumb * {int(bins)}) div __total").alias("bin")
+    )
+    rows = sorted(
+        (
+            (int(r["bin"]), int(r["n"]), int(r["p"]))
+            for r in binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("p"))
+            .collect()
+        )
+    )
+    ids = [b for b, _, _ in rows]
+    cn = [0]
+    cp = [0]
+    for _, n_k, p_k in rows:
+        cn.append(cn[-1] + n_k)
+        cp.append(cp[-1] + p_k)
+    nb = len(rows)
+
+    def seg_avg(i: int, j: int) -> float:  # bins i..j inclusive, 0-based
+        return (cp[j + 1] - cp[i]) / (cn[j + 1] - cn[i])
+
+    fitted = []
+    for k in range(nb):
+        best = None
+        for i in range(k + 1):
+            inner = min(seg_avg(i, j) for j in range(k, nb))
+            best = inner if best is None or inner > best else best
+        fitted.append(best)
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (ids[k], rows[k][1], rows[k][2], rows[k][2] / rows[k][1],
+             fitted[k])
+            for k in range(nb)
+        ],
+        "bin long, n_rows long, n_pos long, pos_rate double, fitted double",
+    )
+    return out.orderBy("bin")

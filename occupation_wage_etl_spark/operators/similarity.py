@@ -818,3 +818,251 @@ def mmr_rerank(
         f"rank int, {id_col} long, qcos double, max_sim double, "
         "mmr_score double",
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    x_scale: int = 10**4,
+    v_scale: int = 10**6,
+    iters: int = 6,
+) -> DataFrame:
+    """Top principal-component score per embedding — "which axis
+    explains this corpus" plus a per-vector coordinate along it (the
+    embedding-drift / outlier-slice readout), computed ENTIRELY in
+    exact integer arithmetic so the result is bit-identical in any
+    engine, any partitioning:
+
+    1. quantize: ``x = floor(x_float · x_scale)`` (floor, not round —
+       round's half-way rule differs across engines; floor does not);
+    2. one Arrow ``mapInPandas`` pass emits per-batch int64 Gramians of
+       the HOMOGENEOUS vectors [x, 1] — the d+1 column of the Gramian
+       carries Σx and the corner carries n, so means need no second
+       scan (int64 ``X'X`` per batch is exact; the global sum is an
+       exact DECIMAL(38,0) hash-aggregate, order-independent).  This is
+       the justified Python tier: the d² inner loop as a numpy matmul
+       instead of an interpreted per-element fold;
+    3. scatter matrix ``C = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ`` (= n² × covariance,
+       still integral), derived from the ONE collected Gramian — a
+       (d+1)²-row parameter-sized collect, the same driver-side
+       contract as ``stats.multi_ols``'s d×d Gaussian elimination;
+    4. ``iters`` fixed-point power-iteration rounds DRIVER-SIDE in
+       arbitrary-precision Python ints (d² multiplies per round —
+       microseconds; running them as distributed stages costs ~18
+       scheduler round-trips for 64-row frames): ``w = C·v``, then
+       max-normalize back to ``±v_scale`` with sign-safe TRUNCATING
+       division (``sign(w)·((|w|·v_scale) // max|w|)`` — written with
+       abs() because SQL engines disagree on negative integer
+       division: Spark `div` truncates, DuckDB `//` floors; on
+       non-negative operands they agree);
+    5. canonical sign: flip so the coordinate with the largest |v|
+       (ties → lowest index) is positive — eigenvectors are
+       sign-ambiguous, plans should not be;
+    6. projection (the second and last distributed pass):
+       ``score_scaled = n·(x·v) − (Σx)·v`` per vector (centered dot
+       product scaled by n·x_scale·v_scale) via explode + broadcast
+       join against the 64-row eigenvector frame, emitted both raw
+       (exact integer as double) and normalized to original units.
+
+    Magnitude budget (why the scales are what they are): with |x_float|
+    ≤ 1 and n ≤ 10⁶, C ≤ n²·x_scale² = 10²⁰ and C·v ≤ 10²⁶ — inside
+    DECIMAL(38,0); the projection stays under 2⁶³.  Raise scales only
+    with the budget re-checked.
+
+    Returns (id, pc1_scaled, pc1) — pc1 = score/(n·x_scale·v_scale).
+    """
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+
+    def _gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xq = np.floor(mats * x_scale).astype(np.int64)
+            a = np.hstack(
+                [xq, np.ones((xq.shape[0], 1), dtype=np.int64)]
+            )
+            g = a.T @ a  # exact int64: |entry| <= rows * x_scale^2
+            dd = g.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(dd), np.arange(dd), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "g": g.ravel(),
+                }
+            )
+
+    gram_rows = (
+        df.select(vec_col)
+        .mapInPandas(_gram, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("g").cast(d38)).alias("g"))
+        .collect()  # (d+1)² rows — parameter-sized, multi_ols contract
+    )
+    gram = {(r["i"], r["j"]): int(r["g"]) for r in gram_rows}
+    d = max(i for i, _ in gram)  # homogeneous column index
+    n = gram[(d, d)]
+    sx = [gram[(d, j)] for j in range(d)]
+    cm = [
+        [n * gram[(i, j)] - sx[i] * sx[j] for j in range(d)]
+        for i in range(d)
+    ]
+
+    # power iteration in arbitrary-precision Python ints — identical
+    # integers to the decimal recurrence, zero scheduler round-trips
+    vec = [v_scale] * d
+    for _ in range(iters):
+        w = [sum(cm[i][j] * vec[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        vec = [
+            -((-x * v_scale) // m) if x < 0 else (x * v_scale) // m
+            for x in w
+        ]
+    # canonical sign: the largest-|v| coordinate (ties -> lowest j) > 0
+    lead = max(range(d), key=lambda j: (abs(vec[j]), -j))
+    if vec[lead] < 0:
+        vec = [-x for x in vec]
+    sxv = sum(sx[j] * vec[j] for j in range(d))
+
+    from decimal import Decimal
+
+    vdf = F.broadcast(
+        spark.createDataFrame(
+            [(j, Decimal(vec[j])) for j in range(d)],
+            f"j int, v {d38}",
+        )
+    )
+    xs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("j", "xf"),
+    ).select(
+        "id",
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("xf").cast("double") * x_scale)
+        .cast("long")
+        .alias("x"),
+    )
+    dots = (
+        xs.join(vdf, "j")
+        .groupBy("id")
+        .agg(F.sum(F.col("x").cast(d38) * F.col("v")).alias("xv"))
+    )
+    denom = float(x_scale) * float(v_scale)
+    n_lit = F.expr(f"CAST('{n}' AS {d38})")
+    sxv_lit = F.expr(f"CAST('{sxv}' AS {d38})")
+    score = (n_lit * F.col("xv") - sxv_lit).cast("string").cast("double")
+    return dots.select(
+        F.col("id").alias(id_col),
+        score.alias("pc1_scaled"),
+        (score / F.lit(float(n) * denom)).alias("pc1"),
+    )
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    x_scale: int = 10**4,
+) -> DataFrame:
+    """Distributed Lloyd k-means run ENTIRELY in exact integer
+    arithmetic — quantized coordinates, integer squared distances,
+    floored-integer centroid means — so assignments, centroids, and
+    inertia are bit-identical in any engine on any partitioning (float
+    k-means is not even run-to-run reproducible on a cluster: centroid
+    means change with partition order).  The in-engine clustering
+    companion to :func:`ivf_assign` (whose centroids come from a
+    driver-side sample); use this when the clustering itself must be
+    auditable.
+
+    Recurrence (``iters`` full Lloyd rounds, unrolled lazily):
+
+    - quantize ``x = floor(x_float · x_scale)`` per dimension
+      (long-form explode — whole-stage codegen, no Python);
+    - seeds: the ``k`` smallest ids' vectors (TakeOrdered — no scan
+      order dependence), centroid id = rank among seeds;
+    - assign: argmin over centroids of Σⱼ (xⱼ − cⱼ)² — exact BIGINT;
+      ties break to the smallest centroid id via struct-min;
+    - update: cⱼ = TRUNCATED integer mean (sign-safe ``div``; truncation
+      chosen because Spark's `div` truncates while SQL `//` floors —
+      the oracle replays truncation with a CASE on the sign).
+
+    Shape per round: one n·k·d-row join-aggregate funnel (the distance
+    computation — codegen hash aggregates, shuffles keyed on id then
+    centroid) + one centroid update aggregate (k·d rows).  Empty
+    clusters simply drop out (standard Lloyd behavior).  Returns, after
+    a final assignment under the last centroids:
+    (cluster, n_vecs, inertia, centroid_sum) — inertia in x_scale²
+    units, centroid_sum = Σⱼ cⱼ an exact integrity checksum.
+    """
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("j", "xf"),
+    ).select(
+        "id",
+        "j",
+        F.floor(F.col("xf").cast("double") * x_scale)
+        .cast("long")
+        .alias("x"),
+    )
+    q = cached(q)  # consumed 2x per round + seeds + final assignment
+
+    seed_ids = (
+        df.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(k)
+    )
+    w = Window.orderBy("id")  # k-row frame: bounded window
+    seeds = seed_ids.select(
+        "id", (F.row_number().over(w) - 1).cast("long").alias("cid")
+    )
+    cent = (
+        q.join(F.broadcast(seeds), "id")
+        .select("cid", "j", F.col("x").alias("c"))
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        d2 = (
+            q.join(centroids.withColumnRenamed("c", "__c"), "j")
+            .groupBy("id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("__c"))
+                    * (F.col("x") - F.col("__c"))
+                ).alias("dist")
+            )
+        )
+        return d2.groupBy("id").agg(
+            F.min(F.struct("dist", "cid")).alias("s")
+        ).select(
+            "id", F.col("s.cid").alias("cid"), F.col("s.dist").alias("dist")
+        )
+
+    for _ in range(iters):
+        asg = _assign(cent)
+        cent = (
+            q.join(asg.select("id", "cid"), "id")
+            .groupBy("cid", "j")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cid", "j", F.expr("s div n").alias("c"))
+        )
+
+    final = _assign(cent)
+    sizes = final.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist").alias("inertia"),
+    )
+    sums = cent.groupBy(F.col("cid").alias("cluster")).agg(
+        F.sum("c").alias("centroid_sum")
+    )
+    return sizes.join(sums, "cluster").orderBy("cluster")

@@ -9938,6 +9938,259 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q211 — exact-integer PCA top component (operators/similarity.py:
+# pca_top_component): quantized Gramian via one Arrow pass, fixed-point
+# power iteration on the d²-row scatter matrix, per-vector PC1 scores.
+# Oracle: the identical integer recurrence unrolled as CTEs.
+# ---------------------------------------------------------------------------
+
+PCA_X_SCALE, PCA_V_SCALE, PCA_ITERS = 10**4, 10**6, 6
+
+
+def q211_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_top_component(
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        x_scale=PCA_X_SCALE,
+        v_scale=PCA_V_SCALE,
+        iters=PCA_ITERS,
+    )
+
+
+def _pca_oracle_sql() -> str:
+    xs, vs = PCA_X_SCALE, PCA_V_SCALE
+    head = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, j,
+         CAST(floor(embedding[j]::DOUBLE * {xs}) AS BIGINT) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS j
+        FROM embeddings)
+), nn AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings
+), sx AS MATERIALIZED (
+  SELECT j, CAST(sum(x) AS HUGEINT) AS sx FROM q GROUP BY j
+), sxy AS MATERIALIZED (
+  SELECT a.j AS i, b.j AS jj, CAST(sum(a.x * b.x) AS HUGEINT) AS s
+  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+), c AS MATERIALIZED (
+  SELECT sxy.i, sxy.jj AS j,
+         (SELECT n FROM nn) * sxy.s - sa.sx * sb.sx AS c
+  FROM sxy JOIN sx sa ON sa.j = sxy.i JOIN sx sb ON sb.j = sxy.jj
+), v0 AS (
+  SELECT j, CAST({vs} AS HUGEINT) AS v FROM sx
+)"""
+    its = []
+    for t in range(1, PCA_ITERS + 1):
+        its.append(f"""
+, w{t} AS MATERIALIZED (
+  SELECT c.i AS j, CAST(sum(c.c * v.v) AS HUGEINT) AS w
+  FROM c JOIN v{t - 1} v ON c.j = v.j GROUP BY 1
+), m{t} AS (
+  SELECT max(abs(w)) AS m FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT j, CASE WHEN w < 0 THEN -((-w * {vs}) // m)
+                 ELSE (w * {vs}) // m END AS v
+  FROM w{t}, m{t}
+)""")
+    tail = f"""
+, lead AS (
+  SELECT CASE WHEN (SELECT v FROM v{PCA_ITERS}
+                    ORDER BY abs(v) DESC, j ASC LIMIT 1) < 0
+              THEN CAST(-1 AS HUGEINT) ELSE CAST(1 AS HUGEINT) END AS flip
+), vf AS MATERIALIZED (
+  SELECT j, v * flip AS v FROM v{PCA_ITERS}, lead
+), sxv AS (
+  SELECT CAST(sum(sx.sx * vf.v) AS HUGEINT) AS sxv
+  FROM sx JOIN vf USING (j)
+), dots AS (
+  SELECT q.vec_id, CAST(sum(q.x * vf.v) AS HUGEINT) AS xv
+  FROM q JOIN vf USING (j) GROUP BY 1
+)
+SELECT vec_id,
+       CAST(CAST((SELECT n FROM nn) * xv - (SELECT sxv FROM sxv)
+            AS VARCHAR) AS DOUBLE) AS pc1_scaled,
+       CAST(CAST((SELECT n FROM nn) * xv - (SELECT sxv FROM sxv)
+            AS VARCHAR) AS DOUBLE)
+         / (CAST(CAST((SELECT n FROM nn) AS VARCHAR) AS DOUBLE)
+            * {float(xs) * float(vs)!r}) AS pc1
+FROM dots
+"""
+    return head + "".join(its) + tail
+
+
+Q211_SQL = _pca_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# q212 — isotonic (PAVA) calibration map (operators/evaluation.py:
+# isotonic_calibration): monotone repair of q146's reliability table
+# via the minimax segment-mean characterization (oracle-expressible,
+# no data-dependent recursion).
+# ---------------------------------------------------------------------------
+
+
+def q212_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.isotonic_calibration(
+        _quality_labeled(spark, sf_dir), "score", "label", "doc_id",
+        bins=CAL_BINS,
+    )
+
+
+Q212_SQL = f"""
+WITH {{q}}, binned AS (
+  SELECT label,
+         (CAST(row_number() OVER (ORDER BY score, doc_id) - 1 AS BIGINT)
+          * {CAL_BINS}) // count(*) OVER () AS bin
+  FROM scored
+), b AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS p
+  FROM binned GROUP BY bin
+), pre AS MATERIALIZED (
+  SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp
+  FROM b
+), segs AS MATERIALIZED (
+  SELECT i.bin AS i, j.bin AS j,
+         CAST(j.cp - coalesce(ip.cp, 0) AS DOUBLE)
+           / CAST(j.cn - coalesce(ip.cn, 0) AS DOUBLE) AS seg_avg
+  FROM pre j JOIN pre i ON i.bin <= j.bin
+  LEFT JOIN pre ip ON ip.bin = i.bin - 1
+), inner_min AS (
+  SELECT k.bin AS k, s.i, min(s.seg_avg) AS m
+  FROM b k JOIN segs s ON s.i <= k.bin AND s.j >= k.bin
+  GROUP BY 1, 2
+), fit AS (
+  SELECT k AS bin, max(m) AS fitted FROM inner_min GROUP BY k
+)
+SELECT b.bin, b.n AS n_rows, b.p AS n_pos,
+       CAST(b.p AS DOUBLE) / CAST(b.n AS DOUBLE) AS pos_rate, f.fitted
+FROM b JOIN fit f USING (bin) ORDER BY bin
+""".format(q=_QUALITY_CTE)
+
+
+# ---------------------------------------------------------------------------
+# q213 — weight of evidence / information value per source
+# (operators/encoding.py:woe_iv): log-odds separation of the English
+# label by corpus slice, half-count adjusted.
+# ---------------------------------------------------------------------------
+
+
+def q213_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    return encoding.woe_iv(labeled, "source", "is_en").orderBy("category")
+
+
+Q213_SQL = """
+WITH cells AS (
+  SELECT source AS category,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_neg
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS p, CAST(sum(n_neg) AS BIGINT) AS n
+  FROM cells
+)
+SELECT category, n_pos, n_neg,
+       round(ln(CAST((2 * n_pos + 1) * n AS DOUBLE)
+                / CAST((2 * n_neg + 1) * p AS DOUBLE)), 6) AS woe,
+       round((CAST(2 * n_pos + 1 AS DOUBLE) / CAST(2 * p AS DOUBLE)
+              - CAST(2 * n_neg + 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
+             * round(ln(CAST((2 * n_pos + 1) * n AS DOUBLE)
+                        / CAST((2 * n_neg + 1) * p AS DOUBLE)), 6), 6)
+         AS iv_term
+FROM cells CROSS JOIN tot
+ORDER BY category
+"""
+
+
+# ---------------------------------------------------------------------------
+# q214 — exact-integer distributed k-means (operators/similarity.py:
+# kmeans_lloyd_exact): 3 full Lloyd rounds over the embeddings in
+# quantized integer arithmetic; oracle replays the identical
+# recurrence (truncating centroid means, struct-min assignment).
+# ---------------------------------------------------------------------------
+
+KM_K, KM_ITERS = 8, 3
+
+
+def q214_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd_exact(
+        emb, k=KM_K, iters=KM_ITERS, x_scale=PCA_X_SCALE
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    k, iters, xs = KM_K, KM_ITERS, PCA_X_SCALE
+    head = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, j,
+         CAST(floor(embedding[j]::DOUBLE * {xs}) AS BIGINT) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS j
+        FROM embeddings)
+), seeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+), c0 AS MATERIALIZED (
+  SELECT s.cid, q.j, q.x AS c FROM q JOIN seeds s USING (vec_id)
+)"""
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f"""
+, d{t} AS (
+  SELECT q.vec_id, c.cid,
+         CAST(sum((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS dist
+  FROM q JOIN c{t - 1} c USING (j) GROUP BY 1, 2
+), a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{t}) WHERE rn = 1
+), c{t} AS MATERIALIZED (
+  SELECT a.cid, q.j,
+         CASE WHEN sum(q.x) < 0 THEN -((-sum(q.x)) // count(*))
+              ELSE sum(q.x) // count(*) END AS c
+  FROM q JOIN a{t} a USING (vec_id) GROUP BY 1, 2
+)""")
+    tail = f"""
+, dfin AS (
+  SELECT q.vec_id, c.cid,
+         CAST(sum((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS dist
+  FROM q JOIN c{iters} c USING (j) GROUP BY 1, 2
+), afin AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dfin) WHERE rn = 1
+), sizes AS (
+  SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(dist) AS BIGINT) AS inertia
+  FROM afin GROUP BY 1
+), sums AS (
+  SELECT cid AS cluster, CAST(sum(c) AS BIGINT) AS centroid_sum
+  FROM c{iters} GROUP BY 1
+)
+SELECT s.cluster, s.n_vecs, s.inertia, m.centroid_sum
+FROM sizes s JOIN sums m USING (cluster) ORDER BY cluster
+"""
+    return head + "".join(its) + tail
+
+
+Q214_SQL = _kmeans_oracle_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -10149,6 +10402,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q208_record_days": q208_record_days,
     "q209_pmi": q209_pmi,
     "q210_mixing_weights": q210_mixing_weights,
+    "q211_pca_top_component": q211_pca_top_component,
+    "q212_isotonic": q212_isotonic,
+    "q213_woe_iv": q213_woe_iv,
+    "q214_kmeans": q214_kmeans,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10362,4 +10619,8 @@ ORACLE_SQL: dict[str, str] = {
     "q208_record_days": Q208_SQL,
     "q209_pmi": Q209_SQL,
     "q210_mixing_weights": Q210_SQL,
+    "q211_pca_top_component": Q211_SQL,
+    "q212_isotonic": Q212_SQL,
+    "q213_woe_iv": Q213_SQL,
+    "q214_kmeans": Q214_SQL,
 }

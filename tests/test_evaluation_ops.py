@@ -199,3 +199,43 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     first = out.filter(F.col("rank") == 1).collect()[0]
     assert first["max_sim"] is None
     assert first["mmr_score"] == first["qcos"]
+
+
+# ------------------------------------------------------------- isotonic
+
+def test_isotonic_monotone_and_pools_violators(spark):
+    from occupation_wage_etl_spark.operators import evaluation
+
+    # 4 bins of 5 rows; raw pos rates 0.2, 0.8, 0.4, 1.0 — bins 1 and 2
+    # violate monotonicity and must pool to (4+2)/10 = 0.6
+    rows = []
+    rates = [1, 4, 2, 5]
+    rid = 0
+    for b, pos in enumerate(rates):
+        for i in range(5):
+            rows.append((float(b * 10 + i), 1 if i < pos else 0, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "score double, label int, doc_id long")
+    out = evaluation.isotonic_calibration(
+        df, "score", "label", "doc_id", bins=4
+    ).collect()
+    fitted = [r["fitted"] for r in sorted(out, key=lambda r: r["bin"])]
+    assert fitted == [0.2, 0.6, 0.6, 1.0]
+    assert all(b >= a for a, b in zip(fitted, fitted[1:]))
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from occupation_wage_etl_spark.operators import evaluation
+
+    rows = []
+    rid = 0
+    for b, pos in enumerate([0, 2, 4]):
+        for i in range(4):
+            rows.append((float(b * 10 + i), 1 if i < pos else 0, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "score double, label int, doc_id long")
+    out = evaluation.isotonic_calibration(
+        df, "score", "label", "doc_id", bins=3
+    ).collect()
+    for r in out:
+        assert r["fitted"] == r["pos_rate"]
