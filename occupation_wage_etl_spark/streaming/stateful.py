@@ -227,3 +227,70 @@ def streaming_heavy_hitters(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+RH_OUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("seq", LongType()),
+        StructField("value", DoubleType()),
+        StructField("prev_max", DoubleType()),
+    ]
+)
+RH_STATE_SCHEMA = StructType([StructField("cur_max", DoubleType())])
+
+
+def streaming_record_highs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of :func:`~occupation_wage_etl_spark.operators.
+    timeseries.record_highs`, per key: emit a row the moment a key's
+    value STRICTLY exceeds everything it has streamed before (alerting
+    on new all-time highs without re-scanning history).
+
+    State per key is ONE double (the running max) — the cheapest
+    possible stateful operator; within each micro-batch rows fold in
+    ``seq_col`` order so batch boundaries never change which rows are
+    records (same totals-order contract as the batch operator).  Emits
+    (key, seq, value, prev_max) per new record, ``prev_max`` NULL for
+    a key's first row.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        (cur,) = state.get if state.exists else (None,)
+        out: list[tuple[int, float, float | None]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(seq_col)
+            for seq, v in zip(pdf[seq_col], pdf[value_col]):
+                if v is None or pd.isna(v):
+                    continue
+                v = float(v)
+                if cur is None or v > cur:
+                    out.append((int(seq), v, cur))
+                    cur = v
+        state.update((cur,))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "key": [k] * len(out),
+                    "seq": [s for s, _, _ in out],
+                    "value": [v for _, v, _ in out],
+                    "prev_max": [p for _, _, p in out],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        RH_OUT_SCHEMA,
+        RH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -136,3 +136,53 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     for (_, item), n in got.items():
         totals[item] = totals.get(item, 0) + n
     assert max(totals, key=totals.get) == "click"
+
+
+def test_streaming_record_highs_matches_batch(spark, tmp_path):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [  # (user, event_id, value): records interleaved across keys
+        (1, 0, 5.0), (1, 1, 7.0), (1, 2, 7.0), (1, 3, 6.0), (1, 4, 9.0),
+        (2, 5, 3.0), (2, 6, 2.0), (2, 7, 4.0), (2, 8, None),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, v, _ts(9, i)) for i, (u, e, v) in enumerate(rows)],
+        "user_id long, event_id long, value double, ts timestamp",
+    )
+    src = str(tmp_path / "rh")
+    df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, value double, ts timestamp"
+    ).parquet(src)
+    q = (
+        stateful.streaming_record_highs(stream)
+        .writeStream.format("memory")
+        .queryName("rec_highs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["key"], r["seq"], r["value"], r["prev_max"])
+        for r in spark.table("rec_highs").collect()
+    )
+    # batch oracle: per-key strict running max over event_id order
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        df.filter(F.col("value").isNotNull())
+        .withColumn("prev_max", F.max("value").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["value"], r["prev_max"])
+        for r in batch.collect()
+    )
+    assert got == want
+    assert (1, 2, 7.0, 7.0) not in got  # ties are not records
