@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "q212_isotonic",
     "q213_woe_iv",
     "q214_kmeans",
+    "q215_value_percentiles_fg",
 ]
 
 

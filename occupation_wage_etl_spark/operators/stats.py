@@ -513,6 +513,7 @@ def grouped_percent_rank(
     group_col: str,
     value_col: str,
     id_col: str,
+    few_groups: bool = False,
 ) -> DataFrame:
     """Within-group percentile rank of every row — the cross-domain score
     calibration primitive: a raw quality/score column is comparable
@@ -522,18 +523,49 @@ def grouped_percent_rank(
     ``percent_rank`` = (rank-1)/(n-1) with ties sharing a rank — the
     ANSI definition both Spark and DuckDB implement, and an exact
     integer-ratio double (bit-stable, no rounding).  Singleton groups
-    get 0.0 in both engines.  One window partitioned by ``group_col``;
-    state is the group's row count — no joins, no global sort.
+    get 0.0 in both engines.
+
+    Since round 5 the rank comes off the distinct-value HISTOGRAM
+    (rank − 1 = cumulative count of strictly-smaller values via
+    :func:`_grouped_cum`, joined back on (group, value)) instead of a
+    ``percent_rank`` window over the row-sized table: the window sorts
+    every raw row inside each group's task, the histogram form sorts
+    only distinct values — and ``few_groups=True`` routes even that
+    through the grouped two-level scan when #groups ≪ cores.  NULL
+    values are excluded (the window form ranked them first — Spark's
+    NULLS FIRST — while DuckDB orders them last, so any NULL input was
+    already engine-divergent; excluding pins one semantics).
 
     Returns (id, group, value, pct).
     """
-    return df.select(
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull()).select(id_col, group_col, value_col)
+    hist = cached(
+        rows.groupBy(group_col, value_col).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+    )
+    cum = _grouped_cum(
+        hist, group_col, value_col, "__cnt", few_groups=few_groups
+    )
+    totals = hist.groupBy(group_col).agg(F.sum("__cnt").alias("__ng"))
+    ranked = cum.join(totals, group_col).select(
+        group_col,
+        value_col,
+        (F.col("cum") - F.col("__cnt")).alias("__before"),
+        "__ng",
+    )
+    return rows.join(ranked, [group_col, value_col]).select(
         F.col(id_col),
         F.col(group_col),
         F.col(value_col),
-        F.percent_rank().over(
-            Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-        ).alias("pct"),
+        F.when(
+            F.col("__ng") > 1,
+            F.col("__before").cast("double")
+            / (F.col("__ng") - F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct"),
     )
 
 

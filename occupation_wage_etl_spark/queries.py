@@ -10191,6 +10191,38 @@ FROM sizes s JOIN sums m USING (cluster) ORDER BY cluster
 Q214_SQL = _kmeans_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# q215 — grouped exact percentiles on the FEW-GROUPS distributed scan
+# (operators/stats.py:_grouped_cum few_groups=True): the q94/q33 shape
+# with #groups ≪ cores routed through the grouped two-level prefix
+# scan — the 100 TB flip (BENCH_SCALE.md "q94 floor"), registry-proven
+# bit-identical against the same oracle a per-group window would get.
+# ---------------------------------------------------------------------------
+
+
+def q215_value_percentiles_fg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return stats.grouped_exact_percentiles(
+        ev,
+        "event_type",
+        "value",
+        {"p25": 0.25, "median": 0.5, "p90": 0.9},
+        few_groups=True,
+    ).orderBy("event_type")
+
+
+Q215_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS median,
+       quantile_cont(value, 0.9) AS p90
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -10406,6 +10438,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q212_isotonic": q212_isotonic,
     "q213_woe_iv": q213_woe_iv,
     "q214_kmeans": q214_kmeans,
+    "q215_value_percentiles_fg": q215_value_percentiles_fg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10623,4 +10656,5 @@ ORACLE_SQL: dict[str, str] = {
     "q212_isotonic": Q212_SQL,
     "q213_woe_iv": Q213_SQL,
     "q214_kmeans": Q214_SQL,
+    "q215_value_percentiles_fg": Q215_SQL,
 }

@@ -226,3 +226,45 @@ def test_few_groups_plan_has_no_per_group_global_sort(spark):
             and "v#" in line
         ):
             raise AssertionError(f"group-only window survived: {line[:140]}")
+
+
+# -------------------------------------------------------- percent rank
+
+def test_grouped_percent_rank_matches_window(spark):
+    from pyspark.sql import Window
+
+    rows = [(i, g, float(v)) for i, (g, v) in enumerate(
+        [("a", 1), ("a", 2), ("a", 2), ("a", 3), ("a", 10),
+         ("b", 5), ("b", 5), ("b", 5), ("c", 7)]
+    )]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = sorted(
+        (r["id"], r["g"], r["v"], r["pct"])
+        for r in stats.grouped_percent_rank(df, "g", "v", "id").collect()
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    want = sorted(
+        (r["id"], r["g"], r["v"], r["pr"])
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    )
+    assert got == want
+    # ties take the min rank: the three b-rows all rank 0
+    assert all(p == 0.0 for _, g, v, p in got if g == "b")
+    # single-row group -> 0.0 by ANSI convention
+    assert [p for _, g, _, p in got if g == "c"] == [0.0]
+
+
+def test_grouped_percent_rank_few_groups_identical(spark):
+    rows = [(i, "g%d" % (i % 3), float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    a = sorted(map(tuple,
+                   stats.grouped_percent_rank(df, "g", "v", "id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            stats.grouped_percent_rank(
+                df, "g", "v", "id", few_groups=True
+            ).collect(),
+        )
+    )
+    assert a == b
