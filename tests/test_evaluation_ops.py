@@ -239,3 +239,48 @@ def test_isotonic_already_monotone_is_identity(spark):
     ).collect()
     for r in out:
         assert r["fitted"] == r["pos_rate"]
+
+
+# ------------------------------------------------- distributed prefix max
+
+def test_dist_max_before_matches_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_max_before,
+    )
+
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % 97 - 48)
+        .cast("long")
+        .alias("v"),
+    ).repartition(9)
+    got = sorted(
+        (r["k"], r["__maxb"])
+        for r in _dist_max_before(df, ["k"], F.col("v")).collect()
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = sorted(
+        (r["k"], r["m"])
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    )
+    assert got == want
+    assert got[0][1] is None  # first row has no predecessor
+
+
+def test_dist_max_before_null_values_skipped(spark):
+    from pyspark.sql import functions as F
+
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_max_before,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (4, 3.0)], "k long, v double"
+    )
+    out = {r["k"]: r["__maxb"] for r in
+           _dist_max_before(df, ["k"], F.col("v")).collect()}
+    # nulls never contribute; max "before" skips them like the window form
+    assert out == {1: None, 2: None, 3: 5.0, 4: 5.0}
