@@ -690,6 +690,8 @@ def hits(
     domain) may share integer values without being the same entity
     (e.g. supplier 5 vs part 5 in a bipartite incidence graph).
     """
+    if rounds < 1:
+        raise ValueError(f"hits() needs rounds >= 1, got {rounds}")
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()

@@ -907,6 +907,12 @@ def pca_top_component(
         .collect()  # (d+1)² rows — parameter-sized, multi_ols contract
     )
     gram = {(r["i"], r["j"]): int(r["g"]) for r in gram_rows}
+    if not gram:  # empty corpus: no rows to score
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("pc1_scaled"),
+            F.lit(None).cast("double").alias("pc1"),
+        )
     d = max(i for i, _ in gram)  # homogeneous column index
     n = gram[(d, d)]
     sx = [gram[(d, j)] for j in range(d)]
@@ -921,6 +927,8 @@ def pca_top_component(
     for _ in range(iters):
         w = [sum(cm[i][j] * vec[j] for j in range(d)) for i in range(d)]
         m = max(abs(x) for x in w)
+        if m == 0:  # degenerate scatter (all rows identical after
+            break  # quantization, or a single row): keep vec as-is
         vec = [
             -((-x * v_scale) // m) if x < 0 else (x * v_scale) // m
             for x in w

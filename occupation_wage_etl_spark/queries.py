@@ -10053,12 +10053,19 @@ WITH {{q}}, binned AS (
   SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
          CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp
   FROM b
+), pre2 AS MATERIALIZED (
+  -- lag() over OCCUPIED bins (not bin-1): bin ids may be sparse when
+  -- the labeled row count is below the bin count, and the
+  -- implementation's cumulative sums are positional over occupied bins
+  SELECT bin, cn, cp,
+         CAST(coalesce(lag(cn) OVER (ORDER BY bin), 0) AS BIGINT) AS pcn,
+         CAST(coalesce(lag(cp) OVER (ORDER BY bin), 0) AS BIGINT) AS pcp
+  FROM pre
 ), segs AS MATERIALIZED (
   SELECT i.bin AS i, j.bin AS j,
-         CAST(j.cp - coalesce(ip.cp, 0) AS DOUBLE)
-           / CAST(j.cn - coalesce(ip.cn, 0) AS DOUBLE) AS seg_avg
-  FROM pre j JOIN pre i ON i.bin <= j.bin
-  LEFT JOIN pre ip ON ip.bin = i.bin - 1
+         CAST(j.cp - i.pcp AS DOUBLE)
+           / CAST(j.cn - i.pcn AS DOUBLE) AS seg_avg
+  FROM pre2 j JOIN pre2 i ON i.bin <= j.bin
 ), inner_min AS (
   SELECT k.bin AS k, s.i, min(s.seg_avg) AS m
   FROM b k JOIN segs s ON s.i <= k.bin AND s.j >= k.bin

@@ -267,8 +267,13 @@ def streaming_record_highs(
         (k,) = key
         (cur,) = state.get if state.exists else (None,)
         out: list[tuple[int, float, float | None]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(seq_col)
+        # A key's micro-batch may arrive split across multiple Arrow
+        # chunks (arrow.maxRecordsPerBatch) in arbitrary row order —
+        # concatenate first, THEN sort, so the seq_col fold contract
+        # holds across chunk boundaries.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(seq_col)
             for seq, v in zip(pdf[seq_col], pdf[value_col]):
                 if v is None or pd.isna(v):
                     continue

@@ -186,3 +186,69 @@ def test_streaming_record_highs_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert (1, 2, 7.0, 7.0) not in got  # ties are not records
+
+
+def test_streaming_record_highs_multi_chunk(spark, tmp_path):
+    """A hot key whose micro-batch spans MANY Arrow chunks (tiny
+    maxRecordsPerBatch) with rows arriving in shuffled seq order must
+    fold identically to the batch operator — the concat-then-sort
+    contract across chunk boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # 400 rows for key 1 in a deterministic shuffled order, plus a
+    # small second key; values chosen so records are scattered
+    seqs = [(i * 173) % 400 for i in range(400)]  # permutation of 0..399
+    rows = [(1, s, float((s * 37) % 101)) for s in seqs]
+    rows += [(2, 1000 + i, float(i % 13)) for i in range(40)]
+    df = spark.createDataFrame(
+        [(u, e, v, _ts(9, i % 59)) for i, (u, e, v) in enumerate(rows)],
+        "user_id long, event_id long, value double, ts timestamp",
+    )
+    src = str(tmp_path / "rh_chunks")
+    df.coalesce(1).write.parquet(src)  # one file -> one micro-batch
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, value double, ts timestamp"
+        ).parquet(src)
+        q = (
+            stateful.streaming_record_highs(stream)
+            .writeStream.format("memory")
+            .queryName("rec_highs_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    got = sorted(
+        (r["key"], r["seq"], r["value"], r["prev_max"])
+        for r in spark.table("rec_highs_chunks").collect()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        df.filter(F.col("value").isNotNull())
+        .withColumn("prev_max", F.max("value").over(w))
+        .filter(
+            F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max"))
+        )
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["value"], r["prev_max"])
+        for r in batch.collect()
+    )
+    assert got == want
+    assert len([1 for k, *_ in got if k == 1]) > 1  # non-vacuous

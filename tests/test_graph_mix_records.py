@@ -155,3 +155,11 @@ def test_mixing_weights_tempering_flattens_shares(spark):
     assert out["big"]["weight"] < out["big"]["raw_share"]
     assert out["small"]["weight"] > out["small"]["raw_share"]
     assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-12
+
+
+def test_hits_rejects_zero_rounds(spark):
+    import pytest
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="rounds"):
+        graph.hits(e, rounds=0)

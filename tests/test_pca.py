@@ -70,3 +70,22 @@ def test_pca_recovers_axis_sign_convention(spark):
     scores = [s for _, s in out]
     assert all(b > a for a, b in zip(scores, scores[1:]))
     assert scores[0] < 0 < scores[-1]  # centered
+
+
+def test_pca_degenerate_inputs_no_crash(spark):
+    # identical rows -> zero scatter: scores all zero, no ZeroDivisionError
+    rows = [(i, [0.5, -0.25, 0.125]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.pca_top_component(df).collect()
+    assert len(out) == 10
+    assert all(r["pc1"] == 0.0 for r in out)
+    # single row: also zero scatter
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    got = similarity.pca_top_component(one).collect()
+    assert len(got) == 1 and got[0]["pc1"] == 0.0
+    # empty corpus: empty (or all-NULL) result, no crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    res = similarity.pca_top_component(empty).collect()
+    assert all(r["pc1"] is None for r in res)
