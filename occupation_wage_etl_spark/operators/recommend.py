@@ -44,6 +44,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.operators._cache import cached
+from occupation_wage_etl_spark.operators._conf import broadcast_row_bound
+
+
+def _counted_hint(keep: DataFrame):
+    """Decide broadcast-vs-AQE for the cached pruned marginal with one
+    COUNTED bound instead of either an unbounded forced hint (the
+    round-4 OOM mode) or a bare AQE guess (which planned these
+    item-type-sized sides as sort-merge at every audited scale —
+    AQE only converts when its size *statistics* clear the threshold,
+    and a fresh cache has none).
+
+    The count is cheap — ``keep`` is cached and feeds 3-4 downstream
+    joins, so the count materializes work those joins need anyway — and
+    the returned hint function is ``F.broadcast`` iff the counted rows
+    fit under :func:`~.._conf.broadcast_row_bound` (narrow key+count
+    rows, default 4M ≈ 100 MB serialized).  Above the bound the plan is
+    left to AQE: no OOM mode exists at any size.
+    """
+    if keep.count() <= broadcast_row_bound(keep.sparkSession):
+        return F.broadcast
+    return lambda d: d
 
 
 def _capped_items(
@@ -102,11 +123,11 @@ def association_rules(
     # Cached: the marginal feeds both self-join sides and both rule
     # endpoints (4 consumers), and it is small (item-type-sized).
     keep = cached(marg.filter(F.col("n_item") >= min_pair_support))
-    # no explicit broadcast hints on the pruned marginals: item-type-
-    # sized in practice but not constant-bounded — AQE broadcasts them
-    # when they fit under autoBroadcastJoinThreshold and falls back to
-    # a shuffle join instead of an OOM when they don't.
-    pruned = items.join(keep.select("i"), "i").select("b", "i")
+    # counted-bound broadcast decision (see _counted_hint): hint iff
+    # the pruned marginal's actual row count fits the config bound,
+    # else leave AQE to plan it — no unbounded-OOM mode either way.
+    hint = _counted_hint(keep)
+    pruned = items.join(hint(keep.select("i")), "i").select("b", "i")
     lhs = pruned.select("b", F.col("i").alias("ia"))
     rhs = pruned.select("b", F.col("i").alias("ic"))
     pair = (
@@ -116,8 +137,8 @@ def association_rules(
         .agg(F.count(F.lit(1)).alias("pair_baskets"))
         .filter(F.col("pair_baskets") >= min_pair_support)
     )
-    ma = keep.select(F.col("i").alias("ia"), F.col("n_item").alias("na"))
-    mc = keep.select(F.col("i").alias("ic"), F.col("n_item").alias("nc"))
+    ma = hint(keep.select(F.col("i").alias("ia"), F.col("n_item").alias("na")))
+    mc = hint(keep.select(F.col("i").alias("ic"), F.col("n_item").alias("nc")))
     scored = (
         pair.join(ma, "ia")
         .join(mc, "ic")
@@ -166,9 +187,10 @@ def item_item_cf(
     items = sets.select("b", F.explode("iset").alias("i"))
     marg = items.groupBy("i").agg(F.count(F.lit(1)).alias("n_users"))
     keep = cached(marg.filter(F.col("n_users") >= min_users))
-    # hint-free joins on the pruned marginals (same AQE note as
-    # association_rules: small in practice, not constant-bounded)
-    pruned = items.join(keep.select("i"), "i")
+    # counted-bound broadcast decision, same contract as
+    # association_rules (see _counted_hint)
+    hint = _counted_hint(keep)
+    pruned = items.join(hint(keep.select("i")), "i")
     lhs = pruned.select("b", F.col("i").alias("item"))
     rhs = pruned.select("b", F.col("i").alias("neighbor"))
     both = (
@@ -177,9 +199,13 @@ def item_item_cf(
         .groupBy("item", "neighbor")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    na = keep.select(F.col("i").alias("item"), F.col("n_users").alias("na"))
-    nb = keep.select(
-        F.col("i").alias("neighbor"), F.col("n_users").alias("nb")
+    na = hint(
+        keep.select(F.col("i").alias("item"), F.col("n_users").alias("na"))
+    )
+    nb = hint(
+        keep.select(
+            F.col("i").alias("neighbor"), F.col("n_users").alias("nb")
+        )
     )
     scored = (
         both.join(na, "item")
