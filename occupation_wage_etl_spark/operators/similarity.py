@@ -1003,74 +1003,135 @@ def kmeans_lloyd_exact(
       chosen because Spark's `div` truncates while SQL `//` floors —
       the oracle replays truncation with a CASE on the sign).
 
-    Shape per round: one n·k·d-row join-aggregate funnel (the distance
-    computation — codegen hash aggregates, shuffles keyed on id then
-    centroid) + one centroid update aggregate (k·d rows).  Empty
-    clusters simply drop out (standard Lloyd behavior).  Returns, after
-    a final assignment under the last centroids:
-    (cluster, n_vecs, inertia, centroid_sum) — inertia in x_scale²
-    units, centroid_sum = Σⱼ cⱼ an exact integrity checksum.
+    Shape per round (Arrow tier — no row expansion): centroids live on
+    the DRIVER as a k×d int64 array (parameter-sized, the multi_ols /
+    pca_top_component collect contract; one k·d-row collect per round,
+    iters+1 scheduler round-trips total — the textbook Spark k-means
+    loop shape, cf. MLlib's KMeans).  Each round is ONE ``mapInPandas``
+    pass over the cached (id, vec) projection: per Arrow batch, a numpy
+    int64 matmul computes every row's exact squared distance to every
+    centroid (Σx² − 2·x@cᵀ + Σc², identical integers to the Σ(x−c)²
+    fold — int64 algebra is associative, the ``similarity.py`` LSH-
+    scorer accumulation contract), argmin over centroid columns sorted
+    by cid (first-minimum = smallest cid, reproducing the struct-min
+    tie-break), then a per-batch PARTIAL (cid, j, Σx, n) table — at
+    most k·d rows per batch — feeds a tiny JVM hash-aggregate.  Nothing
+    data-sized ever shuffles: the old n·k·d explode funnel (×(k·d) row
+    expansion through two shuffles per round) is gone.  Overflow bound:
+    coordinates must satisfy |x·x_scale| ≲ 3·10⁹/√d so the int64
+    distance algebra cannot wrap (10⁴-scaled unit-norm embeddings are
+    5 orders inside it).  Empty clusters simply drop out (standard
+    Lloyd behavior).  Returns, after a final assignment pass under the
+    last centroids: (cluster, n_vecs, inertia, centroid_sum) — inertia
+    in x_scale² units, centroid_sum = Σⱼ cⱼ an exact integrity
+    checksum.
     """
+    import numpy as np
+    import pandas as pd
+
     from occupation_wage_etl_spark.operators._cache import cached
 
-    q = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("j", "xf"),
-    ).select(
-        "id",
-        "j",
-        F.floor(F.col("xf").cast("double") * x_scale)
-        .cast("long")
-        .alias("x"),
+    spark = df.sparkSession
+    out_schema = "cluster long, n_vecs long, inertia long, centroid_sum long"
+    src = cached(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
-    q = cached(q)  # consumed 2x per round + seeds + final assignment
+    # vectors-only projection for the per-round Arrow passes: the
+    # cached InMemoryTableScan prunes to one column, so ids never
+    # cross the Arrow boundary (seeds are the only consumer of id)
+    vsrc = src.select("v")
 
-    seed_ids = (
-        df.select(F.col(id_col).alias("id"))
-        .orderBy("id")
-        .limit(k)
-    )
-    w = Window.orderBy("id")  # k-row frame: bounded window
-    seeds = seed_ids.select(
-        "id", (F.row_number().over(w) - 1).cast("long").alias("cid")
-    )
-    cent = (
-        q.join(F.broadcast(seeds), "id")
-        .select("cid", "j", F.col("x").alias("c"))
-    )
+    def _quant(col) -> "np.ndarray":
+        # same IEEE ops as F.floor(cast double * x_scale): float32 ->
+        # float64 is exact, one double multiply, floor -> int64
+        mats = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        return np.floor(mats * x_scale).astype(np.int64)
 
-    def _assign(centroids: DataFrame) -> DataFrame:
+    def _argmin(xq, cid_b, c_b):
         d2 = (
-            q.join(centroids.withColumnRenamed("c", "__c"), "j")
-            .groupBy("id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("__c"))
-                    * (F.col("x") - F.col("__c"))
-                ).alias("dist")
-            )
+            (xq * xq).sum(axis=1, keepdims=True)
+            - 2 * (xq @ c_b.T)
+            + (c_b * c_b).sum(axis=1)[None, :]
         )
-        return d2.groupBy("id").agg(
-            F.min(F.struct("dist", "cid")).alias("s")
-        ).select(
-            "id", F.col("s.cid").alias("cid"), F.col("s.dist").alias("dist")
-        )
+        pos = d2.argmin(axis=1)  # first min = smallest cid (sorted asc)
+        return cid_b[pos], d2[np.arange(len(pos)), pos]
+
+    # seeds: the k smallest ids' vectors (no scan-order dependence),
+    # centroid id = rank among seeds; k rows -> driver quantization
+    seed_rows = src.orderBy("id").limit(k).collect()
+    if not seed_rows:
+        return spark.createDataFrame([], out_schema)
+    cids = np.arange(len(seed_rows), dtype=np.int64)
+    cent = _quant([r["v"] for r in seed_rows])
 
     for _ in range(iters):
-        asg = _assign(cent)
-        cent = (
-            q.join(asg.select("id", "cid"), "id")
-            .groupBy("cid", "j")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select("cid", "j", F.expr("s div n").alias("c"))
-        )
 
-    final = _assign(cent)
-    sizes = final.groupBy(F.col("cid").alias("cluster")).agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("dist").alias("inertia"),
+        def _partials(batches, cid_b=cids, c_b=cent):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                xq = _quant(pdf["v"])
+                a, _ = _argmin(xq, cid_b, c_b)
+                cs, js, ss, ns = [], [], [], []
+                for c in np.unique(a):  # <= k iterations
+                    m = a == c
+                    s = xq[m].sum(axis=0)  # exact int64 partial
+                    n = int(m.sum())
+                    cs.extend([int(c)] * xq.shape[1])
+                    js.extend(range(xq.shape[1]))
+                    ss.extend(int(v) for v in s)
+                    ns.extend([n] * xq.shape[1])
+                yield pd.DataFrame(
+                    {"cid": cs, "j": js, "s": ss, "n": ns}
+                )
+
+        rows = (
+            vsrc.mapInPandas(_partials, "cid long, j int, s long, n long")
+            .groupBy("cid", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # k·d rows — parameter-sized
+        )
+        by: dict = {}
+        for r in rows:
+            by.setdefault(int(r["cid"]), {})[int(r["j"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        cids = np.array(sorted(by), dtype=np.int64)
+        d = cent.shape[1]
+        cent = np.empty((len(cids), d), dtype=np.int64)
+        for i, c in enumerate(cids):
+            for j in range(d):
+                s, n = by[c][j]
+                # TRUNCATED integer mean (Spark `div` semantics; SQL
+                # `//` floors — the oracle replays the sign CASE)
+                cent[i, j] = s // n if s >= 0 else -((-s) // n)
+
+    def _final(batches, cid_b=cids, c_b=cent):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quant(pdf["v"])
+            a, dist = _argmin(xq, cid_b, c_b)
+            acc: dict = {}
+            for c, dd in zip(a, dist):
+                n0, s0 = acc.get(int(c), (0, 0))
+                acc[int(c)] = (n0 + 1, s0 + int(dd))
+            yield pd.DataFrame(
+                {
+                    "cluster": list(acc),
+                    "n": [v[0] for v in acc.values()],
+                    "inertia": [v[1] for v in acc.values()],
+                }
+            )
+
+    sizes = (
+        vsrc.mapInPandas(_final, "cluster long, n long, inertia long")
+        .groupBy("cluster")
+        .agg(F.sum("n").alias("n_vecs"), F.sum("inertia").alias("inertia"))
     )
-    sums = cent.groupBy(F.col("cid").alias("cluster")).agg(
-        F.sum("c").alias("centroid_sum")
+    sums = spark.createDataFrame(
+        [(int(c), int(s)) for c, s in zip(cids, cent.sum(axis=1))],
+        "cluster long, centroid_sum long",
     )
-    return sizes.join(sums, "cluster").orderBy("cluster")
+    return sizes.join(F.broadcast(sums), "cluster").orderBy("cluster")
