@@ -248,3 +248,109 @@ def theta_overlap(
             / F.col("kept_union").cast("double"),
         ).alias("jaccard_est"),
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col,
+    key_col,
+    quantiles: dict[str, float],
+    level_bits: int = 6,
+) -> DataFrame:
+    """Mergeable quantile sketch in the KLL/MRL compactor family, made
+    deterministic and oracle-replayable the same way this module's
+    HLL/CMS/theta constructions are: the random coin is replaced by an
+    md5-derived hash predicate.
+
+    A KLL compactor at level L retains each item with probability
+    2^-L and weight 2^L; here every row is retained iff
+    ``h60(key) % 2^level_bits == 0`` — a FIXED single compaction level,
+    so all kept rows share one weight and the rank estimator collapses
+    to the exact interpolated quantile OF THE KEPT SAMPLE (computed
+    distributedly on the histogram prefix scan —
+    :func:`~occupation_wage_etl_spark.operators.stats
+    .percentiles_from_histogram` — never collected).  What the fixed
+    level trades away vs adaptive KLL is the O(1/k) worst-case rank
+    guarantee; what it buys is the property every sketch in this module
+    is built around: DuckDB replays the construction BIT-FOR-BIT.
+
+    Mergeability (the 100 TB property): the kept set is union-closed —
+    ``sketch(A ∪ B) = sketch(A) ∪ sketch(B)`` at the same level, and
+    re-leveling to a coarser ``level_bits + c`` is just re-applying the
+    hash predicate to the kept rows (deterministic subsampling), so
+    per-partition / per-day sketches combine with no information about
+    each other.  Retained size is ~n / 2^level_bits rows, distributed.
+    Standard Bernoulli bound: rank error is O(sqrt(2^level_bits · n))
+    absolute, i.e. the estimate's rank is within ~sqrt(2^L / n)
+    relative rank of the target with high probability.
+
+    Audit form (the cms_heavy_hitters contract): returns one row per
+    requested quantile — (qname, q, n_total, n_kept, est_value,
+    exact_value, abs_error) ordered by q — estimate AND exact side by
+    side, so the error the sketch actually commits on THIS corpus is a
+    first-class, oracle-checked result.
+    """
+    from occupation_wage_etl_spark.operators.stats import (
+        grouped_exact_percentiles,
+    )
+
+    m = 1 << level_bits
+    rows = df.filter(value_col.isNotNull()).select(
+        value_col.cast("double").alias("__v"),
+        key_col.cast("string").alias("__k"),
+    )
+    kept = rows.filter(_h60(F.col("__k"), salt="kq:") % m == 0)
+
+    est = grouped_exact_percentiles(
+        kept.withColumn("__g", F.lit(0)),
+        "__g",
+        "__v",
+        quantiles,
+        few_groups=True,
+    ).drop("__g")
+    exact = grouped_exact_percentiles(
+        rows.withColumn("__g", F.lit(0)),
+        "__g",
+        "__v",
+        quantiles,
+        few_groups=True,
+    ).drop("__g")
+    counts = rows.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            (_h60(F.col("__k"), salt="kq:") % m == 0).cast("long")
+        ).alias("n_kept"),
+    )
+
+    est_r = est.select(*[F.col(n).alias(f"__e_{n}") for n in quantiles])
+    ex_r = exact.select(*[F.col(n).alias(f"__x_{n}") for n in quantiles])
+    wide = (
+        est_r.crossJoin(F.broadcast(ex_r)).crossJoin(F.broadcast(counts))
+    )
+    long = wide.select(
+        "n_total",
+        "n_kept",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("qname"),
+                        F.lit(float(p)).alias("q"),
+                        F.col(f"__e_{name}").alias("est_value"),
+                        F.col(f"__x_{name}").alias("exact_value"),
+                    )
+                    for name, p in quantiles.items()
+                ]
+            )
+        ).alias("__s"),
+    ).select("__s.qname", "__s.q", "n_total", "n_kept", "__s.est_value",
+             "__s.exact_value")
+    return long.select(
+        "qname",
+        "q",
+        "n_total",
+        "n_kept",
+        "est_value",
+        "exact_value",
+        F.abs(F.col("est_value") - F.col("exact_value")).alias("abs_error"),
+    ).orderBy("q")

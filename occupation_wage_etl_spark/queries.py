@@ -10230,6 +10230,71 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q216 — mergeable quantile sketch, audited vs exact
+# (operators/sketch.py:quantile_sketch): the KLL/MRL compactor idea at
+# one fixed hash-deterministic level — kept rows are
+# md5(key) % 2^6 == 0, estimate = exact interpolated quantile of the
+# kept sample (distributed histogram prefix scan), reported side by
+# side with the exact full-data quantile (the q159/q160 audit form).
+# ---------------------------------------------------------------------------
+
+KQ_BITS = 6
+KQ_QUANTILES = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def q216_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sketch.quantile_sketch(
+        ev,
+        F.col("value"),
+        F.col("event_id"),
+        KQ_QUANTILES,
+        level_bits=KQ_BITS,
+    )
+
+
+def _kq_oracle_sql() -> str:
+    m = 1 << KQ_BITS
+    est_cols = ", ".join(
+        f"quantile_cont(v, CAST({p!r} AS DOUBLE)) AS e_{n}"
+        for n, p in KQ_QUANTILES.items()
+    )
+    ex_cols = ", ".join(
+        f"quantile_cont(v, CAST({p!r} AS DOUBLE)) AS x_{n}"
+        for n, p in KQ_QUANTILES.items()
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS qname, CAST({p!r} AS DOUBLE) AS q, n_total, "
+        f"n_kept, e_{n} AS est_value, x_{n} AS exact_value, "
+        f"abs(e_{n} - x_{n}) AS abs_error FROM agg, e, x"
+        for n, p in KQ_QUANTILES.items()
+    )
+    return f"""
+WITH r AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS v,
+         ('0x' || substr(md5('kq:' || CAST(event_id AS VARCHAR)), 1, 15))
+           ::BIGINT % {m} = 0 AS keep
+  FROM events WHERE value IS NOT NULL
+), kept AS (
+  SELECT v FROM r WHERE keep
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM r
+), e AS (
+  SELECT {est_cols} FROM kept
+), x AS (
+  SELECT {ex_cols} FROM r
+)
+{arms}
+ORDER BY q
+"""
+
+
+Q216_SQL = _kq_oracle_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -10446,6 +10511,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q213_woe_iv": q213_woe_iv,
     "q214_kmeans": q214_kmeans,
     "q215_value_percentiles_fg": q215_value_percentiles_fg,
+    "q216_quantile_sketch": q216_quantile_sketch,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10664,4 +10730,5 @@ ORACLE_SQL: dict[str, str] = {
     "q213_woe_iv": Q213_SQL,
     "q214_kmeans": Q214_SQL,
     "q215_value_percentiles_fg": Q215_SQL,
+    "q216_quantile_sketch": Q216_SQL,
 }

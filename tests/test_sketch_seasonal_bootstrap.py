@@ -187,3 +187,55 @@ def test_orc_snapshot_roundtrip_and_partition_prune(spark, tmp_path):
     # partition pruning reaches the scan
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "snapshot_date" in plan
+
+
+# ------------------------------------------------- quantile sketch (q216)
+
+
+def _kq_df(spark, n=4000, seed_mult=37):
+    # deterministic skewed-ish values with unique keys
+    rows = [(i, float((i * seed_mult) % 1000) / 10.0) for i in range(n)]
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+def test_quantile_sketch_audit_rows_and_error(spark):
+    df = _kq_df(spark)
+    out = sketch.quantile_sketch(
+        df, F.col("v"), F.col("k"), {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+        level_bits=4,
+    ).collect()
+    assert [r["qname"] for r in out] == ["p25", "p50", "p90"]
+    assert all(r["n_total"] == 4000 for r in out)
+    # ~1/16 sampling: kept count in a generous Bernoulli band
+    assert 100 < out[0]["n_kept"] < 500
+    # uniform-ish values on [0,100): est within a few rank-error units
+    for r in out:
+        assert r["abs_error"] == abs(r["est_value"] - r["exact_value"])
+        assert r["abs_error"] < 15.0
+
+
+def test_quantile_sketch_merge_is_union(spark):
+    # sketch(A ∪ B) kept set == union of kept sets: estimates from the
+    # pre-split sketches' union equal the whole-corpus sketch estimate
+    df = _kq_df(spark, n=3000)
+    a = df.filter(F.col("k") < 1500)
+    b = df.filter(F.col("k") >= 1500)
+    whole = sketch.quantile_sketch(
+        df, F.col("v"), F.col("k"), {"p50": 0.5}, level_bits=3
+    ).collect()
+    merged = sketch.quantile_sketch(
+        a.unionAll(b), F.col("v"), F.col("k"), {"p50": 0.5}, level_bits=3
+    ).collect()
+    assert [tuple(r) for r in whole] == [tuple(r) for r in merged]
+
+
+def test_quantile_sketch_deterministic_across_partitionings(spark):
+    df = _kq_df(spark, n=2500)
+    a = sketch.quantile_sketch(
+        df, F.col("v"), F.col("k"), {"p50": 0.5, "p99": 0.99}, level_bits=4
+    ).collect()
+    b = sketch.quantile_sketch(
+        df.repartition(13), F.col("v"), F.col("k"),
+        {"p50": 0.5, "p99": 0.99}, level_bits=4,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
