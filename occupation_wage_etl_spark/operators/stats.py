@@ -34,12 +34,38 @@ from occupation_wage_etl_spark.operators._cache import cached
 from occupation_wage_etl_spark.operators._conf import shuffle_partitions
 
 
+def _resolve_few_groups(
+    hist: DataFrame, group_col: str, few_groups: bool | None
+) -> bool:
+    """Resolve the AUTO (``None``) setting of the ``few_groups`` flag —
+    the 100 TB flip no caller should have to know about.
+
+    Explicit True/False is an override and costs nothing.  ``None``
+    runs ONE ``approx_count_distinct(group)`` job over the histogram
+    input (HLL++, no shuffle of data-sized state; callers cache the
+    histogram, so the job doubles as the cache materialization the
+    downstream passes need anyway) and flips to the two-level
+    distributed scan iff estimated groups < shuffle partitions — below
+    that, the per-group window's parallelism equals #groups and leaves
+    the rest of the cluster idle; above it, the plain window is both
+    cheaper and skew-free.  The ±5% HLL error cannot affect
+    correctness (both paths are bit-identical — q215's registry
+    proof), only which identical-result plan runs near the boundary.
+    """
+    if few_groups is not None:
+        return bool(few_groups)
+    est = hist.agg(
+        F.approx_count_distinct(group_col).alias("__g")
+    ).first()["__g"]
+    return est < shuffle_partitions(hist.sparkSession)
+
+
 def _grouped_cum(
     hist: DataFrame,
     group_col: str,
     value_col: str,
     cnt_col: str,
-    few_groups: bool,
+    few_groups: bool | None,
     out_col: str = "cum",
 ) -> DataFrame:
     """Per-group INCLUSIVE cumulative sum of ``cnt_col`` over distinct
@@ -63,8 +89,12 @@ def _grouped_cum(
       consumers must read one materialization (same note as
       ``evaluation._dist_cum_before``).
 
+    ``few_groups=None`` (the public callers' default) auto-derives the
+    flag — see :func:`_resolve_few_groups`.
+
     Integer/decimal sums either way — bit-identical results.
     """
+    few_groups = _resolve_few_groups(hist, group_col, few_groups)
     if not few_groups:
         w = Window.partitionBy(group_col).orderBy(value_col)
         return hist.withColumn(out_col, F.sum(cnt_col).over(w))
@@ -105,7 +135,7 @@ def grouped_exact_percentiles(
     group_col: str,
     value_col: str,
     percentiles: dict[str, float],
-    few_groups: bool = False,
+    few_groups: bool | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per ``group_col``.
 
@@ -134,7 +164,7 @@ def percentiles_from_histogram(
     group_col: str,
     value_col: str,
     percentiles: dict[str, float],
-    few_groups: bool = False,
+    few_groups: bool | None = None,
 ) -> DataFrame:
     """:func:`grouped_exact_percentiles` over a PRE-AGGREGATED value
     histogram ``(group, value, cnt)`` — the composable form: once one
@@ -233,7 +263,7 @@ def equi_depth_histogram(
     group_col: str,
     value_col: str,
     buckets: int = 8,
-    few_groups: bool = False,
+    few_groups: bool | None = None,
 ) -> DataFrame:
     """Equi-depth (equal-height) histogram of ``value_col`` per group —
     the optimizer-statistics shape (Piatetsky-Shapiro & Connell 1984),
@@ -254,7 +284,9 @@ def equi_depth_histogram(
     Returns (group, bucket, n_rows, lo, hi, total).
     """
     g, v = F.col(group_col), F.col(value_col)
-    hist = (
+    # cached: the auto few_groups resolver's cardinality job and the
+    # cumulative pass both read the histogram — one materialization
+    hist = cached(
         df.filter(v.isNotNull())
         .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -356,7 +388,7 @@ def winsorize(
     value_col: str,
     p_lo: float = 0.05,
     p_hi: float = 0.95,
-    few_groups: bool = False,
+    few_groups: bool | None = None,
 ) -> DataFrame:
     """Clip ``value_col`` to its per-group [p_lo, p_hi] exact
     percentiles — the standard outlier treatment before training-metric
@@ -424,7 +456,7 @@ def grouped_mad(
     group_col: str,
     value_col: str,
     k: float = 3.0,
-    few_groups: bool = False,
+    few_groups: bool | None = None,
 ) -> DataFrame:
     """Robust outlier profile per group via Median Absolute Deviation:
     med = p50(v), mad = p50(|v - med|), outlier iff
@@ -513,7 +545,7 @@ def grouped_percent_rank(
     group_col: str,
     value_col: str,
     id_col: str,
-    few_groups: bool = False,
+    few_groups: bool | None = None,
 ) -> DataFrame:
     """Within-group percentile rank of every row — the cross-domain score
     calibration primitive: a raw quality/score column is comparable
@@ -632,7 +664,7 @@ def grouped_weighted_median(
     group_col: str,
     value_col: str,
     weight_col: str,
-    few_groups: bool = False,
+    few_groups: bool | None = None,
 ) -> DataFrame:
     """Exact weighted (lower) median per group: the smallest value whose
     cumulative weight reaches half the group's total — "the price at
@@ -661,6 +693,9 @@ def grouped_weighted_median(
         .groupBy(group_col, value_col)
         .agg(F.sum(w).alias("__cw"))
     )
+    # resolve AUTO here (not inside _grouped_cum): the totals-join
+    # shape below must branch on the SAME resolved value
+    few_groups = _resolve_few_groups(hist, group_col, few_groups)
     if few_groups:
         hist = cached(hist)  # feeds the cum scan AND the totals agg
     cum0 = _grouped_cum(hist, group_col, value_col, "__cw", few_groups,

@@ -268,3 +268,47 @@ def test_grouped_percent_rank_few_groups_identical(spark):
         )
     )
     assert a == b
+
+
+# ------------------------------------------------------- few_groups AUTO
+
+
+def test_few_groups_auto_matches_both_explicit_paths(spark):
+    PS = {"p25": 0.25, "med": 0.5, "p90": 0.9}
+    few = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float((i * 37) % 101)) for i in range(400)],
+        "id long, g string, v double",
+    )
+    many = spark.createDataFrame(
+        [(i, "g%d" % (i % 200), float((i * 37) % 101)) for i in range(2000)],
+        "id long, g string, v double",
+    )
+    for df in (few, many):
+        auto = sorted(map(tuple, stats.grouped_exact_percentiles(
+            df, "g", "v", PS).collect()))
+        t = sorted(map(tuple, stats.grouped_exact_percentiles(
+            df, "g", "v", PS, few_groups=True).collect()))
+        f = sorted(map(tuple, stats.grouped_exact_percentiles(
+            df, "g", "v", PS, few_groups=False).collect()))
+        assert auto == t == f
+
+
+def test_few_groups_auto_picks_expected_branch(spark):
+    # 3 groups << 32 shuffle partitions -> two-level scan (__pid /
+    # spark_partition_id in the plan); 200 groups >= 32 -> plain window
+    few = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i % 97)) for i in range(300)],
+        "id long, g string, v double",
+    )
+    many = spark.createDataFrame(
+        [(i, "g%d" % (i % 200), float(i % 97)) for i in range(2000)],
+        "id long, g string, v double",
+    )
+    plan_few = stats.grouped_exact_percentiles(
+        few, "g", "v", {"m": 0.5}
+    )._jdf.queryExecution().analyzed().toString()
+    plan_many = stats.grouped_exact_percentiles(
+        many, "g", "v", {"m": 0.5}
+    )._jdf.queryExecution().analyzed().toString()
+    assert "__pid" in plan_few
+    assert "__pid" not in plan_many
