@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "q214_kmeans",
     "q215_value_percentiles_fg",
     "q216_quantile_sketch",
+    "q217_jpeg_decode",
 ]
 
 

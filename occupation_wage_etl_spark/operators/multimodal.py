@@ -8,12 +8,15 @@ time and the JVM⇄Python boundary is columnar.  The ops here are:
 - ``sniff_metadata``   — REAL: container/codec detection + dimensions from
   magic bytes (PNG IHDR, JPEG SOF scan, GIF header, RIFF/WAV fmt chunk) in
   pure Python — no image libraries needed, fully deterministic.
-- ``decode_image`` (``mode="real"``) — REAL stdlib decode for PNG
-  (zlib inflate + scanline unfilter, 8-bit gray/RGB/±alpha) and BMP
-  (24/32-bit uncompressed): grayscale raster + nearest-neighbor thumb.
-  JPEG stays out of scope (entropy decode needs a codec lib) —
-  ``mode="strict"`` raises for any undecodable payload, ``mode="fake"``
-  keeps the md5-keystream fake for plumbing tests.
+- ``decode_image`` (``mode="real"``) — REAL decode for PNG (zlib
+  inflate + scanline unfilter, 8-bit gray/RGB/±alpha), BMP (24/32-bit
+  uncompressed), and baseline-DCT JPEG (SOF0/SOF1 Huffman: marker
+  parse, canonical-Huffman entropy decode, dequantize, exact int64
+  fixed-point IDCT — luma plane out; gray or interleaved YCbCr, any
+  sampling ≤ 4, restart markers): grayscale raster + nearest-neighbor
+  thumb.  Progressive JPEG stays out of scope — ``mode="strict"``
+  raises for any undecodable payload, ``mode="fake"`` keeps the
+  md5-keystream fake for plumbing tests.
 - ``decode_audio_stats`` — REAL WAV/PCM16 decode (stdlib ``struct``):
   per-asset sample stats without materializing waveforms into the plan.
 - ``resize_image`` / ``sample_frames`` — resize has the same real path
@@ -296,12 +299,17 @@ def _nearest_resample(
 
 
 def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
-    """Dispatch on magic: PNG or BMP → (width, height, gray pixels)."""
+    """Dispatch on magic: PNG, BMP or baseline JPEG → (width, height,
+    gray pixels)."""
     if b.startswith(PNG_MAGIC):
         return decode_png_gray(b)
     if b[:2] == b"BM":
         return decode_bmp_gray(b)
-    raise ValueError("undecodable image format (only PNG/BMP supported)")
+    if b.startswith(JPEG_MAGIC):
+        return decode_jpeg_gray(b)
+    raise ValueError(
+        "undecodable image format (PNG/BMP/baseline-JPEG supported)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -309,10 +317,11 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 _STUB_MSG = (
-    "payload is not decodable with the built-in stdlib codecs (PNG/BMP "
-    "images, WAV/PCM16 audio); JPEG/video decode requires Pillow/ffmpeg — "
-    "pass mode='fake' for the deterministic test fake, or swap the "
-    "per-batch body for a codec-library decoder"
+    "payload is not decodable with the built-in codecs (PNG/BMP/"
+    "baseline-JPEG images, WAV/PCM16 audio); progressive JPEG and video "
+    "decode require Pillow/ffmpeg — pass mode='fake' for the "
+    "deterministic test fake, or swap the per-batch body for a "
+    "codec-library decoder"
 )
 
 
@@ -584,3 +593,467 @@ def extract_features(
         _maybe_rebalance(df.select(id_col, bin_col), partitions)
         .mapInPandas(_feat, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# baseline-DCT JPEG codec (REAL, deterministic — numpy integer IDCT)
+# ---------------------------------------------------------------------------
+# Public-knowledge construction (ITU-T T.81 baseline process): marker
+# parse → canonical-Huffman entropy decode → dequantize → IDCT.  The
+# IDCT runs in EXACT int64 fixed point (cosine basis rounded once to
+# 2^-20 at table-build time; per-pixel arithmetic is integer matmul +
+# arithmetic shift — numpy integer ops, no BLAS), so decode is
+# bit-identical on any platform AND replayable in closed form by the
+# correctness oracle.  Scope: baseline/extended-sequential Huffman
+# (SOF0/SOF1), grayscale or interleaved YCbCr with sampling factors
+# ≤ 4, restart markers; the LUMA plane is the grayscale output (chroma
+# blocks are entropy-decoded to advance the bitstream, never IDCT'd).
+# Progressive (SOF2+) and arithmetic coding raise ValueError.
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_IDCT_SHIFT = 20
+_IDCT_BASIS = None
+
+
+def jpeg_idct_basis():
+    """(64, 64) int64 fixed-point 2-D IDCT basis: row = natural
+    coefficient index v*8+u, column = pixel index y*8+x, value =
+    round(2^20 · C(u)C(v)/4 · cos((2x+1)uπ/16) · cos((2y+1)vπ/16)).
+
+    pixel(y,x) = clip(((coef_row · basis + 2^19) >> 20) + 128, 0, 255)
+    — every op after the one-time table build is exact int64, which is
+    what lets the oracle replay decoded rasters in closed form."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math
+
+        import numpy as np
+
+        b = np.empty((64, 64), dtype=np.float64)
+        for u in range(8):
+            cu = 0.5 ** 0.5 if u == 0 else 1.0
+            for v in range(8):
+                cv = 0.5 ** 0.5 if v == 0 else 1.0
+                for y in range(8):
+                    for x in range(8):
+                        b[v * 8 + u, y * 8 + x] = (
+                            cu
+                            * cv
+                            / 4.0
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+        _IDCT_BASIS = np.round(b * (1 << _IDCT_SHIFT)).astype(np.int64)
+    return _IDCT_BASIS
+
+
+def _huff_decode_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman (T.81 Annex C): (length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (byte
+    stuffing already removed by the segment splitter)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _read_huff(rd: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rd.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude -> signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JPEG to its grayscale (luma) raster.
+
+    Returns (width, height, pixels) like the PNG/BMP decoders.  See
+    the codec-section comment for scope; the IDCT is the exact int64
+    fixed-point form (:func:`jpeg_idct_basis`)."""
+    import numpy as np
+
+    if not b.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart = 0
+    pos = 2
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    scan_start = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        data = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:
+                    vals = list(
+                        struct.unpack(f">{64}H", data[i : i + 128])
+                    )
+                    i += 128
+                else:
+                    vals = list(data[i : i + 64])
+                    i += 64
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_JPEG_ZIGZAG[k]] = vals[k]
+                qt[tq] = nat
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline Huffman
+            height, width = struct.unpack(">HH", data[1:5])
+            nc = data[5]
+            comps = [
+                {
+                    "id": data[6 + 3 * c],
+                    "h": data[7 + 3 * c] >> 4,
+                    "v": data[7 + 3 * c] & 15,
+                    "tq": data[8 + 3 * c],
+                }
+                for c in range(nc)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended-sequential Huffman JPEG "
+                f"supported (SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            for c in range(ns):
+                cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                idx = next(
+                    i for i, cm in enumerate(comps) if cm["id"] == cid
+                )
+                scan.append((idx, tabs >> 4, tabs & 15))
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or scan_start is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    # entropy-coded segments: un-stuff FF00, split at restart markers
+    segs: list[bytearray] = []
+    cur = bytearray()
+    i = scan_start
+    while i < len(b):
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(cur)
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(cur)
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    luma = comps[0]
+    h0, v0 = luma["h"], luma["v"]
+    yplane = np.zeros((mcus_y * v0 * 8, mcus_x * h0 * 8), dtype=np.uint8)
+    basis = jpeg_idct_basis()
+    half = 1 << (_IDCT_SHIFT - 1)
+
+    seg_i = 0
+    rd = _JpegBitReader(bytes(segs[0]))
+    preds = [0] * len(comps)
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            seg_i += 1
+            rd = _JpegBitReader(bytes(segs[seg_i]))
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, tdc, tac in scan:
+            cm = comps[ci]
+            q = qt[cm["tq"]]
+            for bv in range(cm["v"]):
+                for bh in range(cm["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = _read_huff(rd, huff[(0, tdc)])
+                    preds[ci] += _extend(rd.read_bits(s), s)
+                    coef[0] = preds[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = _read_huff(rd, huff[(1, tac)])
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        nat = _JPEG_ZIGZAG[k]
+                        coef[nat] = _extend(rd.read_bits(size), size) * q[nat]
+                        k += 1
+                    if ci == 0:  # luma: IDCT + place; chroma: skip
+                        pix = ((coef @ basis + half) >> _IDCT_SHIFT) + 128
+                        np.clip(pix, 0, 255, out=pix)
+                        ry = (my * v0 + bv) * 8
+                        rx = (mx * h0 + bh) * 8
+                        yplane[ry : ry + 8, rx : rx + 8] = pix.reshape(
+                            8, 8
+                        ).astype(np.uint8)
+    yh = -(-height * v0 // vmax)
+    yw = -(-width * h0 // hmax)
+    return yw, yh, yplane[:yh, :yw].tobytes()
+
+
+# -------------------------------------------------- JPEG fixture encoder
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc, self.nacc = 0, 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.nacc = 0, 0
+
+    def finish(self) -> bytes:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.nacc = 0, 0
+        return bytes(self.out)
+
+
+def _huff_spec_8bit(symbols: list[int]):
+    """A flat canonical table: every symbol gets an 8-bit code (code i =
+    i) — legal (prefix-free, all-ones code unused for < 255 symbols)
+    and trivially auditable; the decoder handles arbitrary DHT."""
+    counts = [0] * 16
+    counts[7] = len(symbols)
+    codes = {sym: (i, 8) for i, sym in enumerate(symbols)}
+    return counts, codes
+
+
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _emit_block(
+    w: _JpegBitWriter,
+    coef_nat: list[int],
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Huffman-encode one block of QUANTIZED natural-order coefficients;
+    returns the new DC predictor."""
+    dc = coef_nat[0]
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = coef_nat[_JPEG_ZIGZAG[k]]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+    return dc
+
+
+def _jpeg_headers(
+    width: int, height: int, quant: int, comps: list[tuple[int, int, int]]
+) -> bytes:
+    """SOI + DQT(flat ``quant``) + SOF0 + DHT(dc 0, ac 0) for
+    ``comps`` = [(id, h, v), ...] — all components share table 0."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([quant] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, h, v in comps:
+        sof += bytes([cid, (h << 4) | v, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, syms in ((0, _JPEG_DC_SYMS), (1, _JPEG_AC_SYMS)):
+        counts, _ = _huff_spec_8bit(syms)
+        body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    return bytes(out)
+
+
+def _jpeg_sos(comps: list[int]) -> bytes:
+    body = bytes([len(comps)])
+    for cid in comps:
+        body += bytes([cid, 0x00])
+    body += b"\x00\x3f\x00"
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg_gray_coeffs(
+    width: int,
+    height: int,
+    blocks: list[list[int]],
+    quant: int = 16,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthesize a VALID single-component baseline JPEG directly from
+    QUANTIZED natural-order coefficient blocks (raster order,
+    ceil(w/8)·ceil(h/8) of them) — the fixture generator for the JPEG
+    decode oracle: choosing the coefficients (instead of running a
+    lossy float DCT) makes the decoded raster a closed-form integer
+    function the oracle can replay, while the bitstream still exercises
+    the REAL entropy layer (canonical Huffman, byte stuffing, optional
+    restart markers)."""
+    bx = -(-width // 8)
+    by = -(-height // 8)
+    if len(blocks) != bx * by:
+        raise ValueError(f"need {bx * by} blocks, got {len(blocks)}")
+    _, dc_codes = _huff_spec_8bit(_JPEG_DC_SYMS)
+    _, ac_codes = _huff_spec_8bit(_JPEG_AC_SYMS)
+    out = bytearray(_jpeg_headers(width, height, quant, [(1, 1, 1)]))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _jpeg_sos([1])
+    w = _JpegBitWriter()
+    pred = 0
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            out += w.finish()
+            out += bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
+            w = _JpegBitWriter()
+            pred = 0
+        pred = _emit_block(w, blk, pred, dc_codes, ac_codes)
+    out += w.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr420_coeffs(
+    width: int,
+    height: int,
+    y_blocks: list[list[int]],
+    quant: int = 16,
+) -> bytes:
+    """3-component 4:2:0 baseline JPEG from quantized LUMA blocks
+    (chroma blocks are all-zero) — exercises the interleaved-MCU walk
+    (4 Y + Cb + Cr data units per MCU) of the decoder.  ``y_blocks``
+    is raster order over the full luma plane."""
+    mx = -(-width // 16)
+    my = -(-height // 16)
+    if len(y_blocks) != mx * 2 * my * 2:
+        raise ValueError(f"need {mx * 2 * my * 2} luma blocks")
+    _, dc_codes = _huff_spec_8bit(_JPEG_DC_SYMS)
+    _, ac_codes = _huff_spec_8bit(_JPEG_AC_SYMS)
+    out = bytearray(
+        _jpeg_headers(
+            width, height, quant, [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        )
+    )
+    out += _jpeg_sos([1, 2, 3])
+    w = _JpegBitWriter()
+    zero = [0] * 64
+    preds = [0, 0, 0]
+    for m in range(mx * my):
+        row, col = divmod(m, mx)
+        for bv in range(2):
+            for bh in range(2):
+                blk = y_blocks[(row * 2 + bv) * (mx * 2) + col * 2 + bh]
+                preds[0] = _emit_block(w, blk, preds[0], dc_codes, ac_codes)
+        preds[1] = _emit_block(w, zero, preds[1], dc_codes, ac_codes)
+        preds[2] = _emit_block(w, zero, preds[2], dc_codes, ac_codes)
+    out += w.finish()
+    out += b"\xff\xd9"
+    return bytes(out)

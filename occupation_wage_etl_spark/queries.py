@@ -10231,6 +10231,104 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q217 — REAL baseline JPEG decode (operators/multimodal.py:
+# decode_jpeg_gray): synthesize a valid baseline JPEG per document from
+# CHOSEN quantized coefficients (DC = doc_id%201-100, horizontal AC =
+# doc_id%7-3, vertical AC = doc_id%5-2, flat quant 16), push it through
+# the real marker/Huffman/dequant/IDCT pipeline, aggregate the raster.
+# The oracle replays the exact int64 fixed-point IDCT in closed form
+# (the 2^-20 basis rows embedded as literals) — a value match proves
+# the ENTIRE entropy layer (canonical Huffman, byte stuffing, EXTEND,
+# zigzag, dequantize, integer IDCT) reproduced every pixel bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def _synth_jpeg(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): deterministic 8×8 baseline JPEG per doc."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blk = [0] * 64
+                blk[0] = (did % 201) - 100
+                blk[1] = (did % 7) - 3
+                blk[8] = (did % 5) - 2
+                out.append(multimodal.encode_jpeg_gray_coeffs(8, 8, [blk]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q217_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = multimodal.decode_image(_synth_jpeg(docs), mode="real", thumb=8)
+    px = F.col("pixels")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.aggregate(px, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "px_sum"
+        ),
+        F.array_min(px).cast("long").alias("px_min"),
+        F.array_max(px).cast("long").alias("px_max"),
+        F.aggregate(
+            F.zip_with(
+                px,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda v, k: v * (k % 8),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).alias("px_xmoment"),
+    )
+
+
+def _jpeg_oracle_sql() -> str:
+    from occupation_wage_etl_spark.operators.multimodal import (
+        jpeg_idct_basis,
+    )
+
+    basis = jpeg_idct_basis()
+    b1 = ", ".join(str(int(v)) for v in basis[1])
+    b8 = ", ".join(str(int(v)) for v in basis[8])
+    # basis[0] is the constant 2^20/8 = 131072 row
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), k ->
+           least(greatest(
+             CAST(floor((
+                 ((doc_id % 201) - 100) * 16 * 131072
+               + ((doc_id % 7) - 3) * 16 * ([{b1}])[k + 1]
+               + ((doc_id % 5) - 2) * 16 * ([{b8}])[k + 1]
+               + 524288) / 1048576.0) AS BIGINT) + 128,
+             0), 255)) AS pxs
+  FROM documents
+)
+SELECT doc_id, 8 AS width, 8 AS height,
+       CAST(list_sum(pxs) AS BIGINT) AS px_sum,
+       CAST(list_min(pxs) AS BIGINT) AS px_min,
+       CAST(list_max(pxs) AS BIGINT) AS px_max,
+       CAST(list_sum(list_transform(range(0, 64),
+                                    k -> pxs[k + 1] * (k % 8)))
+            AS BIGINT) AS px_xmoment
+FROM px
+"""
+
+
+Q217_SQL = _jpeg_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # q216 — mergeable quantile sketch, audited vs exact
 # (operators/sketch.py:quantile_sketch): the KLL/MRL compactor idea at
 # one fixed hash-deterministic level — kept rows are
@@ -10512,6 +10610,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q214_kmeans": q214_kmeans,
     "q215_value_percentiles_fg": q215_value_percentiles_fg,
     "q216_quantile_sketch": q216_quantile_sketch,
+    "q217_jpeg_decode": q217_jpeg_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10731,4 +10830,5 @@ ORACLE_SQL: dict[str, str] = {
     "q214_kmeans": Q214_SQL,
     "q215_value_percentiles_fg": Q215_SQL,
     "q216_quantile_sketch": Q216_SQL,
+    "q217_jpeg_decode": Q217_SQL,
 }

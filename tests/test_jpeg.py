@@ -1,0 +1,140 @@
+"""Baseline-DCT JPEG codec (operators/multimodal.py:decode_jpeg_gray /
+encode_jpeg_*_coeffs — q217).
+
+The fixtures are synthesized from CHOSEN quantized coefficients, so
+every decoded raster has a closed integer form: pixel = clip(((Σ coef·q
+· basis + 2^19) >> 20) + 128) with the shared fixed-point basis — the
+tests check that form directly (plus structural properties, such as
+gradient orientation, that would catch a basis transpose the symmetric
+aggregates cannot see).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from occupation_wage_etl_spark.operators import multimodal as mm
+
+
+def _expected_pixels(coef_nat: list[int], quant: int = 16) -> np.ndarray:
+    basis = mm.jpeg_idct_basis()
+    c = np.asarray(coef_nat, dtype=np.int64) * quant
+    pix = ((c @ basis + (1 << 19)) >> 20) + 128
+    return np.clip(pix, 0, 255).reshape(8, 8)
+
+
+def test_jpeg_constant_block_roundtrip():
+    # DC-only block: decoded == 128 + 2*dc exactly (quant 16)
+    for dc in (-100, -1, 0, 7, 63):
+        blk = [0] * 64
+        blk[0] = dc
+        data = mm.encode_jpeg_gray_coeffs(8, 8, [blk])
+        w, h, px = mm.decode_jpeg_gray(data)
+        assert (w, h) == (8, 8)
+        assert set(px) == {max(0, min(255, 128 + 2 * dc))}
+
+
+def test_jpeg_horizontal_gradient_orientation():
+    # natural index 1 = horizontal frequency u=1: varies along x,
+    # constant along y — catches a basis/zigzag transpose
+    blk = [0] * 64
+    blk[1] = 20
+    data = mm.encode_jpeg_gray_coeffs(8, 8, [blk])
+    w, h, px = mm.decode_jpeg_gray(data)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(8, 8)
+    assert (img == img[0]).all()  # rows identical
+    row = img[0].astype(int)
+    assert all(a > b for a, b in zip(row, row[1:]))  # cos decreasing in x
+    assert (img == _expected_pixels(blk)).all()
+
+
+def test_jpeg_mixed_coeffs_match_closed_form():
+    for did in (0, 3, 17, 123, 4040):
+        blk = [0] * 64
+        blk[0] = (did % 201) - 100
+        blk[1] = (did % 7) - 3
+        blk[8] = (did % 5) - 2
+        data = mm.encode_jpeg_gray_coeffs(8, 8, [blk])
+        w, h, px = mm.decode_jpeg_gray(data)
+        assert (np.frombuffer(px, dtype=np.uint8)
+                == _expected_pixels(blk).ravel()).all()
+
+
+def test_jpeg_multi_block_and_restart_markers():
+    # 24x8 = 3 blocks; restart interval 1 -> RST0/RST1 between blocks,
+    # DC predictors reset per segment
+    blocks = []
+    for i in range(3):
+        blk = [0] * 64
+        blk[0] = 10 * (i + 1)
+        blk[1] = i - 1
+        blocks.append(blk)
+    for ri in (0, 1):
+        data = mm.encode_jpeg_gray_coeffs(24, 8, blocks, restart_interval=ri)
+        w, h, px = mm.decode_jpeg_gray(data)
+        assert (w, h) == (24, 8)
+        img = np.frombuffer(px, dtype=np.uint8).reshape(8, 24)
+        for i, blk in enumerate(blocks):
+            assert (img[:, 8 * i : 8 * i + 8] == _expected_pixels(blk)).all()
+
+
+def test_jpeg_long_zero_runs_zrl():
+    # a lone coefficient at the END of the zigzag forces ZRL (15-zero
+    # run) codes through the encoder and decoder
+    blk = [0] * 64
+    blk[63] = 5
+    blk[0] = 3
+    data = mm.encode_jpeg_gray_coeffs(8, 8, [blk])
+    _, _, px = mm.decode_jpeg_gray(data)
+    assert (np.frombuffer(px, dtype=np.uint8)
+            == _expected_pixels(blk).ravel()).all()
+
+
+def test_jpeg_ycbcr420_mcu_walk():
+    # 16x16, 4 luma blocks with distinct DCs, zero chroma: decoded
+    # quadrants are the 4 constants — proves interleaved MCU ordering
+    dcs = [5, 15, 25, 35]  # raster order: TL TR BL BR
+    y_blocks = []
+    for dc in dcs:
+        blk = [0] * 64
+        blk[0] = dc
+        y_blocks.append(blk)
+    data = mm.encode_jpeg_ycbcr420_coeffs(16, 16, y_blocks)
+    w, h, px = mm.decode_jpeg_gray(data)
+    assert (w, h) == (16, 16)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(16, 16)
+    assert set(img[:8, :8].ravel()) == {128 + 2 * dcs[0]}
+    assert set(img[:8, 8:].ravel()) == {128 + 2 * dcs[1]}
+    assert set(img[8:, :8].ravel()) == {128 + 2 * dcs[2]}
+    assert set(img[8:, 8:].ravel()) == {128 + 2 * dcs[3]}
+
+
+def test_jpeg_progressive_rejected():
+    blk = [0] * 64
+    data = bytearray(mm.encode_jpeg_gray_coeffs(8, 8, [blk]))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        mm.decode_jpeg_gray(bytes(data))
+
+
+def test_jpeg_sniff_and_decode_image_operator(spark):
+    rows = []
+    for did in range(6):
+        blk = [0] * 64
+        blk[0] = (did % 201) - 100
+        blk[1] = (did % 7) - 3
+        rows.append((did, mm.encode_jpeg_gray_coeffs(8, 8, [blk])))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    sniffed = {r["doc_id"]: r for r in mm.sniff_metadata(df).collect()}
+    assert all(
+        v["mime"] == "image/jpeg" and v["width"] == 8 and v["height"] == 8
+        for v in sniffed.values()
+    )
+    decoded = {r["doc_id"]: r for r in mm.decode_image(df, mode="real").collect()}
+    for did in range(6):
+        blk = [0] * 64
+        blk[0] = (did % 201) - 100
+        blk[1] = (did % 7) - 3
+        assert decoded[did]["pixels"] == list(_expected_pixels(blk).ravel())
