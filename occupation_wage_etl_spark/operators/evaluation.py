@@ -958,3 +958,115 @@ def isotonic_calibration(
         "bin long, n_rows long, n_pos long, pos_rate double, fitted double",
     )
     return out.orderBy("bin")
+
+
+def split_conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    calib_pct: int = 50,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group (Vovk et al.;
+    Lei et al. 2018): a deterministic hash split carves a calibration
+    set, the predictor is the group's calibration MEAN, and the
+    interval half-width is the finite-sample-corrected order statistic
+
+        qhat = the k-th smallest calibration |residual|,
+        k = ceil((n_cal + 1) · (1 − α))
+
+    which guarantees ≥ 1−α marginal coverage on exchangeable test rows
+    — the distribution-free uncertainty audit a model-scoring pipeline
+    wants next to its point metrics.
+
+    Exactness: the split is the md5-bucket filter (engine-replayable),
+    the mean is an exact DECIMAL sum cast to double, α is the RATIONAL
+    ``alpha_num/alpha_den`` so k is pure integer arithmetic, and qhat
+    is an ORDER STATISTIC (no interpolation) picked off the same
+    distributed residual histogram + cumulative scan every other rank
+    statistic uses (:func:`~occupation_wage_etl_spark.operators.stats
+    ._grouped_cum`, auto ``few_groups``) — the residual sort touches
+    distinct values only, never rows.  Coverage is an exact integer
+    ratio.  Returns one row per group: (group, n_calib, n_test, qhat,
+    coverage, target) with target = 1 − α.
+    """
+    from occupation_wage_etl_spark.operators._cache import cached
+    from occupation_wage_etl_spark.operators.splits import hash_bucket
+    from occupation_wage_etl_spark.operators.stats import _grouped_cum
+
+    g, v = F.col(group_col), F.col(value_col)
+    rows = cached(
+        df.filter(v.isNotNull()).select(
+            g.alias("__g"),
+            v.cast("double").alias("__y"),
+            (hash_bucket(F.col(key_col)) < calib_pct).alias("__cal"),
+        )
+    )
+    calib = rows.filter(F.col("__cal"))
+    means = calib.groupBy("__g").agg(
+        (
+            F.sum(F.col("__y").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mu"),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    resid = cached(
+        rows.join(F.broadcast(means), "__g").select(
+            "__g",
+            "__cal",
+            "n_calib",
+            F.abs(F.col("__y") - F.col("__mu")).alias("__r"),
+        )
+    )
+    hist = (
+        resid.filter(F.col("__cal"))
+        .groupBy("__g", "__r")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.first("n_calib").alias("__n"))
+    )
+    cum = _grouped_cum(hist, "__g", "__r", "__cnt", None)
+    # k = ceil((n+1)(1-a)) = ((n+1)(den-num) + den-1) div den, capped at n
+    k = F.least(
+        F.expr(
+            f"((__n + 1) * CAST({alpha_den - alpha_num} AS BIGINT)"
+            f" + {alpha_den - 1}) div CAST({alpha_den} AS BIGINT)"
+        ),
+        F.col("__n"),
+    )
+    qhat = (
+        cum.filter(F.col("cum") >= k)
+        .groupBy("__g")
+        .agg(F.min("__r").alias("qhat"), F.first("__n").alias("n_calib"))
+    )
+    test = resid.filter(~F.col("__cal"))
+    cov = (
+        test.join(F.broadcast(qhat.select("__g", "qhat")), "__g")
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("__r") <= F.col("qhat")).cast("long")).alias(
+                "__hit"
+            ),
+        )
+        .select(
+            "__g",
+            "n_test",
+            (F.col("__hit").cast("double") / F.col("n_test").cast("double"))
+            .alias("coverage"),
+        )
+    )
+    return (
+        qhat.join(cov, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_calib",
+            "n_test",
+            "qhat",
+            "coverage",
+            F.lit(1.0 - alpha_num / alpha_den).alias("target"),
+        )
+        .orderBy(group_col)
+    )

@@ -483,3 +483,61 @@ def pmi_table(
             ).alias("pmi"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document from three regex counts — the
+    classic text-difficulty screen (Flesch 1948; the quality-filter
+    sibling of the length/punct heuristics in ``quality_scores``, used
+    to skew training mixes toward readable prose or flag boilerplate):
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+
+    with words = alphabetic runs, sentences = ``[.!?]+`` runs (floored
+    at 1 so headline-only docs stay defined), and syllables = the
+    standard vowel-group approximation (runs of ``[aeiouy]``, case-
+    insensitive — the portable heuristic; per-word silent-e rules are
+    lexicon work, not engine work).  All three are ``regexp_count``
+    scan-side projections (whole-stage codegen, no shuffle at all);
+    the score is a fixed double expression tree over integers, so any
+    engine reproduces it bit-for-bit without rounding.  Docs with no
+    words are dropped.  Returns (id, n_words, n_sentences,
+    n_syllables, flesch).
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit("[A-Za-z]+"))
+    sylls = F.regexp_count(t, F.lit("[aeiouyAEIOUY]+"))
+    sents = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    return (
+        df.select(
+            F.col(id_col),
+            words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sentences"),
+            sylls.cast("long").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            id_col,
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (
+                    F.col("n_words").cast("double")
+                    / F.col("n_sentences").cast("double")
+                )
+                - F.lit(84.6)
+                * (
+                    F.col("n_syllables").cast("double")
+                    / F.col("n_words").cast("double")
+                )
+            ).alias("flesch"),
+        )
+    )

@@ -1057,3 +1057,96 @@ def record_highs(
         F.col(value_col),
         F.col("__prev").alias("prev_max"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes between the group's DAILY aggregates — the estimator that
+    shrugs off the outlier days an OLS slope (``trend_ols``) chases
+    (up to ~29% contaminated days before breakdown; Sen 1968).
+
+    Scale shape — the key property: the pair explosion runs over the
+    per-(group, day) AGGREGATE, never the raw rows, so its size is
+    O(days²) per group — bounded by the calendar, INDEPENDENT of row
+    count.  A year of data makes ~66k pairs per group whether the group
+    has 1k rows or 10B.  Plan: one row-sized hash-aggregate to daily
+    sums (exact DECIMAL, so the daily means are bit-stable), a
+    range-join self-pair on day < day (broadcast of the day table is
+    wrong — it is group-partitioned, the self-join shuffles on the
+    group key only), then the interpolated median of slopes through the
+    same distributed histogram machinery as every other order statistic
+    (:func:`~occupation_wage_etl_spark.operators.stats
+    .percentiles_from_histogram` — bit-matches ``quantile_cont``).
+
+    Slope = (mean_j − mean_i) / (day_j − day_i) with means = exact
+    decimal sums cast to double and day distance in integer days —
+    each slope one double division, deterministic.  Returns one row per
+    group: (group, n_days, n_pairs, theil_sen_slope).
+    """
+    from occupation_wage_etl_spark.operators.stats import (
+        grouped_exact_percentiles,
+    )
+
+    g, v = F.col(group_col), F.col(value_col)
+    daily = (
+        df.filter(v.isNotNull())
+        .groupBy(
+            g.alias("__g"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+        )
+        .agg(
+            F.sum(v.cast("decimal(18,2)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "__g",
+            F.datediff(F.col("__d"), F.lit("1970-01-01")).alias("__day"),
+            (
+                F.col("__s").cast("string").cast("double")
+                / F.col("__n").cast("double")
+            ).alias("__m"),
+        )
+    )
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    daily = cached(daily)  # both self-join sides + the day count
+    a = daily.select(
+        "__g", F.col("__day").alias("__d1"), F.col("__m").alias("__m1")
+    )
+    b = daily.select(
+        "__g", F.col("__day").alias("__d2"), F.col("__m").alias("__m2")
+    )
+    pairs = a.join(b, "__g").filter(F.col("__d1") < F.col("__d2"))
+    slopes = pairs.select(
+        "__g",
+        (
+            (F.col("__m2") - F.col("__m1"))
+            / (F.col("__d2") - F.col("__d1")).cast("double")
+        ).alias("__slope"),
+    )
+    med = grouped_exact_percentiles(
+        slopes, "__g", "__slope", {"theil_sen_slope": 0.5}
+    )
+    counts = daily.groupBy("__g").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        counts.select(
+            "__g",
+            "n_days",
+            (F.col("n_days") * (F.col("n_days") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .join(med, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_days",
+            "n_pairs",
+            "theil_sen_slope",
+        )
+        .orderBy(group_col)
+    )

@@ -280,11 +280,13 @@ def test_decode_image_real_resamples_large(spark):
     assert list(r["pixels"]) == [x + y * 8 for y in range(8) for x in range(8)]
 
 
-def test_decode_image_real_rejects_jpeg(spark):
+def test_decode_image_real_rejects_truncated_jpeg(spark):
+    # since round 6 baseline JPEG DECODES (test_jpeg.py covers it);
+    # a header-only stream with no scan data must still raise cleanly
     df = spark.createDataFrame(
         [(1, jpeg_bytes(10, 10))], "doc_id long, content binary"
     )
-    with pytest.raises(Exception, match="undecodable|stdlib codecs"):
+    with pytest.raises(Exception, match="truncated JPEG"):
         M.decode_image(df, mode="real").collect()
 
 
