@@ -260,6 +260,10 @@ BENCH_QUERIES = [
     "q215_value_percentiles_fg",
     "q216_quantile_sketch",
     "q217_jpeg_decode",
+    "q218_grouped_hll",
+    "q219_theil_sen",
+    "q220_readability",
+    "q221_conformal",
 ]
 
 

@@ -381,7 +381,9 @@ def grouped_hll_distinct(
     window = 60 - b
     alpha = 0.7213 / (1.0 + 1.079 / m)
     g = F.col(group_col)
-    h = _h60(value_col.cast("string"), salt="hll:")
+    # hash expressions are built over the RENAMED __v column (the
+    # cached base below), not the caller's column reference
+    h = _h60(F.col("__v"), salt="hll:")
     reg = F.shiftright(h, window).bitwiseAND(F.lit(m - 1))
     w = h.bitwiseAND(F.lit((1 << window) - 1))
     rho = F.when(

@@ -10231,6 +10231,192 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q218 — grouped HyperLogLog distinct estimates, audited per group
+# (operators/sketch.py:grouped_hll_distinct): per-source token
+# vocabulary — the MERGEABLE per-slice sketch state (register maxima
+# union by max), grouped form of q159.
+# ---------------------------------------------------------------------------
+
+
+def q218_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sketch.grouped_hll_distinct(toks, "source", F.col("tok"), b=HLL_B)
+
+
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / 256)) * 65536.0
+
+Q218_SQL = f"""
+WITH tokg0 AS (
+  SELECT source, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+), tokg AS MATERIALIZED (
+  SELECT source, t FROM tokg0 WHERE t <> '' AND source IS NOT NULL
+), hashed AS (
+  SELECT source, ('0x' || substr(md5('hll:' || t), 1, 15))::BIGINT AS h
+  FROM tokg
+), rr AS (
+  SELECT source, (h >> 52) & 255 AS reg,
+         CASE WHEN (h & {(1 << 52) - 1}) = 0 THEN 53
+              ELSE 52 - length(bin(h & {(1 << 52) - 1})) + 1 END AS rho
+  FROM hashed
+), regs AS (
+  SELECT source, reg, max(rho) AS M FROM rr GROUP BY 1, 2
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS present,
+         sum(1.0 / CAST(1::BIGINT << CAST(M AS INTEGER) AS DOUBLE))
+           AS sum_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT source, CAST(256 - present AS BIGINT) AS n_empty_registers,
+         {_HLL_ALPHA_M2!r}
+           / (sum_present + CAST(256 - present AS DOUBLE)) AS raw_estimate
+  FROM agg
+), fin AS (
+  SELECT source, n_empty_registers,
+         CASE WHEN raw_estimate <= 640.0 AND n_empty_registers > 0
+              THEN round(256.0 * ln(256.0
+                         / CAST(n_empty_registers AS DOUBLE)), 6)
+              ELSE raw_estimate END AS estimate
+  FROM est
+), ex AS (
+  SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+  FROM tokg GROUP BY 1
+)
+SELECT f.source, 256 AS m, f.n_empty_registers, f.estimate,
+       e.exact_distinct,
+       (f.estimate - CAST(e.exact_distinct AS DOUBLE))
+         / CAST(e.exact_distinct AS DOUBLE) AS rel_error
+FROM fin f JOIN ex e USING (source) ORDER BY f.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q219 — Theil-Sen robust daily trend per event type
+# (operators/timeseries.py:theil_sen_trend): median of pairwise daily
+# slopes — O(days²) per group, calendar-bounded, row-count independent.
+# ---------------------------------------------------------------------------
+
+
+def q219_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.theil_sen_trend(ev, "event_type", "ts", "value")
+
+
+Q219_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS g,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS m
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.g, (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+), med AS (
+  SELECT g, quantile_cont(slope, 0.5) AS theil_sen_slope
+  FROM pairs GROUP BY 1
+), cnt AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+)
+SELECT g AS event_type, n_days,
+       CAST(n_days * (n_days - 1) / 2 AS BIGINT) AS n_pairs,
+       theil_sen_slope
+FROM cnt JOIN med USING (g) ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q220 — Flesch readability per document
+# (operators/text_analysis.py:readability_scores): three regexp_count
+# projections + a fixed double expression tree — scan-side only.
+# ---------------------------------------------------------------------------
+
+
+def q220_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.readability_scores(docs).orderBy("doc_id")
+
+
+Q220_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - CAST(84.6 AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch
+FROM c WHERE n_words > 0 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q221 — split-conformal prediction intervals per order priority
+# (operators/evaluation.py:split_conformal_interval): hash-split
+# calibration, finite-sample order-statistic half-width, exact
+# test-set coverage — the distribution-free uncertainty audit.
+# ---------------------------------------------------------------------------
+
+
+def q221_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return evaluation.split_conformal_interval(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
+Q221_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS y,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INTEGER
+           % 100 < 50 AS cal
+  FROM orders WHERE o_totalprice IS NOT NULL
+), mu AS (
+  SELECT g,
+         CAST(CAST(sum(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mu,
+         CAST(count(*) AS BIGINT) AS n_calib
+  FROM r WHERE cal GROUP BY 1
+), resid AS MATERIALIZED (
+  SELECT r.g, r.cal, mu.n_calib, abs(r.y - mu.mu) AS rr
+  FROM r JOIN mu ON r.g = mu.g
+), hist AS (
+  SELECT g, rr, n_calib, CAST(count(*) AS BIGINT) AS cnt
+  FROM resid WHERE cal GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT g, rr, n_calib,
+         CAST(sum(cnt) OVER (PARTITION BY g ORDER BY rr) AS BIGINT) AS cum
+  FROM hist
+), qh AS (
+  SELECT g, min(rr) AS qhat, min(n_calib) AS n_calib
+  FROM ranked
+  WHERE cum >= least(((n_calib + 1) * 9 + 9) // 10, n_calib)
+  GROUP BY 1
+), cov AS (
+  SELECT t.g, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN t.rr <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS coverage
+  FROM resid t JOIN qh q USING (g) WHERE NOT t.cal GROUP BY 1
+)
+SELECT qh.g AS o_orderpriority, qh.n_calib, cov.n_test, qh.qhat,
+       cov.coverage, CAST(0.9 AS DOUBLE) AS target
+FROM qh JOIN cov USING (g) ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # q217 — REAL baseline JPEG decode (operators/multimodal.py:
 # decode_jpeg_gray): synthesize a valid baseline JPEG per document from
 # CHOSEN quantized coefficients (DC = doc_id%201-100, horizontal AC =
@@ -10611,6 +10797,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q215_value_percentiles_fg": q215_value_percentiles_fg,
     "q216_quantile_sketch": q216_quantile_sketch,
     "q217_jpeg_decode": q217_jpeg_decode,
+    "q218_grouped_hll": q218_grouped_hll,
+    "q219_theil_sen": q219_theil_sen,
+    "q220_readability": q220_readability,
+    "q221_conformal": q221_conformal,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10831,4 +11021,8 @@ ORACLE_SQL: dict[str, str] = {
     "q215_value_percentiles_fg": Q215_SQL,
     "q216_quantile_sketch": Q216_SQL,
     "q217_jpeg_decode": Q217_SQL,
+    "q218_grouped_hll": Q218_SQL,
+    "q219_theil_sen": Q219_SQL,
+    "q220_readability": Q220_SQL,
+    "q221_conformal": Q221_SQL,
 }

@@ -1,0 +1,135 @@
+"""Round-6 operators: grouped HLL (q218), Theil-Sen trend (q219),
+readability (q220), split-conformal intervals (q221)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.operators import (
+    evaluation,
+    sketch,
+    text_analysis,
+    timeseries,
+)
+
+
+# -------------------------------------------------------- grouped HLL
+
+
+def test_grouped_hll_tracks_exact_and_merges_by_max(spark):
+    rows = [("a", f"tok{i % 300}") for i in range(3000)]
+    rows += [("b", f"tok{i}") for i in range(40)]  # small-range branch
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in sketch.grouped_hll_distinct(
+        df, "g", F.col("v")).collect()}
+    assert out["a"]["exact_distinct"] == 300
+    assert out["b"]["exact_distinct"] == 40
+    for r in out.values():  # b=8 -> ~6.5% std error; allow 4 sigma
+        assert abs(r["rel_error"]) < 0.30
+    # duplicate-invariance (register max): re-unioning the same data
+    # changes NOTHING (the mergeability property in sketch form)
+    doubled = {r["g"]: r for r in sketch.grouped_hll_distinct(
+        df.unionAll(df), "g", F.col("v")).collect()}
+    for g in out:
+        assert doubled[g]["estimate"] == out[g]["estimate"]
+
+
+# ---------------------------------------------------------- Theil-Sen
+
+
+def _ts(day, i=0):
+    return datetime.datetime(2024, 1, 1, 6, i % 50) + datetime.timedelta(
+        days=day
+    )
+
+
+def test_theil_sen_recovers_clean_slope_and_resists_outlier(spark):
+    # group "up": value = 2*day + noiseless duplicates; one wild
+    # outlier day that would wreck OLS moves the median slope barely
+    rows = []
+    for d in range(30):
+        for i in range(3):
+            rows.append(("up", _ts(d, i), 2.0 * d + 10))
+    rows.append(("up", _ts(30), 1e6))  # outlier day
+    for d in range(20):
+        rows.append(("flat", _ts(d), 7.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in timeseries.theil_sen_trend(
+        df, "g", "ts", "v").collect()}
+    assert out["flat"]["theil_sen_slope"] == 0.0
+    assert abs(out["up"]["theil_sen_slope"] - 2.0) < 0.05
+    assert out["up"]["n_days"] == 31
+    assert out["up"]["n_pairs"] == 31 * 30 // 2
+
+
+def test_theil_sen_partitioning_invariant(spark):
+    rows = [("g", _ts(d, i), float((d * 13 + i * 7) % 29))
+            for d in range(25) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    a = sorted(map(tuple, timeseries.theil_sen_trend(
+        df, "g", "ts", "v").collect()))
+    b = sorted(map(tuple, timeseries.theil_sen_trend(
+        df.repartition(11), "g", "ts", "v").collect()))
+    assert a == b
+
+
+# --------------------------------------------------------- readability
+
+
+def test_readability_flesch_hand_example(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "no sentence punctuation here"),
+         (3, "!!!")],  # no words -> dropped
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text_analysis.readability_scores(df).collect()}
+    assert set(out) == {1, 2}
+    r = out[1]
+    assert (r["n_words"], r["n_sentences"]) == (6, 2)
+    # vowel groups: e,a,a,e,o,a  -> The(1) cat(1) sat(1) The(1) dog(1) ran(1)
+    assert r["n_syllables"] == 6
+    assert abs(r["flesch"] - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-12
+    assert out[2]["n_sentences"] == 1  # floored
+
+
+# ----------------------------------------------------------- conformal
+
+
+def test_split_conformal_coverage_guarantee(spark):
+    # symmetric deterministic residuals around a group mean: coverage
+    # must land at or above the 0.9 target up to quantization
+    rows = [(i, "g", 100.0 + ((i * 37) % 21) - 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, g string, y double")
+    out = evaluation.split_conformal_interval(df, "g", "y", "k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_calib"] + r["n_test"] == 2000
+    assert 0 < r["qhat"] <= 10.0
+    assert r["coverage"] >= 0.85  # finite-sample guarantee ~>= target
+    assert r["target"] == 0.9
+
+
+def test_split_conformal_qhat_is_calibration_order_statistic(spark):
+    rows = [(i, "g", float(i % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, y double")
+    r = evaluation.split_conformal_interval(df, "g", "y", "k").collect()[0]
+    # replay: same hash split, same mean, k-th smallest |resid|
+    from occupation_wage_etl_spark.operators.splits import hash_bucket
+
+    cal = df.withColumn("__b", hash_bucket(F.col("k"))).filter(
+        F.col("__b") < 50
+    )
+    mu_rows = cal.agg(
+        (F.sum(F.col("y").cast("decimal(18,2)")).cast("string")
+         .cast("double") / F.count(F.lit(1))).alias("mu")
+    ).collect()
+    mu = mu_rows[0]["mu"]
+    resids = sorted(abs(x["y"] - mu) for x in cal.collect())
+    n = len(resids)
+    k = min(-(-((n + 1) * 9) // 10), n)
+    assert r["n_calib"] == n
+    assert r["qhat"] == resids[k - 1]
