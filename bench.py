@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "q219_theil_sen",
     "q220_readability",
     "q221_conformal",
+    "q222_bh_fdr",
+    "q223_kneser_ney",
 ]
 
 

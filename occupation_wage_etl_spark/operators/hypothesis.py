@@ -315,3 +315,177 @@ def kruskal_wallis(
         tie_c.alias("tie_correction"),
         (h_stat / tie_c).alias("h_adjusted"),
     )
+
+
+def chi2_gof_even_dof_pvalues(
+    df: DataFrame,
+    test_col: str,
+    cat_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Per-test chi-square goodness-of-fit p-values with EVEN degrees
+    of freedom — the closed-form family: for dof = 2k the survival
+    function is
+
+        p = exp(−x/2) · Σ_{i<k} (x/2)^i / i!
+
+    (no incomplete-gamma special function, so any engine reproduces it
+    — the reason this operator fixes ``n_buckets`` categories per test,
+    giving dof = n_buckets − 1 = 2 at the default).  Each test compares
+    one ``test_col`` slice's ``cat_col`` distribution (hash-folded into
+    ``n_buckets`` stable buckets) against the pooled distribution over
+    ALL slices.
+
+    Expected counts are exact integer ratios (E = n_t·N_b/N evaluated
+    as one double division of int64 products); the statistic folds the
+    n_buckets cells in bucket order (bounded sorted array, q167/q168
+    contract); p rounds at 12dp.  Returns one row per test:
+    (test, n_rows, chi2, p_value).
+    """
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    if n_buckets % 2 == 0:
+        raise ValueError("n_buckets must be odd so dof = n_buckets-1 is even")
+    t, c = F.col(test_col), F.col(cat_col)
+    bkt = (
+        F.conv(
+            F.substring(F.md5(c.cast("string").cast("binary")), 1, 4), 16, 10
+        ).cast("int")
+        % n_buckets
+    )
+    cells = cached(
+        df.filter(t.isNotNull() & c.isNotNull())
+        .groupBy(t.alias("__t"), bkt.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_test = cells.groupBy("__t").agg(F.sum("__n").alias("__nt"))
+    per_bkt = cells.groupBy("__b").agg(F.sum("__n").alias("__nb"))
+    # "__tot", not "__N": Spark resolution is case-insensitive, so
+    # "__N" would collide with the cell count "__n"
+    grand = cells.agg(F.sum("__n").alias("__tot"))
+    # dense bucket frame so zero-count cells still contribute (O-E)²/E
+    buckets = per_test.crossJoin(
+        F.broadcast(per_bkt).crossJoin(F.broadcast(grand))
+    )
+    joined = buckets.join(
+        cells, ["__t", "__b"], "left"
+    ).select(
+        "__t",
+        "__nt",
+        "__b",
+        (
+            F.col("__nt").cast("double")
+            * F.col("__nb").cast("double")
+            / F.col("__tot").cast("double")
+        ).alias("__e"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("double").alias("__o"),
+    )
+    terms = joined.select(
+        "__t",
+        "__nt",
+        F.struct(
+            F.col("__b").alias("b"),
+            (
+                (F.col("__o") - F.col("__e"))
+                * (F.col("__o") - F.col("__e"))
+                / F.col("__e")
+            ).alias("x"),
+        ).alias("__s"),
+    )
+    k = (n_buckets - 1) // 2  # dof/2 summation terms
+    stat = terms.groupBy("__t").agg(
+        F.first("__nt").alias("n_rows"),
+        F.aggregate(
+            F.array_sort(F.collect_list("__s")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("chi2"),
+    )
+    x2 = F.col("chi2") / F.lit(2.0)
+    # Σ_{i<k} (x/2)^i / i! by a multiplication chain (term·x2/i), NOT
+    # pow() — pow may route through exp/log and drift for exponents ≥ 2
+    term = F.lit(1.0)
+    surv = term
+    for i in range(1, k):
+        term = term * x2 / F.lit(float(i))
+        surv = surv + term
+    return stat.select(
+        F.col("__t").alias(test_col),
+        "n_rows",
+        "chi2",
+        F.round(F.exp(-x2) * surv, 12).alias("p_value"),
+    ).orderBy(test_col)
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a table of test
+    p-values — the multiple-comparison gate every segmented A/B
+    readout needs (m segments tested at α each inflates family-wise
+    false positives; BH caps the FALSE DISCOVERY RATE at α).
+
+        k* = max{k : p₍ₖ₎ ≤ k·α/m},   reject all p ≤ p₍ₖ₎*
+
+    Ranks come off the distinct-p histogram (each distinct p takes its
+    LARGEST order-statistic index — the most permissive rank of a tie
+    bucket, which is exactly the step-up rule's behavior) through
+    :func:`~occupation_wage_etl_spark.operators.stats._grouped_cum`
+    (auto ``few_groups`` — the input is one row per TEST, category-
+    sized, but nothing here assumes it fits anywhere).  The crossing
+    test ``p·m·den ≤ rank·num`` is pure integer×double comparison with
+    no division, so ties at the threshold resolve identically in any
+    engine.  α is the rational ``alpha_num/alpha_den``.
+
+    Returns the input rows plus (bh_rank, rejected), ordered by
+    (p, test).
+    """
+    from occupation_wage_etl_spark.operators._cache import cached
+    from occupation_wage_etl_spark.operators.stats import _grouped_cum
+
+    rows = cached(
+        df.select(
+            F.col(test_col).alias("__t"),
+            F.col(p_col).cast("double").alias("__p"),
+        ).filter(F.col("__p").isNotNull())
+    )
+    hist = rows.groupBy(F.lit(0).alias("__g"), F.col("__p")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    cum = _grouped_cum(hist, "__g", "__p", "__cnt", None)
+    m = rows.agg(F.count(F.lit(1)).alias("__m"))
+    # crossing iff p <= rank*alpha/m  <=>  p*m*den <= rank*num
+    crossed = (
+        cum.crossJoin(F.broadcast(m))
+        .select(
+            "__p",
+            F.col("cum").alias("__rank"),
+            (
+                F.col("__p") * F.col("__m").cast("double") * F.lit(
+                    float(alpha_den)
+                )
+                <= F.col("__rank").cast("double") * F.lit(float(alpha_num))
+            ).alias("__cross"),
+        )
+    )
+    pstar = crossed.agg(
+        F.max(F.when(F.col("__cross"), F.col("__p"))).alias("__pstar")
+    )
+    ranks = crossed.select("__p", "__rank")
+    return (
+        rows.join(F.broadcast(ranks), "__p")
+        .crossJoin(F.broadcast(pstar))
+        .select(
+            F.col("__t").alias(test_col),
+            F.col("__p").alias(p_col),
+            F.col("__rank").alias("bh_rank"),
+            F.when(F.col("__pstar").isNull(), F.lit(False))
+            .otherwise(F.col("__p") <= F.col("__pstar"))
+            .alias("rejected"),
+        )
+        .orderBy(p_col, test_col)
+    )

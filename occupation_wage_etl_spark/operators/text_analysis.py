@@ -541,3 +541,128 @@ def readability_scores(
             ).alias("flesch"),
         )
     )
+
+
+def kneser_ney_doc_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    BIGRAM model of the corpus (Kneser & Ney 1995; Chen & Goodman 1999
+    — the smoothing inside KenLM, whose perplexity filter is the
+    standard LLM-corpus quality gate).  The bigram step past
+    ``unigram_cross_entropy`` catches word-salad documents whose
+    unigram profile looks fine but whose transitions are corpus-alien.
+
+        P(w|v) = (c(vw) − D)/c(v)
+               + D·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··)        D = 3/4
+
+    (continuation probability, not raw frequency, in the backoff — the
+    defining KN idea).  Every document bigram is corpus-observed (the
+    model trains on the same corpus), so the discounted term never
+    clips.
+
+    Determinism (the q161 contract): D = 0.75 is DYADIC, so c − D and
+    D·N₁₊ are exact IEEE values; each probability is a fixed two-term
+    double tree rounded at 12dp after ``ln``; the per-document sum is
+    a sorted sequential fold over the doc's own distinct-bigram
+    structs; the closing division is one IEEE op.  No corpus-sized
+    float fold.
+
+    Scale shape: tokenize + self-zip explode to (doc, bigram) — the
+    row-sized shuffle; three bigram-vocabulary-sized aggregates build
+    the model (counts, forward fan-out, backward fan-in — each a hash
+    aggregate over the CACHED bigram-type table); one equi-join of doc
+    bigram types against the model (dictionary-sized probe side, AQE
+    broadcasts when it fits).  Returns (id, n_bigrams, n_bigram_types,
+    kn_cross_entropy) in nats/bigram.
+    """
+    from occupation_wage_etl_spark.functions import text as T
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), T.tokens(F.col(text_col)).alias("__a")
+    )
+    bi = toks.select(
+        "__id",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("__a"),
+                    F.slice(F.col("__a"), 2, F.greatest(
+                        F.size("__a") - 1, F.lit(0))),
+                    lambda v, w: F.struct(v.alias("v"), w.alias("w")),
+                ),
+                lambda s: (s["v"] != "") & (s["w"] != "")
+                & s["w"].isNotNull(),
+            )
+        ).alias("__b"),
+    ).select("__id", F.col("__b.v").alias("__v"), F.col("__b.w").alias("__w"))
+    db = cached(
+        bi.groupBy("__id", "__v", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # model tables off the bigram-TYPE table (rename at source — the
+    # unigram_cross_entropy self-lineage note)
+    types = cached(
+        db.select(
+            F.col("__v").alias("__mv"), F.col("__w").alias("__mw"), "__c"
+        )
+        .groupBy("__mv", "__mw")
+        .agg(F.sum("__c").alias("__cb"))
+    )
+    ctx = types.groupBy("__mv").agg(
+        F.sum("__cb").alias("__cv"), F.count(F.lit(1)).alias("__fwd")
+    )
+    bwd = types.groupBy("__mw").agg(F.count(F.lit(1)).alias("__bwd"))
+    n_all = types.agg(F.count(F.lit(1)).alias("__nall"))
+    model = (
+        types.join(ctx, "__mv")
+        .join(bwd, "__mw")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "__mv",
+            "__mw",
+            F.round(
+                F.log(
+                    (F.col("__cb").cast("double") - F.lit(0.75))
+                    / F.col("__cv").cast("double")
+                    + (F.lit(0.75) * F.col("__fwd").cast("double"))
+                    / F.col("__cv").cast("double")
+                    * (
+                        F.col("__bwd").cast("double")
+                        / F.col("__nall").cast("double")
+                    )
+                ),
+                12,
+            ).alias("__lnp"),
+        )
+    )
+    terms = db.join(
+        model,
+        (db["__v"] == model["__mv"]) & (db["__w"] == model["__mw"]),
+    ).select(
+        "__id",
+        "__c",
+        F.struct(
+            F.concat_ws(" ", "__v", "__w").alias("t"),
+            (F.col("__c").cast("double") * F.col("__lnp")).alias("x"),
+        ).alias("__s"),
+    )
+    per = terms.groupBy("__id").agg(
+        F.sum("__c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_bigram_types"),
+        F.aggregate(
+            F.array_sort(F.collect_list("__s")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("__sum"),
+    )
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_bigrams",
+        "n_bigram_types",
+        (-F.col("__sum") / F.col("n_bigrams").cast("double")).alias(
+            "kn_cross_entropy"
+        ),
+    )

@@ -10417,6 +10417,128 @@ FROM qh JOIN cov USING (g) ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# q222 — segmented chi-square drift scan with Benjamini-Hochberg FDR
+# (operators/hypothesis.py:chi2_gof_even_dof_pvalues + bh_fdr): one
+# goodness-of-fit test per source (lang distribution vs pooled, dof 2
+# so the p-value is the closed form exp(−χ²/2)), then step-up FDR over
+# the 20 tests — the multiple-comparison gate a segmented drift
+# dashboard needs.
+# ---------------------------------------------------------------------------
+
+
+def q222_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pv = hypothesis.chi2_gof_even_dof_pvalues(docs, "source", "lang", 3)
+    return hypothesis.bh_fdr(pv, "source", "p_value", 1, 20)
+
+
+Q222_SQL = """
+WITH base AS (
+  SELECT source AS t,
+         ('0x' || substr(md5(lang), 1, 4))::INTEGER % 3 AS b
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+), cells AS MATERIALIZED (
+  SELECT t, b, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+), nt AS (SELECT t, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
+nb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM cells),
+dense AS (
+  SELECT nt.t, nt.nt, nb.b,
+         CAST(nt.nt AS DOUBLE) * CAST(nb.nb AS DOUBLE)
+           / CAST(g.N AS DOUBLE) AS e,
+         CAST(coalesce(c.n, 0) AS DOUBLE) AS o
+  FROM nt CROSS JOIN nb CROSS JOIN g
+  LEFT JOIN cells c ON c.t = nt.t AND c.b = nb.b
+), stat AS (
+  SELECT t, min(nt) AS n_rows,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list({'b': b, 'x': (o - e) * (o - e) / e})),
+             s -> s.x)),
+           (a, v) -> a + v) AS chi2
+  FROM dense GROUP BY t
+), pv AS MATERIALIZED (
+  SELECT t, round(exp(-(chi2 / 2.0)) * 1.0, 12) AS p FROM stat
+), hist AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM pv GROUP BY 1
+), cum AS (
+  SELECT p, CAST(sum(cnt) OVER (ORDER BY p) AS BIGINT) AS rnk FROM hist
+), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+crossed AS (
+  SELECT p, rnk,
+         (p * CAST(m.m AS DOUBLE) * 20.0
+          <= CAST(rnk AS DOUBLE) * 1.0) AS cr
+  FROM cum, m
+), ps AS (SELECT max(CASE WHEN cr THEN p END) AS pstar FROM crossed)
+SELECT pv.t AS source, pv.p AS p_value, c.rnk AS bh_rank,
+       CASE WHEN ps.pstar IS NULL THEN FALSE
+            ELSE pv.p <= ps.pstar END AS rejected
+FROM pv JOIN crossed c USING (p) CROSS JOIN ps
+ORDER BY p_value, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q223 — Kneser-Ney bigram cross-entropy per document
+# (operators/text_analysis.py:kneser_ney_doc_scores): interpolated KN
+# with exact dyadic discount 3/4; the KenLM-style perplexity filter.
+# ---------------------------------------------------------------------------
+
+
+def q223_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.kneser_ney_doc_scores(docs).orderBy("doc_id")
+
+
+Q223_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS a FROM documents
+), bi0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                i -> {{'v': a[i], 'w': a[i + 1]}})) AS s
+  FROM d
+), bi AS (
+  SELECT doc_id, s.v AS v, s.w AS w FROM bi0
+  WHERE s.v <> '' AND s.w <> '' AND s.w IS NOT NULL
+), db AS MATERIALIZED (
+  SELECT doc_id, v, w, CAST(count(*) AS BIGINT) AS c FROM bi
+  GROUP BY 1, 2, 3
+), types AS MATERIALIZED (
+  SELECT v, w, CAST(sum(c) AS BIGINT) AS cb FROM db GROUP BY 1, 2
+), ctx AS (
+  SELECT v, CAST(sum(cb) AS BIGINT) AS cv, CAST(count(*) AS BIGINT) AS fwd
+  FROM types GROUP BY 1
+), bwd AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS bwd FROM types GROUP BY 1
+), na AS (SELECT CAST(count(*) AS BIGINT) AS nall FROM types),
+model AS (
+  SELECT t.v, t.w,
+         round(ln((CAST(t.cb AS DOUBLE) - 0.75) / CAST(x.cv AS DOUBLE)
+               + (0.75 * CAST(x.fwd AS DOUBLE)) / CAST(x.cv AS DOUBLE)
+                 * (CAST(b.bwd AS DOUBLE) / CAST(na.nall AS DOUBLE))),
+               12) AS lnp
+  FROM types t JOIN ctx x USING (v) JOIN bwd b USING (w) CROSS JOIN na
+), terms AS (
+  SELECT db.doc_id, db.c,
+         {{'t': db.v || ' ' || db.w,
+           'x': CAST(db.c AS DOUBLE) * m.lnp}} AS s
+  FROM db JOIN model m ON db.v = m.v AND db.w = m.w
+), per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_bigram_types,
+         list_sort(list(s)) AS arr
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n_bigrams, n_bigram_types,
+       -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(arr, s -> s.x)), (a, v) -> a + v))
+         / CAST(n_bigrams AS DOUBLE) AS kn_cross_entropy
+FROM per ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q217 — REAL baseline JPEG decode (operators/multimodal.py:
 # decode_jpeg_gray): synthesize a valid baseline JPEG per document from
 # CHOSEN quantized coefficients (DC = doc_id%201-100, horizontal AC =
@@ -10801,6 +10923,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q219_theil_sen": q219_theil_sen,
     "q220_readability": q220_readability,
     "q221_conformal": q221_conformal,
+    "q222_bh_fdr": q222_bh_fdr,
+    "q223_kneser_ney": q223_kneser_ney,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11025,4 +11149,6 @@ ORACLE_SQL: dict[str, str] = {
     "q219_theil_sen": Q219_SQL,
     "q220_readability": Q220_SQL,
     "q221_conformal": Q221_SQL,
+    "q222_bh_fdr": Q222_SQL,
+    "q223_kneser_ney": Q223_SQL,
 }

@@ -133,3 +133,101 @@ def test_split_conformal_qhat_is_calibration_order_statistic(spark):
     k = min(-(-((n + 1) * 9) // 10), n)
     assert r["n_calib"] == n
     assert r["qhat"] == resids[k - 1]
+
+
+# ----------------------------------------------------- BH-FDR / chi2 GoF
+
+
+def test_chi2_gof_uniform_slice_scores_high_p(spark):
+    from occupation_wage_etl_spark.operators import hypothesis
+
+    # five slices mirror the pooled distribution -> chi2 ~ 0, p high;
+    # one SMALL slice concentrated in a single hash bucket -> tiny p
+    # (small so it barely moves the pooled expectation)
+    rows = [(f"same{s}", f"c{i % 9}") for s in range(5) for i in range(900)]
+    rows += [("skew", "c0")] * 90
+    df = spark.createDataFrame(rows, "t string, c string")
+    out = {r["t"]: r for r in hypothesis.chi2_gof_even_dof_pvalues(
+        df, "t", "c", 3).collect()}
+    assert out["skew"]["p_value"] < 1e-6
+    assert out["same0"]["p_value"] > 0.01
+    assert out["same0"]["n_rows"] == 900
+    # dof-2 closed form: p == round(exp(-chi2/2), 12)
+    import math
+
+    for r in out.values():
+        assert r["p_value"] == round(math.exp(-r["chi2"] / 2.0), 12)
+
+
+def test_bh_fdr_step_up_hand_example(spark):
+    from occupation_wage_etl_spark.operators import hypothesis
+
+    # classic BH at alpha=0.05, m=5: thresholds k/100 = .01,.02,.03,...
+    ps = [("t1", 0.005), ("t2", 0.015), ("t3", 0.035), ("t4", 0.2),
+          ("t5", 0.9)]
+    # k=1: .005<=.01 T; k=2: .015<=.02 T; k=3: .035>.03 F; k*=2 ->
+    # reject t1,t2 only
+    df = spark.createDataFrame(ps, "t string, p double")
+    out = {r["t"]: r for r in hypothesis.bh_fdr(
+        df, "t", "p", 1, 20).collect()}
+    assert [out[t]["rejected"] for t in ("t1", "t2", "t3", "t4", "t5")] == [
+        True, True, False, False, False]
+    assert out["t3"]["bh_rank"] == 3
+
+
+def test_bh_fdr_no_rejections_and_all_rejections(spark):
+    from occupation_wage_etl_spark.operators import hypothesis
+
+    none = spark.createDataFrame(
+        [(f"t{i}", 0.5 + i / 100) for i in range(10)], "t string, p double"
+    )
+    assert all(not r["rejected"] for r in hypothesis.bh_fdr(
+        none, "t", "p").collect())
+    allr = spark.createDataFrame(
+        [(f"t{i}", 0.0001) for i in range(10)], "t string, p double"
+    )
+    assert all(r["rejected"] for r in hypothesis.bh_fdr(
+        allr, "t", "p").collect())
+
+
+# ----------------------------------------------------------- Kneser-Ney
+
+
+def test_kneser_ney_hand_model(spark):
+    import math
+
+    from occupation_wage_etl_spark.operators import text_analysis
+
+    # corpus: doc1 "a b a b", doc2 "a c" ->
+    # bigrams: d1: (a,b)x2? no — consecutive: (a,b),(b,a),(a,b) ; d2: (a,c)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           text_analysis.kneser_ney_doc_scores(df).collect()}
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_bigram_types"] == 2
+    assert out[2]["n_bigrams"] == 1
+    # model by hand: types {(a,b):2,(b,a):1,(a,c):1}; cv(a)=3 fwd(a)=2;
+    # cv(b)=1 fwd(b)=1; bwd(b)=1 bwd(a)=1 bwd(c)=1; nall=3
+    D = 0.75
+    p_ab = (2 - D) / 3 + D * 2 / 3 * (1 / 3)
+    p_ba = (1 - D) / 1 + D * 1 / 1 * (1 / 3)
+    p_ac = (1 - D) / 3 + D * 2 / 3 * (1 / 3)
+    want1 = -(2 * round(math.log(p_ab), 12)
+              + 1 * round(math.log(p_ba), 12)) / 3
+    want2 = -round(math.log(p_ac), 12) / 1
+    assert abs(out[1]["kn_cross_entropy"] - want1) < 1e-12
+    assert abs(out[2]["kn_cross_entropy"] - want2) < 1e-12
+
+
+def test_kneser_ney_flags_alien_transitions(spark):
+    from occupation_wage_etl_spark.operators import text_analysis
+
+    # many docs share the same fluent bigrams; one doc uses the same
+    # VOCABULARY in never-seen-elsewhere transitions -> higher CE
+    fluent = [(i, "the cat sat on the mat") for i in range(20)]
+    salad = [(99, "mat the on sat cat the")]
+    df = spark.createDataFrame(fluent + salad, "doc_id long, text string")
+    out = {r["doc_id"]: r["kn_cross_entropy"]
+           for r in text_analysis.kneser_ney_doc_scores(df).collect()}
+    assert out[99] > out[0]
