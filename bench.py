@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "q221_conformal",
     "q222_bh_fdr",
     "q223_kneser_ney",
+    "q224_jaro_winkler",
 ]
 
 

@@ -10539,6 +10539,36 @@ FROM per ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q224 — blocked Jaro-Winkler name matching
+# (operators/fuzzy_join.py:jaro_winkler_pairs): the Census name scorer
+# over part names blocked on (brand, size); the oracle replays it with
+# DuckDB's built-in jaro_winkler_similarity (verified same variant:
+# window walk, transpositions, prefix boost above 0.7).
+# ---------------------------------------------------------------------------
+
+
+def q224_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return fuzzy_join.jaro_winkler_pairs(
+        p, "p_partkey", "p_name", ["p_brand", "p_size"], 0.9, 100
+    )
+
+
+Q224_SQL = """
+WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         a.p_name AS name_a, b.p_name AS name_b,
+         round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                   AND a.p_partkey < b.p_partkey
+)
+SELECT id_a, id_b, name_a, name_b, jw FROM pairs
+WHERE jw >= 0.9 ORDER BY jw DESC, id_a, id_b LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # q217 — REAL baseline JPEG decode (operators/multimodal.py:
 # decode_jpeg_gray): synthesize a valid baseline JPEG per document from
 # CHOSEN quantized coefficients (DC = doc_id%201-100, horizontal AC =
@@ -10925,6 +10955,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q221_conformal": q221_conformal,
     "q222_bh_fdr": q222_bh_fdr,
     "q223_kneser_ney": q223_kneser_ney,
+    "q224_jaro_winkler": q224_jaro_winkler,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11151,4 +11182,5 @@ ORACLE_SQL: dict[str, str] = {
     "q221_conformal": Q221_SQL,
     "q222_bh_fdr": Q222_SQL,
     "q223_kneser_ney": Q223_SQL,
+    "q224_jaro_winkler": Q224_SQL,
 }

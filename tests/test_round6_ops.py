@@ -231,3 +231,40 @@ def test_kneser_ney_flags_alien_transitions(spark):
     out = {r["doc_id"]: r["kn_cross_entropy"]
            for r in text_analysis.kneser_ney_doc_scores(df).collect()}
     assert out[99] > out[0]
+
+
+# --------------------------------------------------------- Jaro-Winkler
+
+
+def test_jaro_winkler_reference_values(spark):
+    from occupation_wage_etl_spark.operators.fuzzy_join import _jaro_winkler
+
+    # classic textbook values (Winkler's Census examples)
+    assert abs(_jaro_winkler("MARTHA", "MARHTA") - 0.961111111111) < 1e-9
+    assert abs(_jaro_winkler("DIXON", "DICKSONX") - 0.813333333333) < 1e-9
+    assert abs(_jaro_winkler("DUANE", "DWAYNE") - 0.84) < 1e-9
+    assert _jaro_winkler("abc", "abc") == 1.0
+    assert _jaro_winkler("abc", "") == 0.0
+    assert _jaro_winkler("ab", "ba") == 0.0  # window too small to match
+    # boost gated above 0.7: shared prefix but low jaro -> NO boost
+    j = _jaro_winkler("prefixaaaa", "prefzzzzzz")
+    assert j == 0.6  # plain jaro, boost suppressed
+
+
+def test_jaro_winkler_pairs_blocked_join(spark):
+    from occupation_wage_etl_spark.operators import fuzzy_join
+
+    rows = [
+        (1, "martha stone", "B1"),
+        (2, "marhta stone", "B1"),   # transposition: high JW
+        (3, "zzz unrelated", "B1"),
+        (4, "martha stone", "B2"),   # other block: never paired with 1
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = fuzzy_join.jaro_winkler_pairs(
+        df, "id", "name", ["blk"], threshold=0.8, k=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jw"] for r in out}
+    assert (1, 2) in got and got[(1, 2)] > 0.95
+    assert all(4 not in pair for pair in got)  # blocking respected
+    assert all(a < b for a, b in got)  # canonical orientation
