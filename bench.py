@@ -267,6 +267,9 @@ BENCH_QUERIES = [
     "q222_bh_fdr",
     "q223_kneser_ney",
     "q224_jaro_winkler",
+    "q225_sequential_pairs",
+    "q226_bcubed",
+    "q227_stratified_ate",
 ]
 
 

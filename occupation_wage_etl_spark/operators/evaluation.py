@@ -1070,3 +1070,151 @@ def split_conformal_interval(
         )
         .orderBy(group_col)
     )
+
+
+def bcubed_clustering_eval(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster",
+    gold_col: str = "truth",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 between a predicted clustering and a
+    gold partition (Bagga & Baldwin 1998; the per-ITEM clustering
+    metric that, unlike pairwise counting — q124's metric — does not
+    let one giant cluster dominate):
+
+        P(i) = |C(i) ∩ G(i)| / |C(i)|,   R(i) = |C(i) ∩ G(i)| / |G(i)|
+
+    averaged over items.  Summing per-item gives
+    ``Σ_cells n_cg² / n_c`` (and /n_g), so everything runs on the
+    (pred, gold) intersection-cell table: two assignment joins, a cell
+    count, two size joins — every shuffle keyed on cluster ids.
+
+    Determinism at scale: the per-cell ratio is rounded at 12dp and
+    summed as DECIMAL(38,12) — an ORDER-INDEPENDENT exact sum, which
+    matters because the cell table is data-sized in the all-singletons
+    regime (a sorted float fold would be a scale cliff there; the q161
+    fold trick is only safe on bounded arrays).  Returns one row:
+    (n_items, bcubed_precision, bcubed_recall, bcubed_f1).
+    """
+    p = pred.select(
+        F.col(id_col).alias("__id"), F.col(pred_col).alias("__c")
+    )
+    g = gold.select(
+        F.col(id_col).alias("__gid"), F.col(gold_col).alias("__g")
+    )
+    both = p.join(g, p["__id"] == g["__gid"]).select("__id", "__c", "__g")
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    cells = cached(
+        both.groupBy("__c", "__g").agg(F.count(F.lit(1)).alias("__ncg"))
+    )
+    nc = cells.groupBy("__c").agg(F.sum("__ncg").alias("__nc"))
+    ng = cells.groupBy("__g").agg(F.sum("__ncg").alias("__ng"))
+    d12 = "decimal(38,12)"
+    terms = (
+        cells.join(nc, "__c")
+        .join(ng, "__g")
+        .select(
+            "__ncg",
+            F.round(
+                (F.col("__ncg") * F.col("__ncg")).cast("double")
+                / F.col("__nc").cast("double"),
+                12,
+            )
+            .cast(d12)
+            .alias("__tp"),
+            F.round(
+                (F.col("__ncg") * F.col("__ncg")).cast("double")
+                / F.col("__ng").cast("double"),
+                12,
+            )
+            .cast(d12)
+            .alias("__tr"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("__ncg").alias("n_items"),
+        F.sum("__tp").alias("__sp"),
+        F.sum("__tr").alias("__sr"),
+    )
+    pr = F.col("__sp").cast("string").cast("double") / F.col(
+        "n_items"
+    ).cast("double")
+    rc = F.col("__sr").cast("string").cast("double") / F.col(
+        "n_items"
+    ).cast("double")
+    return agg.select(
+        "n_items",
+        pr.alias("bcubed_precision"),
+        rc.alias("bcubed_recall"),
+        (
+            F.lit(2.0)
+            * (pr * rc)
+            / (pr + rc)
+        ).alias("bcubed_f1"),
+    )
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col,
+    outcome_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate (standardization /
+    direct adjustment — the design-based causal readout for an A/B
+    with a known categorical confounder):
+
+        ATE = Σ_s (n_s / N) · (ȳ₁ₛ − ȳ₀ₛ)
+
+    over strata with BOTH arms present (the standard positivity
+    restriction; one-armed strata are excluded from N too).  Per-arm
+    means are exact DECIMAL sums cast to double; each stratum's term is
+    a fixed double tree rounded at 12dp and summed as DECIMAL(38,12)
+    (order-independent — strata are category-sized but the sum should
+    not depend on task order anyway).  Returns one row: (n_strata,
+    n_treated, n_control, ate).
+    """
+    t = treat_col.cast("boolean")
+    y = F.col(outcome_col).cast("double")
+    dec = y.cast("decimal(18,2)")
+    per = (
+        df.filter(F.col(stratum_col).isNotNull() & y.isNotNull())
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.sum(F.when(t, 1).otherwise(0)).alias("__n1"),
+            F.sum(F.when(~t, 1).otherwise(0)).alias("__n0"),
+            F.sum(F.when(t, dec)).alias("__s1"),
+            F.sum(F.when(~t, dec)).alias("__s0"),
+        )
+        .filter((F.col("__n1") > 0) & (F.col("__n0") > 0))
+    )
+    m1 = F.col("__s1").cast("string").cast("double") / F.col("__n1").cast(
+        "double"
+    )
+    m0 = F.col("__s0").cast("string").cast("double") / F.col("__n0").cast(
+        "double"
+    )
+    ns = (F.col("__n1") + F.col("__n0")).cast("double")
+    terms = per.crossJoin(
+        F.broadcast(
+            per.agg(
+                F.sum(F.col("__n1") + F.col("__n0")).alias("__N"),
+                F.count(F.lit(1)).alias("n_strata"),
+                F.sum("__n1").alias("n_treated"),
+                F.sum("__n0").alias("n_control"),
+            )
+        )
+    ).select(
+        "n_strata",
+        "n_treated",
+        "n_control",
+        F.round(ns / F.col("__N").cast("double") * (m1 - m0), 12)
+        .cast("decimal(38,12)")
+        .alias("__term"),
+    )
+    return terms.groupBy("n_strata", "n_treated", "n_control").agg(
+        F.sum("__term").cast("string").cast("double").alias("ate")
+    )

@@ -1150,3 +1150,66 @@ def theil_sen_trend(
         )
         .orderBy(group_col)
     )
+
+
+def sequential_pair_support(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    item_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Gap-allowed sequential pattern support for item PAIRS — the
+    length-2 core of PrefixSpan-style sequence mining (Pei et al.
+    2001): "users who did A later did B", with ANY number of events in
+    between (what :func:`transition_matrix` — adjacent-only — cannot
+    see).
+
+    A user supports (a → b) iff some a-event strictly precedes some
+    b-event, which reduces to ``min_ts(a) < max_ts(b)`` over the
+    user's per-item time extremes — so the whole computation runs on
+    the (user, item, min_ts, max_ts) aggregate: one row-sized hash
+    aggregate, then a per-user self-join whose size is bounded by the
+    ITEM-TYPE cardinality squared per user (catalog-sized, not
+    event-sized), then a support count.  Support counts each user
+    once.  Returns the top-``k`` pairs by (support desc, item_a,
+    item_b): (item_a, item_b, support, support_frac) with
+    support_frac = support / #users-with-events.
+    """
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    u, i, t = F.col(user_col), F.col(item_col), F.col(ts_col)
+    ext = cached(
+        df.filter(u.isNotNull() & i.isNotNull() & t.isNotNull())
+        .groupBy(u.alias("__u"), i.alias("__i"))
+        .agg(F.min(t).alias("__lo"), F.max(t).alias("__hi"))
+    )
+    n_users = ext.select("__u").distinct().count()
+    a = ext.select(
+        "__u", F.col("__i").alias("item_a"), F.col("__lo").alias("__alo")
+    )
+    b = ext.select(
+        "__u", F.col("__i").alias("item_b"), F.col("__hi").alias("__bhi")
+    )
+    pairs = (
+        a.join(b, "__u")
+        .filter(
+            (F.col("item_a") != F.col("item_b"))
+            & (F.col("__alo") < F.col("__bhi"))
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.select(
+            "item_a",
+            "item_b",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.lit(float(n_users))
+            ).alias("support_frac"),
+        )
+        .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )

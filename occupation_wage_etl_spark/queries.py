@@ -10539,6 +10539,141 @@ FROM per ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q225 — gap-allowed sequential pair support
+# (operators/timeseries.py:sequential_pair_support): "users who did A
+# later did B" with any gap — the length-2 PrefixSpan core, computed
+# on per-(user, item) time extremes (catalog-sized per user).
+# ---------------------------------------------------------------------------
+
+
+def q225_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.sequential_pair_support(
+        ev, "user_id", "ts", "event_type", k=50
+    )
+
+
+Q225_SQL = """
+WITH ext AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS i, min(ts) AS lo, max(ts) AS hi
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ext),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS support
+  FROM ext a JOIN ext b ON a.u = b.u AND a.i <> b.i AND a.lo < b.hi
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, support,
+       CAST(support AS DOUBLE) / CAST(nu.n AS DOUBLE) AS support_frac
+FROM pairs, nu
+ORDER BY support DESC, item_a, item_b LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# q226 — B-cubed clustering agreement
+# (operators/evaluation.py:bcubed_clustering_eval): per-item
+# precision/recall between the source partition and the lang partition
+# of the corpus — the clustering metric one giant cluster cannot
+# dominate; decimal-summed 12dp cell terms, order-independent.
+# ---------------------------------------------------------------------------
+
+
+def q226_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(F.col("doc_id").alias("id"),
+                       F.col("source").alias("cluster"))
+    gold = docs.select(F.col("doc_id").alias("id"),
+                       F.col("lang").alias("truth"))
+    return evaluation.bcubed_clustering_eval(pred, gold)
+
+
+Q226_SQL = """
+WITH cells AS MATERIALIZED (
+  SELECT source AS c, lang AS g, CAST(count(*) AS BIGINT) AS ncg
+  FROM documents GROUP BY 1, 2
+), nc AS (SELECT c, CAST(sum(ncg) AS BIGINT) AS nc FROM cells GROUP BY 1),
+ng AS (SELECT g, CAST(sum(ncg) AS BIGINT) AS ng FROM cells GROUP BY 1),
+terms AS (
+  SELECT cells.ncg,
+         CAST(round(CAST(cells.ncg * cells.ncg AS DOUBLE)
+                    / CAST(nc.nc AS DOUBLE), 12) AS DECIMAL(38,12)) AS tp,
+         CAST(round(CAST(cells.ncg * cells.ncg AS DOUBLE)
+                    / CAST(ng.ng AS DOUBLE), 12) AS DECIMAL(38,12)) AS tr
+  FROM cells JOIN nc USING (c) JOIN ng USING (g)
+), agg AS (
+  SELECT CAST(sum(ncg) AS BIGINT) AS n_items, sum(tp) AS sp, sum(tr) AS sr
+  FROM terms
+), pr AS (
+  SELECT n_items,
+         CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n_items AS DOUBLE) AS p,
+         CAST(CAST(sr AS VARCHAR) AS DOUBLE) / CAST(n_items AS DOUBLE) AS r
+  FROM agg
+)
+SELECT n_items, p AS bcubed_precision, r AS bcubed_recall,
+       2.0 * (p * r) / (p + r) AS bcubed_f1
+FROM pr
+"""
+
+
+# ---------------------------------------------------------------------------
+# q227 — stratified average treatment effect
+# (operators/evaluation.py:stratified_ate): direct-adjustment ATE of
+# high order priority on order value, stratified by market segment —
+# the design-based causal readout with a categorical confounder.
+# ---------------------------------------------------------------------------
+
+
+def q227_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return evaluation.stratified_ate(
+        j,
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        "o_totalprice",
+        "c_mktsegment",
+    )
+
+
+Q227_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS s,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS t,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL
+), per AS MATERIALIZED (
+  SELECT s,
+         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         sum(CASE WHEN t THEN CAST(y AS DECIMAL(18,2)) END) AS s1,
+         sum(CASE WHEN NOT t THEN CAST(y AS DECIMAL(18,2)) END) AS s0
+  FROM j GROUP BY 1
+  HAVING n1 > 0 AND n0 > 0
+), tot AS (
+  SELECT CAST(sum(n1 + n0) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(n1) AS BIGINT) AS n_treated,
+         CAST(sum(n0) AS BIGINT) AS n_control
+  FROM per
+), terms AS (
+  SELECT tot.n_strata, tot.n_treated, tot.n_control,
+         CAST(round(CAST(n1 + n0 AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+           * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE)),
+           12) AS DECIMAL(38,12)) AS term
+  FROM per, tot
+)
+SELECT n_strata, n_treated, n_control,
+       CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS ate
+FROM terms GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # q224 — blocked Jaro-Winkler name matching
 # (operators/fuzzy_join.py:jaro_winkler_pairs): the Census name scorer
 # over part names blocked on (brand, size); the oracle replays it with
@@ -10956,6 +11091,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q222_bh_fdr": q222_bh_fdr,
     "q223_kneser_ney": q223_kneser_ney,
     "q224_jaro_winkler": q224_jaro_winkler,
+    "q225_sequential_pairs": q225_sequential_pairs,
+    "q226_bcubed": q226_bcubed,
+    "q227_stratified_ate": q227_stratified_ate,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11183,4 +11321,7 @@ ORACLE_SQL: dict[str, str] = {
     "q222_bh_fdr": Q222_SQL,
     "q223_kneser_ney": Q223_SQL,
     "q224_jaro_winkler": Q224_SQL,
+    "q225_sequential_pairs": Q225_SQL,
+    "q226_bcubed": Q226_SQL,
+    "q227_stratified_ate": Q227_SQL,
 }

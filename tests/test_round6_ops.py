@@ -268,3 +268,100 @@ def test_jaro_winkler_pairs_blocked_join(spark):
     assert (1, 2) in got and got[(1, 2)] > 0.95
     assert all(4 not in pair for pair in got)  # blocking respected
     assert all(a < b for a, b in got)  # canonical orientation
+
+
+# -------------------------------------------- sequential pair support
+
+
+def test_sequential_pair_support_gap_allowed(spark):
+    rows = [
+        # user 1: A .. C .. B  (A->B with a gap; transition_matrix
+        # would only see A->C and C->B)
+        (1, _ts(0), "A"), (1, _ts(1), "C"), (1, _ts(2), "B"),
+        # user 2: B then A (reverse order)
+        (2, _ts(0), "B"), (2, _ts(1), "A"),
+        # user 3: A only
+        (3, _ts(0), "A"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, i string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           timeseries.sequential_pair_support(df, "u", "ts", "i").collect()}
+    assert out[("A", "B")]["support"] == 1
+    assert out[("B", "A")]["support"] == 1
+    assert out[("A", "C")]["support"] == 1
+    assert ("A", "A") not in out
+    assert abs(out[("A", "B")]["support_frac"] - 1 / 3) < 1e-12
+
+
+def test_sequential_pair_strict_precedence(spark):
+    # same timestamp -> NOT a sequential pair (strict <)
+    rows = [(1, _ts(0), "A"), (1, _ts(0), "B")]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, i string")
+    out = timeseries.sequential_pair_support(df, "u", "ts", "i").collect()
+    assert out == []
+
+
+# ------------------------------------------------------------ B-cubed
+
+
+def test_bcubed_perfect_and_textbook(spark):
+    ids = list(range(6))
+    same = spark.createDataFrame(
+        [(i, f"c{i % 2}") for i in ids], "id long, cluster string"
+    )
+    gold = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in ids], "id long, truth string"
+    )
+    r = evaluation.bcubed_clustering_eval(same, gold).collect()[0]
+    assert (r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]) == (
+        1.0, 1.0, 1.0)
+    # all-in-one predicted cluster vs 2 gold classes of 3:
+    # P(i) = 3/6 for all i -> precision 0.5; R(i) = 1 -> recall 1
+    one = spark.createDataFrame([(i, "all") for i in ids],
+                                "id long, cluster string")
+    r = evaluation.bcubed_clustering_eval(one, gold).collect()[0]
+    assert abs(r["bcubed_precision"] - 0.5) < 1e-9
+    assert r["bcubed_recall"] == 1.0
+    # singletons predicted: precision 1, recall 1/3
+    singles = spark.createDataFrame([(i, f"s{i}") for i in ids],
+                                    "id long, cluster string")
+    r = evaluation.bcubed_clustering_eval(singles, gold).collect()[0]
+    assert r["bcubed_precision"] == 1.0
+    assert abs(r["bcubed_recall"] - 1 / 3) < 1e-9
+
+
+# ----------------------------------------------------- stratified ATE
+
+
+def test_stratified_ate_hand_computation(spark):
+    # stratum X: treated mean 10, control mean 4 -> effect 6 (4 rows)
+    # stratum Y: treated mean 3, control mean 1 -> effect 2 (4 rows)
+    # ATE = .5*6 + .5*2 = 4; a one-armed stratum Z must be excluded
+    rows = [
+        ("X", True, 12.0), ("X", True, 8.0), ("X", False, 4.0),
+        ("X", False, 4.0),
+        ("Y", True, 3.0), ("Y", True, 3.0), ("Y", False, 1.0),
+        ("Y", False, 1.0),
+        ("Z", True, 99.0), ("Z", True, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, t boolean, y double")
+    r = evaluation.stratified_ate(df, F.col("t"), "y", "s").collect()[0]
+    assert r["n_strata"] == 2
+    assert r["n_treated"] == 4 and r["n_control"] == 4
+    assert abs(r["ate"] - 4.0) < 1e-9
+
+
+def test_stratified_ate_confounding_correction(spark):
+    # classic Simpson setup: naive diff is NEGATIVE, stratified ATE
+    # positive — the whole point of adjustment
+    rows = []
+    # stratum A (cheap orders): mostly treated, effect +1 (ctl 1 -> trt 2)
+    rows += [("A", True, 2.0)] * 90 + [("A", False, 1.0)] * 10
+    # stratum B (expensive): mostly control, effect +1 (ctl 10 -> trt 11)
+    rows += [("B", True, 11.0)] * 10 + [("B", False, 10.0)] * 90
+    df = spark.createDataFrame(rows, "s string, t boolean, y double")
+    naive_rows = df.groupBy("t").agg(F.avg("y").alias("m")).collect()
+    naive = {r["t"]: r["m"] for r in naive_rows}
+    assert naive[True] - naive[False] < 0  # Simpson reversal
+    r = evaluation.stratified_ate(df, F.col("t"), "y", "s").collect()[0]
+    assert abs(r["ate"] - 1.0) < 1e-9
