@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "q225_sequential_pairs",
     "q226_bcubed",
     "q227_stratified_ate",
+    "q228_wasserstein",
 ]
 
 

@@ -23,7 +23,7 @@ Reference analogue: none (the reference computes means only,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from occupation_wage_etl_spark.operators.evaluation import _dist_cum_before
@@ -488,4 +488,95 @@ def bh_fdr(
             .alias("rejected"),
         )
         .orderBy(p_col, test_col)
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    groups' empirical distributions — the distribution-shift metric
+    with UNITS (how far mass must move, in the value's own scale),
+    complementing the unitless KS/JS/PSI family:
+
+        W₁ = ∫ |F_a(x) − F_b(x)| dx
+           = Σᵢ |cumAᵢ·n_b − cumBᵢ·n_a| · (xᵢ₊₁ − xᵢ) / (n_a·n_b)
+
+    over SORTED DISTINCT values.  Shape: the distinct-value histogram
+    (one row-sized shuffle), both groups' inclusive cumulative counts
+    via the two-level distributed prefix sum, and the neighbor gap
+    xᵢ₊₁ − xᵢ via a RANGE-PARTITIONED lead (per-partition ``lead``
+    window + a broadcast stitch of each partition's first value onto
+    its predecessor — the ordered-neighbor sibling of the prefix-scan
+    primitives; no global single-partition sort anywhere).
+
+    Exactness: the CDF numerator is exact int64 (common-denominator
+    form, the q167 trick; products stay below 2⁵³ for n ≲ 10⁶ per
+    group — beyond that lift to DECIMAL), each term rounds at 12dp and
+    sums as DECIMAL(38,12) (order-independent over the value-sized
+    term table — the bcubed contract, NOT a float fold), and the
+    closing division is one IEEE op.  The last distinct value's
+    missing lead contributes nothing (both CDFs are 1 there).
+    Returns one row: (n_a, n_b, wasserstein).
+    """
+    from occupation_wage_etl_spark.operators._cache import cached
+    from occupation_wage_etl_spark.operators._conf import shuffle_partitions
+
+    v, g = F.col(value_col), F.col(group_col)
+    h = (
+        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        .groupBy(v.cast("double").alias("__v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    ranked, _ = _dist_cum_before(
+        h, ["__v"], F.col("ca"), extra_weights={"__cumb_b": F.col("cb")}
+    )
+    ranked = cached(ranked)
+    # range-partitioned global lead of __v (ordered-neighbor primitive)
+    n_parts = shuffle_partitions(df.sparkSession)
+    parted = cached(
+        ranked.repartitionByRange(n_parts, F.col("__v")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    w_in = Window.partitionBy("__pid").orderBy("__v")
+    led = parted.withColumn("__lead", F.lead("__v").over(w_in))
+    firsts = parted.groupBy("__pid").agg(F.min("__v").alias("__pfirst"))
+    # next NON-EMPTY partition's first value: a lead over the
+    # n_parts-row firsts table (bounded, same class as __pid offsets)
+    w_p = Window.orderBy("__pid")
+    nxt = firsts.select(
+        "__pid", F.lead("__pfirst").over(w_p).alias("__nextfirst")
+    )
+    stitched = led.join(F.broadcast(nxt), "__pid", "left").withColumn(
+        "__gap",
+        F.coalesce(F.col("__lead"), F.col("__nextfirst")) - F.col("__v"),
+    )
+    totals = ranked.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    terms = stitched.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.abs(
+                (F.col("__cumb") + F.col("ca")) * F.col("n_b")
+                - (F.col("__cumb_b") + F.col("cb")) * F.col("n_a")
+            ).cast("double")
+            * F.coalesce(F.col("__gap"), F.lit(0.0)),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("__term"),
+    )
+    return terms.groupBy("n_a", "n_b").agg(
+        (
+            F.sum("__term").cast("string").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("wasserstein")
     )

@@ -756,6 +756,8 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline Huffman
             height, width = struct.unpack(">HH", data[1:5])
             nc = data[5]
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
             comps = [
                 {
                     "id": data[6 + 3 * c],

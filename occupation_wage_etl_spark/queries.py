@@ -10539,6 +10539,55 @@ FROM per ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q228 — exact 1-D Wasserstein distance between two event types
+# (operators/hypothesis.py:wasserstein_1d): the distribution-shift
+# metric with units, on the distinct-value histogram + two-level
+# prefix sums + a range-partitioned global lead (ordered-neighbor
+# primitive) — no global single-partition sort.
+# ---------------------------------------------------------------------------
+
+
+def q228_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return hypothesis.wasserstein_1d(
+        ev, "value", "event_type", "view", "purchase"
+    )
+
+
+Q228_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+  GROUP BY 1
+), cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS fa,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS fb,
+         lead(v) OVER (ORDER BY v) AS nxt
+  FROM h
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM h
+), terms AS (
+  SELECT tot.n_a, tot.n_b,
+         CAST(round(CAST(abs(fa * tot.n_b - fb * tot.n_a) AS DOUBLE)
+                    * coalesce(nxt - v, 0.0), 12)
+              AS DECIMAL(38,12)) AS term
+  FROM cum, tot
+)
+SELECT n_a, n_b,
+       CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE) AS wasserstein
+FROM terms GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q225 — gap-allowed sequential pair support
 # (operators/timeseries.py:sequential_pair_support): "users who did A
 # later did B" with any gap — the length-2 PrefixSpan core, computed
@@ -11094,6 +11143,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q225_sequential_pairs": q225_sequential_pairs,
     "q226_bcubed": q226_bcubed,
     "q227_stratified_ate": q227_stratified_ate,
+    "q228_wasserstein": q228_wasserstein,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11324,4 +11374,5 @@ ORACLE_SQL: dict[str, str] = {
     "q225_sequential_pairs": Q225_SQL,
     "q226_bcubed": Q226_SQL,
     "q227_stratified_ate": Q227_SQL,
+    "q228_wasserstein": Q228_SQL,
 }

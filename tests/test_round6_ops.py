@@ -365,3 +365,42 @@ def test_stratified_ate_confounding_correction(spark):
     assert naive[True] - naive[False] < 0  # Simpson reversal
     r = evaluation.stratified_ate(df, F.col("t"), "y", "s").collect()[0]
     assert abs(r["ate"] - 1.0) < 1e-9
+
+
+# --------------------------------------------------------- Wasserstein
+
+
+def test_wasserstein_1d_shifted_uniform(spark):
+    from occupation_wage_etl_spark.operators import hypothesis
+
+    # identical shapes shifted by +5 -> W1 exactly 5; same dist -> 0
+    rows = [("a", float(i % 10)) for i in range(500)]
+    rows += [("b", float(i % 10) + 5.0) for i in range(500)]
+    rows += [("c", float(i % 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = hypothesis.wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (500, 500)
+    assert abs(r["wasserstein"] - 5.0) < 1e-9
+    z = hypothesis.wasserstein_1d(df, "v", "g", "a", "c").collect()[0]
+    assert z["wasserstein"] == 0.0  # unequal sizes, same distribution
+
+
+def test_wasserstein_1d_hand_value_and_partitioning(spark):
+    from occupation_wage_etl_spark.operators import hypothesis
+
+    # a = {0, 1}, b = {1}: F_a-F_b differs by 1/2 on [0, 1) -> W1 = 0.5
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    r = hypothesis.wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert abs(r["wasserstein"] - 0.5) < 1e-12
+    big = spark.createDataFrame(
+        [("a", float((i * 37) % 101)) for i in range(400)]
+        + [("b", float((i * 53) % 97)) for i in range(300)],
+        "g string, v double",
+    )
+    one = hypothesis.wasserstein_1d(big, "v", "g", "a", "b").collect()
+    many = hypothesis.wasserstein_1d(
+        big.repartition(17), "v", "g", "a", "b"
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
