@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     "q226_bcubed",
     "q227_stratified_ate",
     "q228_wasserstein",
+    "q229_logo_ols",
+    "q230_forecast_backtest",
 ]
 
 

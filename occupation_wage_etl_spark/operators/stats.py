@@ -1014,3 +1014,102 @@ def bootstrap_mean_ci(
         F.element_at("ms", k + 1).alias("ci_lo"),
         F.element_at("ms", b_reps - k).alias("ci_hi"),
     )
+
+
+def logo_ols_sensitivity(
+    df: DataFrame, y_col: str, x_cols: list[str], group_col: str
+) -> DataFrame:
+    """Leave-one-group-out OLS sensitivity — the data-valuation readout
+    ("how much does dropping one source move the fit?") behind
+    source-level quality audits, computed WITHOUT m refit passes: the
+    normal-equation moments are additive, so per-group exact DECIMAL
+    moment sums + one global sum give every leave-out model by exact
+    decimal SUBTRACTION (global − group), and each LOO fit evaluates
+    the SAME Cramer's-rule strings (:data:`OLS2_B0`..) as
+    :func:`multi_ols` — bit-equal to literally refitting without the
+    group, for the cost of ONE aggregate over the data plus a
+    category-sized frame.  Two-feature tier only (the closed form the
+    oracle replays).
+
+    Returns one row per group, ordered: (group, n_rows_loo, b1_loo,
+    b2_loo, delta_b1, delta_b2) with delta = LOO − full-model
+    coefficient (big |delta| = the group was load-bearing).
+    """
+    x1, x2 = x_cols
+    base = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x1).isNotNull()
+        & F.col(x2).isNotNull()
+        & F.col(group_col).isNotNull()
+    )
+    per = cached(
+        base.groupBy(F.col(group_col).alias("__g")).agg(
+            F.count(F.lit(1)).alias("gn"),
+            F.sum(_dec2(y_col)).alias("gsy"),
+            F.sum(_dec2(y_col) * _dec2(y_col)).alias("gsyy"),
+            F.sum(_dec2(x1)).alias("gs1"),
+            F.sum(_dec2(x2)).alias("gs2"),
+            F.sum(_dec2(x1) * _dec2(x1)).alias("gs11"),
+            F.sum(_dec2(x2) * _dec2(x2)).alias("gs22"),
+            F.sum(_dec2(x1) * _dec2(x2)).alias("gs12"),
+            F.sum(_dec2(x1) * _dec2(y_col)).alias("gs1y"),
+            F.sum(_dec2(x2) * _dec2(y_col)).alias("gs2y"),
+        )
+    )
+    tot = per.agg(
+        F.sum("gn").alias("tn"),
+        *[
+            F.sum(c).alias(f"t{c[1:]}")
+            for c in (
+                "gsy", "gsyy", "gs1", "gs2", "gs11",
+                "gs22", "gs12", "gs1y", "gs2y",
+            )
+        ],
+    )
+
+    def _stage(frame):
+        return (
+            frame.withColumn("det", F.expr(OLS2_DET))
+            .withColumn("b0", F.expr(OLS2_B0))
+            .withColumn("b1", F.expr(OLS2_B1))
+            .withColumn("b2", F.expr(OLS2_B2))
+        )
+
+    full = _stage(
+        tot.select(
+            F.col("tn").cast("double").alias("n"),
+            *[
+                _dbl_exact(F.col(f"t{m}")).alias(m)
+                for m in (
+                    "sy", "syy", "s1", "s2", "s11",
+                    "s22", "s12", "s1y", "s2y",
+                )
+            ],
+        )
+    ).select(
+        F.col("b1").alias("__fb1"), F.col("b2").alias("__fb2")
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "__g",
+        (F.col("tn") - F.col("gn")).cast("double").alias("n"),
+        *[
+            _dbl_exact(F.col(f"t{m}") - F.col(f"g{m}")).alias(m)
+            for m in (
+                "sy", "syy", "s1", "s2", "s11",
+                "s22", "s12", "s1y", "s2y",
+            )
+        ],
+    )
+    return (
+        _stage(loo)
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n").cast("long").alias("n_rows_loo"),
+            F.col("b1").alias("b1_loo"),
+            F.col("b2").alias("b2_loo"),
+            (F.col("b1") - F.col("__fb1")).alias("delta_b1"),
+            (F.col("b2") - F.col("__fb2")).alias("delta_b2"),
+        )
+        .orderBy(group_col)
+    )

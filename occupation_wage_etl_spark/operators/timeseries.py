@@ -1213,3 +1213,83 @@ def sequential_pair_support(
         .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
         .limit(k)
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest per series, scored with the
+    forecasting-standard scale-free metrics (Hyndman & Koehler 2006):
+
+        MASE  = MAE(seasonal-naive, lag ``season``)
+                / MAE(one-step naive, lag 1)
+        sMAPE = mean( 2·|ŷ − y| / (|ŷ| + |y|) )
+
+    over each group's DAILY totals, lags positional over OBSERVED days
+    (gap days are skipped, the observed-series convention — document
+    gaps upstream with ``resample_ffill`` if calendar lags are wanted).
+    MASE < 1 means the seasonal forecast beats the naive one — the
+    go/no-go baseline check before any fancier model earns its keep.
+
+    Exactness: daily totals are exact DECIMAL sums, both MAEs are
+    exact DECIMAL sums of decimal |differences| with ONE closing double
+    division, and sMAPE's per-day double ratio is rounded at 12dp and
+    summed as DECIMAL(38,12) (order-independent).  Scale: everything
+    past the one row-sized daily aggregate is calendar-bounded;
+    per-group lag windows sort days, not rows.  Returns one row per
+    group: (group, n_scored, mae_seasonal, mae_naive, mase, smape).
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    daily = (
+        df.filter(v.isNotNull())
+        .groupBy(
+            g.alias("__g"), F.to_date(F.col(ts_col)).alias("__d")
+        )
+        .agg(F.sum(v.cast("decimal(18,2)")).alias("__y"))
+    )
+    w = Window.partitionBy("__g").orderBy("__d")
+    lagged = daily.select(
+        "__g",
+        "__y",
+        F.lag("__y", season).over(w).alias("__ys"),
+        F.lag("__y", 1).over(w).alias("__y1"),
+    ).filter(F.col("__ys").isNotNull())  # first `season` days unscored
+    es = F.abs(F.col("__y") - F.col("__ys"))
+    e1 = F.abs(F.col("__y") - F.col("__y1"))
+    denom = F.abs(F.col("__ys")).cast("string").cast("double") + F.abs(
+        F.col("__y")
+    ).cast("string").cast("double")
+    # both-zero days score 0 by convention (forecast and actual agree);
+    # the explicit guard also keeps ANSI mode from raising on /0
+    sm = F.when(denom > 0, F.lit(2.0) * es.cast("string").cast("double")
+                / denom).otherwise(F.lit(0.0))
+    agg = lagged.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(es).alias("__ses"),
+        F.sum(e1).alias("__se1"),
+        F.sum(F.round(sm, 12).cast("decimal(38,12)")).alias("__ssm"),
+    )
+    mae_s = F.col("__ses").cast("string").cast("double") / F.col(
+        "n_scored"
+    ).cast("double")
+    mae_1 = F.col("__se1").cast("string").cast("double") / F.col(
+        "n_scored"
+    ).cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_scored",
+        mae_s.alias("mae_seasonal"),
+        mae_1.alias("mae_naive"),
+        # NULL when the naive MAE is 0 (a constant series has no scale
+        # to normalize by — and ANSI mode would raise on the division)
+        F.when(F.col("__se1").cast("string").cast("double") > 0,
+               mae_s / mae_1).alias("mase"),
+        (
+            F.col("__ssm").cast("string").cast("double")
+            / F.col("n_scored").cast("double")
+        ).alias("smape"),
+    ).orderBy(group_col)

@@ -10539,6 +10539,142 @@ FROM per ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q229 — leave-one-group-out OLS sensitivity
+# (operators/stats.py:logo_ols_sensitivity): data-valuation by exact
+# Gramian subtraction — every leave-out refit from ONE aggregate, each
+# bit-equal to literally refitting without the group.
+# ---------------------------------------------------------------------------
+
+
+def q229_logo_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.logo_ols_sensitivity(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+        "l_returnflag",
+    )
+
+
+def _logo_oracle_sql() -> str:
+    d2 = "DECIMAL(18,2)"
+    mom = {
+        "gsy": f"sum(CAST(l_extendedprice AS {d2}))",
+        "gsyy": f"sum(CAST(l_extendedprice AS {d2})"
+                f" * CAST(l_extendedprice AS {d2}))",
+        "gs1": f"sum(CAST(l_quantity AS {d2}))",
+        "gs2": f"sum(CAST(l_discount AS {d2}))",
+        "gs11": f"sum(CAST(l_quantity AS {d2})"
+                f" * CAST(l_quantity AS {d2}))",
+        "gs22": f"sum(CAST(l_discount AS {d2})"
+                f" * CAST(l_discount AS {d2}))",
+        "gs12": f"sum(CAST(l_quantity AS {d2})"
+                f" * CAST(l_discount AS {d2}))",
+        "gs1y": f"sum(CAST(l_quantity AS {d2})"
+                f" * CAST(l_extendedprice AS {d2}))",
+        "gs2y": f"sum(CAST(l_discount AS {d2})"
+                f" * CAST(l_extendedprice AS {d2}))",
+    }
+    per_cols = ",\n         ".join(f"{e} AS {n}" for n, e in mom.items())
+    tot_cols = ",\n         ".join(
+        f"sum({n}) AS t{n[1:]}" for n in mom
+    )
+    names = ["sy", "syy", "s1", "s2", "s11", "s22", "s12", "s1y", "s2y"]
+    full_cols = ",\n         ".join(
+        f"CAST(CAST(t{m} AS VARCHAR) AS DOUBLE) AS {m}" for m in names
+    )
+    loo_cols = ",\n         ".join(
+        f"CAST(CAST(t{m} - g{m} AS VARCHAR) AS DOUBLE) AS {m}"
+        for m in names
+    )
+    return f"""
+WITH per AS MATERIALIZED (
+  SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS gn,
+         {per_cols}
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(gn) AS BIGINT) AS tn,
+         {tot_cols}
+  FROM per
+), fglob AS (
+  SELECT CAST(tn AS DOUBLE) AS n,
+         {full_cols}
+  FROM tot
+), f1 AS (SELECT *, {stats.OLS2_DET} AS det FROM fglob),
+f2 AS (SELECT {stats.OLS2_B1} AS fb1, {stats.OLS2_B2} AS fb2 FROM f1),
+loo AS (
+  SELECT g, CAST(tn - gn AS DOUBLE) AS n,
+         {loo_cols}
+  FROM per, tot
+), l1 AS (SELECT *, {stats.OLS2_DET} AS det FROM loo),
+l2 AS (SELECT g, n, {stats.OLS2_B1} AS b1, {stats.OLS2_B2} AS b2 FROM l1)
+SELECT l2.g AS l_returnflag, CAST(l2.n AS BIGINT) AS n_rows_loo,
+       l2.b1 AS b1_loo, l2.b2 AS b2_loo,
+       l2.b1 - f2.fb1 AS delta_b1, l2.b2 - f2.fb2 AS delta_b2
+FROM l2 CROSS JOIN f2 ORDER BY l_returnflag
+"""
+
+
+Q229_SQL = _logo_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# q230 — seasonal-naive forecast backtest (MASE / sMAPE)
+# (operators/timeseries.py:forecast_backtest): the scale-free
+# forecastability readout per series — MASE < 1 means the weekly
+# pattern carries real signal over a one-step naive.
+# ---------------------------------------------------------------------------
+
+
+def q230_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.forecast_backtest(ev, "event_type", "ts", "value")
+
+
+Q230_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), lagged AS (
+  SELECT g, y,
+         lag(y, 7) OVER (PARTITION BY g ORDER BY d) AS ys,
+         lag(y, 1) OVER (PARTITION BY g ORDER BY d) AS y1
+  FROM daily
+), scored AS (
+  SELECT g, abs(y - ys) AS es, abs(y - y1) AS e1,
+         CASE WHEN CAST(CAST(abs(ys) AS VARCHAR) AS DOUBLE)
+                   + CAST(CAST(abs(y) AS VARCHAR) AS DOUBLE) > 0
+              THEN round(2.0 * CAST(CAST(abs(y - ys) AS VARCHAR) AS DOUBLE)
+                   / (CAST(CAST(abs(ys) AS VARCHAR) AS DOUBLE)
+                      + CAST(CAST(abs(y) AS VARCHAR) AS DOUBLE)), 12)
+              ELSE 0.0 END AS sm
+  FROM lagged WHERE ys IS NOT NULL
+), agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_scored,
+         sum(es) AS ses, sum(e1) AS se1,
+         sum(CAST(sm AS DECIMAL(38,12))) AS ssm
+  FROM scored GROUP BY 1
+)
+SELECT g AS event_type, n_scored,
+       CAST(CAST(ses AS VARCHAR) AS DOUBLE) / CAST(n_scored AS DOUBLE)
+         AS mae_seasonal,
+       CAST(CAST(se1 AS VARCHAR) AS DOUBLE) / CAST(n_scored AS DOUBLE)
+         AS mae_naive,
+       CASE WHEN CAST(CAST(se1 AS VARCHAR) AS DOUBLE) > 0
+            THEN (CAST(CAST(ses AS VARCHAR) AS DOUBLE)
+                  / CAST(n_scored AS DOUBLE))
+                 / (CAST(CAST(se1 AS VARCHAR) AS DOUBLE)
+                    / CAST(n_scored AS DOUBLE)) END AS mase,
+       CAST(CAST(ssm AS VARCHAR) AS DOUBLE) / CAST(n_scored AS DOUBLE)
+         AS smape
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q228 — exact 1-D Wasserstein distance between two event types
 # (operators/hypothesis.py:wasserstein_1d): the distribution-shift
 # metric with units, on the distinct-value histogram + two-level
@@ -11144,6 +11280,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q226_bcubed": q226_bcubed,
     "q227_stratified_ate": q227_stratified_ate,
     "q228_wasserstein": q228_wasserstein,
+    "q229_logo_ols": q229_logo_ols,
+    "q230_forecast_backtest": q230_forecast_backtest,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11375,4 +11513,6 @@ ORACLE_SQL: dict[str, str] = {
     "q226_bcubed": Q226_SQL,
     "q227_stratified_ate": Q227_SQL,
     "q228_wasserstein": Q228_SQL,
+    "q229_logo_ols": Q229_SQL,
+    "q230_forecast_backtest": Q230_SQL,
 }

@@ -404,3 +404,84 @@ def test_wasserstein_1d_hand_value_and_partitioning(spark):
         big.repartition(17), "v", "g", "a", "b"
     ).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+# ------------------------------------------------ LOGO OLS sensitivity
+
+
+def test_logo_ols_matches_literal_refits(spark):
+    from occupation_wage_etl_spark.operators import stats
+
+    rows = []
+    for i in range(120):
+        g = f"g{i % 3}"
+        x1, x2 = float(i % 13), float((i * 7) % 5)
+        noise = ((i * 31) % 11 - 5) / 10.0
+        bias = {"g0": 0.0, "g1": 4.0, "g2": -2.0}[g]
+        rows.append((g, 2.0 + 3.0 * x1 - 1.5 * x2 + bias + noise, x1, x2))
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {r["g"]: r for r in stats.logo_ols_sensitivity(
+        df, "y", ["x1", "x2"], "g").collect()}
+    for g in ("g0", "g1", "g2"):
+        lit_fit = stats.multi_ols(
+            df.filter(F.col("g") != g), "y", ["x1", "x2"]
+        ).collect()[0]
+        assert out[g]["n_rows_loo"] == lit_fit["n_rows"]
+        # bit-equal to literally refitting without the group
+        assert out[g]["b1_loo"] == lit_fit["b1"]
+        assert out[g]["b2_loo"] == lit_fit["b2"]
+
+
+def test_logo_ols_flags_load_bearing_group(spark):
+    from occupation_wage_etl_spark.operators import stats
+
+    rows = []
+    for i in range(200):  # bulk: y = x1 exactly
+        rows.append(("bulk", float(i % 17), float(i % 17), float(i % 3)))
+    for i in range(40):   # skew group pulls the slope away
+        rows.append(("skew", 100.0, float(i % 17), float(i % 3)))
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {r["g"]: r for r in stats.logo_ols_sensitivity(
+        df, "y", ["x1", "x2"], "g").collect()}
+    # dropping the skew group restores the clean slope exactly
+    assert abs(out["skew"]["b1_loo"] - 1.0) < 1e-9
+    assert abs(out["skew"]["delta_b1"]) > abs(out["bulk"]["delta_b1"])
+
+
+# -------------------------------------------------- forecast backtest
+
+
+def test_forecast_backtest_perfect_weekly_pattern(spark):
+    from occupation_wage_etl_spark.operators import timeseries as T2
+
+    # pure period-7 series: seasonal-naive error 0 -> MASE 0, sMAPE 0
+    rows = [("a", _ts(d), float([5, 9, 4, 8, 2, 7, 6][d % 7]))
+            for d in range(35)]
+    # noisy non-seasonal series: MASE near 1 (naive ~ seasonal)
+    rows += [("b", _ts(d), float((d * 37) % 23)) for d in range(35)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in T2.forecast_backtest(
+        df, "g", "ts", "v").collect()}
+    assert out["a"]["n_scored"] == 28
+    assert out["a"]["mae_seasonal"] == 0.0
+    assert out["a"]["mase"] == 0.0 and out["a"]["smape"] == 0.0
+    assert out["a"]["mae_naive"] > 0
+    assert out["b"]["mae_seasonal"] > 0
+    assert out["b"]["mase"] > 0.5  # no seasonal structure to exploit
+
+
+def test_forecast_backtest_daily_totals_and_short_series(spark):
+    from occupation_wage_etl_spark.operators import timeseries as T2
+
+    # multiple rows per day fold into the daily total BEFORE scoring;
+    # series shorter than the season produce no scored rows
+    rows = [("a", _ts(d, i), 1.0) for d in range(10) for i in range(3)]
+    rows += [("tiny", _ts(d), float(d)) for d in range(5)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in T2.forecast_backtest(
+        df, "g", "ts", "v").collect()}
+    assert "tiny" not in out  # < 8 observed days -> unscored
+    assert out["a"]["n_scored"] == 3  # days 7..9
+    assert out["a"]["mae_seasonal"] == 0.0  # constant daily total 3.0
+    assert out["a"]["mase"] is None  # no naive scale on a constant series
+    assert out["a"]["smape"] == 0.0
