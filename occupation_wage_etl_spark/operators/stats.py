@@ -41,23 +41,41 @@ def _resolve_few_groups(
     the 100 TB flip no caller should have to know about.
 
     Explicit True/False is an override and costs nothing.  ``None``
-    runs ONE ``approx_count_distinct(group)`` job over the histogram
-    input (HLL++, no shuffle of data-sized state; callers cache the
-    histogram, so the job doubles as the cache materialization the
-    downstream passes need anyway) and flips to the two-level
-    distributed scan iff estimated groups < shuffle partitions — below
-    that, the per-group window's parallelism equals #groups and leaves
-    the rest of the cluster idle; above it, the plain window is both
-    cheaper and skew-free.  The ±5% HLL error cannot affect
-    correctness (both paths are bit-identical — q215's registry
-    proof), only which identical-result plan runs near the boundary.
+    runs ONE aggregate job over the histogram input (row count +
+    ``approx_count_distinct(group)`` — HLL++, no data-sized state;
+    callers cache the histogram, so the job doubles as the cache
+    materialization the downstream passes need anyway) and flips to
+    the two-level distributed scan iff BOTH cliffs are present:
+
+    - estimated groups < shuffle partitions (a per-group window's
+      parallelism equals #groups, idling the rest of the cluster), AND
+    - histogram rows ≥ ``spark.graft.fewGroupsMinHistRows`` (default
+      8M) — below that, a single task sorts each group's distinct
+      values in seconds and the two-level scan's extra
+      materialization + broadcast stitch COSTS more than it saves
+      (measured: grouped_mad at sf0.1, 594k-row histogram / 3 groups:
+      window 3.0 s vs two-level 6.9 s; the q94-floor cliff the flip
+      exists for appears when per-group distinct counts reach the
+      hundreds of millions).
+
+    The ±5% HLL error cannot affect correctness (both paths are
+    bit-identical — q215's registry proof), only which
+    identical-result plan runs near the boundary.
     """
     if few_groups is not None:
         return bool(few_groups)
+    sp = hist.sparkSession
+    try:
+        min_rows = int(sp.conf.get("spark.graft.fewGroupsMinHistRows"))
+    except Exception:
+        min_rows = 8_000_000
     est = hist.agg(
-        F.approx_count_distinct(group_col).alias("__g")
-    ).first()["__g"]
-    return est < shuffle_partitions(hist.sparkSession)
+        F.count(F.lit(1)).alias("__n"),
+        F.approx_count_distinct(group_col).alias("__g"),
+    ).first()
+    return (
+        est["__g"] < shuffle_partitions(sp) and est["__n"] >= min_rows
+    )
 
 
 def _grouped_cum(

@@ -294,8 +294,8 @@ def test_few_groups_auto_matches_both_explicit_paths(spark):
 
 
 def test_few_groups_auto_picks_expected_branch(spark):
-    # 3 groups << 32 shuffle partitions -> two-level scan (__pid /
-    # spark_partition_id in the plan); 200 groups >= 32 -> plain window
+    # AUTO flips only when BOTH cliffs hold: few groups AND a histogram
+    # above the min-rows bound (lowered via conf for the test)
     few = spark.createDataFrame(
         [(i, "g%d" % (i % 3), float(i % 97)) for i in range(300)],
         "id long, g string, v double",
@@ -304,11 +304,17 @@ def test_few_groups_auto_picks_expected_branch(spark):
         [(i, "g%d" % (i % 200), float(i % 97)) for i in range(2000)],
         "id long, g string, v double",
     )
-    plan_few = stats.grouped_exact_percentiles(
-        few, "g", "v", {"m": 0.5}
-    )._jdf.queryExecution().analyzed().toString()
-    plan_many = stats.grouped_exact_percentiles(
-        many, "g", "v", {"m": 0.5}
-    )._jdf.queryExecution().analyzed().toString()
-    assert "__pid" in plan_few
-    assert "__pid" not in plan_many
+
+    def plan(df):
+        return stats.grouped_exact_percentiles(
+            df, "g", "v", {"m": 0.5}
+        )._jdf.queryExecution().analyzed().toString()
+
+    spark.conf.set("spark.graft.fewGroupsMinHistRows", "10")
+    try:
+        assert "__pid" in plan(few)       # few groups + big-enough hist
+        assert "__pid" not in plan(many)  # many groups -> window
+    finally:
+        spark.conf.unset("spark.graft.fewGroupsMinHistRows")
+    # default 8M bound: the tiny histogram stays on the window path
+    assert "__pid" not in plan(few)
