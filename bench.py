@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "q228_wasserstein",
     "q229_logo_ols",
     "q230_forecast_backtest",
+    "q231_cross_correlation",
 ]
 
 

@@ -1293,3 +1293,84 @@ def forecast_backtest(
             / F.col("n_scored").cast("double")
         ).alias("smape"),
     ).orderBy(group_col)
+
+
+def cross_correlation(
+    df: DataFrame,
+    group_a: str,
+    group_b: str,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between two series' DAILY
+    totals — "does A lead B?" (marketing spend → purchases, errors →
+    churn): for each lag in [−max_lag, +max_lag], the correlation of
+    x_t with y_{t+lag} over days where both exist; the argmax lag is
+    the lead/lag estimate.
+
+    Shape: one row-sized aggregate to (series, day, total) with exact
+    DECIMAL sums, then ONE equi-join per the lag span — implemented as
+    a single join on ``x.day = y.day − lag`` via a lag-exploded small
+    side (2·max_lag+1 lag rows per day: calendar × lags sized, bounded
+    by the calendar, never by row count).  Per-lag Pearson runs on the
+    five exact decimal moments with the closed-form double tree
+    (engine-replayable, same contract as q49), one row per lag.
+
+    Returns (lag, n_days, corr) for lags with ≥ 3 overlapping days and
+    nonzero variance on both sides, ordered by lag.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    daily = (
+        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        .groupBy(
+            (g == group_a).alias("__isa"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+        )
+        .agg(F.sum(v.cast("decimal(18,2)")).alias("__y"))
+    )
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    daily = cached(daily)
+    a = daily.filter(F.col("__isa")).select(
+        F.datediff(F.col("__d"), F.lit("1970-01-01")).alias("__da"),
+        F.col("__y").alias("__x"),
+    )
+    b = daily.filter(~F.col("__isa")).select(
+        F.datediff(F.col("__d"), F.lit("1970-01-01")).alias("__db"),
+        F.col("__y").alias("__yy"),
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    a_lagged = a.select("__da", "__x", lags)
+    pairs = a_lagged.join(
+        b, a_lagged["__da"] + F.col("lag") == b["__db"]
+    )
+    d2s = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__yy").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__yy") * F.col("__yy")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__yy")).alias("__sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy = d2s("__sx"), d2s("__sy")
+    sxx, syy, sxy = d2s("__sxx"), d2s("__syy"), d2s("__sxy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return (
+        mom.filter(F.col("n_days") >= 3)
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_days",
+            F.when(
+                (varx > 0) & (vary > 0),
+                (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)),
+            ).alias("corr"),
+        )
+        .orderBy("lag")
+    )

@@ -10539,6 +10539,58 @@ FROM per ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q231 — lagged cross-correlation between two event series
+# (operators/timeseries.py:cross_correlation): does 'view' volume lead
+# 'purchase' volume?  Daily decimal totals, one lag-exploded calendar
+# join, closed-form Pearson per lag.
+# ---------------------------------------------------------------------------
+
+
+def q231_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.cross_correlation(
+        ev, "view", "purchase", "event_type", "ts", "value", max_lag=7
+    )
+
+
+Q231_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type = 'view' AS isa,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         sum(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+), a AS (SELECT d AS da, y AS x FROM daily WHERE isa),
+b AS (SELECT d AS db, y AS yy FROM daily WHERE NOT isa),
+al AS (
+  SELECT da, x, unnest(range(-7, 8)) AS lag FROM a
+), mom AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+         sum(x) AS sx, sum(yy) AS sy,
+         sum(x * x) AS sxx, sum(yy * yy) AS syy, sum(x * yy) AS sxy
+  FROM al JOIN b ON al.da + al.lag = b.db
+  GROUP BY 1
+), m AS (
+  SELECT CAST(lag AS BIGINT) AS lag, n_days,
+         CAST(n_days AS DOUBLE) AS n,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy
+  FROM mom WHERE n_days >= 3
+)
+SELECT lag, n_days,
+       CASE WHEN n * dsxx - dsx * dsx > 0 AND n * dsyy - dsy * dsy > 0
+            THEN (n * dsxy - dsx * dsy)
+                 / (sqrt(n * dsxx - dsx * dsx)
+                    * sqrt(n * dsyy - dsy * dsy)) END AS corr
+FROM m ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
 # q229 — leave-one-group-out OLS sensitivity
 # (operators/stats.py:logo_ols_sensitivity): data-valuation by exact
 # Gramian subtraction — every leave-out refit from ONE aggregate, each
@@ -11282,6 +11334,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q228_wasserstein": q228_wasserstein,
     "q229_logo_ols": q229_logo_ols,
     "q230_forecast_backtest": q230_forecast_backtest,
+    "q231_cross_correlation": q231_cross_correlation,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11515,4 +11568,5 @@ ORACLE_SQL: dict[str, str] = {
     "q228_wasserstein": Q228_SQL,
     "q229_logo_ols": Q229_SQL,
     "q230_forecast_backtest": Q230_SQL,
+    "q231_cross_correlation": Q231_SQL,
 }

@@ -485,3 +485,32 @@ def test_forecast_backtest_daily_totals_and_short_series(spark):
     assert out["a"]["mae_seasonal"] == 0.0  # constant daily total 3.0
     assert out["a"]["mase"] is None  # no naive scale on a constant series
     assert out["a"]["smape"] == 0.0
+
+
+# ---------------------------------------------------- cross-correlation
+
+
+def test_cross_correlation_detects_known_lead(spark):
+    from occupation_wage_etl_spark.operators import timeseries as T2
+
+    # b follows a with a 2-day lag exactly: corr at lag +2 is 1.0
+    vals = [float(v) for v in (5, 9, 2, 8, 1, 7, 3, 6, 4, 8, 2, 9,
+                               1, 5, 7, 3, 8, 2, 6, 4)]
+    rows = [("a", _ts(d), vals[d]) for d in range(20)]
+    rows += [("b", _ts(d + 2), vals[d]) for d in range(20)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["lag"]: r for r in T2.cross_correlation(
+        df, "a", "b", "g", "ts", "v", max_lag=4).collect()}
+    assert abs(out[2]["corr"] - 1.0) < 1e-12
+    assert all(abs(out[k]["corr"]) < 0.99 for k in out if k != 2)
+    assert out[2]["n_days"] == 20
+
+
+def test_cross_correlation_guards_degenerate_variance(spark):
+    from occupation_wage_etl_spark.operators import timeseries as T2
+
+    rows = [("a", _ts(d), 5.0) for d in range(10)]  # constant series
+    rows += [("b", _ts(d), float(d)) for d in range(10)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = T2.cross_correlation(df, "a", "b", "g", "ts", "v", 2).collect()
+    assert out and all(r["corr"] is None for r in out)  # no variance in a
