@@ -456,7 +456,11 @@ def bh_fdr(
     hist = rows.groupBy(F.lit(0).alias("__g"), F.col("__p")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    cum = _grouped_cum(hist, "__g", "__p", "__cnt", None)
+    # few_groups=True EXPLICITLY: one constant group is the
+    # definitional few-groups case — the AUTO heuristic would pick the
+    # window path on a small p-table and leave an unbounded
+    # single-partition exchange in the plan for a large one
+    cum = _grouped_cum(hist, "__g", "__p", "__cnt", True)
     m = rows.agg(F.count(F.lit(1)).alias("__m"))
     # crossing iff p <= rank*alpha/m  <=>  p*m*den <= rank*num
     crossed = (
