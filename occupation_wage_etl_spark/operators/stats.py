@@ -711,14 +711,20 @@ def grouped_weighted_median(
         .groupBy(group_col, value_col)
         .agg(F.sum(w).alias("__cw"))
     )
-    # cached FIRST: the histogram feeds the AUTO resolver's estimate
-    # job, the cum scan, AND the totals aggregate — without the cache
-    # the resolver recomputed the row-sized histogram a second time
-    # (a measured 1.6x on q114)
-    hist = cached(hist)
+    # cache policy, measured at sf0.1: AUTO adds a third histogram
+    # consumer (the estimate job), so cache BEFORE resolving (1.9 s;
+    # uncached-resolve recomputes the histogram, 1.6 s -> 2.3 s);
+    # explicit False keeps the original uncached two-consumer fusion
+    # (1.0 s — a cache round-trip of the decimal histogram costs more
+    # than recomputing it inside both codegen pipelines)
+    auto = few_groups is None
+    if auto:
+        hist = cached(hist)
     # resolve AUTO here (not inside _grouped_cum): the totals-join
     # shape below must branch on the SAME resolved value
     few_groups = _resolve_few_groups(hist, group_col, few_groups)
+    if few_groups and not auto:
+        hist = cached(hist)  # feeds the cum scan AND the totals agg
     cum0 = _grouped_cum(hist, group_col, value_col, "__cw", few_groups,
                         out_col="__cum")
     tot = hist.groupBy(group_col).agg(F.sum("__cw").alias("__tot"))
