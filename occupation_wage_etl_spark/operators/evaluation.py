@@ -994,7 +994,10 @@ def split_conformal_interval(
     """
     from occupation_wage_etl_spark.operators._cache import cached
     from occupation_wage_etl_spark.operators.splits import hash_bucket
-    from occupation_wage_etl_spark.operators.stats import _grouped_cum
+    from occupation_wage_etl_spark.operators.stats import (
+        _grouped_cum,
+        _resolve_few_groups,
+    )
 
     g, v = F.col(group_col), F.col(value_col)
     rows = cached(
@@ -1022,12 +1025,16 @@ def split_conformal_interval(
             F.abs(F.col("__y") - F.col("__mu")).alias("__r"),
         )
     )
-    hist = (
-        resid.filter(F.col("__cal"))
-        .groupBy("__g", "__r")
-        .agg(F.count(F.lit(1)).alias("__cnt"), F.first("n_calib").alias("__n"))
+    calib_resid = resid.filter(F.col("__cal"))
+    hist = calib_resid.groupBy("__g", "__r").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.first("n_calib").alias("__n")
     )
-    cum = _grouped_cum(hist, "__g", "__r", "__cnt", None)
+    # AUTO resolution estimates SCAN-SIDE over the cached residual rows
+    # (no recompute of the histogram groupBy for the estimate job — the
+    # round-6 shape re-aggregated `resid` once per resolve)
+    fg = _resolve_few_groups(hist, "__g", None, rows=calib_resid,
+                             value_col="__r")
+    cum = _grouped_cum(hist, "__g", "__r", "__cnt", fg)
     # k = ceil((n+1)(1-a)) = ((n+1)(den-num) + den-1) div den, capped at n
     k = F.least(
         F.expr(
