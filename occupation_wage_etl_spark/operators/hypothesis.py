@@ -578,9 +578,15 @@ def wasserstein_1d(
         .cast("decimal(38,12)")
         .alias("__term"),
     )
+    # n_a/n_b are grouping columns here; a group absent from the data
+    # makes the denominator 0 — IEEE double division would emit a
+    # silent NaN row, so gate the whole expression (explicit NULL says
+    # "distance undefined", the same contract as the correlation /0
+    # guards elsewhere in this module).
     return terms.groupBy("n_a", "n_b").agg(
-        (
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.sum("__term").cast("string").cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("wasserstein")
     )

@@ -836,6 +836,10 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
     for mcu in range(mcus_x * mcus_y):
         if restart and mcu and mcu % restart == 0:
             seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError(
+                    "corrupt JPEG: missing restart segment"
+                )
             rd = _JpegBitReader(bytes(segs[seg_i]))
             preds = [0] * len(comps)
         my, mx = divmod(mcu, mcus_x)
@@ -858,6 +862,10 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
                             k += 16
                             continue
                         k += r
+                        if k > 63:
+                            raise ValueError(
+                                "corrupt JPEG: AC run past block end"
+                            )
                         nat = _JPEG_ZIGZAG[k]
                         coef[nat] = _extend(rd.read_bits(size), size) * q[nat]
                         k += 1

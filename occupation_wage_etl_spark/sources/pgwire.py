@@ -22,6 +22,7 @@ docstring); a row-store INSERT stream is the reference-parity path.
 
 from __future__ import annotations
 
+import math
 import socket
 import struct
 from collections.abc import Iterable
@@ -143,12 +144,19 @@ def _err_text(body: bytes) -> str:
 def sql_literal(v) -> str:
     """Text literal with standard_conforming_strings quoting; floats go
     through repr (shortest round-trip form — Postgres parses it back to
-    the identical double)."""
+    the identical double).  Non-finite doubles have no bare-token form
+    in Postgres SQL (repr's ``nan``/``inf`` are syntax errors that
+    would fail the whole partition INSERT): they need the QUOTED
+    spellings the float8 input function accepts."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, float):
+        if math.isnan(v):
+            return "'NaN'"
+        if math.isinf(v):
+            return "'Infinity'" if v > 0 else "'-Infinity'"
         return repr(v)
     if isinstance(v, int):
         return str(v)

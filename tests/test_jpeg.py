@@ -138,3 +138,40 @@ def test_jpeg_sniff_and_decode_image_operator(spark):
         blk[0] = (did % 201) - 100
         blk[1] = (did % 7) - 3
         assert decoded[did]["pixels"] == list(_expected_pixels(blk).ravel())
+
+
+def test_jpeg_corrupt_ac_run_raises_value_error():
+    # entropy stream whose AC codes run past coefficient 63 (3 ZRLs to
+    # k=49, then run=15/size=1 -> k=64): strict mode must diagnose the
+    # corruption as ValueError, never IndexError
+    _, dc_codes = mm._huff_spec_8bit(mm._JPEG_DC_SYMS)
+    _, ac_codes = mm._huff_spec_8bit(mm._JPEG_AC_SYMS)
+    out = bytearray(mm._jpeg_headers(8, 8, 16, [(1, 1, 1)]))
+    out += mm._jpeg_sos([1])
+    w = mm._JpegBitWriter()
+    code, ln = dc_codes[0]
+    w.write(code, ln)  # DC diff = 0
+    for _ in range(3):
+        code, ln = ac_codes[0xF0]
+        w.write(code, ln)  # ZRL
+    code, ln = ac_codes[0xF1]
+    w.write(code, ln)  # run 15, size 1 -> k = 64
+    w.write(1, 1)
+    out += w.finish() + b"\xff\xd9"
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        mm.decode_jpeg_gray(bytes(out))
+
+
+def test_jpeg_missing_restart_segment_raises_value_error():
+    # 3 blocks at restart interval 1 -> segments [s0, RST0, s1, RST1,
+    # s2]; truncating at RST1 leaves 2 segments for 3 MCUs
+    blocks = []
+    for i in range(3):
+        blk = [0] * 64
+        blk[0] = 10 * (i + 1)
+        blocks.append(blk)
+    data = mm.encode_jpeg_gray_coeffs(24, 8, blocks, restart_interval=1)
+    cut = data.find(b"\xff\xd1")
+    assert cut > 0
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        mm.decode_jpeg_gray(data[:cut] + b"\xff\xd9")

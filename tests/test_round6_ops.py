@@ -514,3 +514,17 @@ def test_cross_correlation_guards_degenerate_variance(spark):
     df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
     out = T2.cross_correlation(df, "a", "b", "g", "ts", "v", 2).collect()
     assert out and all(r["corr"] is None for r in out)  # no variance in a
+
+
+def test_wasserstein_1d_absent_group_yields_null(spark):
+    from occupation_wage_etl_spark.operators import hypothesis
+
+    # a group with no rows makes the n_a*n_b denominator 0: the result
+    # must be an explicit NULL (undefined distance), not IEEE NaN/Inf
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(5)], "g string, v double"
+    )
+    r = hypothesis.wasserstein_1d(df, "v", "g", "a", "b").collect()
+    assert len(r) == 1
+    assert r[0]["n_b"] == 0
+    assert r[0]["wasserstein"] is None

@@ -136,3 +136,17 @@ def test_postgres_dialect_append_scan_idempotent(spark, pg_socket_dir):
         assert n[0][0] == "3"
     finally:
         conn.close()
+
+
+def test_sql_literal_non_finite_floats():
+    # ungated (no server needed): repr()'s bare nan/inf tokens are
+    # Postgres syntax errors — non-finite doubles must use the QUOTED
+    # spellings float8in accepts
+    from occupation_wage_etl_spark.sources.pgwire import sql_literal
+
+    assert sql_literal(float("nan")) == "'NaN'"
+    assert sql_literal(float("inf")) == "'Infinity'"
+    assert sql_literal(float("-inf")) == "'-Infinity'"
+    assert sql_literal(1.5) == "1.5"
+    assert sql_literal(None) == "NULL"
+    assert sql_literal("O'Neil") == "'O''Neil'"
