@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "q229_logo_ols",
     "q230_forecast_backtest",
     "q231_cross_correlation",
+    "q232_mp4_demux",
+    "q233_mp4_keyframes",
 ]
 
 

@@ -40,6 +40,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # pure-Python magic-byte sniffing (REAL, deterministic, no codec libs)
@@ -319,9 +320,10 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
 _STUB_MSG = (
     "payload is not decodable with the built-in codecs (PNG/BMP/"
     "baseline-JPEG images, WAV/PCM16 audio); progressive JPEG and video "
-    "decode require Pillow/ffmpeg — pass mode='fake' for the "
-    "deterministic test fake, or swap the per-batch body for a "
-    "codec-library decoder"
+    "FRAME decode require Pillow/ffmpeg — pass mode='fake' for the "
+    "deterministic test fake, mode='mp4' on sample_frames for the real "
+    "ISO-BMFF container demux (operators/video.py), or swap the "
+    "per-batch body for a codec-library decoder"
 )
 
 
@@ -522,11 +524,30 @@ def sample_frames(
 ) -> DataFrame:
     """One output row per sampled frame: (id, frame_idx, frame binary).
     A fan-out mapInPandas (rows out > rows in) — the Spark-native shape
-    for frame extraction.  PERMANENT STUB for the decode step: video
-    containers require ffmpeg-class demuxing that stdlib cannot provide
-    (COVERAGE.md records the decision); 'fake' emits md5-derived 16-byte
-    frame payloads at indexes 0, n, 2n, … so the fan-out plumbing stays
-    tested."""
+    for frame extraction.
+
+    ``mode='mp4'`` (since round 7): REAL container demux for ISO-BMFF
+    payloads — ``frame_idx`` is the 1-based sync-sample number from the
+    ``stss`` table and ``frame`` is the actual ``mdat`` byte slice at
+    the stsc/stco/stsz-derived offset (:mod:`.video`); ``every_nth``
+    strides the keyframe list, ``max_frames`` caps the fan-out.  Codec
+    DECODE of the sliced frames remains the PERMANENT STUB (stdlib has
+    no H.264-class decoder — COVERAGE.md records the decision); 'fake'
+    emits md5-derived 16-byte frame payloads at indexes 0, n, 2n, … so
+    non-MP4 plumbing stays tested, and 'strict' raises."""
+    if mode == "mp4":
+        from occupation_wage_etl_spark.operators.video import (
+            mp4_keyframe_slices,
+        )
+
+        return mp4_keyframe_slices(
+            df, every_nth=every_nth, max_frames=max_frames,
+            bin_col=bin_col, id_col=id_col,
+        ).select(
+            id_col,
+            F.col("sample_idx").cast("int").alias("frame_idx"),
+            "frame",
+        )
     out_schema = f"{id_col} long, frame_idx int, frame binary"
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

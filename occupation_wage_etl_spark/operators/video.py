@@ -1,0 +1,541 @@
+"""ISO-BMFF (MP4) container demux — the METADATA tier of video support.
+
+What a 100 TB curation pipeline actually needs from video payloads,
+before (and usually instead of) any codec work, is container-level
+fact extraction: which tracks exist, their codecs, durations, sample
+counts, and WHERE the keyframes live — so sampling, dedup and routing
+can run on byte offsets without ever invoking a decoder.  All of that
+is pure public spec (ISO/IEC 14496-12 box grammar) and pure stdlib:
+
+- :func:`parse_mp4` walks the box tree (size/type headers, 64-bit
+  largesize, version-0/1 full boxes), reads ``ftyp``/``mvhd``/``tkhd``/
+  ``mdhd``/``hdlr``/``stsd`` and reconstructs per-sample byte offsets
+  from the ``stsc`` (sample→chunk) + ``stco``/``co64`` (chunk offset) +
+  ``stsz`` (sample size) tables — the real demux math, not a stub.
+- :func:`demux_mp4` is the Spark operator: one output row per TRACK,
+  scan-side ``mapInPandas`` (Arrow-batched, no shuffle — metadata
+  extraction stays where the bytes already are).
+- :func:`mp4_keyframe_slices` fans out one row per SYNC SAMPLE
+  (``stss``; absent ⇒ every sample is sync, per spec) with its byte
+  offset, size, and the actual payload slice out of ``mdat`` — the
+  "sample_frames able to target real keyframe offsets" path.  Codec
+  DECODE of the sliced frames remains out of scope (stdlib has no
+  H.264/AAC decoder — COVERAGE.md records the decision); the container
+  layer itself is fully real.
+- :func:`encode_mp4_fixture` synthesizes a structurally valid
+  single-``mdat`` MP4 from chosen parameters — the deterministic
+  fixture generator for the oracle-paired registry queries (q232/q233),
+  same pattern as the JPEG coefficient fixtures
+  (``multimodal.encode_jpeg_gray_coeffs`` / q217).
+
+Reference analogue: the reference pipeline has no video handling at
+all (it is an OEWS/O*NET tabular ETL — ``pipeline/transform_data.py``);
+this module is part of the engine's training-data extension surface.
+
+Scale posture: payloads are opaque ``binary`` cells read once by the
+scan; both operators are narrow per-row transforms (fan-out bounded by
+keyframe count), so the plan shape is scan → mapInPandas with zero
+exchanges — partitioning is whatever the source table already has.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# Container boxes whose payload is a sequence of child boxes.
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta",
+    b"mvex", b"moof", b"traf",
+}
+
+
+def _iter_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    ``b[start:end]``; handles size==1 (64-bit largesize) and size==0
+    (box extends to the end of the enclosing scope)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", b, pos)[0]
+        btype = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("corrupt MP4: truncated largesize box")
+            size = struct.unpack_from(">Q", b, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("corrupt MP4: box overruns its container")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find(b: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _iter_boxes(b, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _full_box(b: bytes, s: int) -> tuple[int, int]:
+    """(version, flags) of a full box whose payload starts at ``s``."""
+    vf = struct.unpack_from(">I", b, s)[0]
+    return vf >> 24, vf & 0xFFFFFF
+
+
+def _parse_stbl(b: bytes, s: int, e: int) -> dict:
+    out: dict = {
+        "codec": None,
+        "sizes": [],
+        "chunk_offsets": [],
+        "stsc": [],
+        "sync": None,
+        "n_samples": 0,
+    }
+    for t, bs, be in _iter_boxes(b, s, e):
+        if t == b"stsd":
+            # version/flags + entry_count, then sample entries:
+            # size(4) format(4) ... — the codec fourcc is the format
+            n = struct.unpack_from(">I", b, bs + 4)[0]
+            if n >= 1 and be - bs >= 16:
+                out["codec"] = b[bs + 12 : bs + 16].decode(
+                    "ascii", errors="replace"
+                )
+        elif t == b"stsz":
+            fixed, count = struct.unpack_from(">II", b, bs + 4)
+            out["n_samples"] = count
+            if fixed:
+                out["sizes"] = [fixed] * count
+            else:
+                out["sizes"] = list(
+                    struct.unpack_from(f">{count}I", b, bs + 12)
+                )
+        elif t == b"stsc":
+            n = struct.unpack_from(">I", b, bs + 4)[0]
+            vals = struct.unpack_from(f">{3 * n}I", b, bs + 8)
+            out["stsc"] = [
+                (vals[3 * i], vals[3 * i + 1], vals[3 * i + 2])
+                for i in range(n)
+            ]
+        elif t == b"stco":
+            n = struct.unpack_from(">I", b, bs + 4)[0]
+            out["chunk_offsets"] = list(
+                struct.unpack_from(f">{n}I", b, bs + 8)
+            )
+        elif t == b"co64":
+            n = struct.unpack_from(">I", b, bs + 4)[0]
+            out["chunk_offsets"] = list(
+                struct.unpack_from(f">{n}Q", b, bs + 8)
+            )
+        elif t == b"stss":
+            n = struct.unpack_from(">I", b, bs + 4)[0]
+            out["sync"] = list(struct.unpack_from(f">{n}I", b, bs + 8))
+    return out
+
+
+def _sample_offsets(stbl: dict) -> list[int]:
+    """Absolute byte offset of every sample, from the stsc/stco/stsz
+    chain: expand the run-length stsc table over the chunk list, then
+    walk each chunk's samples accumulating sizes — the demux math every
+    real player runs."""
+    sizes = stbl["sizes"]
+    chunks = stbl["chunk_offsets"]
+    stsc = stbl["stsc"]
+    if not sizes or not chunks or not stsc:
+        return []
+    # samples-per-chunk for each chunk (stsc rows are (first_chunk,
+    # samples_per_chunk, _) with first_chunk 1-based, last row running
+    # to the final chunk)
+    spc: list[int] = []
+    for i, (first, per, _sdi) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
+        spc.extend([per] * (last - first + 1))
+    offsets: list[int] = []
+    si = 0
+    for ci, coff in enumerate(chunks):
+        pos = coff
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= len(sizes):
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError(
+            "corrupt MP4: stsc/stco cover "
+            f"{si} samples, stsz declares {len(sizes)}"
+        )
+    return offsets
+
+
+def parse_mp4(b: bytes) -> dict:
+    """Parse an ISO-BMFF container's metadata: brands, movie
+    timescale/duration, and per-track (id, handler, codec, timescale,
+    duration, width, height, sample sizes, sample offsets, sync-sample
+    list).  Raises ``ValueError`` on structural corruption."""
+    if len(b) < 16:
+        raise ValueError("corrupt MP4: too short")
+    out: dict = {
+        "major_brand": None,
+        "compatible": [],
+        "timescale": None,
+        "duration": None,
+        "tracks": [],
+    }
+    moov = None
+    for t, s, e in _iter_boxes(b, 0, len(b)):
+        if t == b"ftyp":
+            out["major_brand"] = b[s : s + 4].decode("ascii", "replace")
+            out["compatible"] = [
+                b[i : i + 4].decode("ascii", "replace")
+                for i in range(s + 8, e, 4)
+            ]
+        elif t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("corrupt MP4: no moov box")
+    ms, me = moov
+    for t, s, e in _iter_boxes(b, ms, me):
+        if t == b"mvhd":
+            v, _ = _full_box(b, s)
+            if v == 1:
+                out["timescale"] = struct.unpack_from(">I", b, s + 20)[0]
+                out["duration"] = struct.unpack_from(">Q", b, s + 24)[0]
+            else:
+                out["timescale"], out["duration"] = struct.unpack_from(
+                    ">II", b, s + 12
+                )
+        elif t == b"trak":
+            out["tracks"].append(_parse_trak(b, s, e))
+    return out
+
+
+def _parse_trak(b: bytes, s: int, e: int) -> dict:
+    tr: dict = {
+        "track_id": None,
+        "handler": None,
+        "codec": None,
+        "timescale": None,
+        "duration": None,
+        "width": 0,
+        "height": 0,
+    }
+    stbl: dict = {}
+    for t, bs, be in _iter_boxes(b, s, e):
+        if t == b"tkhd":
+            v, _ = _full_box(b, bs)
+            if v == 1:
+                tr["track_id"] = struct.unpack_from(">I", b, bs + 20)[0]
+            else:
+                tr["track_id"] = struct.unpack_from(">I", b, bs + 12)[0]
+            # width/height are the LAST two 16.16 fields of the payload
+            tr["width"] = struct.unpack_from(">I", b, be - 8)[0] >> 16
+            tr["height"] = struct.unpack_from(">I", b, be - 4)[0] >> 16
+        elif t == b"mdia":
+            for t2, cs, ce in _iter_boxes(b, bs, be):
+                if t2 == b"mdhd":
+                    v, _ = _full_box(b, cs)
+                    if v == 1:
+                        tr["timescale"] = struct.unpack_from(
+                            ">I", b, cs + 20
+                        )[0]
+                        tr["duration"] = struct.unpack_from(
+                            ">Q", b, cs + 24
+                        )[0]
+                    else:
+                        tr["timescale"], tr["duration"] = (
+                            struct.unpack_from(">II", b, cs + 12)
+                        )
+                elif t2 == b"hdlr":
+                    tr["handler"] = b[cs + 8 : cs + 12].decode(
+                        "ascii", "replace"
+                    )
+                elif t2 == b"minf":
+                    st = _find(b, cs, ce, b"stbl")
+                    if st is not None:
+                        stbl = _parse_stbl(b, st[0], st[1])
+    tr["codec"] = stbl.get("codec")
+    tr["sizes"] = stbl.get("sizes", [])
+    tr["n_samples"] = stbl.get("n_samples", 0)
+    tr["offsets"] = _sample_offsets(stbl) if stbl else []
+    # stss absent => every sample is a sync sample (ISO 14496-12 §8.6.2)
+    sync = stbl.get("sync")
+    tr["sync"] = (
+        sync
+        if sync is not None
+        else list(range(1, tr["n_samples"] + 1))
+    )
+    return tr
+
+
+# ------------------------------------------------------------ operators
+
+
+def demux_mp4(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per TRACK: (id, major_brand, movie_timescale,
+    movie_duration, track_id, handler, codec, timescale, duration,
+    n_samples, n_sync, total_sample_bytes, width, height).
+
+    Scan-side mapInPandas — no shuffle; the fan-out is bounded by the
+    track count (two or three in practice)."""
+    schema = (
+        f"{id_col} long, major_brand string, movie_timescale long, "
+        "movie_duration long, track_id long, handler string, "
+        "codec string, timescale long, duration long, n_samples long, "
+        "n_sync long, total_sample_bytes long, width long, height long"
+    )
+
+    def _demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                meta = parse_mp4(bytes(payload or b""))
+                for tr in meta["tracks"]:
+                    rows.append(
+                        (
+                            int(rid),
+                            meta["major_brand"],
+                            meta["timescale"],
+                            meta["duration"],
+                            tr["track_id"],
+                            tr["handler"],
+                            tr["codec"],
+                            tr["timescale"],
+                            tr["duration"],
+                            tr["n_samples"],
+                            len(tr["sync"]),
+                            sum(tr["sizes"]),
+                            tr["width"],
+                            tr["height"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "major_brand", "movie_timescale",
+                    "movie_duration", "track_id", "handler", "codec",
+                    "timescale", "duration", "n_samples", "n_sync",
+                    "total_sample_bytes", "width", "height",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_demux, schema=schema)
+
+
+def mp4_keyframe_slices(
+    df: DataFrame,
+    every_nth: int = 1,
+    max_frames: int = 16,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    handler: str = "vide",
+) -> DataFrame:
+    """One row per sampled SYNC sample of each ``handler`` track:
+    (id, track_id, sample_idx [1-based], byte_offset, size, frame) —
+    ``frame`` is the ACTUAL payload slice out of ``mdat`` at the
+    stsc/stco/stsz-derived offset, so downstream stages (hashing,
+    near-dup, external codec workers) operate on real frame bytes.
+    ``every_nth`` strides the sync-sample list; ``max_frames`` bounds
+    the per-track fan-out (the 100 TB cap — a pathological stss cannot
+    explode one row into millions)."""
+    schema = (
+        f"{id_col} long, track_id long, sample_idx long, "
+        "byte_offset long, size long, frame binary"
+    )
+
+    def _slices(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload or b"")
+                meta = parse_mp4(raw)
+                for tr in meta["tracks"]:
+                    if tr["handler"] != handler:
+                        continue
+                    picked = tr["sync"][::every_nth][:max_frames]
+                    for snum in picked:
+                        off = tr["offsets"][snum - 1]
+                        size = tr["sizes"][snum - 1]
+                        rows.append(
+                            (
+                                int(rid),
+                                tr["track_id"],
+                                snum,
+                                off,
+                                size,
+                                raw[off : off + size],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "track_id", "sample_idx", "byte_offset",
+                    "size", "frame",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_slices, schema=schema)
+
+
+# ------------------------------------------------------ fixture encoder
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4_fixture(
+    tracks: list[dict],
+    movie_timescale: int = 1000,
+) -> bytes:
+    """Synthesize a structurally valid single-``mdat`` MP4 from chosen
+    parameters — the oracle fixture generator (q217's pattern).  Each
+    track dict: ``handler`` ('vide'/'soun'), ``codec`` (fourcc str),
+    ``timescale``, ``sample_delta``, ``sizes`` (per-sample byte sizes),
+    ``sync`` (1-based keyframe list, or None for no stss box = all
+    sync), ``width``/``height`` (ints, video only).  Sample payload
+    bytes are ``(doc-chosen) size`` copies of the track index — content
+    is irrelevant to the container layer; callers wanting meaningful
+    frame bytes pass them via ``payloads`` (list of bytes per sample).
+
+    Every box size is a closed-form function of the parameters, so a
+    DuckDB oracle can replay byte offsets exactly (q233)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    movie_duration = max(
+        (
+            (len(t["sizes"]) * t["sample_delta"] * movie_timescale)
+            // t["timescale"]
+            for t in tracks
+        ),
+        default=0,
+    )
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", movie_timescale, movie_duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\0" * 8
+        + _UNITY_MATRIX
+        + b"\0" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+
+    # Build each track's boxes with a PLACEHOLDER chunk offset, then
+    # patch stco once the total header length is known (single mdat,
+    # one chunk per track, track payloads concatenated in order).
+    def trak_bytes(ti: int, t: dict, chunk_off: int) -> bytes:
+        n = len(t["sizes"])
+        duration = n * t["sample_delta"]
+        tk_dur = (duration * movie_timescale) // t["timescale"]
+        tkhd = _full(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", ti + 1, 0)
+            + struct.pack(">I", tk_dur)
+            + b"\0" * 8
+            + struct.pack(">HHHH", 0, 0, 0x0100 if t["handler"] == "soun" else 0, 0)
+            + _UNITY_MATRIX
+            + struct.pack(
+                ">II",
+                int(t.get("width", 0)) << 16,
+                int(t.get("height", 0)) << 16,
+            ),
+        )
+        mdhd = _full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", t["timescale"], duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _full(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0)
+            + t["handler"].encode("ascii")
+            + b"\0" * 12
+            + b"SparkGraft\0",
+        )
+        entry = (
+            struct.pack(">I", 16)
+            + t["codec"].encode("ascii")
+            + b"\0" * 6
+            + struct.pack(">H", 1)
+        )
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stts = _full(
+            b"stts", 0, 0,
+            struct.pack(">III", 1, n, t["sample_delta"]),
+        )
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n)
+            + struct.pack(f">{n}I", *t["sizes"]),
+        )
+        stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+        sync = t.get("sync")
+        stss = (
+            b""
+            if sync is None
+            else _full(
+                b"stss", 0, 0,
+                struct.pack(f">I{len(sync)}I", len(sync), *sync),
+            )
+        )
+        stbl = _box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    # Two passes: sizes don't depend on the chunk offset value (stco is
+    # fixed-width), so pass 1 with offset 0 measures, pass 2 patches.
+    probe = b"".join(trak_bytes(i, t, 0) for i, t in enumerate(tracks))
+    moov_size = 8 + len(mvhd) + len(probe)
+    mdat_data_start = len(ftyp) + moov_size + 8
+    offs = []
+    pos = mdat_data_start
+    for t in tracks:
+        offs.append(pos)
+        pos += sum(t["sizes"])
+    traks = b"".join(
+        trak_bytes(i, t, offs[i]) for i, t in enumerate(tracks)
+    )
+    moov = _box(b"moov", mvhd + traks)
+    payload = bytearray()
+    for ti, t in enumerate(tracks):
+        pl = t.get("payloads")
+        if pl is not None:
+            for i, sz in enumerate(t["sizes"]):
+                if len(pl[i]) != sz:
+                    raise ValueError("payload size mismatch")
+                payload += pl[i]
+        else:
+            for sz in t["sizes"]:
+                payload += bytes([ti + 1]) * sz
+    mdat = _box(b"mdat", bytes(payload))
+    return ftyp + moov + mdat

@@ -80,6 +80,7 @@ from occupation_wage_etl_spark.operators import (
     text_analysis,
     timeseries,
     topk,
+    video,
     vocab,
 )
 
@@ -11103,6 +11104,139 @@ ORDER BY q
 Q216_SQL = _kq_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# q232/q233 — ISO-BMFF (MP4) container demux, metadata tier
+# (operators/video.py): synthesize a structurally valid MP4 per
+# document from doc_id-derived parameters (q217's fixture pattern —
+# video track of n = 3 + doc_id%5 samples with deterministic sizes and
+# odd-numbered keyframes, plus an mp4a audio track with no stss when
+# doc_id%3 == 0), then run the REAL box-tree parser.  q232 checks the
+# per-track metadata (brands, timescales, durations, sample/sync
+# counts, dimensions); q233 checks the stsc/stco/stsz sample-offset
+# math — every keyframe's absolute byte offset — against the oracle's
+# closed-form replay of the box-size arithmetic (fixed boxes: ftyp 24,
+# mvhd 108, tkhd 92, mdhd 32, hdlr 43, stsd 32, stts 24, stsc 28,
+# stco 20; variable: stss 16+4k, stsz 20+4n).
+# ---------------------------------------------------------------------------
+
+
+def _synth_mp4(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): deterministic MP4 fixture per doc."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 5
+                tracks = [
+                    {
+                        "handler": "vide",
+                        "codec": "avc1",
+                        "timescale": 600,
+                        "sample_delta": 100,
+                        "sizes": [20 + ((did + 7 * i) % 13) for i in range(n)],
+                        "sync": list(range(1, n + 1, 2)),
+                        "width": 64,
+                        "height": 48,
+                    }
+                ]
+                if did % 3 == 0:
+                    m = 2 + (did // 3) % 3
+                    tracks.append(
+                        {
+                            "handler": "soun",
+                            "codec": "mp4a",
+                            "timescale": 8000,
+                            "sample_delta": 1024,
+                            "sizes": [
+                                10 + ((did + 5 * j) % 7) for j in range(m)
+                            ],
+                            "sync": None,
+                        }
+                    )
+                out.append(video.encode_mp4_fixture(tracks))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q232_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return video.demux_mp4(_synth_mp4(docs))
+
+
+Q232_SQL = """
+WITH v AS (
+  SELECT doc_id, 3 + doc_id % 5 AS n, (3 + doc_id % 5 + 1) // 2 AS kf
+  FROM documents
+), a AS (
+  SELECT doc_id, 2 + (doc_id // 3) % 3 AS m
+  FROM documents WHERE doc_id % 3 = 0
+), md AS (
+  SELECT v.doc_id,
+         greatest((v.n * 100 * 1000) // 600,
+                  coalesce((a.m * 1024 * 1000) // 8000, 0)) AS movie_duration
+  FROM v LEFT JOIN a ON a.doc_id = v.doc_id
+)
+SELECT v.doc_id, 'isom' AS major_brand,
+       CAST(1000 AS BIGINT) AS movie_timescale, md.movie_duration,
+       CAST(1 AS BIGINT) AS track_id, 'vide' AS handler, 'avc1' AS codec,
+       CAST(600 AS BIGINT) AS timescale,
+       CAST(v.n * 100 AS BIGINT) AS duration,
+       CAST(v.n AS BIGINT) AS n_samples, CAST(v.kf AS BIGINT) AS n_sync,
+       CAST(list_sum(list_transform(range(0, v.n),
+            i -> 20 + ((v.doc_id + 7 * i) % 13))) AS BIGINT)
+         AS total_sample_bytes,
+       CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height
+FROM v JOIN md ON md.doc_id = v.doc_id
+UNION ALL
+SELECT a.doc_id, 'isom', CAST(1000 AS BIGINT), md.movie_duration,
+       CAST(2 AS BIGINT), 'soun', 'mp4a', CAST(8000 AS BIGINT),
+       CAST(a.m * 1024 AS BIGINT), CAST(a.m AS BIGINT),
+       CAST(a.m AS BIGINT),
+       CAST(list_sum(list_transform(range(0, a.m),
+            j -> 10 + ((a.doc_id + 5 * j) % 7))) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM a JOIN md ON md.doc_id = a.doc_id
+"""
+
+
+def q233_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return video.mp4_keyframe_slices(_synth_mp4(docs), max_frames=16).select(
+        "doc_id", "track_id", "sample_idx", "byte_offset", "size"
+    )
+
+
+Q233_SQL = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 5 AS n, (3 + doc_id % 5 + 1) // 2 AS kf,
+         CASE WHEN doc_id % 3 = 0 THEN 323 + 4 * (2 + (doc_id // 3) % 3)
+              ELSE 0 END AS audio_hdr
+  FROM documents
+), base AS (
+  SELECT doc_id, n,
+         487 + 4 * kf + 4 * n + audio_hdr AS data_start
+  FROM p
+), ks AS (
+  SELECT doc_id, n, data_start, UNNEST(range(1, n + 1, 2)) AS s
+  FROM base
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS track_id, CAST(s AS BIGINT) AS sample_idx,
+       CAST(data_start + coalesce(list_sum(list_transform(range(0, s - 1),
+            i -> 20 + ((doc_id + 7 * i) % 13))), 0) AS BIGINT) AS byte_offset,
+       CAST(20 + ((doc_id + 7 * (s - 1)) % 13) AS BIGINT) AS size
+FROM ks
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -11335,6 +11469,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_logo_ols": q229_logo_ols,
     "q230_forecast_backtest": q230_forecast_backtest,
     "q231_cross_correlation": q231_cross_correlation,
+    "q232_mp4_demux": q232_mp4_demux,
+    "q233_mp4_keyframes": q233_mp4_keyframes,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11569,4 +11705,6 @@ ORACLE_SQL: dict[str, str] = {
     "q229_logo_ols": Q229_SQL,
     "q230_forecast_backtest": Q230_SQL,
     "q231_cross_correlation": Q231_SQL,
+    "q232_mp4_demux": Q232_SQL,
+    "q233_mp4_keyframes": Q233_SQL,
 }
