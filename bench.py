@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "q231_cross_correlation",
     "q232_mp4_demux",
     "q233_mp4_keyframes",
+    "q234_jpeg_rgb",
 ]
 
 

@@ -735,7 +735,69 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
 
     Returns (width, height, pixels) like the PNG/BMP decoders.  See
     the codec-section comment for scope; the IDCT is the exact int64
-    fixed-point form (:func:`jpeg_idct_basis`)."""
+    fixed-point form (:func:`jpeg_idct_basis`).  Chroma components are
+    entropy-decoded (the stream must be walked) but not reconstructed —
+    :func:`decode_jpeg_rgb` is the color path."""
+    width, height, hmax, vmax, comps, planes = _decode_jpeg(b, chroma=False)
+    h0, v0 = comps[0]["h"], comps[0]["v"]
+    yh = -(-height * v0 // vmax)
+    yw = -(-width * h0 // hmax)
+    return yw, yh, planes[0][:yh, :yw].tobytes()
+
+
+# YCbCr -> RGB (JFIF / BT.601 full-range) in 2^20 fixed point: channel =
+# clip(Y + floor((T + 2^19) / 2^20)) with T_r = RV·(Cr-128),
+# T_g = -(GU·(Cb-128) + GV·(Cr-128)), T_b = BU·(Cb-128).  The constants
+# are round(coef · 2^20) LITERALS so any engine can replay the exact
+# integers (oracle: q234).
+_YCC_RV = 1470104  # round(1.402    * 2^20)
+_YCC_GU = 360853   # round(0.344136 * 2^20)
+_YCC_GV = 748826   # round(0.714136 * 2^20)
+_YCC_BU = 1858077  # round(1.772    * 2^20)
+
+
+def decode_jpeg_rgb(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JPEG to an interleaved RGB raster (row-major
+    R,G,B triples) — the color sibling of :func:`decode_jpeg_gray`.
+
+    Chroma planes are reconstructed with the same exact int64 IDCT,
+    upsampled by sample REPLICATION (floor index map — the
+    deterministic choice, same convention as ``_nearest_resample``),
+    and converted with the fixed-point JFIF matrix above.  Single-
+    component (grayscale) JPEGs replicate luma into all channels."""
+    import numpy as np
+
+    width, height, hmax, vmax, comps, planes = _decode_jpeg(b, chroma=True)
+    full = []
+    for cm, pl in zip(comps, planes):
+        ch = -(-height * cm["v"] // vmax)
+        cw = -(-width * cm["h"] // hmax)
+        pl = pl[:ch, :cw]
+        yidx = (np.arange(height) * cm["v"]) // vmax
+        xidx = (np.arange(width) * cm["h"]) // hmax
+        full.append(pl[np.ix_(yidx, xidx)].astype(np.int64))
+    if len(full) == 1:
+        y8 = full[0].astype(np.uint8)
+        return width, height, np.stack([y8, y8, y8], axis=-1).tobytes()
+    if len(full) != 3:
+        raise ValueError("unsupported JPEG component count")
+    half = 1 << 19
+    y, cb, cr = full[0], full[1] - 128, full[2] - 128
+    r = y + ((_YCC_RV * cr + half) >> 20)
+    g = y + ((-(_YCC_GU * cb + _YCC_GV * cr) + half) >> 20)
+    bl = y + ((_YCC_BU * cb + half) >> 20)
+    rgb = np.stack([r, g, bl], axis=-1)
+    np.clip(rgb, 0, 255, out=rgb)
+    return width, height, rgb.astype(np.uint8).tobytes()
+
+
+def _decode_jpeg(b: bytes, chroma: bool):
+    """Shared baseline-JPEG reconstruction: marker parse, entropy
+    decode, dequantize, exact int64 IDCT.  Returns (width, height,
+    hmax, vmax, comps, planes) with ``planes[i]`` the component's
+    uncropped uint8 plane at ITS OWN sampling resolution; with
+    ``chroma=False`` only component 0 is reconstructed (entropy
+    decoding still walks every data unit) and the rest are None."""
     import numpy as np
 
     if not b.startswith(JPEG_MAGIC):
@@ -845,9 +907,12 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    luma = comps[0]
-    h0, v0 = luma["h"], luma["v"]
-    yplane = np.zeros((mcus_y * v0 * 8, mcus_x * h0 * 8), dtype=np.uint8)
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.uint8)
+        if (chroma or ci == 0)
+        else None
+        for ci, c in enumerate(comps)
+    ]
     basis = jpeg_idct_basis()
     half = 1 << (_IDCT_SHIFT - 1)
 
@@ -890,17 +955,15 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
                         nat = _JPEG_ZIGZAG[k]
                         coef[nat] = _extend(rd.read_bits(size), size) * q[nat]
                         k += 1
-                    if ci == 0:  # luma: IDCT + place; chroma: skip
+                    if planes[ci] is not None:  # IDCT + place
                         pix = ((coef @ basis + half) >> _IDCT_SHIFT) + 128
                         np.clip(pix, 0, 255, out=pix)
-                        ry = (my * v0 + bv) * 8
-                        rx = (mx * h0 + bh) * 8
-                        yplane[ry : ry + 8, rx : rx + 8] = pix.reshape(
+                        ry = (my * cm["v"] + bv) * 8
+                        rx = (mx * cm["h"] + bh) * 8
+                        planes[ci][ry : ry + 8, rx : rx + 8] = pix.reshape(
                             8, 8
                         ).astype(np.uint8)
-    yh = -(-height * v0 // vmax)
-    yw = -(-width * h0 // hmax)
-    return yw, yh, yplane[:yh, :yw].tobytes()
+    return width, height, hmax, vmax, comps, planes
 
 
 # -------------------------------------------------- JPEG fixture encoder
@@ -1057,15 +1120,23 @@ def encode_jpeg_ycbcr420_coeffs(
     height: int,
     y_blocks: list[list[int]],
     quant: int = 16,
+    cb_blocks: list[list[int]] | None = None,
+    cr_blocks: list[list[int]] | None = None,
 ) -> bytes:
-    """3-component 4:2:0 baseline JPEG from quantized LUMA blocks
-    (chroma blocks are all-zero) — exercises the interleaved-MCU walk
-    (4 Y + Cb + Cr data units per MCU) of the decoder.  ``y_blocks``
-    is raster order over the full luma plane."""
+    """3-component 4:2:0 baseline JPEG from quantized LUMA blocks and
+    optional chroma blocks (one per MCU each; default all-zero = gray)
+    — exercises the interleaved-MCU walk (4 Y + Cb + Cr data units per
+    MCU) of the decoder.  ``y_blocks`` is raster order over the full
+    luma plane; ``cb_blocks``/``cr_blocks`` raster order over MCUs."""
     mx = -(-width // 16)
     my = -(-height // 16)
     if len(y_blocks) != mx * 2 * my * 2:
         raise ValueError(f"need {mx * 2 * my * 2} luma blocks")
+    zero = [0] * 64
+    cb_blocks = cb_blocks if cb_blocks is not None else [zero] * (mx * my)
+    cr_blocks = cr_blocks if cr_blocks is not None else [zero] * (mx * my)
+    if len(cb_blocks) != mx * my or len(cr_blocks) != mx * my:
+        raise ValueError(f"need {mx * my} chroma blocks per channel")
     _, dc_codes = _huff_spec_8bit(_JPEG_DC_SYMS)
     _, ac_codes = _huff_spec_8bit(_JPEG_AC_SYMS)
     out = bytearray(
@@ -1075,7 +1146,6 @@ def encode_jpeg_ycbcr420_coeffs(
     )
     out += _jpeg_sos([1, 2, 3])
     w = _JpegBitWriter()
-    zero = [0] * 64
     preds = [0, 0, 0]
     for m in range(mx * my):
         row, col = divmod(m, mx)
@@ -1083,8 +1153,59 @@ def encode_jpeg_ycbcr420_coeffs(
             for bh in range(2):
                 blk = y_blocks[(row * 2 + bv) * (mx * 2) + col * 2 + bh]
                 preds[0] = _emit_block(w, blk, preds[0], dc_codes, ac_codes)
-        preds[1] = _emit_block(w, zero, preds[1], dc_codes, ac_codes)
-        preds[2] = _emit_block(w, zero, preds[2], dc_codes, ac_codes)
+        preds[1] = _emit_block(w, cb_blocks[m], preds[1], dc_codes, ac_codes)
+        preds[2] = _emit_block(w, cr_blocks[m], preds[2], dc_codes, ac_codes)
     out += w.finish()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_rgb_stats(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-image RGB channel statistics off :func:`decode_jpeg_rgb`:
+    (id, width, height, r_sum, g_sum, b_sum, r_min, r_max, g_min,
+    g_max, b_min, b_max).  Channel reductions run vectorized in numpy
+    inside the Arrow batch — the raster never leaves the executor, so
+    the operator ships 11 longs per image regardless of resolution
+    (the 100 TB shape: decode-and-reduce where the bytes live)."""
+    schema = (
+        f"{id_col} long, width int, height int, "
+        "r_sum long, g_sum long, b_sum long, "
+        "r_min long, r_max long, g_min long, g_max long, "
+        "b_min long, b_max long"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                w, h, rgb = decode_jpeg_rgb(bytes(payload or b""))
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                a = a.astype(np.int64)
+                rows.append(
+                    (
+                        int(rid), w, h,
+                        *a.sum(axis=0).tolist(),
+                        a[:, 0].min(), a[:, 0].max(),
+                        a[:, 1].min(), a[:, 1].max(),
+                        a[:, 2].min(), a[:, 2].max(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "r_sum", "g_sum", "b_sum",
+                    "r_min", "r_max", "g_min", "g_max", "b_min", "b_max",
+                ],
+            )
+
+    return (
+        _maybe_rebalance(df.select(id_col, bin_col), partitions)
+        .mapInPandas(_stats, schema=schema)
+    )

@@ -11237,6 +11237,118 @@ FROM ks
 """
 
 
+# ---------------------------------------------------------------------------
+# q234 — chroma-aware (color) JPEG decode (operators/multimodal.py:
+# decode_jpeg_rgb / jpeg_rgb_stats): per doc a 16×16 4:2:0 YCbCr
+# baseline JPEG (4 luma blocks with chosen DCs + one AC, one Cb and one
+# Cr DC block), decoded through the real interleaved-MCU entropy walk,
+# chroma IDCT, 2×2 sample-replication upsample, and the fixed-point
+# JFIF RGB matrix.  The oracle replays the whole chain in closed form:
+# quant 16 makes each DC-only plane value exactly 2·dc + 128, the AC
+# term reuses q217's embedded IDCT basis row, and the RGB deltas are
+# the exact _YCC_* integer literals.  A value match proves chroma
+# reconstruction + upsampling + color conversion bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _synth_jpeg_color(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): deterministic 16×16 4:2:0 color JPEG."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ys = []
+                for j in range(4):
+                    blk = [0] * 64
+                    blk[0] = ((did + 53 * j) % 201) - 100
+                    if j == 0:
+                        blk[1] = (did % 7) - 3
+                    ys.append(blk)
+                cb = [0] * 64
+                cb[0] = (did % 41) - 20
+                cr = [0] * 64
+                cr[0] = (did % 37) - 18
+                out.append(
+                    multimodal.encode_jpeg_ycbcr420_coeffs(
+                        16, 16, ys, cb_blocks=[cb], cr_blocks=[cr]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q234_jpeg_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_rgb_stats(_synth_jpeg_color(docs))
+
+
+def _jpeg_rgb_oracle_sql() -> str:
+    from occupation_wage_etl_spark.operators.multimodal import (
+        _YCC_BU,
+        _YCC_GU,
+        _YCC_GV,
+        _YCC_RV,
+        jpeg_idct_basis,
+    )
+
+    b1 = ", ".join(str(int(v)) for v in jpeg_idct_basis()[1])
+    return f"""
+WITH params AS (
+  SELECT doc_id, (doc_id % 7) - 3 AS a,
+         2 * ((doc_id % 41) - 20) AS cbd,
+         2 * ((doc_id % 37) - 18) AS crd
+  FROM documents
+), deltas AS (
+  SELECT doc_id,
+         CAST(floor(({_YCC_RV} * crd + 524288) / 1048576.0) AS BIGINT)
+           AS dr,
+         CAST(floor((-({_YCC_GU} * cbd + {_YCC_GV} * crd) + 524288)
+              / 1048576.0) AS BIGINT) AS dg,
+         CAST(floor(({_YCC_BU} * cbd + 524288) / 1048576.0) AS BIGINT)
+           AS db
+  FROM params
+), ypix AS (
+  SELECT p.doc_id, js.j,
+         list_transform(range(0, 64), k ->
+           least(greatest(CAST(floor((
+               (((p.doc_id + 53 * js.j) % 201) - 100) * 16 * 131072
+             + CASE WHEN js.j = 0
+                    THEN p.a * 16 * ([{b1}])[k + 1] ELSE 0 END
+             + 524288) / 1048576.0) AS BIGINT) + 128, 0), 255)) AS ys
+  FROM params p CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j) js
+), chan AS (
+  SELECT y.doc_id,
+         list_transform(y.ys, v -> least(greatest(v + d.dr, 0), 255)) AS rs,
+         list_transform(y.ys, v -> least(greatest(v + d.dg, 0), 255)) AS gs,
+         list_transform(y.ys, v -> least(greatest(v + d.db, 0), 255)) AS bs
+  FROM ypix y JOIN deltas d ON d.doc_id = y.doc_id
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(sum(list_sum(rs)) AS BIGINT) AS r_sum,
+       CAST(sum(list_sum(gs)) AS BIGINT) AS g_sum,
+       CAST(sum(list_sum(bs)) AS BIGINT) AS b_sum,
+       CAST(min(list_min(rs)) AS BIGINT) AS r_min,
+       CAST(max(list_max(rs)) AS BIGINT) AS r_max,
+       CAST(min(list_min(gs)) AS BIGINT) AS g_min,
+       CAST(max(list_max(gs)) AS BIGINT) AS g_max,
+       CAST(min(list_min(bs)) AS BIGINT) AS b_min,
+       CAST(max(list_max(bs)) AS BIGINT) AS b_max
+FROM chan GROUP BY doc_id
+"""
+
+
+Q234_SQL = _jpeg_rgb_oracle_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -11471,6 +11583,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q231_cross_correlation": q231_cross_correlation,
     "q232_mp4_demux": q232_mp4_demux,
     "q233_mp4_keyframes": q233_mp4_keyframes,
+    "q234_jpeg_rgb": q234_jpeg_rgb,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11707,4 +11820,5 @@ ORACLE_SQL: dict[str, str] = {
     "q231_cross_correlation": Q231_SQL,
     "q232_mp4_demux": Q232_SQL,
     "q233_mp4_keyframes": Q233_SQL,
+    "q234_jpeg_rgb": Q234_SQL,
 }

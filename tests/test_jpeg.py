@@ -175,3 +175,97 @@ def test_jpeg_missing_restart_segment_raises_value_error():
     assert cut > 0
     with pytest.raises(ValueError, match="corrupt JPEG"):
         mm.decode_jpeg_gray(data[:cut] + b"\xff\xd9")
+
+
+# ------------------------------------------------------- color (round 7)
+
+
+def test_jpeg_rgb_dc_only_quadrants_hand_math():
+    # 16x16 4:2:0, luma DCs 10/20/30/40 (quant 16 -> y = 2*dc + 128),
+    # cb DC=5 -> 138, cr DC=-7 -> 114; fixed-point deltas computed by
+    # hand: dr=-20, dg=+7, db=+18
+    cb = [0] * 64
+    cb[0] = 5
+    cr = [0] * 64
+    cr[0] = -7
+    ys = []
+    for dc in (10, 20, 30, 40):
+        blk = [0] * 64
+        blk[0] = dc
+        ys.append(blk)
+    data = mm.encode_jpeg_ycbcr420_coeffs(
+        16, 16, ys, cb_blocks=[cb], cr_blocks=[cr]
+    )
+    w, h, rgb = mm.decode_jpeg_rgb(data)
+    assert (w, h) == (16, 16)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(16, 16, 3)
+    for (qy, qx), dc in zip(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], (10, 20, 30, 40)
+    ):
+        y = 2 * dc + 128
+        quad = a[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        assert (quad[:, :, 0] == max(0, min(255, y - 20))).all()
+        assert (quad[:, :, 1] == max(0, min(255, y + 7))).all()
+        assert (quad[:, :, 2] == max(0, min(255, y + 18))).all()
+
+
+def test_jpeg_rgb_grayscale_replicates_luma():
+    blk = [0] * 64
+    blk[0] = 25
+    blk[1] = 2
+    data = mm.encode_jpeg_gray_coeffs(8, 8, [blk])
+    wg, hg, gray = mm.decode_jpeg_gray(data)
+    w, h, rgb = mm.decode_jpeg_rgb(data)
+    assert (w, h) == (wg, hg)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    g = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+    assert (a[:, :, 0] == g).all()
+    assert (a[:, :, 1] == g).all()
+    assert (a[:, :, 2] == g).all()
+
+
+def test_jpeg_rgb_chroma_upsample_replicates_2x2():
+    # constant luma, column-varying Cb (horizontal AC): 4:2:0 sample
+    # replication must give identical values in each 2x2 luma cell
+    ys = []
+    for _ in range(4):
+        blk = [0] * 64
+        blk[0] = 0
+        ys.append(blk)
+    cb = [0] * 64
+    cb[0] = 0
+    cb[1] = 6  # horizontal gradient in the chroma plane
+    cr = [0] * 64
+    data = mm.encode_jpeg_ycbcr420_coeffs(
+        16, 16, ys, cb_blocks=[cb], cr_blocks=[cr]
+    )
+    _, _, rgb = mm.decode_jpeg_rgb(data)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(16, 16, 3).astype(int)
+    assert (a[:, 0::2, :] == a[:, 1::2, :]).all()
+    assert (a[0::2, :, :] == a[1::2, :, :]).all()
+    # and the gradient actually varies across chroma columns
+    assert a[0, 0, 2] != a[0, 14, 2]
+
+
+def test_jpeg_rgb_stats_operator(spark):
+    cb = [0] * 64
+    cb[0] = 5
+    cr = [0] * 64
+    cr[0] = -7
+    ys = []
+    for dc in (10, 20, 30, 40):
+        blk = [0] * 64
+        blk[0] = dc
+        ys.append(blk)
+    data = mm.encode_jpeg_ycbcr420_coeffs(
+        16, 16, ys, cb_blocks=[cb], cr_blocks=[cr]
+    )
+    df = spark.createDataFrame([(3, data)], "doc_id long, content binary")
+    r = mm.jpeg_rgb_stats(df).collect()[0]
+    ysv = [2 * dc + 128 for dc in (10, 20, 30, 40)]
+    assert (r["width"], r["height"]) == (16, 16)
+    assert r["r_sum"] == sum(64 * (y - 20) for y in ysv)
+    assert r["g_sum"] == sum(64 * (y + 7) for y in ysv)
+    assert r["b_sum"] == sum(64 * (y + 18) for y in ysv)
+    assert (r["r_min"], r["r_max"]) == (ysv[0] - 20, ysv[3] - 20)
+    assert (r["b_min"], r["b_max"]) == (ysv[0] + 18, ysv[3] + 18)
