@@ -277,6 +277,9 @@ BENCH_QUERIES = [
     "q232_mp4_demux",
     "q233_mp4_keyframes",
     "q234_jpeg_rgb",
+    "q235_near_dup_recall",
+    "q236_lsh_knn_recall",
+    "q237_snb_recall",
 ]
 
 

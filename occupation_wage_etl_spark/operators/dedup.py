@@ -703,34 +703,18 @@ def embedding_near_dup_pairs(
     )
 
 
-def embedding_near_dup_pairs_banded(
+def _hyperplane_candidates(
     df: DataFrame,
     dim: int,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.98,
-    n_planes: int = 16,
-    band_bits: int = 4,
-    seed: str = "owes",
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    band_bits: int,
+    seed: str,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH banding — the
-    100 TB tier of ``embedding_near_dup_pairs``.
-
-    Funnel (same shape as ``simhash_pairs``/``minhash_lsh_pairs``):
-
-    1. scan-side sign signature per vector (``similarity.lsh_signature``,
-       one Arrow-batched matmul, no shuffle);
-    2. explode ``n_planes//band_bits`` band keys per row → equi-join on
-       (band, key) with id_a < id_b → ``distinct`` candidate pairs.  The
-       shuffle carries (band, key, id) triples only — never the vectors;
-    3. join the two vectors back by id and verify exact cosine ≥ threshold.
-
-    Approximate by design: a qualifying pair is emitted only if it agrees
-    on ≥1 band (recall rises steeply with the threshold — near-dup
-    thresholds ~0.9+ are caught with prob ≈1).  Deterministic end-to-end
-    (md5-seeded hyperplanes), so the DuckDB oracle replays it exactly.
-    ``dim`` must be the (fixed) embedding dimension.
-    """
+    """Distinct (id_a < id_b) hyperplane-LSH band-collision candidates —
+    the shared candidate generator of
+    :func:`embedding_near_dup_pairs_banded` and its recall audit."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     # persist the (id, sig) table: it is tiny (two longs per vector) and
@@ -760,7 +744,7 @@ def embedding_near_dup_pairs_banded(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    return (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -771,9 +755,96 @@ def embedding_near_dup_pairs_banded(
         .distinct()
         # the candidate table is byte-small (two longs/row) so AQE
         # coalesces it to a few partitions — but each row fans out into a
-        # 64-element dot product below.  Re-spread by row count, not
-        # bytes, so the verify tier uses the whole cluster.
+        # 64-element dot product in the verify tier.  Re-spread by row
+        # count, not bytes, so verification uses the whole cluster.
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+
+
+def embedding_near_dup_recall_audit(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: str = "owes",
+) -> DataFrame:
+    """Measured RECALL of the banded candidate tier vs the exact
+    brute-force tier — the audited-vs-exact pattern the sketch family
+    already follows (HLL q159, CMS q160, KLL q216), extended to the
+    LSH candidate generators whose docstrings otherwise only CLAIM
+    high recall.
+
+    One output row: (threshold, n_true, n_caught, n_candidates,
+    recall) where ``n_true`` counts brute-force pairs with cosine ≥
+    threshold, ``n_caught`` those that also collide in ≥1 band, and
+    ``recall = n_caught / n_true`` (NULL when no true pairs).  The
+    exact tier is O(n²) BY CONTRACT — run the audit on a bounded
+    deterministic sample (the registry query caps ids), never the full
+    corpus; the banded tier itself has no such bound.
+    """
+    cand = _hyperplane_candidates(
+        df, dim, vec_col, id_col, n_planes, band_bits, seed
+    )
+    true_pairs = cached(
+        embedding_near_dup_pairs(df, vec_col, id_col, threshold)
+        .select("id_a", "id_b")
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_caught = (
+        true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        n_true.crossJoin(F.broadcast(n_caught))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            F.lit(threshold).alias("threshold"),
+            "n_true",
+            "n_caught",
+            "n_candidates",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_caught").cast("double")
+                / F.col("n_true").cast("double"),
+            ).alias("recall"),
+        )
+    )
+
+
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: str = "owes",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH banding — the
+    100 TB tier of ``embedding_near_dup_pairs``.
+
+    Funnel (same shape as ``simhash_pairs``/``minhash_lsh_pairs``):
+
+    1. scan-side sign signature per vector (``similarity.lsh_signature``,
+       one Arrow-batched matmul, no shuffle);
+    2. explode ``n_planes//band_bits`` band keys per row → equi-join on
+       (band, key) with id_a < id_b → ``distinct`` candidate pairs.  The
+       shuffle carries (band, key, id) triples only — never the vectors;
+    3. join the two vectors back by id and verify exact cosine ≥ threshold.
+
+    Approximate by design: a qualifying pair is emitted only if it agrees
+    on ≥1 band (recall rises steeply with the threshold — near-dup
+    thresholds ~0.9+ are caught with prob ≈1).  Deterministic end-to-end
+    (md5-seeded hyperplanes), so the DuckDB oracle replays it exactly.
+    ``dim`` must be the (fixed) embedding dimension.
+    """
+    cand = _hyperplane_candidates(
+        df, dim, vec_col, id_col, n_planes, band_bits, seed
     )
     # normalize each vector ONCE (|V| rows), so per-pair verification is
     # a single dot-product fold instead of dot + two norms (3× the work

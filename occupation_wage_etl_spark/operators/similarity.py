@@ -158,6 +158,128 @@ def lsh_knn(
     )
 
 
+def lsh_knn_recall_audit(
+    df: DataFrame,
+    dim: int,
+    query_ids: Sequence[int],
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "owes",
+) -> DataFrame:
+    """Measured recall@k of the :func:`lsh_knn` probe vs the exact
+    brute-force top-k, over a PANEL of query vectors — the
+    audited-vs-exact pattern (q159/q160/q216) for the ANN tier.  A
+    single query's recall@10 is a 10-trial sample with huge variance
+    (the 4 band keys are shared across all its neighbors); a panel
+    gives a stable number.
+
+    One row per query id: (query_id, k, n_candidates, n_hit, recall).
+    Fully set-based — every query is probed in ONE banded equi-join
+    (no per-query driver loop): band keys of the panel join band keys
+    of the corpus, exact cosines rank per query under a window whose
+    group count = |panel| (parameter-sized by contract).  The exact
+    tier scores |panel| × N pairs — bound the panel, not the corpus.
+    """
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    qids = [int(q) for q in query_ids]
+    signed = cached(
+        lsh_signature(df, dim, n_planes, vec_col, seed).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_sig"
+        )
+    )
+
+    def banded(frame: DataFrame, idc: str) -> DataFrame:
+        return frame.select(
+            F.col("id").alias(idc),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("lsh_sig"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(idc, "bk.band", "bk.key")
+
+    queries = signed.filter(F.col("id").isin(qids))
+    cand = cached(
+        banded(queries, "qid")
+        .join(banded(signed, "vid"), ["band", "key"])
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    # exact cosine of every (query, corpus) pair: the panel is
+    # parameter-sized, so it broadcasts onto the corpus scan
+    scored = cached(
+        signed.select(F.col("id").alias("vid"), F.col("vec").alias("v"))
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("id").alias("qid"), F.col("vec").alias("qv")
+                )
+            ),
+            F.col("vid") != F.col("qid"),
+        )
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                S.cosine_similarity(F.col("v"), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vid")
+    )
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "vid")
+    )
+    approx = (
+        scored.join(cand, ["qid", "vid"], "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "vid")
+    )
+    hits = exact.join(approx, ["qid", "vid"], "left_semi").groupBy(
+        "qid"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("__nx"))
+    n_cand = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        n_exact.join(F.broadcast(n_cand), "qid", "left")
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.lit(k).alias("k"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("__nx").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

@@ -11349,6 +11349,190 @@ FROM chan GROUP BY doc_id
 Q234_SQL = _jpeg_rgb_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# q235/q236/q237 — recall audits for the approximate candidate tiers
+# (the round-6 verdict's confidence gap): measured recall vs the exact
+# tier, the same audited-vs-exact pattern as the sketches (q159 HLL,
+# q160 CMS, q216 KLL).  Each exact tier is O(n²) or full-scan BY
+# CONTRACT, so the audits run on bounded deterministic samples (id
+# caps below) — the approximate tiers themselves are the unbounded
+# 100 TB paths.  Measured values at the default parameters are
+# recorded in COVERAGE.md.
+# ---------------------------------------------------------------------------
+
+AUDIT_EMB_CAP = 500    # vectors in the near-dup audit sample
+AUDIT_CUST_CAP = 1000  # customers in the SNB audit sample
+
+
+def q235_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < AUDIT_EMB_CAP
+    )
+    return dedup.embedding_near_dup_recall_audit(
+        emb, dim=EMB_DIM, threshold=COS_T
+    )
+
+
+Q235_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {AUDIT_EMB_CAP}
+), hp AS (
+  SELECT p.p, d.d,
+         ('0x' || substr(md5('owes:' || p.p || ':' || (d.d - 1)), 1, 8))::BIGINT
+           / 4294967295.0 * 2.0 - 1.0 AS w
+  FROM range(0, 16) p(p), range(1, 65) d(d)
+), dots AS (
+  SELECT e.vec_id, h.p, sum(e.embedding[h.d]::DOUBLE * h.w) AS dot
+  FROM base e, hp h GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY 1
+), banded AS (
+  SELECT vec_id AS id, b.band, (s >> (b.band * 4)) & 15 AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+), truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(
+          list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+        6) >= {COS_T}
+)
+SELECT CAST({COS_T} AS DOUBLE) AS threshold,
+       (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM truth t JOIN cand c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN (SELECT count(*) FROM truth t JOIN cand c
+                    ON t.id_a = c.id_a AND t.id_b = c.id_b)::DOUBLE
+                 / (SELECT count(*) FROM truth)::DOUBLE
+       END AS recall
+"""
+
+
+AUDIT_KNN_PANEL = list(range(8))  # query-vector panel for q236
+
+
+def q236_lsh_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_knn_recall_audit(
+        emb, dim=EMB_DIM, query_ids=AUDIT_KNN_PANEL, k=KNN_K
+    )
+
+
+Q236_SQL = f"""
+WITH hp AS (
+  SELECT p.p, d.d,
+         ('0x' || substr(md5('owes:' || p.p || ':' || (d.d - 1)), 1, 8))::BIGINT
+           / 4294967295.0 * 2.0 - 1.0 AS w
+  FROM range(0, 16) p(p), range(1, 65) d(d)
+), dots AS (
+  SELECT e.vec_id, h.p, sum(e.embedding[h.d]::DOUBLE * h.w) AS dot
+  FROM embeddings e, hp h GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY 1
+), qsig AS (
+  SELECT vec_id AS qid, s FROM sig
+  WHERE vec_id < {len(AUDIT_KNN_PANEL)}
+), bandq AS (
+  SELECT qid, b.band, (s >> (b.band * 4)) & 15 AS key
+  FROM qsig, (VALUES (0), (1), (2), (3)) b(band)
+), bandv AS (
+  SELECT vec_id AS vid, b.band, (s >> (b.band * 4)) & 15 AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+), cand AS (
+  SELECT DISTINCT q.qid, v.vid
+  FROM bandq q JOIN bandv v ON q.band = v.band AND q.key = v.key
+  WHERE q.qid <> v.vid
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS qid, e.vec_id AS vid,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.v[i] * q.v[i]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.v, x -> x * x)))),
+         6) AS cosine
+  FROM e, e q
+  WHERE q.vec_id < {len(AUDIT_KNN_PANEL)} AND e.vec_id <> q.vec_id
+), exact AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vid) AS rn
+    FROM scored) WHERE rn <= {KNN_K}
+), approx AS (
+  SELECT qid, vid FROM (
+    SELECT s.qid, s.vid,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cosine DESC, s.vid) AS rn
+    FROM scored s JOIN cand c ON c.qid = s.qid AND c.vid = s.vid)
+  WHERE rn <= {KNN_K}
+), hits AS (
+  SELECT e2.qid, count(*) AS n_hit
+  FROM exact e2 JOIN approx a ON a.qid = e2.qid AND a.vid = e2.vid
+  GROUP BY 1
+), nx AS (
+  SELECT qid, count(*) AS nx FROM exact GROUP BY 1
+), nc AS (
+  SELECT qid, count(*) AS n_candidates FROM cand GROUP BY 1
+)
+SELECT nx.qid AS query_id, {KNN_K} AS k,
+       coalesce(nc.n_candidates, 0) AS n_candidates,
+       coalesce(h.n_hit, 0) AS n_hit,
+       coalesce(h.n_hit, 0)::DOUBLE / nx.nx::DOUBLE AS recall
+FROM nx LEFT JOIN nc ON nc.qid = nx.qid LEFT JOIN hits h ON h.qid = nx.qid
+"""
+
+
+def q237_snb_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < AUDIT_CUST_CAP
+    )
+    return fuzzy_join.snb_recall_audit(
+        cust, "c_name", "c_custkey", window=5, max_edit=1
+    )
+
+
+Q237_SQL = f"""
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS k FROM customer
+  WHERE c_custkey < {AUDIT_CUST_CAP}
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.k, b.k) <= 1
+), r AS (
+  SELECT id, k, row_number() OVER (ORDER BY k, id) - 1 AS rnk FROM c
+), cand AS (
+  SELECT least(l.id, rr.id) AS id_a, greatest(l.id, rr.id) AS id_b
+  FROM r l JOIN r rr ON rr.rnk BETWEEN l.rnk + 1 AND l.rnk + 5
+)
+SELECT 5 AS window, 1 AS max_edit,
+       (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM truth t JOIN cand c2
+          ON t.id_a = c2.id_a AND t.id_b = c2.id_b) AS n_caught,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN (SELECT count(*) FROM truth t JOIN cand c2
+                    ON t.id_a = c2.id_a AND t.id_b = c2.id_b)::DOUBLE
+                 / (SELECT count(*) FROM truth)::DOUBLE
+       END AS recall
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -11584,6 +11768,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_mp4_demux": q232_mp4_demux,
     "q233_mp4_keyframes": q233_mp4_keyframes,
     "q234_jpeg_rgb": q234_jpeg_rgb,
+    "q235_near_dup_recall": q235_near_dup_recall,
+    "q236_lsh_knn_recall": q236_lsh_knn_recall,
+    "q237_snb_recall": q237_snb_recall,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -11821,4 +12008,7 @@ ORACLE_SQL: dict[str, str] = {
     "q232_mp4_demux": Q232_SQL,
     "q233_mp4_keyframes": Q233_SQL,
     "q234_jpeg_rgb": Q234_SQL,
+    "q235_near_dup_recall": Q235_SQL,
+    "q236_lsh_knn_recall": Q236_SQL,
+    "q237_snb_recall": Q237_SQL,
 }
