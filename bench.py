@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "q235_near_dup_recall",
     "q236_lsh_knn_recall",
     "q237_snb_recall",
+    "q238_html_parse",
 ]
 
 
@@ -447,26 +448,12 @@ def main() -> None:
     # single sample carries scheduler/CPU-contention noise of ±15%; the
     # minimum is the reproducible steady-state cost (standard
     # microbenchmark practice), recorded as "timing": "min_of_2".
-    timings: dict[str, float] = {}
-    for name, fn in runs:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-            release_cached()
-            release_checkpoints(spark)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-
-    # Attribution stabilizer: a query whose min-of-2 moved >1.5x vs the
-    # PREVIOUS round's committed bench_out.json gets two extra timed
-    # runs (min-of-4 total).  Suite-position jitter — GC pauses, JIT
-    # recompilation, OS page-cache state — produces 2x+ swings on
-    # untouched plans; the min over more runs converges to steady
-    # state, while a genuine plan regression survives re-timing.
-    # Sub-150ms entries are skipped (ratio of noise over noise).
+    # The TOP-10 heaviest queries (by the previous round's committed
+    # record) get a third run: they dominate the suite wall, so their
+    # jitter dominates round-over-round attribution noise (the ±30%
+    # driver-rerun spread the round-6 verdict flagged); min-of-3 halves
+    # the tail.  The measured same-code re-run envelope lives in
+    # BENCH_SCALE.md ("Bench noise envelope").
     prev: dict[str, float] = {}
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
@@ -476,6 +463,29 @@ def main() -> None:
             prev = json.load(f).get("queries", {})
     except Exception:
         pass
+    heavy = set(sorted(prev, key=lambda n: -prev[n])[:10])
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}  # max/min across this run's samples
+    for name, fn in runs:
+        samples = []
+        for _ in range(3 if name in heavy else 2):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+            release_cached()
+            release_checkpoints(spark)
+            spark.catalog.clearCache()
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / min(samples), 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    # Attribution stabilizer: a query whose min-of-2 moved >1.5x vs the
+    # PREVIOUS round's committed bench_out.json gets two extra timed
+    # runs (min-of-4 total).  Suite-position jitter — GC pauses, JIT
+    # recompilation, OS page-cache state — produces 2x+ swings on
+    # untouched plans; the min over more runs converges to steady
+    # state, while a genuine plan regression survives re-timing.
+    # Sub-150ms entries are skipped (ratio of noise over noise).
     by_name = dict(runs)
     retimed = sorted(
         n
@@ -514,8 +524,14 @@ def main() -> None:
         "sf": sf,
         "ingest_sec": ingest_sec,
         "total_with_ingest_sec": round(total + ingest_sec, 3),
-        "timing": "min_of_2_retime_gt1.5x",
+        "timing": "min_of_2_heavy_min_of_3_retime_gt1.5x",
         "retimed": retimed,
+        "heavy_min3": sorted(heavy),
+        "sample_spread": {
+            "p50": sorted(spreads.values())[len(spreads) // 2],
+            "p95": sorted(spreads.values())[int(len(spreads) * 0.95)],
+            "max": max(spreads.values()),
+        },
     }
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

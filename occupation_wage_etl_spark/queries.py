@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from occupation_wage_etl_spark.operators._cache import cached
 
 from occupation_wage_etl_spark.functions import cleaning
+from occupation_wage_etl_spark.sources import html_table
 from occupation_wage_etl_spark.sources import lake
 from occupation_wage_etl_spark.functions import pii
 from occupation_wage_etl_spark.functions import similarity as S
@@ -793,6 +794,7 @@ Q19_SQL = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
 # ---------------------------------------------------------------------------
 
 ROLL_W = 16
+ROLL_MAX_DF = 64  # boilerplate stop-fingerprint cap (see q20 docRemark)
 
 
 def q20_rolling_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,6 +804,23 @@ def q20_rolling_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(T.rolling_fingerprints(F.col("text"), ROLL_W))
         ).alias("fp"),
+    )
+    # Stop-fingerprint cap (round-7 100x rehearsal finding): a window
+    # shared by d documents emits d(d-1)/2 pairs, so BOILERPLATE
+    # windows make the self-join quadratic — at 100x the uncapped tier
+    # produced x40 edges / 40e9 wedges and ~70 GB of shuffle spill
+    # before ENOSPC.  Windows with document frequency > ROLL_MAX_DF
+    # are dropped (standard winnowing practice: such windows carry no
+    # dedup signal, only template noise).  The cap NEVER binds at test
+    # scale (max df 45 at sf0.1), so every oracle mirrors it with an
+    # equivalent QUALIFY and results are unchanged; at corpus scale it
+    # is the difference between linear and quadratic.  The window runs
+    # on the same fp key the self-join shuffles on.
+    wdf = Window.partitionBy("fp")
+    fps = (
+        fps.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") <= ROLL_MAX_DF)
+        .drop("__df")
     )
     l, r = fps.alias("l"), fps.alias("r")
     return (
@@ -821,7 +840,8 @@ WITH n AS (
          )) AS fps
   FROM n
 ), e AS (
-  SELECT id, unnest(fps) AS fp FROM w
+  SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
 )
 SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
 FROM e l JOIN e r ON l.fp = r.fp AND l.id < r.id
@@ -3651,7 +3671,8 @@ WITH n AS (
          )) AS fps
   FROM n
 ), ex AS (
-  SELECT id, unnest(fps) AS fp FROM w
+  SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
 ), e AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -4144,7 +4165,8 @@ WITH n0 AS (
          )) AS fps
   FROM n0
 ), ex AS (
-  SELECT id, unnest(fps) AS fp FROM w0
+  SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w0)
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
 ), e AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -6364,7 +6386,8 @@ WITH n AS (
          )) AS fps
   FROM n
 ), ex AS (
-  SELECT id, unnest(fps) AS fp FROM w
+  SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
 ), e AS MATERIALIZED (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -7980,7 +8003,8 @@ _EDGE_CTE = f"""n AS (
          )) AS fps
   FROM n
 ), ex AS (
-  SELECT id, unnest(fps) AS fp FROM w
+  SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
 ), e AS MATERIALIZED (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -11533,6 +11557,84 @@ SELECT 5 AS window, 1 AS max_edit,
 """
 
 
+# ---------------------------------------------------------------------------
+# q238 — distributed HTML table parse (sources/html_table.py:
+# parse_tables_distributed): the S2 scale path demonstrated against a
+# multi-page corpus.  Each document synthesizes an HTML page holding
+# 1–2 tables (header row + 2–4 data rows of closed-form cell values);
+# the Arrow-batched mapInPandas parser explodes every <tr> where the
+# bytes live — no driver-side parse.  The oracle regenerates the same
+# (url, table_idx, row_idx, cells) rows arithmetically, so a value
+# match proves the parser's table/row/cell walk (incl. the th-header
+# exclusion) over the whole corpus.
+# ---------------------------------------------------------------------------
+
+
+def _synth_html_pages(docs: DataFrame) -> DataFrame:
+    """(url, html): deterministic multi-table page per doc."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, htmls = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                parts = ["<html><body>"]
+                for t in range(1 + did % 2):
+                    parts.append(
+                        "<table><tr><th>ColA</th><th>ColB</th>"
+                        "<th>ColC</th></tr>"
+                    )
+                    for r in range(2 + (did + t) % 3):
+                        cells = "".join(
+                            f"<td>v{did * 7 + t * 13 + r * 3 + c}</td>"
+                            for c in range(3)
+                        )
+                        parts.append(f"<tr>{cells}</tr>")
+                    parts.append("</table>")
+                parts.append("</body></html>")
+                urls.append(f"http://fixture/{did}")
+                htmls.append("".join(parts))
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="url string, html string"
+    )
+
+
+def q238_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rows = html_table.parse_tables_distributed(_synth_html_pages(docs))
+    return rows.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.col("cells")[0].alias("c0"),
+        F.col("cells")[1].alias("c1"),
+        F.col("cells")[2].alias("c2"),
+        F.size("cells").alias("n_cells"),
+    )
+
+
+Q238_SQL = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 2 AS nt FROM documents
+), t AS (
+  SELECT doc_id, UNNEST(range(0, nt)) AS ti FROM p
+), r AS (
+  SELECT doc_id, ti, UNNEST(range(0, 2 + (doc_id + ti) % 3)) AS ri FROM t
+)
+SELECT 'http://fixture/' || doc_id AS url,
+       ti AS table_idx, ri AS row_idx,
+       'v' || (doc_id * 7 + ti * 13 + ri * 3 + 0) AS c0,
+       'v' || (doc_id * 7 + ti * 13 + ri * 3 + 1) AS c1,
+       'v' || (doc_id * 7 + ti * 13 + ri * 3 + 2) AS c2,
+       3 AS n_cells
+FROM r
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -11771,6 +11873,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q235_near_dup_recall": q235_near_dup_recall,
     "q236_lsh_knn_recall": q236_lsh_knn_recall,
     "q237_snb_recall": q237_snb_recall,
+    "q238_html_parse": q238_html_parse,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12011,4 +12114,5 @@ ORACLE_SQL: dict[str, str] = {
     "q235_near_dup_recall": Q235_SQL,
     "q236_lsh_knn_recall": Q236_SQL,
     "q237_snb_recall": Q237_SQL,
+    "q238_html_parse": Q238_SQL,
 }

@@ -318,3 +318,55 @@ def test_few_groups_auto_picks_expected_branch(spark):
         spark.conf.unset("spark.graft.fewGroupsMinHistRows")
     # default 8M bound: the tiny histogram stays on the window path
     assert "__pid" not in plan(few)
+
+
+# ------------------------------------------------- AUTO few_groups resolver
+
+
+def test_resolver_rows_estimate_and_memo(spark):
+    from occupation_wage_etl_spark.operators.stats import (
+        _FG_MEMO,
+        _resolve_few_groups,
+    )
+
+    rows = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(200)], "g int, v double"
+    )
+    hist = rows.groupBy("g", "v").count()
+    _FG_MEMO.clear()
+    # small input: both estimate forms resolve False (hist rows < 8M)
+    assert _resolve_few_groups(hist, "g", None) is False
+    assert (
+        _resolve_few_groups(hist, "g", None, rows=rows, value_col="v")
+        is False
+    )
+    # resolutions were memoized (hist-keyed and rows-keyed entries)
+    assert len(_FG_MEMO) == 2
+    # a lowered min-rows conf flips the decision AND bypasses the old
+    # memo entries (conf values are part of the key)
+    spark.conf.set("spark.graft.fewGroupsMinHistRows", "10")
+    try:
+        assert _resolve_few_groups(hist, "g", None) is True
+        assert (
+            _resolve_few_groups(hist, "g", None, rows=rows, value_col="v")
+            is True
+        )
+        assert len(_FG_MEMO) == 4
+    finally:
+        spark.conf.unset("spark.graft.fewGroupsMinHistRows")
+    # explicit override costs nothing and ignores the memo
+    assert _resolve_few_groups(hist, "g", True) is True
+    assert _resolve_few_groups(hist, "g", False) is False
+
+
+def test_auto_weighted_median_matches_both_explicit_paths(spark):
+    dfd = spark.createDataFrame(
+        [(i % 3, float(i % 17), float(1 + i % 5)) for i in range(300)],
+        "g int, v double, w double",
+    )
+    auto = stats.grouped_weighted_median(dfd, "g", "v", "w").collect()
+    exp = stats.grouped_weighted_median(
+        dfd, "g", "v", "w", few_groups=False
+    ).collect()
+    key = lambda r: r["g"]
+    assert sorted(auto, key=key) == sorted(exp, key=key)
