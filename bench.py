@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "q236_lsh_knn_recall",
     "q237_snb_recall",
     "q238_html_parse",
+    "q239_token_f1",
 ]
 
 

@@ -666,3 +666,87 @@ def kneser_ney_doc_scores(
             "kn_cross_entropy"
         ),
     )
+
+
+def token_f1_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-multiset overlap F1 for CANDIDATE pairs — the SQuAD-style
+    answer-overlap scorer lifted to document pairs: with per-token
+    counts ``cnt_a``/``cnt_b``,
+
+        overlap = Σ_t min(cnt_a(t), cnt_b(t))
+        f1      = 2·overlap / (n_a + n_b)
+
+    The verification-tier companion to the fingerprint/LSH candidate
+    generators (the same role exact-cosine plays for the banded
+    embedding tiers): candidates are cheap and approximate; the F1 is
+    the exact, interpretable score layered on top.
+
+    Scale shape: ONE hash aggregate builds the (id, token, cnt) table
+    (map-side combine; shuffle is token-type-sized, never raw tokens),
+    then two candidate-bounded equi-joins attach both sides' counts
+    and one aggregate folds the mins.  Cost is Σ_pairs |types(a)| —
+    linear in candidates, never in the corpus.  ``pairs`` must be
+    (id_a, id_b); pairs whose docs share no whole token keep
+    overlap 0.  F1 is an exact integer ratio in one double division
+    (bit-stable cross-engine); NULL when both docs are empty.
+
+    Returns (id_a, id_b, n_a, n_b, overlap, f1).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = cached(
+        toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nt = tc.groupBy("id").agg(F.sum("cnt").alias("n_tok"))
+    p = pairs.select("id_a", "id_b")
+    ov = (
+        p.join(
+            tc.select(
+                F.col("id").alias("id_a"),
+                "tok",
+                F.col("cnt").alias("__ca"),
+            ),
+            "id_a",
+        )
+        .join(
+            tc.select(
+                F.col("id").alias("id_b"),
+                "tok",
+                F.col("cnt").alias("__cb"),
+            ),
+            ["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least(F.col("__ca"), F.col("__cb"))).alias("__ov"))
+    )
+    return (
+        p.join(
+            # no broadcast hint: nt is one row per DOC (corpus-sized);
+            # AQE picks BHJ at test scale and SMJ at 100 TB
+            nt.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            nt.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b")),
+            "id_b",
+        )
+        .join(ov, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("__ov"), F.lit(0)).alias("overlap"),
+            F.when(
+                F.col("n_a") + F.col("n_b") > 0,
+                (F.lit(2) * F.coalesce(F.col("__ov"), F.lit(0))).cast("double")
+                / (F.col("n_a") + F.col("n_b")).cast("double"),
+            ).alias("f1"),
+        )
+    )

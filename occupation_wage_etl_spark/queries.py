@@ -11635,6 +11635,51 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# q239 — token-multiset F1 scoring of candidate pairs
+# (operators/text_analysis.py:token_f1_pairs): the SQuAD-style overlap
+# F1 as the exact verification score over q20's capped rolling-
+# fingerprint candidates — candidate generation stays approximate and
+# linear, the F1 is an exact integer-ratio double per pair.
+# ---------------------------------------------------------------------------
+
+
+def q239_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q20_rolling_overlap(spark, sf_dir).select("id_a", "id_b")
+    return text_analysis.token_f1_pairs(docs, pairs, "text", "doc_id")
+
+
+def _token_f1_oracle_sql() -> str:
+    return f"""
+WITH {_edge_cte()}, tok AS (
+  SELECT id, unnest(string_split(s, ' ')) AS tok FROM n
+  WHERE s IS NOT NULL
+), tc AS (
+  SELECT id, tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY 1, 2
+), nt AS (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_tok FROM tc GROUP BY 1
+), ov AS (
+  SELECT e.a, e.b, CAST(sum(least(x.cnt, y.cnt)) AS BIGINT) AS ov
+  FROM e JOIN tc x ON x.id = e.a
+         JOIN tc y ON y.id = e.b AND y.tok = x.tok
+  GROUP BY 1, 2
+)
+SELECT e.a AS id_a, e.b AS id_b,
+       na.n_tok AS n_a, nb.n_tok AS n_b,
+       coalesce(ov.ov, 0) AS overlap,
+       CASE WHEN na.n_tok + nb.n_tok > 0
+            THEN CAST(2 * coalesce(ov.ov, 0) AS DOUBLE)
+                 / CAST(na.n_tok + nb.n_tok AS DOUBLE)
+       END AS f1
+FROM e JOIN nt na ON na.id = e.a JOIN nt nb ON nb.id = e.b
+LEFT JOIN ov ON ov.a = e.a AND ov.b = e.b
+"""
+
+
+Q239_SQL = _token_f1_oracle_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -11874,6 +11919,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q236_lsh_knn_recall": q236_lsh_knn_recall,
     "q237_snb_recall": q237_snb_recall,
     "q238_html_parse": q238_html_parse,
+    "q239_token_f1": q239_token_f1,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12115,4 +12161,5 @@ ORACLE_SQL: dict[str, str] = {
     "q236_lsh_knn_recall": Q236_SQL,
     "q237_snb_recall": Q237_SQL,
     "q238_html_parse": Q238_SQL,
+    "q239_token_f1": Q239_SQL,
 }

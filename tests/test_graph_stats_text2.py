@@ -133,3 +133,32 @@ def test_cooccurrence_counts_and_prune(spark):
     got = {(r.t1, r.t2): (r.pair_docs, r.support) for r in out}
     # gamma (df=1) and delta (df=1) pruned before pair formation
     assert got == {("alpha", "beta"): (3, 0.75)}
+
+
+def test_token_f1_pairs_hand_computed(spark):
+    from occupation_wage_etl_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c"),
+            (2, "b b c d"),
+            (3, "x y"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in text_analysis.token_f1_pairs(docs, pairs).collect()
+    }
+    # docs 1/2: shared multiset {b:2, c:1} -> overlap 3, f1 = 6/8
+    assert got[(1, 2)]["overlap"] == 3
+    assert got[(1, 2)]["f1"] == 0.75
+    assert (got[(1, 2)]["n_a"], got[(1, 2)]["n_b"]) == (4, 4)
+    # disjoint vocab -> overlap 0, f1 0
+    assert got[(1, 3)]["overlap"] == 0
+    assert got[(1, 3)]["f1"] == 0.0
+    assert got[(2, 3)]["overlap"] == 0

@@ -256,7 +256,13 @@ def main() -> None:
         "q72's nested-loop joins are the broadcast SHORT-STRING\n"
         "fallback of the fuzzy join (strings under q*(d+1) chars can\n"
         "match with zero shared grams; both short sides are empty on\n"
-        "this corpus — the main path is the gram-count equi-join)."
+        "this corpus — the main path is the gram-count equi-join).\n"
+        "q235/q236/q237's nested-loop joins are the EXACT-TIER side of\n"
+        "the round-7 recall audits (brute all-pairs cosine / top-k\n"
+        "panel / all-pairs levenshtein): O(n^2) by documented contract,\n"
+        "bounded to deterministic samples (id caps, 8-query panel) in\n"
+        "the registry — the banded/probe tiers they audit are the\n"
+        "production paths and stay equi-joins."
     )
     lines.append("")
     warnings = list(dict.fromkeys(warnings))
