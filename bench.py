@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "q237_snb_recall",
     "q238_html_parse",
     "q239_token_f1",
+    "q240_jpeg_progressive",
 ]
 
 

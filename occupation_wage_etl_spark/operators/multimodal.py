@@ -300,8 +300,8 @@ def _nearest_resample(
 
 
 def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
-    """Dispatch on magic: PNG, BMP or baseline JPEG → (width, height,
-    gray pixels)."""
+    """Dispatch on magic: PNG, BMP or baseline/progressive JPEG →
+    (width, height, gray pixels)."""
     if b.startswith(PNG_MAGIC):
         return decode_png_gray(b)
     if b[:2] == b"BM":
@@ -309,7 +309,7 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
     if b.startswith(JPEG_MAGIC):
         return decode_jpeg_gray(b)
     raise ValueError(
-        "undecodable image format (PNG/BMP/baseline-JPEG supported)"
+        "undecodable image format (PNG/BMP/JPEG supported)"
     )
 
 
@@ -319,8 +319,8 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
 
 _STUB_MSG = (
     "payload is not decodable with the built-in codecs (PNG/BMP/"
-    "baseline-JPEG images, WAV/PCM16 audio); progressive JPEG and video "
-    "FRAME decode require Pillow/ffmpeg — pass mode='fake' for the "
+    "baseline+progressive-JPEG images, WAV/PCM16 audio); video FRAME "
+    "decode requires an ffmpeg-class codec — pass mode='fake' for the "
     "deterministic test fake, mode='mp4' on sample_frames for the real "
     "ISO-BMFF container demux (operators/video.py), or swap the "
     "per-batch body for a codec-library decoder"
@@ -731,7 +731,8 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG to its grayscale (luma) raster.
+    """Decode a baseline or progressive JPEG to its grayscale (luma)
+    raster.
 
     Returns (width, height, pixels) like the PNG/BMP decoders.  See
     the codec-section comment for scope; the IDCT is the exact int64
@@ -757,7 +758,8 @@ _YCC_BU = 1858077  # round(1.772    * 2^20)
 
 
 def decode_jpeg_rgb(b: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG to an interleaved RGB raster (row-major
+    """Decode a baseline or progressive JPEG to an interleaved RGB
+    raster (row-major
     R,G,B triples) — the color sibling of :func:`decode_jpeg_gray`.
 
     Chroma planes are reconstructed with the same exact int64 IDCT,
@@ -850,11 +852,13 @@ def _decode_jpeg(b: bytes, chroma: bool):
                 }
                 for c in range(nc)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2: progressive Huffman (round 7)
+            return _decode_jpeg_progressive(b, chroma)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/extended-sequential Huffman JPEG "
-                f"supported (SOF marker 0x{marker:02X})"
+                "only baseline/extended-sequential/progressive Huffman "
+                f"JPEG supported (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xC4:  # DHT (may hold several tables)
             i = 0
@@ -966,6 +970,319 @@ def _decode_jpeg(b: bytes, chroma: bool):
     return width, height, hmax, vmax, comps, planes
 
 
+# ------------------------------------------- progressive JPEG (round 7)
+# T.81 Annex G: spectral selection + successive approximation.  The
+# stub is retired the same way round 6 retired the baseline stub —
+# a full scan-script decoder over the existing bit-reader/Huffman/
+# exact-IDCT infrastructure.  Coefficients accumulate in ZIGZAG index
+# order across scans (that is how scans address them); dequantization
+# happens once at reconstruction, because refinement bits operate on
+# QUANTIZED values.
+
+
+def _entropy_segments(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Un-stuff FF00 and split at RSTn from ``start`` until the next
+    real marker; returns (segments, position of that marker)."""
+    segs: list[bytearray] = []
+    cur = bytearray()
+    i = start
+    while i < len(b):
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(cur)
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(cur)
+    return [bytes(s) for s in segs], i
+
+
+def _dc_first_scan(rd, table, pred: int, al: int) -> int:
+    s = _read_huff(rd, table)
+    return pred + _extend(rd.read_bits(s), s)
+
+
+def _ac_first_scan(rd, table, coefz, ss, se, al, eobrun) -> int:
+    """One block of an AC first scan (Ah=0); returns the new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(rd, table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.read_bits(r)
+                return eobrun
+            k += 16
+        else:
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC run past band end")
+            coefz[k] = _extend(rd.read_bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_scan(rd, table, coefz, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (Ah=Al+1): newly-significant
+    coefficients arrive as ±2^Al, every nonzero-history coefficient
+    passed over consumes one correction bit (T.81 G.1.2.3)."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        if rd.read_bit() and (coefz[k] & p1) == 0:
+            coefz[k] += p1 if coefz[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(rd, table)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement size must be 1"
+                    )
+                val = p1 if rd.read_bit() else m1
+            while k <= se:
+                if coefz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k > se:
+                raise ValueError("corrupt JPEG: refine run past band end")
+            if val:
+                coefz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coefz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(b: bytes, chroma: bool):
+    """Progressive-JPEG sibling of :func:`_decode_jpeg` (same return
+    shape).  Walks EVERY scan, accumulating quantized coefficients per
+    block; handles interleaved (multi-component, DC-only per spec) and
+    non-interleaved scans, restart intervals (DC predictors and the
+    EOB run reset per segment), and DHT redefinition between scans
+    (each scan snapshots the tables in effect)."""
+    import numpy as np
+
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart = 0
+    scans = []  # (scan comps, Ss, Se, Ah, Al, segments, tables, restart)
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        data = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:
+                    vals = list(struct.unpack(f">{64}H", data[i : i + 128]))
+                    i += 128
+                else:
+                    vals = list(data[i : i + 64])
+                    i += 64
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_JPEG_ZIGZAG[k]] = vals[k]
+                qt[tq] = nat
+        elif marker == 0xC2:
+            height, width = struct.unpack(">HH", data[1:5])
+            nc = data[5]
+            comps = [
+                {
+                    "id": data[6 + 3 * c],
+                    "h": data[7 + 3 * c] >> 4,
+                    "v": data[7 + 3 * c] & 15,
+                    "tq": data[8 + 3 * c],
+                }
+                for c in range(nc)
+            ]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _huff_decode_table(
+                    counts, list(data[i + 17 : i + 17 + n])
+                )
+                i += 17 + n
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:
+            ns = data[0]
+            sc = []
+            for c in range(ns):
+                cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                idx = next(
+                    i for i, cm in enumerate(comps) if cm["id"] == cid
+                )
+                sc.append((idx, tabs >> 4, tabs & 15))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            segs, pos = _entropy_segments(b, pos + 2 + seglen)
+            scans.append(
+                (sc, ss, se, ahal >> 4, ahal & 15, segs, dict(huff), restart)
+            )
+            continue
+        pos += 2 + seglen
+    if width is None or not scans:
+        raise ValueError("truncated JPEG (no SOF2/SOS)")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # quantized coefficients in zigzag order, interleaved block grid
+    store = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    ]
+
+    for sc, ss, se, ah, al, segs, tabs, rst in scans:
+        seg_i, rd = 0, _JpegBitReader(segs[0])
+        preds = [0] * len(comps)
+        eobrun = 0
+        if len(sc) > 1 or (ss == 0 and len(sc) == len(comps)):
+            # interleaved MCU walk (DC scans; spec restricts AC scans
+            # to a single component)
+            if ss != 0:
+                raise ValueError("corrupt JPEG: interleaved AC scan")
+            unit = 0
+            for mcu in range(mcus_x * mcus_y):
+                if rst and unit and unit % rst == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError(
+                            "corrupt JPEG: missing restart segment"
+                        )
+                    rd = _JpegBitReader(segs[seg_i])
+                    preds = [0] * len(comps)
+                unit += 1
+                my, mx = divmod(mcu, mcus_x)
+                for ci, tdc, _tac in sc:
+                    cm = comps[ci]
+                    for bv in range(cm["v"]):
+                        for bh in range(cm["h"]):
+                            blk = store[ci][
+                                my * cm["v"] + bv, mx * cm["h"] + bh
+                            ]
+                            if ah == 0:
+                                preds[ci] = _dc_first_scan(
+                                    rd, tabs[(0, tdc)], preds[ci], al
+                                )
+                                blk[0] = preds[ci] << al
+                            else:
+                                if rd.read_bit():
+                                    blk[0] |= 1 << al
+        else:
+            ci, tdc, tac = sc[0]
+            cm = comps[ci]
+            cx = -(-(width * cm["h"]) // hmax)
+            cy = -(-(height * cm["v"]) // vmax)
+            bw, bh_n = -(-cx // 8), -(-cy // 8)
+            unit = 0
+            for by in range(bh_n):
+                for bx in range(bw):
+                    if rst and unit and unit % rst == 0:
+                        seg_i += 1
+                        if seg_i >= len(segs):
+                            raise ValueError(
+                                "corrupt JPEG: missing restart segment"
+                            )
+                        rd = _JpegBitReader(segs[seg_i])
+                        preds = [0] * len(comps)
+                        eobrun = 0
+                    unit += 1
+                    blk = store[ci][by, bx]
+                    if ss == 0:  # non-interleaved DC scan
+                        if ah == 0:
+                            preds[ci] = _dc_first_scan(
+                                rd, tabs[(0, tdc)], preds[ci], al
+                            )
+                            blk[0] = preds[ci] << al
+                        elif rd.read_bit():
+                            blk[0] |= 1 << al
+                    elif ah == 0:
+                        eobrun = _ac_first_scan(
+                            rd, tabs[(1, tac)], blk, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine_scan(
+                            rd, tabs[(1, tac)], blk, ss, se, al, eobrun
+                        )
+
+    # reconstruction: dequantize (natural order) + exact int64 IDCT
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.uint8)
+        if (chroma or ci == 0)
+        else None
+        for ci, c in enumerate(comps)
+    ]
+    basis = jpeg_idct_basis()
+    half = 1 << (_IDCT_SHIFT - 1)
+    perm = np.asarray(_JPEG_ZIGZAG, dtype=np.int64)
+    for ci, cm in enumerate(comps):
+        if planes[ci] is None:
+            continue
+        qnat = np.asarray(qt[cm["tq"]], dtype=np.int64)
+        grid = store[ci]
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                nat = np.zeros(64, dtype=np.int64)
+                nat[perm] = grid[by, bx]
+                nat *= qnat
+                pix = ((nat @ basis + half) >> _IDCT_SHIFT) + 128
+                np.clip(pix, 0, 255, out=pix)
+                planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = pix.reshape(8, 8).astype(np.uint8)
+    return width, height, hmax, vmax, comps, planes
+
+
 # -------------------------------------------------- JPEG fixture encoder
 
 
@@ -1051,28 +1368,38 @@ def _emit_block(
 
 
 def _jpeg_headers(
-    width: int, height: int, quant: int, comps: list[tuple[int, int, int]]
+    width: int,
+    height: int,
+    quant: int,
+    comps: list[tuple[int, int, int]],
+    sof_marker: bytes = b"\xff\xc0",
+    ac_syms: list[int] | None = None,
 ) -> bytes:
-    """SOI + DQT(flat ``quant``) + SOF0 + DHT(dc 0, ac 0) for
+    """SOI + DQT(flat ``quant``) + SOF0/SOF2 + DHT(dc 0, ac 0) for
     ``comps`` = [(id, h, v), ...] — all components share table 0."""
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([quant] * 64)
     sof = struct.pack(">BHHB", 8, height, width, len(comps))
     for cid, h, v in comps:
         sof += bytes([cid, (h << 4) | v, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    for tc, syms in ((0, _JPEG_DC_SYMS), (1, _JPEG_AC_SYMS)):
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, syms in (
+        (0, _JPEG_DC_SYMS),
+        (1, ac_syms if ac_syms is not None else _JPEG_AC_SYMS),
+    ):
         counts, _ = _huff_spec_8bit(syms)
         body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     return bytes(out)
 
 
-def _jpeg_sos(comps: list[int]) -> bytes:
+def _jpeg_sos(
+    comps: list[int], ss: int = 0, se: int = 63, ahal: int = 0
+) -> bytes:
     body = bytes([len(comps)])
     for cid in comps:
         body += bytes([cid, 0x00])
-    body += b"\x00\x3f\x00"
+    body += bytes([ss, se, ahal])
     return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
 
@@ -1209,3 +1536,175 @@ def jpeg_rgb_stats(
         _maybe_rebalance(df.select(id_col, bin_col), partitions)
         .mapInPandas(_stats, schema=schema)
     )
+
+
+# ------------------------------------- progressive JPEG fixture encoder
+# The encoder side of T.81 Annex G, so the oracle fixtures can exercise
+# the progressive decoder with CHOSEN quantized coefficients — same
+# design as encode_jpeg_gray_coeffs (q217): decoded pixels stay a
+# closed-form integer function while the bitstream runs the real
+# multi-scan entropy layer (EOB runs, ZRL folding, successive-
+# approximation sign/correction bits).
+
+# Progressive AC tables need the EOB-run length symbols (r<<4 | 0 for
+# r = 0..14) on top of the baseline set; ZRL (0xF0) is the r=15 member.
+_JPEG_AC_SYMS_PROG = [r << 4 for r in range(16)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+# Fixed scan script — all four scan types: DC first (Al=1), two AC
+# first bands (successive approximation on the low band), DC refine,
+# AC refine.  (Ss, Se, Ah, Al) per T.81 B.2.3.
+PROG_SCAN_SCRIPT = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 1),
+    (6, 63, 0, 0),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+)
+
+
+class _ProgState:
+    """Per-scan EOB-run accumulator with the run-level buffered
+    correction bits (T.81 G.1.2.3 encoder discipline)."""
+
+    def __init__(self, w: _JpegBitWriter, ac_codes: dict) -> None:
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits owned by the EOB run
+
+    def emit_sym(self, sym: int) -> None:
+        code, ln = self.ac[sym]
+        self.w.write(code, ln)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_sym(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for bit in self.be:
+            self.w.write(bit, 1)
+        self.be = []
+
+
+def _emit_ac_first(st: _ProgState, zig: list[int], ss: int, se: int,
+                   al: int) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = zig[k]
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        st.emit_eobrun()
+        while r > 15:
+            st.emit_sym(0xF0)
+            r -= 16
+        if v < 0:
+            t = -t
+        s = abs(t).bit_length()
+        st.emit_sym((r << 4) | s)
+        st.w.write(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _emit_ac_refine(st: _ProgState, zig: list[int], ss: int, se: int,
+                    al: int) -> None:
+    absv = [abs(zig[k]) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    br: list[int] = []  # correction bits owned by the current block
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        if t > 1:  # history coefficient: one correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        while r > 15 and k <= eob:
+            st.emit_eobrun()
+            st.emit_sym(0xF0)
+            r -= 16
+            for bit in br:
+                st.w.write(bit, 1)
+            br = []
+        st.emit_eobrun()
+        st.emit_sym((r << 4) | 1)
+        st.w.write(1 if zig[k] > 0 else 0, 1)
+        for bit in br:
+            st.w.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def encode_jpeg_progressive_gray_coeffs(
+    width: int,
+    height: int,
+    blocks: list[list[int]],
+    quant: int = 16,
+) -> bytes:
+    """Synthesize a VALID single-component PROGRESSIVE JPEG (SOF2) from
+    QUANTIZED natural-order coefficient blocks — the progressive twin
+    of :func:`encode_jpeg_gray_coeffs`, using :data:`PROG_SCAN_SCRIPT`
+    (five scans covering all four scan types).  Decoding it must yield
+    bit-identical pixels to the baseline encoding of the same blocks —
+    the q240 oracle property."""
+    bx = -(-width // 8)
+    by = -(-height // 8)
+    if len(blocks) != bx * by:
+        raise ValueError(f"need {bx * by} blocks, got {len(blocks)}")
+    zigs = [
+        [blk[_JPEG_ZIGZAG[k]] for k in range(64)] for blk in blocks
+    ]
+    _, dc_codes = _huff_spec_8bit(_JPEG_DC_SYMS)
+    _, ac_codes = _huff_spec_8bit(_JPEG_AC_SYMS_PROG)
+    out = bytearray(
+        _jpeg_headers(
+            width, height, quant, [(1, 1, 1)],
+            sof_marker=b"\xff\xc2", ac_syms=_JPEG_AC_SYMS_PROG,
+        )
+    )
+    for ss, se, ah, al in PROG_SCAN_SCRIPT:
+        out += _jpeg_sos([1], ss, se, (ah << 4) | al)
+        w = _JpegBitWriter()
+        st = _ProgState(w, ac_codes)
+        pred = 0
+        for zig in zigs:
+            if ss == 0 and ah == 0:  # DC first
+                t = zig[0] >> al
+                diff = t - pred
+                pred = t
+                s = abs(diff).bit_length()
+                code, ln = dc_codes[s]
+                w.write(code, ln)
+                if s:
+                    w.write(
+                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                    )
+            elif ss == 0:  # DC refine
+                w.write((zig[0] >> al) & 1, 1)
+            elif ah == 0:
+                _emit_ac_first(st, zig, ss, se, al)
+            else:
+                _emit_ac_refine(st, zig, ss, se, al)
+        st.emit_eobrun()
+        out += w.finish()
+    out += b"\xff\xd9"
+    return bytes(out)

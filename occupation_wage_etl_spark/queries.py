@@ -11680,6 +11680,78 @@ LEFT JOIN ov ON ov.a = e.a AND ov.b = e.b
 Q239_SQL = _token_f1_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# q240 — PROGRESSIVE JPEG decode (operators/multimodal.py:
+# _decode_jpeg_progressive / encode_jpeg_progressive_gray_coeffs):
+# q217's exact coefficient fixtures re-encoded as SOF2 progressive
+# streams (five scans: DC successive approximation first+refine, two
+# spectral AC bands, AC refinement — EOB runs, ZRL folding and
+# correction bits all exercised), pushed through the multi-scan T.81
+# Annex G decoder.  The oracle is q217's closed form VERBATIM: a value
+# match proves the progressive entropy layer reconstructs the
+# IDENTICAL quantized coefficients the baseline stream carries — the
+# stub retired the same way round 6 retired baseline JPEG.
+# ---------------------------------------------------------------------------
+
+
+def _synth_jpeg_prog(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): q217's deterministic coefficients, SOF2."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blk = [0] * 64
+                blk[0] = (did % 201) - 100
+                blk[1] = (did % 7) - 3
+                blk[8] = (did % 5) - 2
+                out.append(
+                    multimodal.encode_jpeg_progressive_gray_coeffs(
+                        8, 8, [blk]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q240_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = multimodal.decode_image(
+        _synth_jpeg_prog(docs), mode="real", thumb=8
+    )
+    px = F.col("pixels")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.aggregate(px, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "px_sum"
+        ),
+        F.array_min(px).cast("long").alias("px_min"),
+        F.array_max(px).cast("long").alias("px_max"),
+        F.aggregate(
+            F.zip_with(
+                px,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda v, k: v * (k % 8),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).alias("px_xmoment"),
+    )
+
+
+Q240_SQL = _jpeg_oracle_sql()  # identical closed form to q217 — by design
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -11920,6 +11992,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_snb_recall": q237_snb_recall,
     "q238_html_parse": q238_html_parse,
     "q239_token_f1": q239_token_f1,
+    "q240_jpeg_progressive": q240_jpeg_progressive,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12162,4 +12235,5 @@ ORACLE_SQL: dict[str, str] = {
     "q237_snb_recall": Q237_SQL,
     "q238_html_parse": Q238_SQL,
     "q239_token_f1": Q239_SQL,
+    "q240_jpeg_progressive": Q240_SQL,
 }

@@ -110,13 +110,71 @@ def test_jpeg_ycbcr420_mcu_walk():
     assert set(img[8:, 8:].ravel()) == {128 + 2 * dcs[3]}
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_lossless_sof_rejected():
     blk = [0] * 64
     data = bytearray(mm.encode_jpeg_gray_coeffs(8, 8, [blk]))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless, unsupported)
+    with pytest.raises(ValueError, match="SOF marker"):
         mm.decode_jpeg_gray(bytes(data))
+
+
+# -------------------------------------------- progressive (round 7)
+
+
+def test_jpeg_progressive_matches_baseline_all_scan_types():
+    # chosen coefficients exercising DC successive approximation, both
+    # AC first bands, ZRL folding and EOB runs; the progressive stream
+    # must decode to EXACTLY the baseline pixels
+    blocks = []
+    specs = [
+        {0: -77, 1: 3, 8: -2, 63: 5},       # DC + low AC + band-2 tail
+        {},                                  # all-zero (EOB-run food)
+        {0: 40},                             # DC-only
+        {34: 1, 61: -1},                     # sparse high zigzag (ZRL)
+        {0: -3, 2: -9, 5: 7, 6: -1, 30: 2},  # straddles both AC bands
+        {},                                  # trailing EOB run
+    ]
+    for spec in specs:
+        blk = [0] * 64
+        for pos, v in spec.items():
+            blk[pos] = v
+        blocks.append(blk)
+    base = mm.encode_jpeg_gray_coeffs(48, 8, blocks)
+    prog = mm.encode_jpeg_progressive_gray_coeffs(48, 8, blocks)
+    assert mm.decode_jpeg_gray(prog) == mm.decode_jpeg_gray(base)
+    # and through the operator dispatch (decode_image mode='real')
+    assert mm.decode_image_bytes(prog) == mm.decode_image_bytes(base)
+
+
+def test_jpeg_progressive_fuzz_vs_baseline():
+    import random
+
+    for trial in range(25):
+        rnd = random.Random(5000 + trial)
+        nb = rnd.randint(1, 12)
+        blocks = []
+        for _ in range(nb):
+            blk = [0] * 64
+            if rnd.random() > 0.25:
+                blk[0] = rnd.randint(-150, 150)
+                for _ in range(rnd.randint(0, 10)):
+                    blk[rnd.randint(1, 63)] = rnd.randint(-40, 40)
+            blocks.append(blk)
+        base = mm.encode_jpeg_gray_coeffs(8 * nb, 8, blocks)
+        prog = mm.encode_jpeg_progressive_gray_coeffs(8 * nb, 8, blocks)
+        assert mm.decode_jpeg_gray(prog) == mm.decode_jpeg_gray(base)
+
+
+def test_jpeg_progressive_refinement_magnitudes():
+    # values whose low bit differs force real correction bits in the
+    # AC refinement scan (band 1-5 goes through Al=1 then Al=0)
+    blk = [0] * 64
+    blk[1], blk[2], blk[3] = 5, -5, 4   # odd magnitudes refine; 4 stays
+    blk[4], blk[5] = 1, -1              # newly significant ONLY at Al=0
+    data = mm.encode_jpeg_progressive_gray_coeffs(8, 8, [blk])
+    base = mm.encode_jpeg_gray_coeffs(8, 8, [blk])
+    assert mm.decode_jpeg_gray(data) == mm.decode_jpeg_gray(base)
 
 
 def test_jpeg_sniff_and_decode_image_operator(spark):
