@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "q238_html_parse",
     "q239_token_f1",
     "q240_jpeg_progressive",
+    "q241_jpeg_progressive_rgb",
 ]
 
 

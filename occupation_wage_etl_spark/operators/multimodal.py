@@ -1708,3 +1708,108 @@ def encode_jpeg_progressive_gray_coeffs(
         out += w.finish()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_progressive_ycbcr420_coeffs(
+    width: int,
+    height: int,
+    y_blocks: list[list[int]],
+    quant: int = 16,
+    cb_blocks: list[list[int]] | None = None,
+    cr_blocks: list[list[int]] | None = None,
+) -> bytes:
+    """3-component 4:2:0 PROGRESSIVE JPEG from quantized natural-order
+    coefficient blocks — exercises the decoder's INTERLEAVED DC scans
+    (per-MCU 4 Y + Cb + Cr with per-component predictors and DC
+    successive approximation) and per-component NON-interleaved AC
+    scans whose block order is the component's own grid raster, not
+    the MCU walk.  ``width``/``height`` must be multiples of 16 (the
+    fixture dodges the padded-grid asymmetry general images have; the
+    decoder handles it per spec)."""
+    if width % 16 or height % 16:
+        raise ValueError("progressive 4:2:0 fixture needs 16-aligned dims")
+    mx, my = width // 16, height // 16
+    if len(y_blocks) != mx * 2 * my * 2:
+        raise ValueError(f"need {mx * 2 * my * 2} luma blocks")
+    zero = [0] * 64
+    cb_blocks = cb_blocks if cb_blocks is not None else [zero] * (mx * my)
+    cr_blocks = cr_blocks if cr_blocks is not None else [zero] * (mx * my)
+    if len(cb_blocks) != mx * my or len(cr_blocks) != mx * my:
+        raise ValueError(f"need {mx * my} chroma blocks per channel")
+
+    def zig(blk: list[int]) -> list[int]:
+        return [blk[_JPEG_ZIGZAG[k]] for k in range(64)]
+
+    zy = [zig(b) for b in y_blocks]
+    zcb = [zig(b) for b in cb_blocks]
+    zcr = [zig(b) for b in cr_blocks]
+    _, dc_codes = _huff_spec_8bit(_JPEG_DC_SYMS)
+    _, ac_codes = _huff_spec_8bit(_JPEG_AC_SYMS_PROG)
+    out = bytearray(
+        _jpeg_headers(
+            width, height, quant,
+            [(1, 2, 2), (2, 1, 1), (3, 1, 1)],
+            sof_marker=b"\xff\xc2", ac_syms=_JPEG_AC_SYMS_PROG,
+        )
+    )
+
+    def emit_dc(w: _JpegBitWriter, zigb: list[int], pred: int,
+                al: int) -> int:
+        t = zigb[0] >> al
+        diff = t - pred
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return t
+
+    def mcu_walk(w: _JpegBitWriter, ah: int, al: int) -> None:
+        preds = [0, 0, 0]
+        for m in range(mx * my):
+            row, col = divmod(m, mx)
+            for bv in range(2):
+                for bh in range(2):
+                    zb = zy[(row * 2 + bv) * (mx * 2) + col * 2 + bh]
+                    if ah == 0:
+                        preds[0] = emit_dc(w, zb, preds[0], al)
+                    else:
+                        w.write((zb[0] >> al) & 1, 1)
+            for ci, zb in ((1, zcb[m]), (2, zcr[m])):
+                if ah == 0:
+                    preds[ci] = emit_dc(w, zb, preds[ci], al)
+                else:
+                    w.write((zb[0] >> al) & 1, 1)
+
+    # scan script: interleaved DC first (Al=1), Y spectral bands with
+    # successive approximation, chroma full bands, interleaved DC
+    # refine, Y low-band refine
+    out += _jpeg_sos([1, 2, 3], 0, 0, (0 << 4) | 1)
+    w = _JpegBitWriter()
+    mcu_walk(w, 0, 1)
+    out += w.finish()
+
+    def ac_scan(cid: int, zigs: list[list[int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+        buf = bytearray(_jpeg_sos([cid], ss, se, (ah << 4) | al))
+        w = _JpegBitWriter()
+        st = _ProgState(w, ac_codes)
+        for zb in zigs:
+            if ah == 0:
+                _emit_ac_first(st, zb, ss, se, al)
+            else:
+                _emit_ac_refine(st, zb, ss, se, al)
+        st.emit_eobrun()
+        return bytes(buf) + w.finish()
+
+    out += ac_scan(1, zy, 1, 5, 0, 1)
+    out += ac_scan(1, zy, 6, 63, 0, 0)
+    out += ac_scan(2, zcb, 1, 63, 0, 0)
+    out += ac_scan(3, zcr, 1, 63, 0, 0)
+    out += _jpeg_sos([1, 2, 3], 0, 0, (1 << 4) | 0)
+    w = _JpegBitWriter()
+    mcu_walk(w, 1, 0)
+    out += w.finish()
+    out += ac_scan(1, zy, 1, 5, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -11752,6 +11752,61 @@ def q240_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q240_SQL = _jpeg_oracle_sql()  # identical closed form to q217 — by design
 
 
+# ---------------------------------------------------------------------------
+# q241 — progressive COLOR JPEG (multimodal.py:
+# encode_jpeg_progressive_ycbcr420_coeffs): q234's 4:2:0 color fixtures
+# re-encoded as SOF2 (interleaved DC first+refine scans with
+# per-component predictors, per-component spectral AC scans over the
+# component GRID raster), decoded through the progressive path +
+# chroma upsample + fixed-point RGB.  Oracle = q234's closed form
+# verbatim — a value match proves the multi-component progressive
+# entropy layer reconstructs the identical quantized coefficients.
+# ---------------------------------------------------------------------------
+
+
+def _synth_jpeg_color_prog(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): q234's color coefficients, SOF2."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ys = []
+                for j in range(4):
+                    blk = [0] * 64
+                    blk[0] = ((did + 53 * j) % 201) - 100
+                    if j == 0:
+                        blk[1] = (did % 7) - 3
+                    ys.append(blk)
+                cb = [0] * 64
+                cb[0] = (did % 41) - 20
+                cr = [0] * 64
+                cr[0] = (did % 37) - 18
+                out.append(
+                    multimodal.encode_jpeg_progressive_ycbcr420_coeffs(
+                        16, 16, ys, cb_blocks=[cb], cr_blocks=[cr]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q241_jpeg_progressive_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_rgb_stats(_synth_jpeg_color_prog(docs))
+
+
+Q241_SQL = _jpeg_rgb_oracle_sql()  # q234's closed form — by design
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -11993,6 +12048,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q238_html_parse": q238_html_parse,
     "q239_token_f1": q239_token_f1,
     "q240_jpeg_progressive": q240_jpeg_progressive,
+    "q241_jpeg_progressive_rgb": q241_jpeg_progressive_rgb,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12236,4 +12292,5 @@ ORACLE_SQL: dict[str, str] = {
     "q238_html_parse": Q238_SQL,
     "q239_token_f1": Q239_SQL,
     "q240_jpeg_progressive": Q240_SQL,
+    "q241_jpeg_progressive_rgb": Q241_SQL,
 }

@@ -327,3 +327,27 @@ def test_jpeg_rgb_stats_operator(spark):
     assert r["b_sum"] == sum(64 * (y + 18) for y in ysv)
     assert (r["r_min"], r["r_max"]) == (ysv[0] - 20, ysv[3] - 20)
     assert (r["b_min"], r["b_max"]) == (ysv[0] + 18, ysv[3] + 18)
+
+
+def test_jpeg_progressive_color_matches_baseline_multi_mcu():
+    # 32x16 (2 MCUs across): the non-interleaved AC scans walk the
+    # component GRID raster, which differs from the MCU walk — plus
+    # interleaved DC first/refine with per-component predictors
+    ys = []
+    for i in range(8):
+        blk = [0] * 64
+        blk[0] = 15 * i - 50
+        blk[1 + (i % 5)] = i - 4
+        ys.append(blk)
+    cb = [[0] * 64 for _ in range(2)]
+    cr = [[0] * 64 for _ in range(2)]
+    cb[0][0], cb[1][0] = 7, -9
+    cr[0][2], cr[1][0] = 3, 11
+    base = mm.encode_jpeg_ycbcr420_coeffs(
+        32, 16, ys, cb_blocks=cb, cr_blocks=cr
+    )
+    prog = mm.encode_jpeg_progressive_ycbcr420_coeffs(
+        32, 16, ys, cb_blocks=cb, cr_blocks=cr
+    )
+    assert mm.decode_jpeg_rgb(prog) == mm.decode_jpeg_rgb(base)
+    assert mm.decode_jpeg_gray(prog) == mm.decode_jpeg_gray(base)
