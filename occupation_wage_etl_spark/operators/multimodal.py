@@ -14,14 +14,20 @@ time and the JVM⇄Python boundary is columnar.  The ops here are:
   parse, canonical-Huffman entropy decode, dequantize, exact int64
   fixed-point IDCT — luma plane out; gray or interleaved YCbCr, any
   sampling ≤ 4, restart markers): grayscale raster + nearest-neighbor
-  thumb.  Progressive JPEG stays out of scope — ``mode="strict"``
-  raises for any undecodable payload, ``mode="fake"`` keeps the
-  md5-keystream fake for plumbing tests.
+  thumb.  Progressive JPEG (SOF2, T.81 Annex G — DC/AC successive
+  approximation, spectral selection, EOB runs, restarts) is decoded by
+  the same path, gray and interleaved color; 4:2:0 YCbCr → fixed-point
+  RGB reconstruction is also real.  ``mode="strict"`` raises for any
+  undecodable payload, ``mode="fake"`` keeps the md5-keystream fake for
+  plumbing tests.
 - ``decode_audio_stats`` — REAL WAV/PCM16 decode (stdlib ``struct``):
   per-asset sample stats without materializing waveforms into the plan.
 - ``resize_image`` / ``sample_frames`` — resize has the same real path
-  as decode; frame sampling from video containers is a PERMANENT STUB
-  here (no ffmpeg): ``fake`` exercises the fan-out plumbing.
+  as decode; ``sample_frames(mode="mp4")`` does REAL ISO-BMFF container
+  demux (``operators/video.py``: stsc/stco/stsz offset math, stss
+  keyframe slices) and returns per-sample payload slices — only the
+  PIXEL decode of those slices (H.264/AAC entropy coding) is stubbed
+  (no ffmpeg): ``fake`` exercises the fan-out plumbing.
 - ``extract_features`` — content-derived features, library-free.
 
 Partitioning: media rows are wildly skewed by payload size, so every
@@ -1186,9 +1192,12 @@ def _decode_jpeg_progressive(b: bytes, chroma: bool):
         seg_i, rd = 0, _JpegBitReader(segs[0])
         preds = [0] * len(comps)
         eobrun = 0
-        if len(sc) > 1 or (ss == 0 and len(sc) == len(comps)):
-            # interleaved MCU walk (DC scans; spec restricts AC scans
-            # to a single component)
+        if len(sc) > 1:
+            # interleaved MCU walk — T.81 §A.2.3: a scan is interleaved
+            # iff Ns > 1 (an Ns=1 scan is ALWAYS non-interleaved, even
+            # when the frame has a single component with sampling
+            # factors > 1); spec restricts AC scans to one component
+
             if ss != 0:
                 raise ValueError("corrupt JPEG: interleaved AC scan")
             unit = 0

@@ -728,25 +728,34 @@ def token_f1_pairs(
     return (
         p.join(
             # no broadcast hint: nt is one row per DOC (corpus-sized);
-            # AQE picks BHJ at test scale and SMJ at 100 TB
+            # AQE picks BHJ at test scale and SMJ at 100 TB.  LEFT joins:
+            # a token-less doc (empty/NULL text) has no nt row but its
+            # pairs must survive with n=0 / overlap 0 / f1 NULL.
             nt.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a")),
             "id_a",
+            "left",
         )
         .join(
             nt.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b")),
             "id_b",
+            "left",
         )
         .join(ov, ["id_a", "id_b"], "left")
         .select(
             "id_a",
             "id_b",
-            "n_a",
-            "n_b",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
             F.coalesce(F.col("__ov"), F.lit(0)).alias("overlap"),
             F.when(
-                F.col("n_a") + F.col("n_b") > 0,
+                F.coalesce(F.col("n_a"), F.lit(0))
+                + F.coalesce(F.col("n_b"), F.lit(0))
+                > 0,
                 (F.lit(2) * F.coalesce(F.col("__ov"), F.lit(0))).cast("double")
-                / (F.col("n_a") + F.col("n_b")).cast("double"),
+                / (
+                    F.coalesce(F.col("n_a"), F.lit(0))
+                    + F.coalesce(F.col("n_b"), F.lit(0))
+                ).cast("double"),
             ).alias("f1"),
         )
     )

@@ -362,9 +362,20 @@ def mp4_keyframe_slices(
                     if tr["handler"] != handler:
                         continue
                     picked = tr["sync"][::every_nth][:max_frames]
+                    n_samples = len(tr["sizes"])
                     for snum in picked:
+                        if not 1 <= snum <= n_samples:
+                            raise ValueError(
+                                "corrupt MP4: stss sample number "
+                                f"{snum} > sample count {n_samples}"
+                            )
                         off = tr["offsets"][snum - 1]
                         size = tr["sizes"][snum - 1]
+                        if off + size > len(raw):
+                            raise ValueError(
+                                "corrupt MP4: sample extends past "
+                                f"end of file ({off}+{size} > {len(raw)})"
+                            )
                         rows.append(
                             (
                                 int(rid),

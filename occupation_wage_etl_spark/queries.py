@@ -841,7 +841,7 @@ WITH n AS (
   FROM n
 ), e AS (
   SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
-  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {ROLL_MAX_DF}
 )
 SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
 FROM e l JOIN e r ON l.fp = r.fp AND l.id < r.id
@@ -3672,7 +3672,7 @@ WITH n AS (
   FROM n
 ), ex AS (
   SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
-  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {ROLL_MAX_DF}
 ), e AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -4166,7 +4166,7 @@ WITH n0 AS (
   FROM n0
 ), ex AS (
   SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w0)
-  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {ROLL_MAX_DF}
 ), e AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -6387,7 +6387,7 @@ WITH n AS (
   FROM n
 ), ex AS (
   SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
-  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {ROLL_MAX_DF}
 ), e AS MATERIALIZED (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -8004,7 +8004,7 @@ _EDGE_CTE = f"""n AS (
   FROM n
 ), ex AS (
   SELECT id, fp FROM (SELECT id, unnest(fps) AS fp FROM w)
-  QUALIFY count(*) OVER (PARTITION BY fp) <= 64
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {ROLL_MAX_DF}
 ), e AS MATERIALIZED (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
@@ -11666,13 +11666,14 @@ WITH {_edge_cte()}, tok AS (
   GROUP BY 1, 2
 )
 SELECT e.a AS id_a, e.b AS id_b,
-       na.n_tok AS n_a, nb.n_tok AS n_b,
+       coalesce(na.n_tok, 0) AS n_a, coalesce(nb.n_tok, 0) AS n_b,
        coalesce(ov.ov, 0) AS overlap,
-       CASE WHEN na.n_tok + nb.n_tok > 0
+       CASE WHEN coalesce(na.n_tok, 0) + coalesce(nb.n_tok, 0) > 0
             THEN CAST(2 * coalesce(ov.ov, 0) AS DOUBLE)
-                 / CAST(na.n_tok + nb.n_tok AS DOUBLE)
+                 / CAST(coalesce(na.n_tok, 0) + coalesce(nb.n_tok, 0)
+                        AS DOUBLE)
        END AS f1
-FROM e JOIN nt na ON na.id = e.a JOIN nt nb ON nb.id = e.b
+FROM e LEFT JOIN nt na ON na.id = e.a LEFT JOIN nt nb ON nb.id = e.b
 LEFT JOIN ov ON ov.a = e.a AND ov.b = e.b
 """
 

@@ -148,12 +148,19 @@ def test_token_f1_pairs_hand_computed(spark):
         "doc_id long, text string",
     )
     pairs = spark.createDataFrame(
-        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+        [(1, 2), (1, 3), (2, 3), (1, 4), (4, 4)], "id_a long, id_b long"
     )
     got = {
         (r["id_a"], r["id_b"]): r
         for r in text_analysis.token_f1_pairs(docs, pairs).collect()
     }
+    assert len(got) == 5  # empty-doc pairs survive, not dropped
+    # one side token-less (doc 4: NULL text) -> n_b 0, overlap 0, f1 0
+    assert (got[(1, 4)]["n_a"], got[(1, 4)]["n_b"]) == (4, 0)
+    assert got[(1, 4)]["overlap"] == 0 and got[(1, 4)]["f1"] == 0.0
+    # both sides token-less -> f1 NULL
+    assert (got[(4, 4)]["n_a"], got[(4, 4)]["n_b"]) == (0, 0)
+    assert got[(4, 4)]["f1"] is None
     # docs 1/2: shared multiset {b:2, c:1} -> overlap 3, f1 = 6/8
     assert got[(1, 2)]["overlap"] == 3
     assert got[(1, 2)]["f1"] == 0.75
