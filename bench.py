@@ -284,6 +284,10 @@ BENCH_QUERIES = [
     "q239_token_f1",
     "q240_jpeg_progressive",
     "q241_jpeg_progressive_rgb",
+    "q242_planted_near_dup_recall",
+    "q243_planted_near_dup_recall_mp",
+    "q244_planted_snb_recall",
+    "q245_planted_minhash_recall",
 ]
 
 

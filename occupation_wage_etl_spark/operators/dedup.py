@@ -418,6 +418,120 @@ def minhash_lsh_pairs(
     return verified
 
 
+def planted_minhash_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    plant_base: int = 100000,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Measured recall of the MinHash-LSH band tier at the PRODUCTION
+    operating point (shingle Jaccard ≥ 0.8) via PLANTED near-duplicate
+    documents — the text-side companion of
+    :func:`planted_near_dup_recall_audit`.
+
+    For every doc a copy is planted that keeps the first
+    ``T − ceil(T/k)`` whitespace tokens (k id-cycled over {20, 10, 5},
+    so planted pairs land across the Jaccard 0.9/0.8/0.7 operating
+    bands); the (original, copy) pair is ground truth BY CONSTRUCTION.
+    Each pair's EXACT shingle Jaccard is computed (one |pairs|-sized
+    join against the persisted shingle table — linear, never O(n²))
+    and pairs are bucketed by integer cross-multiplication
+    (``10·|∩| ≥ 9·|∪|`` ⇒ 0.9 band, …) so banding is float-free.
+    ``n_caught`` counts pairs colliding in ≥1 LSH band of the REAL
+    production funnel (:func:`_minhash_tables`, identical constants to
+    :func:`minhash_lsh_pairs`).
+
+    One row per Jaccard band: (j_band, n_planted, n_caught, recall).
+    Theory at 16 hashes / 8 bands of 2: recall ≥ 1−(1−J²)^8 — 0.9997
+    at J = 0.8; the audit turns that formula into a measurement.
+    """
+    orig = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    planted = (
+        orig.withColumn("tk", T.tokens(F.col("text")))
+        .withColumn(
+            "k",
+            F.element_at(
+                F.array(F.lit(20), F.lit(10), F.lit(5)),
+                (F.col("id") % 3 + 1).cast("int"),
+            ),
+        )
+        .select(
+            (F.col("id") + F.lit(plant_base)).alias("id"),
+            F.expr(
+                "array_join(slice(tk, 1, size(tk) - "
+                "CAST((size(tk) + k - 1) DIV k AS INT)), ' ')"
+            ).alias("text"),
+        )
+    )
+    union = orig.unionByName(planted)
+    shingled, buckets = _minhash_tables(
+        union, "text", "id", shingle_n, num_hashes, bands
+    )
+    rpb = num_hashes // bands
+    left, right = buckets.alias("l"), buckets.alias("r")
+    key_eq = F.col("l.band") == F.col("r.band")
+    for j in range(rpb):
+        key_eq = key_eq & (F.col(f"l.k{j}") == F.col(f"r.k{j}"))
+    cand = (
+        left.join(right, key_eq & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    truth = orig.select(
+        F.col("id").alias("id_a"),
+        (F.col("id") + F.lit(plant_base)).alias("id_b"),
+    )
+    sh = shingled
+    tj = (
+        truth.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("nu"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(10 * F.col("ni") >= 9 * F.col("nu"), F.lit(0.9))
+            .when(10 * F.col("ni") >= 8 * F.col("nu"), F.lit(0.8))
+            .when(10 * F.col("ni") >= 7 * F.col("nu"), F.lit(0.7))
+            .otherwise(F.lit(0.0))
+            .alias("j_band"),
+        )
+        .transform(cached)
+    )
+    caught = tj.join(cand, ["id_a", "id_b"], "left_semi").groupBy(
+        "j_band"
+    ).agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        tj.groupBy("j_band")
+        .agg(F.count(F.lit(1)).alias("n_planted"))
+        .join(caught, "j_band", "left")
+        .select(
+            "j_band",
+            "n_planted",
+            F.coalesce(F.col("n_caught"), F.lit(0)).alias("n_caught"),
+            (
+                F.coalesce(F.col("n_caught"), F.lit(0)).cast("double")
+                / F.col("n_planted").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -711,10 +825,20 @@ def _hyperplane_candidates(
     n_planes: int,
     band_bits: int,
     seed: str,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Distinct (id_a < id_b) hyperplane-LSH band-collision candidates —
     the shared candidate generator of
-    :func:`embedding_near_dup_pairs_banded` and its recall audit."""
+    :func:`embedding_near_dup_pairs_banded` and its recall audit.
+
+    ``multi_probe`` is the recall knob (Lv et al., VLDB'07 multi-probe
+    LSH, adapted to sign bands): the probe side additionally emits every
+    1-bit flip of each band key, so a pair collides when some band's
+    keys agree OR differ in exactly one sign bit.  Per-band catch
+    probability goes from p^b to p^b + b·p^(b-1)(1-p) at the cost of
+    (band_bits+1)× probe-side rows — candidates stay (band, key, id)
+    triples, never vectors, so the shuffle grows by the same small
+    constant and nothing else changes shape at 100 TB."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     # persist the (id, sig) table: it is tiny (two longs per vector) and
@@ -743,7 +867,23 @@ def _hyperplane_candidates(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    l, r = banded.alias("l"), banded.alias("r")
+    probe = banded
+    if multi_probe:
+        probe = banded.select(
+            "id",
+            "band",
+            F.explode(
+                F.array(
+                    F.col("key"),
+                    *[
+                        F.col("key").bitwiseXOR(F.lit(1 << bit))
+                        for bit in range(band_bits)
+                    ],
+                )
+            ).alias("key"),
+        )
+
+    l, r = banded.alias("l"), probe.alias("r")
     return (
         l.join(
             r,
@@ -815,6 +955,129 @@ def embedding_near_dup_recall_audit(
     )
 
 
+def planted_near_dup_recall_audit(
+    df: DataFrame,
+    dim: int,
+    targets: tuple[float, ...] = (0.90, 0.95, 0.98),
+    plant_n: int = 300,
+    plant_base: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: str = "owes",
+    plant_seed: str = "plant",
+    multi_probe: bool = False,
+) -> DataFrame:
+    """Measured recall of the banded hyperplane tier at the PRODUCTION
+    operating point, via planted near-duplicates with exactly controlled
+    cosine — closing the gap :func:`embedding_near_dup_recall_audit`
+    leaves open (random testdata only offers weak similarities, so that
+    audit measures recall at cos≈0.4; dedup thresholds live at 0.9+).
+
+    Construction: for each original id i < ``plant_n`` with unit vector
+    u, plant ``v = c·u + sqrt(1−c²)·ŵ⊥`` where c = targets[i mod |targets|]
+    and ŵ⊥ is a deterministic md5-seeded direction orthogonalized
+    against u — so cos(u, v) = c exactly (up to float ulps).  The
+    planted pair (i, plant_base+i) is ground truth BY CONSTRUCTION: no
+    O(n²) exact tier is needed, so unlike the random audit this one
+    scales to any corpus.  All sums in the construction are sequential
+    left-to-right doubles, replayed verbatim by the DuckDB oracle.
+
+    One row per target: (target_cos, n_planted, n_caught, recall) where
+    n_caught counts planted pairs colliding in ≥1 band of the REAL
+    candidate generator (:func:`_hyperplane_candidates`, the exact
+    funnel :func:`embedding_near_dup_pairs_banded` runs in production,
+    incl. the ``multi_probe`` knob).
+    """
+    import math
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    tgts = [float(t) for t in targets]
+
+    def _plant(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for i, v in zip(pdf["id"], pdf["vec"]):
+                i = int(i)
+                x = [float(t) for t in v]
+                c = tgts[i % len(tgts)]
+                s = math.sqrt(1.0 - c * c)
+                nx = 0.0
+                for t in x:
+                    nx += t * t
+                nx = math.sqrt(nx)
+                u = [t / nx for t in x]
+                w = [
+                    int(
+                        _hl.md5(
+                            f"{plant_seed}:{i}:{j}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    / 4294967295.0
+                    * 2.0
+                    - 1.0
+                    for j in range(len(x))
+                ]
+                proj = 0.0
+                for wj, uj in zip(w, u):
+                    proj += wj * uj
+                wp = [wj - proj * uj for wj, uj in zip(w, u)]
+                nw = 0.0
+                for t in wp:
+                    nw += t * t
+                nw = math.sqrt(nw)
+                out_ids.append(plant_base + i)
+                out_vecs.append(
+                    [c * uj + s * (wj / nw) for uj, wj in zip(u, wp)]
+                )
+            yield _pd.DataFrame({"id": out_ids, "vec": out_vecs})
+
+    planted = (
+        base.filter(F.col("id") < plant_n)
+        .mapInPandas(_plant, schema="id long, vec array<double>")
+    )
+    union = base.unionByName(planted)
+    cand = _hyperplane_candidates(
+        union, dim, "vec", "id", n_planes, band_bits, seed, multi_probe
+    )
+    tarr = F.array(*[F.lit(t) for t in tgts])
+    truth = (
+        base.filter(F.col("id") < plant_n)
+        .select(
+            F.col("id").alias("id_a"),
+            (F.col("id") + F.lit(plant_base)).alias("id_b"),
+            F.element_at(tarr, (F.col("id") % len(tgts) + 1).cast("int"))
+            .alias("target_cos"),
+        )
+    )
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi").groupBy(
+        "target_cos"
+    ).agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        truth.groupBy("target_cos")
+        .agg(F.count(F.lit(1)).alias("n_planted"))
+        .join(caught, "target_cos", "left")
+        .select(
+            "target_cos",
+            "n_planted",
+            F.coalesce(F.col("n_caught"), F.lit(0)).alias("n_caught"),
+            (
+                F.coalesce(F.col("n_caught"), F.lit(0)).cast("double")
+                / F.col("n_planted").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def embedding_near_dup_pairs_banded(
     df: DataFrame,
     dim: int,
@@ -824,6 +1087,7 @@ def embedding_near_dup_pairs_banded(
     n_planes: int = 16,
     band_bits: int = 4,
     seed: str = "owes",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH banding — the
     100 TB tier of ``embedding_near_dup_pairs``.
@@ -844,7 +1108,7 @@ def embedding_near_dup_pairs_banded(
     ``dim`` must be the (fixed) embedding dimension.
     """
     cand = _hyperplane_candidates(
-        df, dim, vec_col, id_col, n_planes, band_bits, seed
+        df, dim, vec_col, id_col, n_planes, band_bits, seed, multi_probe
     )
     # normalize each vector ONCE (|V| rows), so per-pair verification is
     # a single dot-product fold instead of dot + two norms (3× the work

@@ -11808,6 +11808,324 @@ def q241_jpeg_progressive_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q241_SQL = _jpeg_rgb_oracle_sql()  # q234's closed form — by design
 
 
+# ---------------------------------------------------------------------------
+# q242/q243 — recall at the PRODUCTION operating point via PLANTED
+# near-duplicates (dedup.planted_near_dup_recall_audit): the round-7
+# audits (q235-q237) measure recall only at the weak similarities the
+# random testdata offers; here near-duplicates are PLANTED with exactly
+# controlled cosine (0.90/0.95/0.98 — the thresholds the banded tier is
+# designed for), so ground truth is by construction and recall is
+# measured where the docstrings claim it.  q242 = default parameters
+# (16 planes, 4-bit bands); q243 = the multi-probe recall knob
+# (1-bit-flip probe expansion).  No O(n²) tier anywhere — this audit
+# shape runs at any corpus size.
+# ---------------------------------------------------------------------------
+
+PLANT_N = 300      # originals that get a planted near-duplicate
+PLANT_BASE = 10_000_000  # planted vec_id offset (disjoint from base ids at any SF)
+PLANT_TARGETS = (0.90, 0.95, 0.98)
+
+
+def q242_planted_near_dup_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.planted_near_dup_recall_audit(
+        emb, dim=EMB_DIM, targets=PLANT_TARGETS,
+        plant_n=PLANT_N, plant_base=PLANT_BASE,
+    )
+
+
+def q243_planted_near_dup_recall_mp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.planted_near_dup_recall_audit(
+        emb, dim=EMB_DIM, targets=PLANT_TARGETS,
+        plant_n=PLANT_N, plant_base=PLANT_BASE, multi_probe=True,
+    )
+
+
+def _planted_recall_oracle_sql(multi_probe: bool) -> str:
+    # Replays the planting verbatim (sequential left-to-right double
+    # sums, md5('plant:i:j') directions, Gram-Schmidt against the unit
+    # original) and the production candidate funnel (Q235's hyperplane
+    # recipe over the planted∪base union, plus the 1-bit-flip probe
+    # expansion when multi_probe).
+    probe_cte = """
+), probe AS (
+  SELECT id, band, key FROM banded
+  UNION ALL
+  SELECT id, band, xor(key, 1::BIGINT << f.b) AS key
+  FROM banded, (VALUES (0), (1), (2), (3)) f(b)"""
+    r_src = "probe" if multi_probe else "banded"
+    return f"""
+WITH orig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), src AS (
+  SELECT vec_id, v FROM orig WHERE vec_id < {PLANT_N}
+), nrm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nx
+  FROM src
+), uu AS (
+  SELECT vec_id, list_transform(v, x -> x / nx) AS u,
+         CASE CAST(vec_id % 3 AS INT)
+              WHEN 0 THEN 0.90::DOUBLE WHEN 1 THEN 0.95::DOUBLE
+              ELSE 0.98::DOUBLE END AS c
+  FROM nrm
+), wr AS (
+  SELECT vec_id, list_transform(range(0, {EMB_DIM}), j ->
+           ('0x' || substr(md5('plant:' || vec_id || ':' || j), 1, 8))::BIGINT
+             / 4294967295.0 * 2.0 - 1.0) AS w
+  FROM src
+), pr AS (
+  SELECT u.vec_id, u.u, u.c, w.w,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                 i -> w.w[i] * u.u[i])) AS proj
+  FROM uu u JOIN wr w ON w.vec_id = u.vec_id
+), wpt AS (
+  SELECT vec_id, u, c,
+         list_transform(range(1, {EMB_DIM + 1}),
+                        i -> w[i] - proj * u[i]) AS wp
+  FROM pr
+), pv AS (
+  SELECT vec_id, u, c, wp,
+         sqrt(list_sum(list_transform(wp, x -> x * x))) AS nw
+  FROM wpt
+), planted AS (
+  SELECT vec_id + {PLANT_BASE} AS vec_id,
+         list_transform(range(1, {EMB_DIM + 1}),
+                        i -> c * u[i] + sqrt(1.0 - c * c) * (wp[i] / nw)) AS v
+  FROM pv
+), allv AS (
+  SELECT vec_id, v FROM orig UNION ALL SELECT vec_id, v FROM planted
+), hp AS (
+  SELECT p.p, d.d,
+         ('0x' || substr(md5('owes:' || p.p || ':' || (d.d - 1)), 1, 8))::BIGINT
+           / 4294967295.0 * 2.0 - 1.0 AS w
+  FROM range(0, 16) p(p), range(1, {EMB_DIM + 1}) d(d)
+), dots AS (
+  SELECT e.vec_id, h.p, sum(e.v[h.d] * h.w) AS dot
+  FROM allv e, hp h GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY 1
+), banded AS (
+  SELECT vec_id AS id, b.band, (s >> (b.band * 4)) & 15 AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band){probe_cte if multi_probe else ''}
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN {r_src} r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+), truth AS (
+  SELECT vec_id AS id_a, vec_id + {PLANT_BASE} AS id_b, c FROM uu
+)
+SELECT t.c AS target_cos, count(*) AS n_planted,
+       count(cd.id_a) AS n_caught,
+       count(cd.id_a)::DOUBLE / count(*)::DOUBLE AS recall
+FROM truth t LEFT JOIN cand cd ON cd.id_a = t.id_a AND cd.id_b = t.id_b
+GROUP BY 1
+"""
+
+
+Q242_SQL = _planted_recall_oracle_sql(multi_probe=False)
+Q243_SQL = _planted_recall_oracle_sql(multi_probe=True)
+
+
+# ---------------------------------------------------------------------------
+# q244 — SNB recall at the production operating point (edit distance 1)
+# via PLANTED typos (fuzzy_join.planted_edit1_snb_recall_audit): one
+# copy per customer with exactly one substituted character at an
+# id-cycled position, measured across the operator's two knobs —
+# window (rank-gap tolerance) and the multi-pass reversed-key pass
+# (Hernández & Stolfo's own fix: a prefix typo teleports the forward
+# sort position but not the reversed one).  Measured at sf0.01:
+# (5,1)=0.033, (5,2)=0.884, (10,2)=0.926 — the knob progression IS the
+# result.
+# ---------------------------------------------------------------------------
+
+SNB_PLANT_BASE = 10_000_000
+
+
+def q244_planted_snb_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < AUDIT_CUST_CAP
+    )
+    return fuzzy_join.planted_edit1_snb_recall_audit(
+        cust, "c_name", "c_custkey", plant_base=SNB_PLANT_BASE
+    )
+
+
+def _planted_snb_oracle_sql() -> str:
+    cfg_rows = []
+    for window, n_passes in ((5, 1), (5, 2), (10, 2)):
+        cand = f"c{window}_{n_passes}"
+        cfg_rows.append(f"""
+SELECT {window} AS window, {n_passes} AS n_passes,
+       (SELECT count(*) FROM truth) AS n_planted,
+       (SELECT count(*) FROM truth t JOIN {cand} c2
+          ON t.id_a = c2.id_a AND t.id_b = c2.id_b) AS n_caught,
+       (SELECT count(*) FROM {cand}) AS n_candidates,
+       (SELECT count(*) FROM truth t JOIN {cand} c2
+          ON t.id_a = c2.id_a AND t.id_b = c2.id_b)::DOUBLE
+         / (SELECT count(*) FROM truth)::DOUBLE AS recall""")
+    return f"""
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+  WHERE c_custkey < {AUDIT_CUST_CAP}
+), pl AS (
+  SELECT id + {SNB_PLANT_BASE} AS id,
+         concat(substr(nm, 1, p - 1),
+                CASE WHEN r0 = substr(nm, p, 1) THEN 'z' ELSE r0 END,
+                substr(nm, p + 1)) AS nm
+  FROM (SELECT id, nm,
+               CAST(id % length(nm) + 1 AS INT) AS p,
+               substr('abcdefghij', CAST(id % 10 AS INT) + 1, 1) AS r0
+        FROM c)
+), u AS (
+  SELECT id, nm FROM c UNION ALL SELECT id, nm FROM pl
+), truth AS (
+  SELECT id AS id_a, id + {SNB_PLANT_BASE} AS id_b FROM c
+), rf AS (
+  SELECT id, row_number() OVER (ORDER BY nm, id) AS rnk FROM u
+), rr AS (
+  SELECT id, row_number() OVER (ORDER BY reverse(nm), id) AS rnk FROM u
+), pf AS (
+  SELECT least(l.id, r2.id) AS id_a, greatest(l.id, r2.id) AS id_b,
+         r2.rnk - l.rnk AS gap
+  FROM rf l JOIN rf r2 ON r2.rnk BETWEEN l.rnk + 1 AND l.rnk + 10
+), pr2 AS (
+  SELECT least(l.id, r2.id) AS id_a, greatest(l.id, r2.id) AS id_b,
+         r2.rnk - l.rnk AS gap
+  FROM rr l JOIN rr r2 ON r2.rnk BETWEEN l.rnk + 1 AND l.rnk + 10
+), c5_1 AS (
+  SELECT DISTINCT id_a, id_b FROM pf WHERE gap <= 5
+), c5_2 AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT id_a, id_b FROM pf WHERE gap <= 5
+    UNION ALL SELECT id_a, id_b FROM pr2 WHERE gap <= 5)
+), c10_2 AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT id_a, id_b FROM pf
+    UNION ALL SELECT id_a, id_b FROM pr2)
+)
+{" UNION ALL ".join(cfg_rows)}
+"""
+
+
+Q244_SQL = _planted_snb_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# q245 — MinHash-LSH recall at the production operating point (shingle
+# Jaccard ≥ 0.8) via PLANTED near-duplicate documents
+# (dedup.planted_minhash_recall_audit): every doc gets a prefix-
+# truncated copy (id-cycled truncation strength → pairs across the
+# 0.9/0.8/0.7 exact-Jaccard bands), ground truth by construction, and
+# n_caught counts collisions in the REAL q13 band funnel (identical
+# constants).  Float-free banding: 10·|∩| ≥ 9·|∪| integer
+# cross-multiplication.
+# ---------------------------------------------------------------------------
+
+MH_PLANT_BASE = 10_000_000
+
+
+def q245_planted_minhash_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.planted_minhash_recall_audit(
+        docs,
+        plant_base=MH_PLANT_BASE,
+        shingle_n=SHINGLE_N,
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+    )
+
+
+def _planted_minhash_oracle_sql() -> str:
+    rpb = MINHASH_N // MINHASH_BANDS
+    P = S.MINHASH_P
+    perms = S.minhash_perm_params(MINHASH_N)
+    slots = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
+        for (a, b) in perms
+    )
+    band_fields = ", ".join(
+        "{'band': %d, %s}"
+        % (b, ", ".join(f"'k{r}': sig[{b * rpb + r + 1}]" for r in range(rpb)))
+        for b in range(MINHASH_BANDS)
+    )
+    key_eq = " AND ".join(["l.b.band = r.b.band"] + [
+        f"l.b.k{r} = r.b.k{r}" for r in range(rpb)
+    ])
+    norm = _NORM_SQL.format(x="text")
+    return f"""
+WITH orig AS (
+  SELECT doc_id AS id, text FROM documents
+), d0 AS (
+  SELECT id, string_split({norm}, ' ') AS toks FROM orig
+), pl AS (
+  SELECT id + {MH_PLANT_BASE} AS id,
+         array_to_string(
+           list_slice(toks, 1, len(toks) - ((len(toks) + k - 1) // k)),
+           ' ') AS text
+  FROM (SELECT id, toks,
+               CASE CAST(id % 3 AS INT)
+                    WHEN 0 THEN 20 WHEN 1 THEN 10 ELSE 5 END AS k
+        FROM d0)
+), u AS (
+  SELECT id, text FROM orig UNION ALL SELECT id, text FROM pl
+), d AS (
+  SELECT id, string_split({norm}, ' ') AS toks FROM u
+), sh AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ')
+         )) AS shingles
+  FROM d
+), hsh AS (
+  SELECT id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {P}) AS hs
+  FROM sh
+), sig AS (
+  SELECT id, shingles, [
+    {slots}
+  ] AS sig FROM hsh
+), bk AS (
+  SELECT id, unnest([{band_fields}]) AS b FROM sig
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bk l JOIN bk r ON {key_eq} AND l.id < r.id
+), truth AS (
+  SELECT id AS id_a, id + {MH_PLANT_BASE} AS id_b FROM orig
+), tj AS (
+  SELECT t.id_a, t.id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS ni,
+         len(list_distinct(list_concat(a.shingles, b.shingles))) AS nu
+  FROM truth t JOIN sh a ON a.id = t.id_a JOIN sh b ON b.id = t.id_b
+), tb AS (
+  SELECT id_a, id_b,
+         CASE WHEN 10 * ni >= 9 * nu THEN 0.9::DOUBLE
+              WHEN 10 * ni >= 8 * nu THEN 0.8::DOUBLE
+              WHEN 10 * ni >= 7 * nu THEN 0.7::DOUBLE
+              ELSE 0.0::DOUBLE END AS j_band
+  FROM tj
+)
+SELECT tb.j_band, count(*) AS n_planted, count(c.id_a) AS n_caught,
+       count(c.id_a)::DOUBLE / count(*)::DOUBLE AS recall
+FROM tb LEFT JOIN cand c ON c.id_a = tb.id_a AND c.id_b = tb.id_b
+GROUP BY 1
+"""
+
+
+Q245_SQL = _planted_minhash_oracle_sql()
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -12050,6 +12368,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q239_token_f1": q239_token_f1,
     "q240_jpeg_progressive": q240_jpeg_progressive,
     "q241_jpeg_progressive_rgb": q241_jpeg_progressive_rgb,
+    "q242_planted_near_dup_recall": q242_planted_near_dup_recall,
+    "q243_planted_near_dup_recall_mp": q243_planted_near_dup_recall_mp,
+    "q244_planted_snb_recall": q244_planted_snb_recall,
+    "q245_planted_minhash_recall": q245_planted_minhash_recall,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12294,4 +12616,8 @@ ORACLE_SQL: dict[str, str] = {
     "q239_token_f1": Q239_SQL,
     "q240_jpeg_progressive": Q240_SQL,
     "q241_jpeg_progressive_rgb": Q241_SQL,
+    "q242_planted_near_dup_recall": Q242_SQL,
+    "q243_planted_near_dup_recall_mp": Q243_SQL,
+    "q244_planted_snb_recall": Q244_SQL,
+    "q245_planted_minhash_recall": Q245_SQL,
 }
