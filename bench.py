@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "q243_planted_near_dup_recall_mp",
     "q244_planted_snb_recall",
     "q245_planted_minhash_recall",
+    "q246_mp4_sps_params",
 ]
 
 
@@ -455,12 +456,14 @@ def main() -> None:
     # single sample carries scheduler/CPU-contention noise of ±15%; the
     # minimum is the reproducible steady-state cost (standard
     # microbenchmark practice), recorded as "timing": "min_of_2".
-    # The TOP-10 heaviest queries (by the previous round's committed
-    # record) get a third run: they dominate the suite wall, so their
-    # jitter dominates round-over-round attribution noise (the ±30%
-    # driver-rerun spread the round-6 verdict flagged); min-of-3 halves
-    # the tail.  The measured same-code re-run envelope lives in
-    # BENCH_SCALE.md ("Bench noise envelope").
+    # Every query at ≥1 s in the previous round's committed record gets
+    # a third run (round 8, extending round 7's top-10 rule): the ≥2 s
+    # entries dominate the suite wall, and the 1–2 s band is where the
+    # measured same-code envelope still showed p90 ×1.23 / max ×1.34 —
+    # exactly where boundary cases like q92_pagerank could not be told
+    # from jitter.  min-of-3 halves that tail for ~90 s of extra bench
+    # time.  The measured envelope lives in BENCH_SCALE.md ("Bench
+    # noise envelope").
     prev: dict[str, float] = {}
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
@@ -471,6 +474,7 @@ def main() -> None:
     except Exception:
         pass
     heavy = set(sorted(prev, key=lambda n: -prev[n])[:10])
+    heavy |= {n for n, t in prev.items() if t >= 1.0}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}  # max/min across this run's samples
     for name, fn in runs:

@@ -103,9 +103,21 @@ def _parse_stbl(b: bytes, s: int, e: int) -> dict:
             # size(4) format(4) ... — the codec fourcc is the format
             n = struct.unpack_from(">I", b, bs + 4)[0]
             if n >= 1 and be - bs >= 16:
-                out["codec"] = b[bs + 12 : bs + 16].decode(
-                    "ascii", errors="replace"
-                )
+                es = bs + 8  # first sample entry
+                esize = struct.unpack_from(">I", b, es)[0]
+                fmt = b[es + 4 : es + 8]
+                out["codec"] = fmt.decode("ascii", errors="replace")
+                if fmt in (b"avc1", b"avc3") and esize >= 86:
+                    # VisualSampleEntry: advisory dims at +32, child
+                    # boxes (avcC, ...) after the 86-byte fixed part
+                    out["entry_width"], out["entry_height"] = (
+                        struct.unpack_from(">HH", b, es + 32)
+                    )
+                    for t2, cs, ce in _iter_boxes(
+                        b, es + 86, min(es + esize, be)
+                    ):
+                        if t2 == b"avcC":
+                            out["sps"] = _parse_avcc(b, cs, ce)
         elif t == b"stsz":
             fixed, count = struct.unpack_from(">II", b, bs + 4)
             out["n_samples"] = count
@@ -136,6 +148,271 @@ def _parse_stbl(b: bytes, s: int, e: int) -> dict:
             n = struct.unpack_from(">I", b, bs + 4)[0]
             out["sync"] = list(struct.unpack_from(f">{n}I", b, bs + 8))
     return out
+
+
+# --------------------------------------------- H.264 SPS (avcC) tier
+#
+# The avcC box (ISO 14496-15 §5.3.3.1) carries the H.264 parameter
+# sets out-of-band; the SPS inside it is THE authoritative source of
+# coded frame geometry (tkhd/sample-entry dims are advisory).  Pure
+# public spec: ITU-T H.264 §7.3.2.1 (seq_parameter_set_rbsp) with
+# §9.1 Exp-Golomb coding and §7.4.1 emulation prevention.  Frame
+# PIXEL decode stays out of scope (no entropy decoder for slice
+# data) — this tier stops at parameter sets, by design.
+
+_HIGH_PROFILES = frozenset(
+    {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+)
+
+
+class _EgBitReader:
+    """MSB-first bit reader with Exp-Golomb (H.264 §9.1) over RBSP."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.d):
+                raise ValueError("corrupt SPS: bit overrun")
+            v = (v << 1) | ((self.d[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        z = 0
+        while self.u(1) == 0:
+            z += 1
+            if z > 31:
+                raise ValueError("corrupt SPS: Exp-Golomb run")
+        return (1 << z) - 1 + (self.u(z) if z else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k & 1 else -(k // 2)
+
+
+class _EgBitWriter:
+    """MSB-first bit writer with Exp-Golomb — the SPS fixture encoder."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def ue(self, value: int) -> None:
+        z = (value + 1).bit_length() - 1
+        if z:
+            self.u(0, z)
+        self.u(value + 1, z + 1)
+
+    def se(self, value: int) -> None:
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def _ep_strip(nal: bytes) -> bytes:
+    """Drop emulation_prevention_three_bytes: 00 00 03 → 00 00
+    (H.264 §7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for byte in nal:
+        if zeros >= 2 and byte == 3:
+            zeros = 0
+            continue
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def _ep_insert(rbsp: bytes) -> bytes:
+    """Insert 03 after any 00 00 followed by a byte ≤ 3 (§7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def decode_sps(nal: bytes) -> dict:
+    """Decode seq_parameter_set_rbsp (H.264 §7.3.2.1) from an SPS NAL
+    (header byte included).  Returns the geometry facts a catalog
+    needs: profile/level, chroma format, bit depth, and the CODED
+    width/height after frame cropping (§7.4.2.1.1 CropUnitX/Y).
+    Raises ``ValueError`` on corruption; scaling lists are legal
+    H.264 but out of the metadata tier's scope (explicit error)."""
+    if not nal or (nal[0] & 0x1F) != 7:
+        raise ValueError("corrupt SPS: not an SPS NAL unit")
+    r = _EgBitReader(_ep_strip(nal[1:]))
+    profile_idc = r.u(8)
+    constraint_flags = r.u(8)
+    level_idc = r.u(8)
+    sps_id = r.ue()
+    chroma_format_idc = 1
+    bit_depth_luma = bit_depth_chroma = 8
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc > 3:
+            raise ValueError("corrupt SPS: chroma_format_idc > 3")
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        bit_depth_luma = r.ue() + 8
+        bit_depth_chroma = r.ue() + 8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):
+            raise ValueError("SPS scaling lists unsupported (metadata tier)")
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()
+    elif poc_type > 2:
+        raise ValueError("corrupt SPS: pic_order_cnt_type > 2")
+    max_num_ref_frames = r.ue()
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    vui_present = r.u(1)
+    # §7.4.2.1.1: ChromaArrayType 0 → CropUnitX 1 / CropUnitY 2−fmof;
+    # else SubWidthC / SubHeightC·(2−fmof)
+    sub_w = {0: 1, 1: 2, 2: 2, 3: 1}[chroma_format_idc]
+    sub_h = {0: 1, 1: 2, 2: 1, 3: 1}[chroma_format_idc]
+    crop_x = sub_w if chroma_format_idc else 1
+    crop_y = (sub_h if chroma_format_idc else 1) * (2 - frame_mbs_only)
+    return {
+        "profile_idc": profile_idc,
+        "constraint_flags": constraint_flags,
+        "level_idc": level_idc,
+        "sps_id": sps_id,
+        "chroma_format_idc": chroma_format_idc,
+        "bit_depth_luma": bit_depth_luma,
+        "bit_depth_chroma": bit_depth_chroma,
+        "log2_max_frame_num": log2_max_frame_num,
+        "pic_order_cnt_type": poc_type,
+        "max_num_ref_frames": max_num_ref_frames,
+        "frame_mbs_only": frame_mbs_only,
+        "coded_width": w_mbs * 16 - crop_x * (crop_l + crop_r),
+        "coded_height": (2 - frame_mbs_only) * h_units * 16
+        - crop_y * (crop_t + crop_b),
+        "vui_present": vui_present,
+    }
+
+
+def encode_sps(
+    profile_idc: int = 66,
+    constraint_flags: int = 0,
+    level_idc: int = 30,
+    sps_id: int = 0,
+    chroma_format_idc: int = 1,
+    bit_depth: int = 8,
+    log2_max_frame_num: int = 4,
+    pic_order_cnt_type: int = 0,
+    log2_max_poc_lsb: int = 4,
+    max_num_ref_frames: int = 1,
+    width_mbs: int = 4,
+    height_units: int = 3,
+    frame_mbs_only: int = 1,
+    crop: tuple[int, int, int, int] = (0, 0, 0, 0),
+) -> bytes:
+    """Encode a seq_parameter_set_rbsp NAL (header 0x67, emulation
+    prevention applied) — the SPS fixture generator, exact inverse of
+    :func:`decode_sps` for the field subset it emits."""
+    w = _EgBitWriter()
+    w.u(profile_idc, 8)
+    w.u(constraint_flags, 8)
+    w.u(level_idc, 8)
+    w.ue(sps_id)
+    if profile_idc in _HIGH_PROFILES:
+        w.ue(chroma_format_idc)
+        if chroma_format_idc == 3:
+            w.u(0, 1)
+        w.ue(bit_depth - 8)
+        w.ue(bit_depth - 8)
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)  # seq_scaling_matrix_present_flag
+    w.ue(log2_max_frame_num - 4)
+    w.ue(pic_order_cnt_type)
+    if pic_order_cnt_type == 0:
+        w.ue(log2_max_poc_lsb - 4)
+    w.ue(max_num_ref_frames)
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(width_mbs - 1)
+    w.ue(height_units - 1)
+    w.u(frame_mbs_only, 1)
+    if not frame_mbs_only:
+        w.u(0, 1)
+    w.u(1, 1)  # direct_8x8_inference_flag
+    if any(crop):
+        w.u(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    return bytes([0x67]) + _ep_insert(w.rbsp())
+
+
+def _avcc_box(sps_nal: bytes, pps_nal: bytes | None = None) -> bytes:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1)."""
+    if pps_nal is None:
+        # minimal but well-formed PPS NAL (id 0 → sps 0, CAVLC)
+        pps_nal = bytes([0x68, 0xCE, 0x38, 0x80])
+    payload = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps_nal))
+        + sps_nal
+        + bytes([1])
+        + struct.pack(">H", len(pps_nal))
+        + pps_nal
+    )
+    return _box(b"avcC", payload)
+
+
+def _parse_avcc(b: bytes, s: int, e: int) -> dict | None:
+    """Parse an avcC payload; decode the first SPS."""
+    if e - s < 7:
+        raise ValueError("corrupt avcC: too short")
+    if b[s] != 1:
+        raise ValueError("corrupt avcC: configurationVersion != 1")
+    n_sps = b[s + 5] & 0x1F
+    pos = s + 6
+    for _ in range(n_sps):
+        if pos + 2 > e:
+            raise ValueError("corrupt avcC: SPS length overrun")
+        ln = struct.unpack_from(">H", b, pos)[0]
+        pos += 2
+        if pos + ln > e:
+            raise ValueError("corrupt avcC: SPS body overrun")
+        return decode_sps(b[pos : pos + ln])
+    return None
 
 
 def _sample_offsets(stbl: dict) -> list[int]:
@@ -260,6 +537,9 @@ def _parse_trak(b: bytes, s: int, e: int) -> dict:
                     if st is not None:
                         stbl = _parse_stbl(b, st[0], st[1])
     tr["codec"] = stbl.get("codec")
+    tr["entry_width"] = stbl.get("entry_width", 0)
+    tr["entry_height"] = stbl.get("entry_height", 0)
+    tr["sps"] = stbl.get("sps")
     tr["sizes"] = stbl.get("sizes", [])
     tr["n_samples"] = stbl.get("n_samples", 0)
     tr["offsets"] = _sample_offsets(stbl) if stbl else []
@@ -397,6 +677,67 @@ def mp4_keyframe_slices(
     return df.select(id_col, bin_col).mapInPandas(_slices, schema=schema)
 
 
+def mp4_sps_params(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per AVC track whose ``stsd`` carries an avcC box: the
+    SPS-derived BITSTREAM facts (profile/level, chroma format, bit
+    depth, coded width/height after cropping) next to the container's
+    advisory sample-entry dims — geometry from the stream itself, not
+    the box metadata (the two legitimately disagree when an encoder
+    writes display dims into tkhd/stsd).  Scan-side ``mapInPandas``,
+    zero shuffles, same shape as :func:`demux_mp4`.
+
+    Reference parity note: the reference pipeline has no media tier at
+    all; this extends the engine's multimodal catalog (SURVEY.md
+    training-data extensions) using only public specs (ISO 14496-15,
+    ITU-T H.264 §7.3.2.1)."""
+    schema = (
+        f"{id_col} long, track_id long, codec string, "
+        "entry_width int, entry_height int, "
+        "profile_idc int, constraint_flags int, level_idc int, "
+        "chroma_format_idc int, bit_depth_luma int, "
+        "coded_width int, coded_height int, frame_mbs_only int, "
+        "max_num_ref_frames int, log2_max_frame_num int, "
+        "pic_order_cnt_type int"
+    )
+
+    def _sps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "track_id", "codec", "entry_width", "entry_height",
+            "profile_idc", "constraint_flags", "level_idc",
+            "chroma_format_idc", "bit_depth_luma", "coded_width",
+            "coded_height", "frame_mbs_only", "max_num_ref_frames",
+            "log2_max_frame_num", "pic_order_cnt_type",
+        ]
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                meta = parse_mp4(bytes(payload or b""))
+                for tr in meta["tracks"]:
+                    sps = tr.get("sps")
+                    if sps is None:
+                        continue
+                    rows.append(
+                        (
+                            int(rid), tr["track_id"], tr["codec"],
+                            tr["entry_width"], tr["entry_height"],
+                            sps["profile_idc"], sps["constraint_flags"],
+                            sps["level_idc"], sps["chroma_format_idc"],
+                            sps["bit_depth_luma"], sps["coded_width"],
+                            sps["coded_height"], sps["frame_mbs_only"],
+                            sps["max_num_ref_frames"],
+                            sps["log2_max_frame_num"],
+                            sps["pic_order_cnt_type"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_sps, schema=schema)
+
+
 # ------------------------------------------------------ fixture encoder
 
 
@@ -491,12 +832,31 @@ def encode_mp4_fixture(
             + b"\0" * 12
             + b"SparkGraft\0",
         )
-        entry = (
-            struct.pack(">I", 16)
-            + t["codec"].encode("ascii")
-            + b"\0" * 6
-            + struct.pack(">H", 1)
-        )
+        sps_cfg = t.get("sps")
+        if sps_cfg:
+            # full VisualSampleEntry (ISO 14496-12 §12.1.3) + avcC child
+            avcc = _avcc_box(encode_sps(**sps_cfg))
+            entry = (
+                struct.pack(">I", 86 + len(avcc))
+                + t["codec"].encode("ascii")
+                + b"\0" * 6
+                + struct.pack(">H", 1)  # data_reference_index
+                + b"\0" * 16  # pre_defined/reserved
+                + struct.pack(">HH", t.get("width", 0), t.get("height", 0))
+                + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+                + b"\0" * 4
+                + struct.pack(">H", 1)  # frame_count
+                + b"\0" * 32  # compressorname
+                + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+                + avcc
+            )
+        else:
+            entry = (
+                struct.pack(">I", 16)
+                + t["codec"].encode("ascii")
+                + b"\0" * 6
+                + struct.pack(">H", 1)
+            )
         stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
         stts = _full(
             b"stts", 0, 0,

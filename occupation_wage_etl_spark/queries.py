@@ -12126,6 +12126,88 @@ GROUP BY 1
 Q245_SQL = _planted_minhash_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# q246 — H.264 SPS parameter-set parse out of avcC (operators/video.py:
+# mp4_sps_params / encode_sps / decode_sps): coded geometry from the
+# BITSTREAM (Exp-Golomb seq_parameter_set_rbsp incl. the High-profile
+# chroma/bit-depth branch, frame cropping, emulation prevention)
+# rather than the container's advisory dims — the fixture plants
+# closed-form SPS fields per doc (advisory stsd dims deliberately
+# DIFFER from the coded dims to prove provenance), and the oracle
+# replays the closed forms arithmetically (q232's pattern): a value
+# match proves the Exp-Golomb layer reconstructs the planted integers.
+# ---------------------------------------------------------------------------
+
+
+def _synth_mp4_sps(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): avc1 fixture with doc-chosen SPS per doc."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sps = dict(
+                    profile_idc=[66, 77, 100][did % 3],
+                    level_idc=10 * (1 + did % 5),
+                    width_mbs=2 + did % 9,
+                    height_units=2 + did % 7,
+                    crop=(0, did % 2, 0, 1 if did % 3 == 0 else 0),
+                    max_num_ref_frames=1 + did % 4,
+                    log2_max_frame_num=4 + did % 3,
+                    pic_order_cnt_type=0 if did % 2 == 0 else 2,
+                )
+                track = {
+                    "handler": "vide",
+                    "codec": "avc1",
+                    "timescale": 600,
+                    "sample_delta": 100,
+                    "sizes": [20 + did % 11],
+                    "sync": [1],
+                    "width": 32,
+                    "height": 24,
+                    "sps": sps,
+                }
+                out.append(video.encode_mp4_fixture([track]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q246_mp4_sps_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return video.mp4_sps_params(_synth_mp4_sps(docs))
+
+
+Q246_SQL = """
+SELECT doc_id, CAST(1 AS BIGINT) AS track_id, 'avc1' AS codec,
+       CAST(32 AS INT) AS entry_width, CAST(24 AS INT) AS entry_height,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS INT)
+         AS profile_idc,
+       CAST(0 AS INT) AS constraint_flags,
+       CAST(10 * (1 + doc_id % 5) AS INT) AS level_idc,
+       CAST(1 AS INT) AS chroma_format_idc,
+       CAST(8 AS INT) AS bit_depth_luma,
+       CAST(16 * (2 + doc_id % 9) - 2 * (doc_id % 2) AS INT) AS coded_width,
+       CAST(16 * (2 + doc_id % 7)
+            - CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS INT)
+         AS coded_height,
+       CAST(1 AS INT) AS frame_mbs_only,
+       CAST(1 + doc_id % 4 AS INT) AS max_num_ref_frames,
+       CAST(4 + doc_id % 3 AS INT) AS log2_max_frame_num,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS INT)
+         AS pic_order_cnt_type
+FROM documents
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -12372,6 +12454,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q243_planted_near_dup_recall_mp": q243_planted_near_dup_recall_mp,
     "q244_planted_snb_recall": q244_planted_snb_recall,
     "q245_planted_minhash_recall": q245_planted_minhash_recall,
+    "q246_mp4_sps_params": q246_mp4_sps_params,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12620,4 +12703,5 @@ ORACLE_SQL: dict[str, str] = {
     "q243_planted_near_dup_recall_mp": Q243_SQL,
     "q244_planted_snb_recall": Q244_SQL,
     "q245_planted_minhash_recall": Q245_SQL,
+    "q246_mp4_sps_params": Q246_SQL,
 }

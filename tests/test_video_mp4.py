@@ -232,3 +232,68 @@ def test_keyframe_slices_and_sample_frames_mp4(spark):
     got = sf.orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in got] == [1, 3]
     assert bytes(got[1]["frame"]) == payloads[2]
+
+
+# ----------------------------------------------------- SPS (round 8)
+
+
+def test_sps_round_trip_baseline_and_high():
+    for cfg, w, h in [
+        (dict(profile_idc=66, level_idc=30, width_mbs=4, height_units=3),
+         64, 48),
+        (dict(profile_idc=100, level_idc=41, width_mbs=8, height_units=5,
+              crop=(0, 1, 0, 1), max_num_ref_frames=3), 126, 78),
+        # 1920x1080: 120x68 MBs with 8-line bottom crop (4 crop units)
+        (dict(profile_idc=77, level_idc=40, width_mbs=120, height_units=68,
+              crop=(0, 0, 0, 4), pic_order_cnt_type=2), 1920, 1080),
+    ]:
+        d = V.decode_sps(V.encode_sps(**cfg))
+        assert (d["coded_width"], d["coded_height"]) == (w, h)
+        assert d["profile_idc"] == cfg["profile_idc"]
+        assert d["level_idc"] == cfg["level_idc"]
+        assert d["chroma_format_idc"] == 1
+        assert d["bit_depth_luma"] == 8
+
+
+def test_sps_emulation_prevention_round_trip():
+    raw = bytes([0, 0, 0, 0, 1, 2, 3, 0, 0, 2, 0, 0, 0])
+    ep = V._ep_insert(raw)
+    assert b"\x00\x00\x00" not in ep[:-1]  # no unescaped runs
+    assert V._ep_strip(ep) == raw
+
+
+def test_sps_corruption_raises():
+    nal = V.encode_sps(profile_idc=66, width_mbs=4, height_units=3)
+    with pytest.raises(ValueError, match="not an SPS NAL"):
+        V.decode_sps(bytes([0x68]) + nal[1:])
+    with pytest.raises(ValueError, match="corrupt SPS"):
+        V.decode_sps(nal[:4])  # truncated mid-bitstream
+
+
+def test_container_sps_vs_advisory_dims(spark):
+    # advisory stsd dims differ from SPS coded dims: the operator must
+    # report both, geometry from the bitstream
+    data = V.encode_mp4_fixture(
+        [
+            dict(
+                handler="vide", codec="avc1", timescale=600,
+                sample_delta=100, sizes=[20], sync=[1],
+                width=32, height=24,
+                sps=dict(profile_idc=100, level_idc=40, width_mbs=5,
+                         height_units=4, crop=(0, 1, 0, 1)),
+            )
+        ]
+    )
+    df = spark.createDataFrame([(9, data)], "doc_id long, content binary")
+    rows = V.mp4_sps_params(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["entry_width"], r["entry_height"]) == (32, 24)
+    assert (r["coded_width"], r["coded_height"]) == (78, 62)
+    assert r["profile_idc"] == 100
+    # non-avc tracks yield no SPS rows
+    plain = V.encode_mp4_fixture(
+        [dict(_video_track([20], [1]))]
+    )
+    df2 = spark.createDataFrame([(1, plain)], "doc_id long, content binary")
+    assert V.mp4_sps_params(df2).count() == 0
