@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "q244_planted_snb_recall",
     "q245_planted_minhash_recall",
     "q246_mp4_sps_params",
+    "q247_audio_frame_stats",
 ]
 
 

@@ -56,6 +56,7 @@ from occupation_wage_etl_spark.functions import similarity as S
 from occupation_wage_etl_spark.functions import text as T
 from occupation_wage_etl_spark.operators import (
     asof_join,
+    audio,
     cdc,
     chunking,
     curation,
@@ -12208,6 +12209,112 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q247 — MPEG audio (MP3) + ADTS (AAC) frame-header metadata
+# (operators/audio.py:audio_frame_stats): the audio mirror of the MP4
+# container tier — frame count, sample rate, channels, duration and
+# per-frame sizes walked out of the header chain (ISO 11172-3 /
+# 14496-3, pure stdlib), no codec.  Fixtures plant closed-form header
+# fields per doc (even docs MP3 with an ID3v2 tag to skip, odd docs
+# ADTS); the oracle replays the frame-length arithmetic
+# (144000·bitrate//rate + padding, 7+payload) directly.
+# ---------------------------------------------------------------------------
+
+
+def _synth_audio(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): deterministic MP3/ADTS fixture per doc."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    n = 3 + did % 6
+                    if did % 5 == 0:
+                        bis = [1 + did % 14] * n
+                    else:
+                        bis = [1 + (did + i) % 14 for i in range(n)]
+                    out.append(
+                        audio.encode_mp3_fixture(
+                            bis,
+                            sr_idx=did % 3,
+                            paddings=[(did + i) % 2 for i in range(n)],
+                            mode=did % 4,
+                            id3_bytes=did % 9,
+                        )
+                    )
+                else:
+                    n = 2 + did % 5
+                    out.append(
+                        audio.encode_adts_fixture(
+                            [20 + ((did + 3 * i) % 30) for i in range(n)],
+                            profile=did % 4,
+                            sfi=3 + did % 5,
+                            channels=1 + did % 2,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q247_audio_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return audio.audio_frame_stats(_synth_audio(docs))
+
+
+Q247_SQL = """
+WITH m AS (
+  SELECT doc_id AS did, 3 + doc_id % 6 AS n,
+         ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1] AS sr,
+         CAST(doc_id % 4 AS INT) AS mode
+  FROM documents WHERE doc_id % 2 = 0
+), mf AS (
+  SELECT did, n, sr, mode,
+         list_transform(range(0, n), i ->
+           144000 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+             CASE WHEN did % 5 = 0 THEN 1 + CAST(did % 14 AS INT)
+                  ELSE 1 + CAST((did + i) % 14 AS INT) END]
+           // sr + CAST((did + i) % 2 AS INT)) AS fb
+  FROM m
+), a AS (
+  SELECT doc_id AS did, 2 + doc_id % 5 AS n,
+         ([48000, 44100, 32000, 24000, 22050])[CAST(doc_id % 5 AS INT) + 1]
+           AS sr
+  FROM documents WHERE doc_id % 2 = 1
+), af AS (
+  SELECT did, n, sr,
+         list_transform(range(0, n),
+                        i -> 27 + CAST((did + 3 * i) % 30 AS INT)) AS fb
+  FROM a
+)
+SELECT did AS doc_id, 'mp3' AS container, CAST(n AS BIGINT) AS n_frames,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(CASE WHEN mode = 3 THEN 1 ELSE 2 END AS INT) AS channels,
+       CAST(1152 AS INT) AS samples_per_frame,
+       CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(list_sum(fb) AS BIGINT) AS total_frame_bytes,
+       CAST(list_min(fb) AS INT) AS min_frame_bytes,
+       CAST(list_max(fb) AS INT) AS max_frame_bytes,
+       (did % 5 = 0) AS is_cbr
+FROM mf
+UNION ALL
+SELECT did, 'adts', CAST(n AS BIGINT), CAST(sr AS INT),
+       CAST(1 + did % 2 AS INT), CAST(1024 AS INT),
+       CAST(n * 1024 * 1000 // sr AS BIGINT),
+       CAST(list_sum(fb) AS BIGINT), CAST(list_min(fb) AS INT),
+       CAST(list_max(fb) AS INT), FALSE
+FROM af
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -12455,6 +12562,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q244_planted_snb_recall": q244_planted_snb_recall,
     "q245_planted_minhash_recall": q245_planted_minhash_recall,
     "q246_mp4_sps_params": q246_mp4_sps_params,
+    "q247_audio_frame_stats": q247_audio_frame_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12704,4 +12812,5 @@ ORACLE_SQL: dict[str, str] = {
     "q244_planted_snb_recall": Q244_SQL,
     "q245_planted_minhash_recall": Q245_SQL,
     "q246_mp4_sps_params": Q246_SQL,
+    "q247_audio_frame_stats": Q247_SQL,
 }
