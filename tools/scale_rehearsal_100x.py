@@ -66,8 +66,16 @@ HEAVY = [
 ]
 
 OTHER_TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "embeddings",
+    "region", "nation", "customer", "supplier", "lineitem", "embeddings",
+]
+
+# round-8 verdict item 4: the two fastest-growing 10x shapes plus the
+# ROLL_MAX_DF-capped family, end-to-end at 100x
+ROUND8 = [
+    "q224_jaro_winkler",
+    "q221_conformal",
+    "q239_token_f1",
+    "q20_rolling_overlap",
 ]
 
 
@@ -89,6 +97,64 @@ def _perm_map(i: int) -> tuple[str, str]:
     random.Random(104729 + i).shuffle(dl)
     pl = "".join(letters)
     return src, pl + pl.upper() + "".join(dl)
+
+
+def build_part_orders(spark) -> None:
+    """100 distinct-catalog copies of part and orders (round 8): q224's
+    blocking keys (p_brand via per-copy char permutation, p_size +=
+    i*1000) stay DISJOINT across copies — a real 100x catalog has 100x
+    blocks of the original size, not 100x-deep blocks; q221's orders
+    keep the 5 shared priorities (groups legitimately grow 100x) with
+    a per-copy price nudge so the split-conformal histograms hold 100x
+    distinct values."""
+    part = spark.read.parquet(f"{SRC}/part.parquet")
+    parts = []
+    for i in range(COPIES):
+        src_a, dst_a = _perm_map(i)
+        c = part.withColumn(
+            "p_partkey", (F.col("p_partkey") + F.lit(i * OFFSET)).cast("long")
+        )
+        if i > 0:
+            for col in ("p_name", "p_brand", "p_type"):
+                c = c.withColumn(col, F.translate(col, src_a, dst_a))
+            c = c.withColumn(
+                "p_size",
+                (F.col("p_size") + F.lit(i * 1000)).cast(
+                    dict(c.dtypes)["p_size"]
+                ),
+            )
+        parts.append(c)
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    out.repartition(16).write.mode("overwrite").parquet(
+        f"{DST100}/part.parquet"
+    )
+    print("built part x100")
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            orders.withColumn(
+                "o_orderkey",
+                (F.col("o_orderkey") + F.lit(i * OFFSET)).cast("long"),
+            )
+            .withColumn(
+                "o_custkey",
+                (F.col("o_custkey") + F.lit(i * OFFSET)).cast("long"),
+            )
+            .withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(i * 1e-6)
+            )
+        )
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{DST100}/orders.parquet"
+    )
+    print("built orders x100")
 
 
 def build(spark) -> None:
@@ -118,6 +184,8 @@ def build(spark) -> None:
         f"{DST100}/documents.parquet"
     )
     print("built documents x100")
+
+    build_part_orders(spark)
 
     ev = spark.read.parquet(f"{SRC}/events.parquet")
     parts = []
@@ -150,6 +218,7 @@ def main() -> int:
     import tools.scale_rehearsal as r10
 
     rebuild = "--rebuild" in sys.argv
+    names = [a for a in sys.argv[1:] if a.startswith("q")]
     spark = get_spark("rehearsal100x")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -159,9 +228,13 @@ def main() -> int:
         t0 = time.time()
         build(spark)
         print(f"100x build took {time.time() - t0:.1f}s")
+    elif not os.path.isdir(f"{DST100}/part.parquet"):
+        # round-8 extension: scaled part/orders added after the round-7
+        # corpus was built (the verbatim copies predate them)
+        build_part_orders(spark)
 
     rows = []
-    for name in HEAVY:
+    for name in names or HEAVY:
         per = {}
         for label, d in (("sf0.1", SRC), ("10x", DST10), ("100x", DST100)):
             t0 = time.time()
@@ -184,6 +257,17 @@ def main() -> int:
               f"10x/1 x{t10 / t1:4.1f}  100x/10x x{t100 / t10:4.1f}  "
               f"rows {n1}/{n10}/{n100}")
 
+    if names:
+        # explicit-query mode prints only (append the BENCH_SCALE.md
+        # section by hand, same convention as tools/scale_rehearsal.py)
+        print(json.dumps({
+            "queries": {r[0]: {"sf0.1": round(r[1], 1),
+                               "10x": round(r[2], 1),
+                               "100x": round(r[3], 1),
+                               "ratio_100x_over_10x": round(r[5], 1)}
+                        for r in rows}
+        }))
+        return 0
     with open(os.path.join(ROOT, "BENCH_SCALE.md"), "a") as f:
         f.write("\n## Round-7: 100x rehearsal of the heaviest shapes\n\n")
         f.write(
