@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "q245_planted_minhash_recall",
     "q246_mp4_sps_params",
     "q247_audio_frame_stats",
+    "q248_multipass_snb",
 ]
 
 

@@ -12210,6 +12210,46 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# q248 — multi-pass sorted-neighborhood blocking as a production
+# candidate generator (fuzzy_join.multipass_snb_pairs): forward +
+# reversed-key passes over the full customer table, union + distinct —
+# the Hernández-Stolfo multi-pass operator q244 measures, exposed as a
+# first-class query (recall 0.884 vs 0.033 single-pass at window 5,
+# per the q244 planted audit).
+# ---------------------------------------------------------------------------
+
+
+def q248_multipass_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_join.multipass_snb_pairs(
+        cust,
+        [F.col("c_name"), F.reverse(F.col("c_name"))],
+        "c_custkey",
+        window=5,
+    )
+
+
+Q248_SQL = """
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+), rf AS (
+  SELECT id, row_number() OVER (ORDER BY nm, id) AS rnk FROM c
+), rr AS (
+  SELECT id, row_number() OVER (ORDER BY reverse(nm), id) AS rnk FROM c
+), pf AS (
+  SELECT least(l.id, r2.id) AS id_a, greatest(l.id, r2.id) AS id_b
+  FROM rf l JOIN rf r2 ON r2.rnk BETWEEN l.rnk + 1 AND l.rnk + 5
+), pr2 AS (
+  SELECT least(l.id, r2.id) AS id_a, greatest(l.id, r2.id) AS id_b
+  FROM rr l JOIN rr r2 ON r2.rnk BETWEEN l.rnk + 1 AND l.rnk + 5
+)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT id_a, id_b FROM pf UNION ALL SELECT id_a, id_b FROM pr2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q247 — MPEG audio (MP3) + ADTS (AAC) frame-header metadata
 # (operators/audio.py:audio_frame_stats): the audio mirror of the MP4
 # container tier — frame count, sample rate, channels, duration and
@@ -12563,6 +12603,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q245_planted_minhash_recall": q245_planted_minhash_recall,
     "q246_mp4_sps_params": q246_mp4_sps_params,
     "q247_audio_frame_stats": q247_audio_frame_stats,
+    "q248_multipass_snb": q248_multipass_snb,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12813,4 +12854,5 @@ ORACLE_SQL: dict[str, str] = {
     "q245_planted_minhash_recall": Q245_SQL,
     "q246_mp4_sps_params": Q246_SQL,
     "q247_audio_frame_stats": Q247_SQL,
+    "q248_multipass_snb": Q248_SQL,
 }
