@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "q246_mp4_sps_params",
     "q247_audio_frame_stats",
     "q248_multipass_snb",
+    "q249_flac_streaminfo",
+    "q250_id3_tags",
 ]
 
 

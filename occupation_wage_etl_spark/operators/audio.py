@@ -1,13 +1,16 @@
-"""MPEG audio (MP3) and ADTS (AAC) frame-header metadata — the audio
-mirror of ``operators/video.py``'s container tier.
+"""Audio container metadata — the audio mirror of
+``operators/video.py``'s container tier.
 
-Pure public spec, pure stdlib: ISO 11172-3 / 13818-3 frame headers
-(sync, version, layer, bitrate/sample-rate indices, padding) and the
-ISO 14496-3 ADTS transport header.  The walker derives per-stream
-facts — frame count, sample rate, channel count, duration, per-frame
-byte sizes, CBR/VBR — from the header chain alone.  Frame PAYLOAD
-decode (Huffman spectral data) needs a codec and stays out of scope,
-exactly like H.264 slice data in the video tier.
+Pure public spec, pure stdlib, four formats: MPEG audio (MP3) frame
+chains (ISO 11172-3 / 13818-3 headers: sync, version, layer,
+bitrate/sample-rate indices, padding), ADTS (AAC) transport headers
+(ISO 14496-3), FLAC STREAMINFO + metadata-block walk (RFC 9639 §8.2),
+and ID3v2.3 text-frame extraction (TIT2/TPE1/TALB/TRCK).  The walkers
+derive per-stream facts — frame count, sample rate, channel count,
+bit depth, duration, per-frame byte sizes, CBR/VBR, tag text — from
+headers alone.  Frame PAYLOAD decode (Huffman spectral data) needs a
+codec and stays out of scope, exactly like H.264 slice data in the
+video tier.
 
 Scale shape: one Arrow-batched ``mapInPandas`` over the binary column,
 zero shuffles; a 100 TB audio lake partitions by asset like every
@@ -267,3 +270,227 @@ def encode_adts_fixture(
         hdr[6] = 0xFC  # fullness low + 1 raw block
         out += hdr + b"\x00" * pl
     return bytes(out)
+
+
+# --------------------------------------------------- FLAC STREAMINFO
+
+
+def parse_flac_streaminfo(b: bytes) -> dict:
+    """Parse a FLAC stream's METADATA_BLOCK_STREAMINFO (the mandatory
+    first block) plus the metadata block walk — sample rate (20 bits),
+    channels, bits/sample, total samples (36 bits), block/frame size
+    bounds and the unencoded-audio MD5 (RFC 9639 §8.2).  Pure stdlib
+    bit unpacking; frame (audio) decode is codec territory and out of
+    scope, same contract as the MP3/ADTS walkers."""
+    if len(b) < 4 + 4 + 34 or b[:4] != b"fLaC":
+        raise ValueError("corrupt FLAC: bad magic or too short")
+    pos = 4
+    n_blocks = 0
+    info: dict | None = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if pos + 4 + blen > len(b):
+            raise ValueError("corrupt FLAC: metadata block overruns")
+        if n_blocks == 0 and btype != 0:
+            raise ValueError("corrupt FLAC: first block not STREAMINFO")
+        if btype == 0:
+            if blen < 34:
+                raise ValueError("corrupt FLAC: STREAMINFO too short")
+            s = pos + 4
+            packed = int.from_bytes(b[s + 10 : s + 18], "big")
+            info = {
+                "min_block_size": int.from_bytes(b[s : s + 2], "big"),
+                "max_block_size": int.from_bytes(b[s + 2 : s + 4], "big"),
+                "min_frame_size": int.from_bytes(b[s + 4 : s + 7], "big"),
+                "max_frame_size": int.from_bytes(b[s + 7 : s + 10], "big"),
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 7) + 1,
+                "bits_per_sample": ((packed >> 36) & 31) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+                "md5_hex": b[s + 18 : s + 34].hex(),
+            }
+        n_blocks += 1
+        pos += 4 + blen
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if info is None:
+        raise ValueError("corrupt FLAC: no STREAMINFO")
+    info["n_metadata_blocks"] = n_blocks
+    return info
+
+
+def flac_streaminfo(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per FLAC asset with STREAMINFO facts + duration (ms,
+    floor).  Scan-side ``mapInPandas``, zero shuffles."""
+    schema = (
+        f"{id_col} long, sample_rate int, channels int, "
+        "bits_per_sample int, total_samples long, duration_ms long, "
+        "min_block_size int, max_block_size int, min_frame_size int, "
+        "max_frame_size int, n_metadata_blocks int, md5_hex string"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "sample_rate", "channels", "bits_per_sample",
+            "total_samples", "duration_ms", "min_block_size",
+            "max_block_size", "min_frame_size", "max_frame_size",
+            "n_metadata_blocks", "md5_hex",
+        ]
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                m = parse_flac_streaminfo(bytes(payload or b""))
+                rows.append(
+                    (
+                        int(rid), m["sample_rate"], m["channels"],
+                        m["bits_per_sample"], m["total_samples"],
+                        m["total_samples"] * 1000 // m["sample_rate"],
+                        m["min_block_size"], m["max_block_size"],
+                        m["min_frame_size"], m["max_frame_size"],
+                        m["n_metadata_blocks"], m["md5_hex"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_stats, schema=schema)
+
+
+def encode_flac_fixture(
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits_per_sample: int = 16,
+    total_samples: int = 44100,
+    min_block: int = 4096,
+    max_block: int = 4096,
+    min_frame: int = 1000,
+    max_frame: int = 5000,
+    md5: bytes = b"\x00" * 16,
+    padding: int | None = None,
+) -> bytes:
+    """fLaC header + STREAMINFO (+ optional PADDING block)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    si = (
+        min_block.to_bytes(2, "big")
+        + max_block.to_bytes(2, "big")
+        + min_frame.to_bytes(3, "big")
+        + max_frame.to_bytes(3, "big")
+        + packed.to_bytes(8, "big")
+        + md5
+    )
+    out = bytearray(b"fLaC")
+    last_si = padding is None
+    out += bytes([(0x80 if last_si else 0) | 0]) + len(si).to_bytes(3, "big") + si
+    if padding is not None:
+        out += bytes([0x80 | 1]) + padding.to_bytes(3, "big") + b"\x00" * padding
+    return bytes(out)
+
+
+# --------------------------------------------------- ID3v2.3 text frames
+
+
+def parse_id3v2_frames(b: bytes) -> dict:
+    """Extract ID3v2.3 text frames (ID3 informal standard §3/§4):
+    returns {frames: {frame_id: text}, n_frames}.  Text frames carry an
+    encoding byte (0 = ISO-8859-1, 1 = UTF-16 with BOM) + the value.
+    Stops at padding (zero bytes); raises ``ValueError`` on structural
+    corruption."""
+    if len(b) < 10 or b[:3] != b"ID3":
+        raise ValueError("corrupt ID3: bad magic")
+    if b[3] != 3:
+        raise ValueError(f"unsupported ID3 version 2.{b[3]} (only 2.3)")
+    size = (
+        (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+        | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+    )
+    if 10 + size > len(b):
+        raise ValueError("corrupt ID3: declared tag size overruns buffer")
+    end = 10 + size
+    pos = 10
+    frames: dict[str, str] = {}
+    n = 0
+    while pos + 10 <= end:
+        if b[pos] == 0:  # padding
+            break
+        fid = b[pos : pos + 4]
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError("corrupt ID3: bad frame id")
+        flen = int.from_bytes(b[pos + 4 : pos + 8], "big")
+        if pos + 10 + flen > end:
+            raise ValueError("corrupt ID3: frame overruns tag")
+        body = b[pos + 10 : pos + 10 + flen]
+        if fid[0:1] == b"T" and body:
+            enc, raw = body[0], body[1:]
+            if enc == 0:
+                text = raw.split(b"\x00")[0].decode("latin-1")
+            elif enc == 1:
+                text = raw.decode("utf-16").split("\x00")[0]
+            else:
+                raise ValueError("corrupt ID3: unknown text encoding")
+            frames[fid.decode("ascii")] = text
+        n += 1
+        pos += 10 + flen
+    return {"frames": frames, "n_frames": n}
+
+
+def id3_tags(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per asset: (id, title, artist, album, track, n_frames)
+    from the ID3v2.3 tag (TIT2/TPE1/TALB/TRCK text frames; NULL when a
+    frame is absent).  Scan-side ``mapInPandas``, zero shuffles."""
+    schema = (
+        f"{id_col} long, title string, artist string, album string, "
+        "track string, n_frames int"
+    )
+
+    def _tags(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "title", "artist", "album", "track", "n_frames"]
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                m = parse_id3v2_frames(bytes(payload or b""))
+                f = m["frames"]
+                rows.append(
+                    (
+                        int(rid), f.get("TIT2"), f.get("TPE1"),
+                        f.get("TALB"), f.get("TRCK"), m["n_frames"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_tags, schema=schema)
+
+
+def encode_id3v2_fixture(frames: dict[str, str], padding: int = 0) -> bytes:
+    """ID3v2.3 tag with ISO-8859-1 text frames (+ optional padding)."""
+    body = bytearray()
+    for fid, text in frames.items():
+        payload = b"\x00" + text.encode("latin-1")
+        body += (
+            fid.encode("ascii")
+            + len(payload).to_bytes(4, "big")
+            + b"\x00\x00"
+            + payload
+        )
+    body += b"\x00" * padding
+    size = len(body)
+    hdr = b"ID3\x03\x00\x00" + bytes(
+        [
+            (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+            (size >> 7) & 0x7F, size & 0x7F,
+        ]
+    )
+    return hdr + bytes(body)

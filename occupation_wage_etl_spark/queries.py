@@ -12210,6 +12210,130 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# q249 — FLAC STREAMINFO parse (operators/audio.py:flac_streaminfo /
+# parse_flac_streaminfo): sample rate (20-bit field), channels, bit
+# depth, 36-bit total-sample count, block/frame-size bounds and the
+# unencoded-audio MD5 out of the mandatory first metadata block
+# (RFC 9639 §8.2), plus the metadata block walk (optional PADDING
+# block exercises the chain).  Closed-form fixture fields; the MD5
+# field is planted as md5(doc_id) so the oracle recomputes it.
+# ---------------------------------------------------------------------------
+
+
+def _synth_flac(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                out.append(
+                    audio.encode_flac_fixture(
+                        sample_rate=[44100, 48000, 96000, 22050][did % 4],
+                        channels=1 + did % 2,
+                        bits_per_sample=16 if did % 2 == 0 else 24,
+                        total_samples=44100 + did * 7,
+                        min_frame=1000 + did % 50,
+                        max_frame=5000 + did % 100,
+                        md5=hashlib.md5(str(did).encode()).digest(),
+                        padding=(did % 32) if did % 3 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q249_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return audio.flac_streaminfo(_synth_flac(docs))
+
+
+Q249_SQL = """
+SELECT doc_id,
+       CAST(([44100, 48000, 96000, 22050])[CAST(doc_id % 4 AS INT) + 1]
+            AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INT)
+         AS bits_per_sample,
+       CAST(44100 + doc_id * 7 AS BIGINT) AS total_samples,
+       CAST((44100 + doc_id * 7) * 1000
+            // ([44100, 48000, 96000, 22050])[CAST(doc_id % 4 AS INT) + 1]
+            AS BIGINT) AS duration_ms,
+       CAST(4096 AS INT) AS min_block_size,
+       CAST(4096 AS INT) AS max_block_size,
+       CAST(1000 + doc_id % 50 AS INT) AS min_frame_size,
+       CAST(5000 + doc_id % 100 AS INT) AS max_frame_size,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT)
+         AS n_metadata_blocks,
+       md5(CAST(doc_id AS VARCHAR)) AS md5_hex
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q250 — ID3v2.3 text-frame extraction (operators/audio.py:id3_tags /
+# parse_id3v2_frames): TIT2/TPE1/TALB/TRCK text frames (ISO-8859-1
+# encoding byte, non-syncsafe v2.3 frame sizes, padding stop) pulled
+# into typed columns — tag metadata as data, the audio counterpart of
+# the HTML-table and MP4-demux extractors.  Every doc plants
+# closed-form strings; did % 5 == 0 drops TALB to exercise the NULL
+# path.
+# ---------------------------------------------------------------------------
+
+
+def _synth_id3(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = {
+                    "TIT2": f"title {did}",
+                    "TPE1": f"artist {did % 7}",
+                    "TRCK": str(1 + did % 20),
+                }
+                if did % 5 != 0:
+                    frames["TALB"] = f"album {did % 13}"
+                out.append(
+                    audio.encode_id3v2_fixture(frames, padding=did % 11)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q250_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return audio.id3_tags(_synth_id3(docs))
+
+
+Q250_SQL = """
+SELECT doc_id,
+       'title ' || doc_id AS title,
+       'artist ' || (doc_id % 7) AS artist,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE 'album ' || (doc_id % 13) END AS album,
+       CAST(1 + doc_id % 20 AS VARCHAR) AS track,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 4 END AS INT) AS n_frames
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — multi-pass sorted-neighborhood blocking as a production
 # candidate generator (fuzzy_join.multipass_snb_pairs): forward +
 # reversed-key passes over the full customer table, union + distinct —
@@ -12604,6 +12728,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q246_mp4_sps_params": q246_mp4_sps_params,
     "q247_audio_frame_stats": q247_audio_frame_stats,
     "q248_multipass_snb": q248_multipass_snb,
+    "q249_flac_streaminfo": q249_flac_streaminfo,
+    "q250_id3_tags": q250_id3_tags,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12855,4 +12981,6 @@ ORACLE_SQL: dict[str, str] = {
     "q246_mp4_sps_params": Q246_SQL,
     "q247_audio_frame_stats": Q247_SQL,
     "q248_multipass_snb": Q248_SQL,
+    "q249_flac_streaminfo": Q249_SQL,
+    "q250_id3_tags": Q250_SQL,
 }

@@ -78,5 +78,72 @@ def test_audio_frame_stats_operator(spark):
     assert (adts["min_frame_bytes"], adts["max_frame_bytes"]) == (17, 37)
 
 
+
+# ---------------------------------------------- FLAC + ID3 (round 8)
+
+
+def test_flac_streaminfo_round_trip():
+    import hashlib
+
+    data = A.encode_flac_fixture(
+        sample_rate=96000, channels=1, bits_per_sample=24,
+        total_samples=123456, md5=hashlib.md5(b"7").digest(), padding=12,
+    )
+    m = A.parse_flac_streaminfo(data)
+    assert m["sample_rate"] == 96000
+    assert m["channels"] == 1
+    assert m["bits_per_sample"] == 24
+    assert m["total_samples"] == 123456
+    assert m["n_metadata_blocks"] == 2
+    assert m["md5_hex"] == hashlib.md5(b"7").hexdigest()
+    # 36-bit total-sample boundary
+    big = A.encode_flac_fixture(total_samples=(1 << 36) - 1)
+    assert A.parse_flac_streaminfo(big)["total_samples"] == (1 << 36) - 1
+
+
+def test_flac_corruption_raises():
+    good = A.encode_flac_fixture()
+    with pytest.raises(ValueError, match="bad magic"):
+        A.parse_flac_streaminfo(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="overruns"):
+        A.parse_flac_streaminfo(A.encode_flac_fixture(padding=20)[:-8])
+    # first block must be STREAMINFO
+    bad = bytearray(good)
+    bad[4] = 0x81  # PADDING as first block
+    with pytest.raises(ValueError, match="not STREAMINFO"):
+        A.parse_flac_streaminfo(bytes(bad))
+
+
+def test_id3_frames_round_trip_and_padding_stop():
+    t = A.encode_id3v2_fixture(
+        {"TIT2": "t", "TPE1": "a", "TALB": "b", "TRCK": "3"}, padding=9
+    )
+    m = A.parse_id3v2_frames(t)
+    assert m["n_frames"] == 4
+    assert m["frames"]["TIT2"] == "t"
+    assert m["frames"]["TRCK"] == "3"
+    with pytest.raises(ValueError, match="bad magic"):
+        A.parse_id3v2_frames(b"XXX" + t[3:])
+    with pytest.raises(ValueError, match="overruns"):
+        A.parse_id3v2_frames(t[:-12])
+
+
+def test_flac_and_id3_operators(spark):
+    import hashlib
+
+    rows = [
+        (1, A.encode_flac_fixture(sample_rate=22050, total_samples=44100,
+                                  md5=hashlib.md5(b"1").digest())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    r = A.flac_streaminfo(df).collect()[0]
+    assert r["duration_ms"] == 2000
+    assert r["md5_hex"] == hashlib.md5(b"1").hexdigest()
+    tag = A.encode_id3v2_fixture({"TIT2": "x", "TRCK": "2"})
+    df2 = spark.createDataFrame([(2, tag)], "doc_id long, content binary")
+    r2 = A.id3_tags(df2).collect()[0]
+    assert r2["title"] == "x" and r2["album"] is None
+    assert r2["n_frames"] == 2
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
