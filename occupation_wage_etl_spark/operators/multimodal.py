@@ -6,8 +6,11 @@ URIs resolved at scan time); all per-asset work is Arrow-batched
 time and the JVM⇄Python boundary is columnar.  The ops here are:
 
 - ``sniff_metadata``   — REAL: container/codec detection + dimensions from
-  magic bytes (PNG IHDR, JPEG SOF scan, GIF header, RIFF/WAV fmt chunk) in
-  pure Python — no image libraries needed, fully deterministic.
+  magic bytes (PNG IHDR, JPEG SOF scan, GIF header, RIFF/WAV fmt chunk,
+  ISO-BMFF/MP4 ftyp→moov walk, FLAC STREAMINFO, MP3/ADTS frame chains —
+  the latter four delegate to ``operators/video.py`` / ``operators/
+  audio.py``) in pure Python — no media libraries, fully deterministic;
+  corrupt headers degrade to mime-only, never raise.
 - ``decode_image`` (``mode="real"``) — REAL decode for PNG (zlib
   inflate + scanline unfilter, 8-bit gray/RGB/±alpha), BMP (24/32-bit
   uncompressed), and baseline-DCT JPEG (SOF0/SOF1 Huffman: marker
@@ -120,8 +123,52 @@ def sniff_bytes(b: bytes | None) -> dict:
                 i += 8 + csize + (csize & 1)
             if byte_rate and data_size is not None:
                 out["duration_ms"] = int(data_size * 1000 // byte_rate)
-    except (struct.error, IndexError):
-        pass  # truncated header: keep whatever was parsed before the cut
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/MOV): delegate to the real container tier
+            out["mime"] = "video/mp4"
+            from occupation_wage_etl_spark.operators import video as _video
+
+            meta = _video.parse_mp4(b)
+            if meta["timescale"]:
+                out["duration_ms"] = int(
+                    meta["duration"] * 1000 // meta["timescale"]
+                )
+            for tr in meta["tracks"]:
+                if tr["handler"] == "vide":
+                    out["width"] = tr["width"] or None
+                    out["height"] = tr["height"] or None
+                    break
+        elif b.startswith(b"fLaC"):
+            out["mime"] = "audio/flac"
+            from occupation_wage_etl_spark.operators import audio as _audio
+
+            m = _audio.parse_flac_streaminfo(b)
+            out["sample_rate"] = m["sample_rate"]
+            out["channels"] = m["channels"]
+            out["duration_ms"] = int(
+                m["total_samples"] * 1000 // m["sample_rate"]
+            )
+        else:
+            from occupation_wage_etl_spark.operators import audio as _audio
+
+            kind = _audio.sniff_audio_container(b)
+            if kind == "mp3":
+                out["mime"] = "audio/mpeg"
+                m = _audio.parse_mp3(b)
+            elif kind == "adts":
+                out["mime"] = "audio/aac"
+                m = _audio.parse_adts(b)
+            else:
+                m = None
+            if m is not None:
+                out["sample_rate"] = m["sample_rate"]
+                out["channels"] = m["channels"]
+                out["duration_ms"] = int(
+                    m["n_frames"] * m["samples_per_frame"] * 1000
+                    // m["sample_rate"]
+                )
+    except (struct.error, IndexError, ValueError):
+        pass  # truncated/corrupt header: keep what parsed before the cut
     return out
 
 

@@ -147,3 +147,33 @@ def test_flac_and_id3_operators(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_sniff_metadata_knows_new_containers(spark):
+    from occupation_wage_etl_spark.operators import multimodal as mm
+    from occupation_wage_etl_spark.operators import video as V
+
+    mp4 = V.encode_mp4_fixture(
+        [dict(handler="vide", codec="avc1", timescale=600,
+              sample_delta=100, sizes=[20], sync=[1], width=64, height=48)]
+    )
+    rows = [
+        (1, mp4),
+        (2, A.encode_mp3_fixture([5, 5], sr_idx=1)),
+        (3, A.encode_adts_fixture([10, 10], sfi=3)),
+        (4, A.encode_flac_fixture(sample_rate=22050, total_samples=44100)),
+        (5, A.encode_mp3_fixture([5])[:3]),  # truncated: mime-only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in mm.sniff_metadata(df).collect()}
+    assert got[1]["mime"] == "video/mp4"
+    assert (got[1]["width"], got[1]["height"]) == (64, 48)
+    assert got[2]["mime"] == "audio/mpeg"
+    assert got[2]["sample_rate"] == 48000
+    assert got[2]["duration_ms"] == 2 * 1152 * 1000 // 48000
+    assert got[3]["mime"] == "audio/aac"
+    assert got[3]["sample_rate"] == 48000
+    assert got[4]["mime"] == "audio/flac"
+    assert got[4]["duration_ms"] == 2000
+    assert got[5]["mime"] == "audio/mpeg"  # sniffed, parse failed
+    assert got[5]["duration_ms"] is None
