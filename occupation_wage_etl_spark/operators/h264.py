@@ -1,0 +1,1427 @@
+"""H.264/AVC constrained-baseline INTRA-frame decoder + fixture encoder.
+
+Retires the engine's last documented stub — video frame PIXEL decode —
+for the keyframe class that a curation pipeline actually samples: IDR
+intra pictures.  Everything here is pure public spec (ITU-T H.264
+§7/§8/§9) and pure stdlib, the same posture as the JPEG (ITU T.81) and
+PNG codecs in ``multimodal.py``:
+
+- :func:`decode_pps` — pic_parameter_set_rbsp (§7.3.2.2).
+- :func:`decode_idr_slice` — slice_header (§7.3.3) + slice_data for I
+  slices: ``I_PCM`` macroblocks (§7.3.5, raw samples) and
+  ``Intra_16x16`` macroblocks with all four luma prediction modes
+  (V/H/DC/Plane, §8.3.3), all four chroma modes (§8.3.4), CAVLC
+  entropy decode (§9.2 — coeff_token / level prefix+suffix with
+  adaptive suffixLength / total_zeros / run_before), dequantisation
+  (§8.5.9-11, flat scaling lists) and the 4x4 integer inverse
+  transform + Hadamard DC transforms (§8.5.10/12).
+- :func:`encode_idr_access_unit` — the fixture encoder: chosen
+  quantized coefficient LEVELS (or raw I_PCM samples) per macroblock
+  → a conformant length-prefixed AVC sample plus matching SPS/PPS
+  NALs, the exact inverse of the decoder (q217's fixture pattern).
+- :func:`decode_avc_keyframes` — the Spark operator: MP4 payloads →
+  real container demux (``operators/video.py``) → per-sync-sample
+  slice decode → per-frame pixel stats.  Scan-side ``mapInPandas``,
+  zero shuffles, fan-out bounded by ``max_frames``.
+
+Documented scope bounds (each raises an explicit ``ValueError``):
+CABAC entropy (PPS entropy_coding_mode_flag=1), inter slices (P/B),
+``I_NxN`` spatial prediction (Intra_4x4/8x8), field coding, FMO, and
+in-loop deblocking (streams must carry disable_deblocking_filter_idc
+== 1; the fixtures do).  These are the non-intra / non-baseline
+halves of the codec — the intra tier decodes real pixels for the
+keyframes the demux layer (q232/q233) already slices out.
+
+CAVLC table provenance: Tables 9-5 (coeff_token), 9-7/9-9 (a)
+(total_zeros) and 9-10 (run_before) transcribed from the public
+spec.  Verification: every table is machine-checked prefix-free
+(tests/test_h264.py), encoder and decoder share one transcription
+(so fixtures and queries are self-consistent by construction), and
+the widely published CAVLC worked example (Richardson, "H.264 and
+MPEG-4 Video Compression", §6.4.13.1 — the 0000100011100101111011010
+block) round-trips bit-exactly against the nC<2 table.
+
+Reference analogue: none — the reference pipeline (load_data.py) is a
+tabular OEWS/O*NET ETL with no media tier; this extends the engine's
+training-data surface (SURVEY.md north-star extensions), building on
+the round-7 MP4 demux and round-8 SPS tiers.
+
+Scale posture: decode is a narrow per-row transform over payload
+bytes already local to the scan — the plan is scan → mapInPandas with
+zero exchanges; at 100 TB the decoded planes never enter a shuffle
+(stats out, or bounded thumbnails via ``return_pixels``).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from occupation_wage_etl_spark.operators.video import (
+    _ep_insert,
+    _ep_strip,
+    encode_sps,
+    parse_mp4,
+)
+
+# --------------------------------------------------------------------------
+# CAVLC code tables (ITU-T H.264 Table 9-5 / 9-7 / 9-9(a) / 9-10)
+# --------------------------------------------------------------------------
+
+# coeff_token: "(total_coeff,trailing_ones): bitstring", one table per
+# nC context range.  nC >= 8 is a 6-bit FLC handled in code.
+_CT_NC0 = {  # 0 <= nC < 2
+    (0, 0): "1",
+    (1, 0): "000101", (1, 1): "01",
+    (2, 0): "00000111", (2, 1): "000100", (2, 2): "001",
+    (3, 0): "000000111", (3, 1): "00000110", (3, 2): "0000101",
+    (3, 3): "00011",
+    (4, 0): "0000000111", (4, 1): "000000110", (4, 2): "00000101",
+    (4, 3): "000011",
+    (5, 0): "00000000111", (5, 1): "0000000110", (5, 2): "000000101",
+    (5, 3): "0000100",
+    (6, 0): "0000000001111", (6, 1): "00000000110", (6, 2): "0000000101",
+    (6, 3): "00000100",
+    (7, 0): "0000000001011", (7, 1): "0000000001110",
+    (7, 2): "00000000101", (7, 3): "000000100",
+    (8, 0): "0000000001000", (8, 1): "0000000001010",
+    (8, 2): "0000000001101", (8, 3): "0000000100",
+    (9, 0): "00000000001111", (9, 1): "00000000001110",
+    (9, 2): "0000000001001", (9, 3): "00000000100",
+    (10, 0): "00000000001011", (10, 1): "00000000001010",
+    (10, 2): "00000000001101", (10, 3): "0000000001100",
+    (11, 0): "000000000001111", (11, 1): "000000000001110",
+    (11, 2): "00000000001001", (11, 3): "00000000001100",
+    (12, 0): "000000000001011", (12, 1): "000000000001010",
+    (12, 2): "000000000001101", (12, 3): "00000000001000",
+    (13, 0): "0000000000001111", (13, 1): "000000000000001",
+    (13, 2): "000000000001001", (13, 3): "000000000001100",
+    (14, 0): "0000000000001011", (14, 1): "0000000000001110",
+    (14, 2): "0000000000001101", (14, 3): "000000000001000",
+    (15, 0): "0000000000000111", (15, 1): "0000000000001010",
+    (15, 2): "0000000000001001", (15, 3): "0000000000001100",
+    (16, 0): "0000000000000100", (16, 1): "0000000000000110",
+    (16, 2): "0000000000000101", (16, 3): "0000000000001000",
+}
+
+_CT_NC2 = {  # 2 <= nC < 4
+    (0, 0): "11",
+    (1, 0): "001011", (1, 1): "10",
+    (2, 0): "000111", (2, 1): "00111", (2, 2): "011",
+    (3, 0): "0000111", (3, 1): "001010", (3, 2): "001001", (3, 3): "0101",
+    (4, 0): "00000111", (4, 1): "000110", (4, 2): "000101", (4, 3): "0100",
+    (5, 0): "00000100", (5, 1): "0000110", (5, 2): "0000101",
+    (5, 3): "00110",
+    (6, 0): "000000111", (6, 1): "00000110", (6, 2): "00000101",
+    (6, 3): "001000",
+    (7, 0): "00000001111", (7, 1): "000000110", (7, 2): "000000101",
+    (7, 3): "000100",
+    (8, 0): "00000001011", (8, 1): "00000001110", (8, 2): "00000001101",
+    (8, 3): "0000100",
+    (9, 0): "000000001111", (9, 1): "00000001010", (9, 2): "00000001001",
+    (9, 3): "000000100",
+    (10, 0): "000000001011", (10, 1): "000000001110",
+    (10, 2): "000000001101", (10, 3): "00000001100",
+    (11, 0): "000000001000", (11, 1): "000000001010",
+    (11, 2): "000000001001", (11, 3): "00000001000",
+    (12, 0): "0000000001111", (12, 1): "0000000001110",
+    (12, 2): "0000000001101", (12, 3): "000000001100",
+    (13, 0): "0000000001011", (13, 1): "0000000001010",
+    (13, 2): "0000000001001", (13, 3): "0000000001100",
+    (14, 0): "0000000000111", (14, 1): "00000000001011",
+    (14, 2): "0000000000110", (14, 3): "0000000001000",
+    (15, 0): "00000000001001", (15, 1): "00000000001000",
+    (15, 2): "00000000001010", (15, 3): "0000000000001",
+    (16, 0): "00000000000111", (16, 1): "00000000000110",
+    (16, 2): "00000000000101", (16, 3): "00000000000100",
+}
+
+_CT_NC4 = {  # 4 <= nC < 8
+    (0, 0): "1111",
+    (1, 0): "001111", (1, 1): "1110",
+    (2, 0): "001011", (2, 1): "01111", (2, 2): "1101",
+    (3, 0): "001000", (3, 1): "01100", (3, 2): "01110", (3, 3): "1100",
+    (4, 0): "0001111", (4, 1): "01010", (4, 2): "01011", (4, 3): "1011",
+    (5, 0): "0001011", (5, 1): "01000", (5, 2): "01001", (5, 3): "1010",
+    (6, 0): "0001001", (6, 1): "001110", (6, 2): "001101", (6, 3): "1001",
+    (7, 0): "0001000", (7, 1): "001010", (7, 2): "001001", (7, 3): "1000",
+    (8, 0): "00001111", (8, 1): "0001110", (8, 2): "0001101",
+    (8, 3): "01101",
+    (9, 0): "00001011", (9, 1): "00001110", (9, 2): "0001010",
+    (9, 3): "001100",
+    (10, 0): "000001111", (10, 1): "00001010", (10, 2): "00001101",
+    (10, 3): "0001100",
+    (11, 0): "000001011", (11, 1): "000001110", (11, 2): "00001001",
+    (11, 3): "00001100",
+    (12, 0): "000001000", (12, 1): "000001010", (12, 2): "000001101",
+    (12, 3): "00001000",
+    (13, 0): "0000001101", (13, 1): "000000111", (13, 2): "000001001",
+    (13, 3): "000001100",
+    (14, 0): "0000001001", (14, 1): "0000001100", (14, 2): "0000001011",
+    (14, 3): "0000001010",
+    (15, 0): "0000000101", (15, 1): "0000001000", (15, 2): "0000000111",
+    (15, 3): "0000000110",
+    (16, 0): "0000000001", (16, 1): "0000000100", (16, 2): "0000000011",
+    (16, 3): "0000000010",
+}
+
+_CT_CDC = {  # nC == -1 (chroma DC, 4:2:0) — Kraft sum exactly 1
+    (0, 0): "01",
+    (1, 0): "000111", (1, 1): "1",
+    (2, 0): "000100", (2, 1): "000110", (2, 2): "001",
+    (3, 0): "000011", (3, 1): "0000011", (3, 2): "0000010",
+    (3, 3): "000101",
+    (4, 0): "000010", (4, 1): "00000011", (4, 2): "00000010",
+    (4, 3): "0000000",
+}
+
+# total_zeros for 4x4 blocks (Table 9-7/9-8), indexed [total_coeff][tz]
+_TZ4 = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011",
+        "0010", "00011", "00010", "000011", "000010", "000001",
+        "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011",
+        "0010", "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011",
+        "011", "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011",
+        "0010", "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001",
+        "001", "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+
+# total_zeros for chroma DC 2x2 (Table 9-9(a), 4:2:0)
+_TZC = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+
+# run_before (Table 9-10), indexed [min(zeros_left,7)][run]; zeros_left
+# >= 7 runs beyond 6 continue "000" + (run-7 zeros) + "1" (in code).
+_RUN = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001"],
+}
+
+# 4x4 zigzag: scan position -> raster index (§8.5.6 inverse scan)
+_ZIGZAG4 = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# luma4x4BlkIdx -> (x, y) pixel offset inside the MB (§6.4.3 Z-order)
+_BLK_OFF = tuple(
+    (((b >> 2) & 1) * 8 + (b & 1) * 4, ((b >> 2) >> 1) * 8 + ((b >> 1) & 1) * 4)
+    for b in range(16)
+)
+
+# dequant normAdjust V (§8.5.9), rows qP%6, cols position class
+# (0: both-even, 1: both-odd, 2: mixed)
+_V = ((10, 16, 13), (11, 18, 14), (13, 20, 16),
+      (14, 23, 18), (16, 25, 20), (18, 29, 23))
+
+# QPc from qPI (Table 8-15); identity below 30
+_QPC = (29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+        36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+
+
+def _pos_class(i: int, j: int) -> int:
+    if i % 2 == 0 and j % 2 == 0:
+        return 0
+    if i % 2 == 1 and j % 2 == 1:
+        return 1
+    return 2
+
+
+def _make_tree(codes) -> dict:
+    """Bitstring->value map compiled to a binary trie; raises on a
+    prefix collision (a transcription-typo tripwire, also asserted in
+    tests)."""
+    root: dict = {}
+    for code, val in codes:
+        node = root
+        for ch in code[:-1]:
+            nxt = node.setdefault(ch, {})
+            if not isinstance(nxt, dict):
+                raise ValueError(f"CAVLC table prefix collision at {code}")
+            node = nxt
+        leaf = code[-1]
+        if leaf in node:
+            raise ValueError(f"CAVLC table prefix collision at {code}")
+        node[leaf] = ("leaf", val)
+    return root
+
+
+_CT_NC0_TREE = _make_tree((c, tc_t1) for tc_t1, c in _CT_NC0.items())
+_CT_NC2_TREE = _make_tree((c, tc_t1) for tc_t1, c in _CT_NC2.items())
+_CT_NC4_TREE = _make_tree((c, tc_t1) for tc_t1, c in _CT_NC4.items())
+_CT_CDC_TREE = _make_tree((c, tc_t1) for tc_t1, c in _CT_CDC.items())
+_TZ4_TREE = {
+    tc: _make_tree((c, tz) for tz, c in enumerate(codes))
+    for tc, codes in _TZ4.items()
+}
+_TZC_TREE = {
+    tc: _make_tree((c, tz) for tz, c in enumerate(codes))
+    for tc, codes in _TZC.items()
+}
+_RUN_TREE = {
+    zl: _make_tree((c, run) for run, c in enumerate(codes))
+    for zl, codes in _RUN.items()
+}
+
+
+# --------------------------------------------------------------------------
+# bit I/O (MSB first, over EP-stripped RBSP)
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.d, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        d, pos = self.d, self.pos
+        for _ in range(n):
+            byte = pos >> 3
+            if byte >= len(d):
+                raise ValueError("corrupt H.264: bitstream overrun")
+            v = (v << 1) | ((d[byte] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def ue(self) -> int:
+        z = 0
+        while self.u(1) == 0:
+            z += 1
+            if z > 31:
+                raise ValueError("corrupt H.264: Exp-Golomb run")
+        return (1 << z) - 1 + (self.u(z) if z else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k & 1 else -(k // 2)
+
+    def vlc(self, tree: dict, what: str):
+        node = tree
+        for _ in range(32):
+            nxt = node.get(str(self.u(1)))
+            if nxt is None:
+                raise ValueError(f"corrupt H.264: invalid {what} code")
+            if isinstance(nxt, tuple):
+                return nxt[1]
+            node = nxt
+        raise ValueError(f"corrupt H.264: runaway {what} code")
+
+    def align(self) -> None:
+        while self.pos & 7:
+            if self.u(1):
+                raise ValueError(
+                    "corrupt H.264: nonzero pcm_alignment_zero_bit"
+                )
+
+    def bytes_(self, n: int) -> bytes:
+        if self.pos & 7:
+            raise ValueError("corrupt H.264: unaligned byte read")
+        start = self.pos >> 3
+        if start + n > len(self.d):
+            raise ValueError("corrupt H.264: PCM sample overrun")
+        self.pos += 8 * n
+        return self.d[start : start + n]
+
+    def more_rbsp_data(self) -> bool:
+        """True iff bits remain before the rbsp_stop_one_bit."""
+        i = len(self.d) - 1
+        while i >= 0 and self.d[i] == 0:
+            i -= 1
+        if i < 0:
+            return False
+        last = self.d[i]
+        stop = i * 8 + (7 - ((last & -last).bit_length() - 1))
+        return self.pos < stop
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def ue(self, value: int) -> None:
+        z = (value + 1).bit_length() - 1
+        if z:
+            self.u(0, z)
+        self.u(value + 1, z + 1)
+
+    def se(self, value: int) -> None:
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def code(self, bitstring: str) -> None:
+        self.bits.extend(1 if c == "1" else 0 for c in bitstring)
+
+    def align_zero(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def raw_bytes(self, b: bytes) -> None:
+        for byte in b:
+            self.u(byte, 8)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            v = 0
+            for bit in bits[i : i + 8]:
+                v = (v << 1) | bit
+            out.append(v)
+        return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# CAVLC residual block (§9.2)
+# --------------------------------------------------------------------------
+
+
+def _read_coeff_token(r: _BitReader, nc: int) -> tuple[int, int]:
+    if nc == -1:
+        return r.vlc(_CT_CDC_TREE, "coeff_token")
+    if nc < 2:
+        return r.vlc(_CT_NC0_TREE, "coeff_token")
+    if nc < 4:
+        return r.vlc(_CT_NC2_TREE, "coeff_token")
+    if nc < 8:
+        return r.vlc(_CT_NC4_TREE, "coeff_token")
+    code = r.u(6)
+    if code == 3:
+        return 0, 0
+    tc, t1 = (code >> 2) + 1, code & 3
+    if t1 > min(tc, 3):
+        raise ValueError("corrupt H.264: invalid FLC coeff_token")
+    return tc, t1
+
+
+def _write_coeff_token(w: _BitWriter, nc: int, tc: int, t1: int) -> None:
+    if nc == -1:
+        w.code(_CT_CDC[(tc, t1)])
+    elif nc < 2:
+        w.code(_CT_NC0[(tc, t1)])
+    elif nc < 4:
+        w.code(_CT_NC2[(tc, t1)])
+    elif nc < 8:
+        w.code(_CT_NC4[(tc, t1)])
+    else:
+        w.u(3 if tc == 0 else ((tc - 1) << 2) | t1, 6)
+
+
+def _decode_residual(
+    r: _BitReader, nc: int, max_coeff: int
+) -> tuple[list[int], int]:
+    """One residual_block_cavlc (§9.2.4): returns (coefficients in SCAN
+    order, length max_coeff, total_coeff)."""
+    tc, t1 = _read_coeff_token(r, nc)
+    coeffs = [0] * max_coeff
+    if tc == 0:
+        return coeffs, 0
+    if tc > max_coeff:
+        raise ValueError("corrupt H.264: total_coeff exceeds block size")
+    levels: list[int] = []
+    for _ in range(t1):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i in range(t1, tc):
+        lp = 0
+        while r.u(1) == 0:
+            lp += 1
+            if lp > 31:
+                raise ValueError("corrupt H.264: level_prefix run")
+        if lp < 15:
+            level_code = lp << suffix_len
+            sz = suffix_len if lp < 14 else (4 if suffix_len == 0 else suffix_len)
+        else:
+            level_code = (15 << suffix_len) + (1 << (lp - 3)) - 4096
+            sz = lp - 3
+        if sz:
+            level_code += r.u(sz)
+        if i == t1 and t1 < 3:
+            level_code += 2
+        level = (
+            (level_code + 2) >> 1
+            if level_code % 2 == 0
+            else -((level_code + 1) >> 1)
+        )
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+        levels.append(level)
+    if tc < max_coeff:
+        if max_coeff == 4:
+            total_zeros = r.vlc(_TZC_TREE[tc], "total_zeros")
+        else:
+            total_zeros = r.vlc(_TZ4_TREE[tc], "total_zeros")
+    else:
+        total_zeros = 0
+    if tc + total_zeros > max_coeff:
+        raise ValueError("corrupt H.264: total_zeros exceeds block size")
+    zeros_left = total_zeros
+    pos = tc + total_zeros - 1
+    for i in range(tc):
+        coeffs[pos] = levels[i]
+        if i < tc - 1:
+            run = _read_run(r, zeros_left) if zeros_left > 0 else 0
+            if run > zeros_left:
+                raise ValueError("corrupt H.264: run_before > zeros_left")
+            zeros_left -= run
+            pos -= run + 1
+    return coeffs, tc
+
+
+def _read_run(r: _BitReader, zeros_left: int) -> int:
+    if zeros_left <= 6:
+        return r.vlc(_RUN_TREE[zeros_left], "run_before")
+    v = r.u(3)
+    if v:
+        return 7 - v
+    run = 7
+    while r.u(1) == 0:
+        run += 1
+        if run > 15:
+            raise ValueError("corrupt H.264: run_before run")
+    return run
+
+
+def _write_run(w: _BitWriter, run: int, zeros_left: int) -> None:
+    if zeros_left <= 6:
+        w.code(_RUN[zeros_left][run])
+    elif run < 7:
+        w.u(7 - run, 3)
+    else:
+        w.u(0, 3)
+        w.u(0, run - 7)
+        w.u(1, 1)
+
+
+def _encode_residual(
+    w: _BitWriter, coeffs: list[int], nc: int, max_coeff: int
+) -> int:
+    """Inverse of :func:`_decode_residual`; returns total_coeff."""
+    nz = [i for i, v in enumerate(coeffs) if v != 0]
+    tc = len(nz)
+    if tc > max_coeff or len(coeffs) != max_coeff:
+        raise ValueError("fixture: bad coefficient block")
+    if nc == -1 and max_coeff != 4:
+        raise ValueError("fixture: chroma-DC context is for 2x2 blocks")
+    if tc == 0:
+        _write_coeff_token(w, nc, 0, 0)
+        return 0
+    t1 = 0
+    for idx in reversed(nz):
+        if abs(coeffs[idx]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    _write_coeff_token(w, nc, tc, t1)
+    rev = list(reversed(nz))
+    for i in range(t1):
+        w.u(1 if coeffs[rev[i]] < 0 else 0, 1)
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i in range(t1, tc):
+        level = coeffs[rev[i]]
+        level_code = 2 * level - 2 if level > 0 else -2 * level - 1
+        if i == t1 and t1 < 3:
+            level_code -= 2
+            if level_code < 0:
+                raise ValueError(
+                    "fixture: first coded level after <3 trailing ones "
+                    "must have |level| >= 2"
+                )
+        if suffix_len == 0:
+            if level_code < 14:
+                w.u(0, level_code)
+                w.u(1, 1)
+            elif level_code < 30:
+                w.u(0, 14)
+                w.u(1, 1)
+                w.u(level_code - 14, 4)
+            else:
+                if level_code - 15 >= 4096:
+                    raise ValueError("fixture: level too large for CAVLC")
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(level_code - 15, 12)
+        else:
+            prefix = level_code >> suffix_len
+            if prefix < 15:
+                w.u(0, prefix)
+                w.u(1, 1)
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                rem = level_code - (15 << suffix_len)
+                if rem >= 4096:
+                    raise ValueError("fixture: level too large for CAVLC")
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(rem, 12)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    total_zeros = nz[-1] + 1 - tc
+    if tc < max_coeff:
+        if max_coeff == 4:
+            w.code(_TZC[tc][total_zeros])
+        else:
+            w.code(_TZ4[tc][total_zeros])
+    zeros_left = total_zeros
+    for i in range(tc - 1):
+        run = rev[i] - rev[i + 1] - 1
+        if zeros_left > 0:
+            _write_run(w, run, zeros_left)
+            zeros_left -= run
+    return tc
+
+
+# --------------------------------------------------------------------------
+# transforms + dequant (§8.5, flat scaling lists, 8-bit)
+# --------------------------------------------------------------------------
+
+
+def _ihadamard4(c: list[list[int]]) -> list[list[int]]:
+    h = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1))
+    t = [
+        [sum(h[i][k] * c[k][j] for k in range(4)) for j in range(4)]
+        for i in range(4)
+    ]
+    return [
+        [sum(t[i][k] * h[j][k] for k in range(4)) for j in range(4)]
+        for i in range(4)
+    ]
+
+
+def _icore4(d: list[list[int]]) -> list[list[int]]:
+    """§8.5.12.2 — 4x4 inverse core transform; returns the rounded
+    residual (h + 32) >> 6 (arithmetic shift, as in the spec)."""
+    f = []
+    for i in range(4):
+        d0, d1, d2, d3 = d[i]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        f.append([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        d0, d1, d2, d3 = f[0][j], f[1][j], f[2][j], f[3][j]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        col = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+        for i in range(4):
+            out[i][j] = (col[i] + 32) >> 6
+    return out
+
+
+def _scale_luma_dc(f: int, qp: int) -> int:
+    v0 = _V[qp % 6][0]
+    if qp >= 12:
+        return (f * v0) << (qp // 6 - 2)
+    return (f * v0 + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+
+
+def _scale_chroma_dc(f: int, qpc: int) -> int:
+    return ((f * _V[qpc % 6][0]) << (qpc // 6)) >> 1
+
+
+def _dequant_ac(level: int, qp: int, i: int, j: int) -> int:
+    return (level * _V[qp % 6][_pos_class(i, j)]) << (qp // 6)
+
+
+def _qpc_of(qp: int, offset: int) -> int:
+    qpi = min(51, max(0, qp + offset))
+    return qpi if qpi < 30 else _QPC[qpi - 30]
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+# --------------------------------------------------------------------------
+# intra prediction (§8.3.3 luma 16x16, §8.3.4 chroma 8x8)
+# --------------------------------------------------------------------------
+
+
+def _pred_luma16(plane, x0, y0, mode, left, top):
+    """16x16 prediction block as list-of-rows; ``left``/``top`` are
+    neighbor-availability flags (single slice: in-picture == decoded)."""
+    if mode == 0:  # Vertical
+        if not top:
+            raise ValueError("corrupt H.264: V pred without top neighbor")
+        row = [plane[y0 - 1][x0 + x] for x in range(16)]
+        return [row] * 16
+    if mode == 1:  # Horizontal
+        if not left:
+            raise ValueError("corrupt H.264: H pred without left neighbor")
+        return [[plane[y0 + y][x0 - 1]] * 16 for y in range(16)]
+    if mode == 2:  # DC
+        if left and top:
+            s = sum(plane[y0 - 1][x0 + x] for x in range(16)) + sum(
+                plane[y0 + y][x0 - 1] for y in range(16)
+            )
+            v = (s + 16) >> 5
+        elif left:
+            v = (sum(plane[y0 + y][x0 - 1] for y in range(16)) + 8) >> 4
+        elif top:
+            v = (sum(plane[y0 - 1][x0 + x] for x in range(16)) + 8) >> 4
+        else:
+            v = 128
+        return [[v] * 16] * 16
+    if mode == 3:  # Plane
+        if not (left and top):
+            raise ValueError(
+                "corrupt H.264: Plane pred without both neighbors"
+            )
+        hsum = sum(
+            (x + 1)
+            * (plane[y0 - 1][x0 + 8 + x] - plane[y0 - 1][x0 + 6 - x])
+            for x in range(8)
+        )
+        vsum = sum(
+            (y + 1)
+            * (plane[y0 + 8 + y][x0 - 1] - plane[y0 + 6 - y][x0 - 1])
+            for y in range(8)
+        )
+        # x0+6-x reaches x0-1 at x=7 (the top-left corner p[-1,-1]);
+        # same for the vertical sum — §8.3.3.4 uses p[-1,-1] there.
+        a = 16 * (plane[y0 + 15][x0 - 1] + plane[y0 - 1][x0 + 15])
+        b = (5 * hsum + 32) >> 6
+        c = (5 * vsum + 32) >> 6
+        return [
+            [
+                _clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+                for x in range(16)
+            ]
+            for y in range(16)
+        ]
+    raise ValueError("corrupt H.264: invalid Intra16x16PredMode")
+
+
+def _pred_chroma8(plane, x0, y0, mode, left, top):
+    if mode == 1:  # Horizontal
+        if not left:
+            raise ValueError("corrupt H.264: chroma H pred without left")
+        return [[plane[y0 + y][x0 - 1]] * 8 for y in range(8)]
+    if mode == 2:  # Vertical
+        if not top:
+            raise ValueError("corrupt H.264: chroma V pred without top")
+        row = [plane[y0 - 1][x0 + x] for x in range(8)]
+        return [row] * 8
+    if mode == 3:  # Plane
+        if not (left and top):
+            raise ValueError(
+                "corrupt H.264: chroma Plane pred without both neighbors"
+            )
+        hsum = sum(
+            (x + 1) * (plane[y0 - 1][x0 + 4 + x] - plane[y0 - 1][x0 + 2 - x])
+            for x in range(4)
+        )
+        vsum = sum(
+            (y + 1) * (plane[y0 + 4 + y][x0 - 1] - plane[y0 + 2 - y][x0 - 1])
+            for y in range(4)
+        )
+        a = 16 * (plane[y0 + 7][x0 - 1] + plane[y0 - 1][x0 + 7])
+        b = (34 * hsum + 32) >> 6
+        c = (34 * vsum + 32) >> 6
+        return [
+            [
+                _clip255((a + b * (x - 3) + c * (y - 3) + 16) >> 5)
+                for x in range(8)
+            ]
+            for y in range(8)
+        ]
+    if mode != 0:
+        raise ValueError("corrupt H.264: invalid intra_chroma_pred_mode")
+    # DC (§8.3.4.1): per-4x4 sub-block rules
+    out = [[0] * 8 for _ in range(8)]
+
+    def top_sum(xs):
+        return sum(plane[y0 - 1][x0 + x] for x in xs)
+
+    def left_sum(ys):
+        return sum(plane[y0 + y][x0 - 1] for y in ys)
+
+    for bx, by in ((0, 0), (4, 0), (0, 4), (4, 4)):
+        if bx == 0 and by == 0:
+            if left and top:
+                v = (top_sum(range(4)) + left_sum(range(4)) + 4) >> 3
+            elif left:
+                v = (left_sum(range(4)) + 2) >> 2
+            elif top:
+                v = (top_sum(range(4)) + 2) >> 2
+            else:
+                v = 128
+        elif bx == 4 and by == 0:
+            if top:
+                v = (top_sum(range(4, 8)) + 2) >> 2
+            elif left:
+                v = (left_sum(range(4)) + 2) >> 2
+            else:
+                v = 128
+        elif bx == 0 and by == 4:
+            if left:
+                v = (left_sum(range(4, 8)) + 2) >> 2
+            elif top:
+                v = (top_sum(range(4)) + 2) >> 2
+            else:
+                v = 128
+        else:
+            if left and top:
+                v = (top_sum(range(4, 8)) + left_sum(range(4, 8)) + 4) >> 3
+            elif left:
+                v = (left_sum(range(4, 8)) + 2) >> 2
+            elif top:
+                v = (top_sum(range(4, 8)) + 2) >> 2
+            else:
+                v = 128
+        for y in range(4):
+            for x in range(4):
+                out[by + y][bx + x] = v
+    return out
+
+# --------------------------------------------------------------------------
+# PPS (§7.3.2.2)
+# --------------------------------------------------------------------------
+
+
+def decode_pps(nal: bytes) -> dict:
+    """Decode pic_parameter_set_rbsp.  CABAC, FMO and 8x8-transform /
+    scaling-list extensions raise (documented intra-tier bounds)."""
+    if not nal or (nal[0] & 0x1F) != 8:
+        raise ValueError("corrupt H.264: not a PPS NAL unit")
+    r = _BitReader(_ep_strip(nal[1:]))
+    out = {"pps_id": r.ue(), "sps_id": r.ue()}
+    if r.u(1):
+        raise ValueError(
+            "H.264 CABAC entropy coding unsupported (intra tier is CAVLC)"
+        )
+    out["bottom_field_pic_order_in_frame_present"] = r.u(1)
+    if r.ue() != 0:
+        raise ValueError("H.264 FMO (slice groups) unsupported")
+    out["num_ref_idx_l0"] = r.ue() + 1
+    out["num_ref_idx_l1"] = r.ue() + 1
+    out["weighted_pred"] = r.u(1)
+    out["weighted_bipred"] = r.u(2)
+    out["pic_init_qp"] = r.se() + 26
+    out["pic_init_qs"] = r.se() + 26
+    out["chroma_qp_index_offset"] = r.se()
+    out["deblocking_filter_control_present"] = r.u(1)
+    out["constrained_intra_pred"] = r.u(1)
+    out["redundant_pic_cnt_present"] = r.u(1)
+    if r.more_rbsp_data():
+        if r.u(1):
+            raise ValueError("H.264 8x8 transform unsupported (intra tier)")
+        if r.u(1):
+            raise ValueError("H.264 PPS scaling lists unsupported")
+        out["second_chroma_qp_index_offset"] = r.se()
+    return out
+
+
+def encode_pps(
+    pps_id: int = 0,
+    sps_id: int = 0,
+    init_qp: int = 26,
+    chroma_qp_offset: int = 0,
+) -> bytes:
+    """PPS fixture NAL: CAVLC, one slice group, deblocking control
+    PRESENT (so slices can carry disable_deblocking_filter_idc=1 —
+    the intra tier decodes unfiltered reconstructions only)."""
+    w = _BitWriter()
+    w.ue(pps_id)
+    w.ue(sps_id)
+    w.u(0, 1)  # entropy_coding_mode_flag = CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(init_qp - 26)
+    w.se(0)  # pic_init_qs
+    w.se(chroma_qp_offset)
+    w.u(1, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    return bytes([0x68]) + _ep_insert(w.rbsp())
+
+
+# --------------------------------------------------------------------------
+# IDR slice decode (§7.3.3 header, §7.3.5 macroblock layer, I slices)
+# --------------------------------------------------------------------------
+
+
+def _nc_of(grid, bx: int, by: int) -> int:
+    na = grid[by][bx - 1] if bx > 0 else None
+    nb = grid[by - 1][bx] if by > 0 else None
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def _scan_to_raster4(scan: list[int], start: int) -> list[list[int]]:
+    """Scan-ordered coefficients (len 16-start) -> raster 4x4."""
+    m = [[0] * 4 for _ in range(4)]
+    for k, v in enumerate(scan):
+        if v:
+            idx = _ZIGZAG4[start + k]
+            m[idx >> 2][idx & 3] = v
+    return m
+
+
+def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
+    """Decode one CAVLC I/IDR slice covering the whole picture.
+    Returns {"y": rows, "cb": rows, "cr": rows, "qp": final QPy,
+    "n_mb": int, "n_pcm": int, "mb_types": list} with UNCROPPED planes
+    (callers crop per SPS).  Raises ValueError on corruption or on the
+    documented scope bounds (P/B slices, I_NxN, deblocking enabled)."""
+    nal_type = nal[0] & 0x1F
+    if nal_type not in (1, 5):
+        raise ValueError("corrupt H.264: not a coded-slice NAL unit")
+    if sps["chroma_format_idc"] != 1 or sps["bit_depth_luma"] != 8:
+        raise ValueError("H.264 intra tier requires 4:2:0 8-bit")
+    if not sps["frame_mbs_only"]:
+        raise ValueError("H.264 field/MBAFF coding unsupported")
+    r = _BitReader(_ep_strip(nal[1:]))
+    if r.ue() != 0:
+        raise ValueError("H.264 multi-slice pictures unsupported")
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise ValueError(
+            "H.264 inter (P/B) slices unsupported — intra tier decodes "
+            "IDR/I keyframes"
+        )
+    if r.ue() != pps["pps_id"]:
+        raise ValueError("corrupt H.264: slice references unknown PPS")
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if nal_type == 5:
+        r.ue()  # idr_pic_id
+    if sps["pic_order_cnt_type"] == 0:
+        r.u(sps.get("log2_max_poc_lsb", 4))  # pic_order_cnt_lsb
+        if pps["bottom_field_pic_order_in_frame_present"]:
+            r.se()
+    if nal_type == 5:
+        r.u(1)  # no_output_of_prior_pics_flag
+        r.u(1)  # long_term_reference_flag
+    elif (nal[0] >> 5) & 3:
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError("H.264 adaptive ref marking unsupported")
+    qp = pps["pic_init_qp"] + r.se()
+    if pps["deblocking_filter_control_present"]:
+        if r.ue() != 1:
+            raise ValueError(
+                "H.264 in-loop deblocking unsupported — streams must set "
+                "disable_deblocking_filter_idc=1 for the intra tier"
+            )
+    else:
+        raise ValueError(
+            "H.264 in-loop deblocking unsupported — PPS must carry "
+            "deblocking_filter_control_present_flag"
+        )
+
+    # picture geometry from the SPS (uncropped MB grid)
+    w_mbs = (sps["coded_width"] + sps.get("crop_left_px", 0) + 15) // 16
+    h_mbs = (sps["coded_height"] + sps.get("crop_top_px", 0) + 15) // 16
+    if "width_mbs" in sps:
+        w_mbs, h_mbs = sps["width_mbs"], sps["height_mbs"]
+    wl, hl = w_mbs * 16, h_mbs * 16
+    y_plane = [bytearray(wl) for _ in range(hl)]
+    cb_plane = [bytearray(wl >> 1) for _ in range(hl >> 1)]
+    cr_plane = [bytearray(wl >> 1) for _ in range(hl >> 1)]
+    luma_grid = [[None] * (w_mbs * 4) for _ in range(h_mbs * 4)]
+    cb_grid = [[None] * (w_mbs * 2) for _ in range(h_mbs * 2)]
+    cr_grid = [[None] * (w_mbs * 2) for _ in range(h_mbs * 2)]
+    chroma_off = pps["chroma_qp_index_offset"]
+    n_pcm = 0
+    mb_types: list[int] = []
+
+    for mb_idx in range(w_mbs * h_mbs):
+        mbx, mby = mb_idx % w_mbs, mb_idx // w_mbs
+        x0, y0 = mbx * 16, mby * 16
+        left, top = mbx > 0, mby > 0
+        mb_type = r.ue()
+        mb_types.append(mb_type)
+        if mb_type == 0:
+            raise ValueError(
+                "H.264 I_NxN (Intra_4x4/8x8) unsupported by the intra "
+                "tier — Intra_16x16 and I_PCM macroblocks only"
+            )
+        if mb_type > 25:
+            raise ValueError("corrupt H.264: invalid I-slice mb_type")
+        if mb_type == 25:  # I_PCM (§7.3.5, §8.3.5)
+            n_pcm += 1
+            r.align()
+            ysamp = r.bytes_(256)
+            cbsamp = r.bytes_(64)
+            crsamp = r.bytes_(64)
+            for y in range(16):
+                y_plane[y0 + y][x0 : x0 + 16] = ysamp[16 * y : 16 * y + 16]
+            cx, cy = x0 >> 1, y0 >> 1
+            for y in range(8):
+                cb_plane[cy + y][cx : cx + 8] = cbsamp[8 * y : 8 * y + 8]
+                cr_plane[cy + y][cx : cx + 8] = crsamp[8 * y : 8 * y + 8]
+            for by in range(4):
+                for bx in range(4):
+                    luma_grid[mby * 4 + by][mbx * 4 + bx] = 16
+            for by in range(2):
+                for bx in range(2):
+                    cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
+                    cr_grid[mby * 2 + by][mbx * 2 + bx] = 16
+            continue
+
+        # Intra_16x16 (mb_type 1..24): mode/cbp packed in mb_type
+        pred_mode = (mb_type - 1) % 4
+        cbp_chroma = ((mb_type - 1) % 12) // 4
+        cbp_luma = 15 if mb_type >= 13 else 0
+        chroma_mode = r.ue()
+        if chroma_mode > 3:
+            raise ValueError("corrupt H.264: intra_chroma_pred_mode > 3")
+        qp = (qp + r.se() + 52) % 52
+        qpc = _qpc_of(qp, chroma_off)
+
+        # --- residuals (§7.3.5.3): luma DC, luma AC, chroma DC, chroma AC
+        nc = _nc_of(luma_grid, mbx * 4, mby * 4)
+        dc_scan, _ = _decode_residual(r, nc, 16)
+        ac_scans: list[list[int]] = []
+        for b in range(16):
+            offx, offy = _BLK_OFF[b]
+            bx, by = mbx * 4 + (offx >> 2), mby * 4 + (offy >> 2)
+            if cbp_luma:
+                nc = _nc_of(luma_grid, bx, by)
+                scan, tc = _decode_residual(r, nc, 15)
+            else:
+                scan, tc = [0] * 15, 0
+            ac_scans.append(scan)
+            luma_grid[by][bx] = tc
+        if cbp_chroma:
+            cbdc, _ = _decode_residual(r, -1, 4)
+            crdc, _ = _decode_residual(r, -1, 4)
+        else:
+            cbdc, crdc = [0] * 4, [0] * 4
+        chroma_acs = {"cb": [], "cr": []}
+        for comp, grid in (("cb", cb_grid), ("cr", cr_grid)):
+            for b in range(4):
+                bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
+                if cbp_chroma == 2:
+                    nc = _nc_of(grid, bx, by)
+                    scan, tc = _decode_residual(r, nc, 15)
+                else:
+                    scan, tc = [0] * 15, 0
+                chroma_acs[comp].append(scan)
+                grid[by][bx] = tc
+
+        # --- luma reconstruction
+        pred = _pred_luma16(y_plane, x0, y0, pred_mode, left, top)
+        dc_raster = _scan_to_raster4(dc_scan, 0)
+        f = _ihadamard4(dc_raster)
+        dc_scaled = [
+            [_scale_luma_dc(f[i][j], qp) for j in range(4)] for i in range(4)
+        ]
+        for b in range(16):
+            offx, offy = _BLK_OFF[b]
+            d = [[0] * 4 for _ in range(4)]
+            scan = ac_scans[b]
+            for k in range(15):
+                if scan[k]:
+                    idx = _ZIGZAG4[k + 1]
+                    i, j = idx >> 2, idx & 3
+                    d[i][j] = _dequant_ac(scan[k], qp, i, j)
+            d[0][0] = dc_scaled[offy >> 2][offx >> 2]
+            res = _icore4(d)
+            for i in range(4):
+                row = y_plane[y0 + offy + i]
+                prow = pred[offy + i]
+                for j in range(4):
+                    row[x0 + offx + j] = _clip255(
+                        prow[offx + j] + res[i][j]
+                    )
+
+        # --- chroma reconstruction (2x2 DC Hadamard §8.5.11)
+        cx, cy = x0 >> 1, y0 >> 1
+        for comp, plane, dcs in (
+            ("cb", cb_plane, cbdc),
+            ("cr", cr_plane, crdc),
+        ):
+            predc = _pred_chroma8(plane, cx, cy, chroma_mode, left, top)
+            c00, c01, c10, c11 = dcs
+            fdc = (
+                (c00 + c01 + c10 + c11, c00 - c01 + c10 - c11),
+                (c00 + c01 - c10 - c11, c00 - c01 - c10 + c11),
+            )
+            for b in range(4):
+                bx, by = b & 1, b >> 1
+                d = [[0] * 4 for _ in range(4)]
+                scan = chroma_acs[comp][b]
+                for k in range(15):
+                    if scan[k]:
+                        idx = _ZIGZAG4[k + 1]
+                        i, j = idx >> 2, idx & 3
+                        d[i][j] = _dequant_ac(scan[k], qpc, i, j)
+                d[0][0] = _scale_chroma_dc(fdc[by][bx], qpc)
+                res = _icore4(d)
+                for i in range(4):
+                    row = plane[cy + by * 4 + i]
+                    prow = predc[by * 4 + i]
+                    for j in range(4):
+                        row[cx + bx * 4 + j] = _clip255(
+                            prow[bx * 4 + j] + res[i][j]
+                        )
+
+    return {
+        "y": y_plane,
+        "cb": cb_plane,
+        "cr": cr_plane,
+        "qp": qp,
+        "n_mb": w_mbs * h_mbs,
+        "n_pcm": n_pcm,
+        "mb_types": mb_types,
+        "width_mbs": w_mbs,
+        "height_mbs": h_mbs,
+    }
+
+# --------------------------------------------------------------------------
+# fixture encoder — chosen levels / PCM samples -> conformant IDR AU
+# --------------------------------------------------------------------------
+
+
+def encode_idr_access_unit(
+    width_mbs: int,
+    height_mbs: int,
+    mbs: list[dict],
+    qp: int = 28,
+    chroma_qp_offset: int = 0,
+    level_idc: int = 30,
+) -> tuple[bytes, bytes, bytes]:
+    """Encode one IDR access unit from chosen macroblock specs —
+    q217's fixture pattern at the slice layer: the LEVELS are the
+    planted facts, the entropy/transform layers are the code under
+    test.  Returns (sample_bytes, sps_nal, pps_nal) where sample_bytes
+    is the 4-byte-length-prefixed slice NAL (avcC convention).
+
+    Each mb dict is either ``{"pcm": {"y": 256 ints, "cb": 64,
+    "cr": 64}}`` or an Intra_16x16 spec::
+
+        {"mode": 0..3,            # V/H/DC/Plane (§8.3.3)
+         "chroma_mode": 0..3,     # DC/H/V/Plane (§8.3.4)
+         "luma_dc":  {scan_pos: level},        # 4x4 Hadamard levels
+         "luma_ac":  {blk_idx: {k: level}},    # k = 0-based index into
+                                   # the 15 AC scan slots (zigzag k+1)
+         "cb_dc": {pos0_3: level}, "cr_dc": {...},  # 2x2 DC levels
+         "cb_ac": {blk: {pos: level}}, "cr_ac": {...},
+         "qp_delta": 0}
+
+    The encoder mirrors the decoder's CAVLC context (nC grids), so
+    any legal plant round-trips bit-exactly."""
+    if len(mbs) != width_mbs * height_mbs:
+        raise ValueError("fixture: mb spec count != MB grid size")
+    sps_nal = encode_sps(
+        profile_idc=66,
+        level_idc=level_idc,
+        width_mbs=width_mbs,
+        height_units=height_mbs,
+        max_num_ref_frames=1,
+    )
+    pps_nal = encode_pps(init_qp=26, chroma_qp_offset=chroma_qp_offset)
+    w = _BitWriter()
+    # slice_header (§7.3.3): IDR, I slice, whole picture
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type = I (all slices)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
+    w.ue(0)  # idr_pic_id
+    w.u(0, 4)  # pic_order_cnt_lsb (log2_max_poc_lsb = 4)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    cur_qp = 26
+    first = mbs[0]
+    first_delta = 0 if "pcm" in first else int(first.get("qp_delta", 0))
+    # slice_qp_delta lands the FIRST coded MB at `qp` (its own
+    # mb_qp_delta still round-trips through the parser)
+    w.se(qp - first_delta - 26)
+    cur_qp = qp - first_delta
+    w.ue(1)  # disable_deblocking_filter_idc = 1 (no deblocking)
+
+    luma_grid = [[None] * (width_mbs * 4) for _ in range(height_mbs * 4)]
+    cb_grid = [[None] * (width_mbs * 2) for _ in range(height_mbs * 2)]
+    cr_grid = [[None] * (width_mbs * 2) for _ in range(height_mbs * 2)]
+
+    def scan_block(d: dict | None, max_coeff: int) -> list[int]:
+        out = [0] * max_coeff
+        for pos, lvl in (d or {}).items():
+            if not 0 <= int(pos) < max_coeff:
+                raise ValueError("fixture: coefficient position out of range")
+            out[int(pos)] = int(lvl)
+        return out
+
+    for mb_idx, mb in enumerate(mbs):
+        mbx, mby = mb_idx % width_mbs, mb_idx // width_mbs
+        if "pcm" in mb:
+            w.ue(25)
+            w.align_zero()
+            pcm = mb["pcm"]
+            for plane_key, n in (("y", 256), ("cb", 64), ("cr", 64)):
+                samples = pcm[plane_key]
+                if len(samples) != n:
+                    raise ValueError("fixture: bad PCM sample count")
+                w.raw_bytes(bytes(samples))
+            for by in range(4):
+                for bx in range(4):
+                    luma_grid[mby * 4 + by][mbx * 4 + bx] = 16
+            for by in range(2):
+                for bx in range(2):
+                    cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
+                    cr_grid[mby * 2 + by][mbx * 2 + bx] = 16
+            continue
+
+        luma_ac = {
+            int(b): scan_block(d, 15)
+            for b, d in (mb.get("luma_ac") or {}).items()
+        }
+        cb_ac = {
+            int(b): scan_block(d, 15)
+            for b, d in (mb.get("cb_ac") or {}).items()
+        }
+        cr_ac = {
+            int(b): scan_block(d, 15)
+            for b, d in (mb.get("cr_ac") or {}).items()
+        }
+        cbdc = scan_block(mb.get("cb_dc"), 4)
+        crdc = scan_block(mb.get("cr_dc"), 4)
+        has_luma_ac = any(any(v) for v in luma_ac.values())
+        has_chroma_ac = any(any(v) for v in cb_ac.values()) or any(
+            any(v) for v in cr_ac.values()
+        )
+        has_chroma_dc = any(cbdc) or any(crdc)
+        cbp_chroma = 2 if has_chroma_ac else (1 if has_chroma_dc else 0)
+        mb_type = (
+            1
+            + int(mb.get("mode", 2))
+            + 4 * cbp_chroma
+            + 12 * (1 if has_luma_ac else 0)
+        )
+        w.ue(mb_type)
+        w.ue(int(mb.get("chroma_mode", 0)))
+        delta = int(mb.get("qp_delta", 0))
+        w.se(delta)
+        cur_qp = (cur_qp + delta + 52) % 52
+
+        nc = _nc_of(luma_grid, mbx * 4, mby * 4)
+        _encode_residual(w, scan_block(mb.get("luma_dc"), 16), nc, 16)
+        for b in range(16):
+            offx, offy = _BLK_OFF[b]
+            bx, by = mbx * 4 + (offx >> 2), mby * 4 + (offy >> 2)
+            if has_luma_ac:
+                nc = _nc_of(luma_grid, bx, by)
+                scan = luma_ac.get(b, [0] * 15)
+                tc = _encode_residual(w, scan, nc, 15)
+            else:
+                if b in luma_ac and any(luma_ac[b]):
+                    raise ValueError("fixture: luma AC requires cbp")
+                tc = 0
+            luma_grid[by][bx] = tc
+        if cbp_chroma:
+            _encode_residual(w, cbdc, -1, 4)
+            _encode_residual(w, crdc, -1, 4)
+        for comp, grid, acs in (
+            ("cb", cb_grid, cb_ac),
+            ("cr", cr_grid, cr_ac),
+        ):
+            for b in range(4):
+                bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
+                if cbp_chroma == 2:
+                    nc = _nc_of(grid, bx, by)
+                    tc = _encode_residual(w, acs.get(b, [0] * 15), nc, 15)
+                else:
+                    tc = 0
+                grid[by][bx] = tc
+
+    slice_nal = bytes([0x65]) + _ep_insert(w.rbsp())
+    sample = struct.pack(">I", len(slice_nal)) + slice_nal
+    return sample, sps_nal, pps_nal
+
+
+def encode_avc_mp4_fixture(
+    width_mbs: int,
+    height_mbs: int,
+    mbs: list[dict],
+    qp: int = 28,
+    chroma_qp_offset: int = 0,
+    timescale: int = 12800,
+    sample_delta: int = 512,
+) -> bytes:
+    """One-keyframe MP4 around :func:`encode_idr_access_unit` — the
+    end-to-end fixture: container demux (q232 layer) → keyframe slice →
+    slice decode all run on the SAME bytes a real player would see."""
+    from occupation_wage_etl_spark.operators.video import encode_mp4_fixture
+
+    sample, sps_nal, pps_nal = encode_idr_access_unit(
+        width_mbs, height_mbs, mbs, qp=qp, chroma_qp_offset=chroma_qp_offset
+    )
+    return encode_mp4_fixture(
+        [
+            {
+                "handler": "vide",
+                "codec": "avc1",
+                "timescale": timescale,
+                "sample_delta": sample_delta,
+                "sizes": [len(sample)],
+                "sync": [1],
+                "width": width_mbs * 16,
+                "height": height_mbs * 16,
+                "sps": sps_nal,
+                "pps_nal": pps_nal,
+                "payloads": [sample],
+            }
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark operator
+# --------------------------------------------------------------------------
+
+
+def decode_avc_sample(
+    sample: bytes, sps: dict, pps: dict, length_size: int = 4
+) -> dict:
+    """Decode the IDR slice inside one length-prefixed AVC sample
+    (ISO 14496-15 NALU framing); non-VCL NALs (SEI, AUD, parameter
+    sets) are skipped."""
+    pos = 0
+    while pos + length_size <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        pos += length_size
+        if pos + ln > len(sample):
+            raise ValueError("corrupt H.264: NALU length overrun")
+        nal = sample[pos : pos + ln]
+        pos += ln
+        if nal and (nal[0] & 0x1F) in (1, 5):
+            return decode_idr_slice(sps, pps, nal)
+    raise ValueError("corrupt H.264: sample carries no coded slice")
+
+
+def _crop_stats(dec: dict, sps: dict) -> tuple:
+    cl = sps.get("crop_left_px", 0)
+    ct = sps.get("crop_top_px", 0)
+    w, h = sps["coded_width"], sps["coded_height"]
+    y_vals = [v for row in dec["y"][ct : ct + h] for v in row[cl : cl + w]]
+    cw, ch = w >> 1, h >> 1
+    ccl, cct = cl >> 1, ct >> 1
+    cb_vals = [
+        v for row in dec["cb"][cct : cct + ch] for v in row[ccl : ccl + cw]
+    ]
+    cr_vals = [
+        v for row in dec["cr"][cct : cct + ch] for v in row[ccl : ccl + cw]
+    ]
+    return (
+        w,
+        h,
+        dec["n_mb"],
+        dec["n_pcm"],
+        sum(y_vals),
+        min(y_vals),
+        max(y_vals),
+        sum(cb_vals),
+        sum(cr_vals),
+    )
+
+
+def decode_avc_keyframes(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    every_nth: int = 1,
+    max_frames: int = 4,
+) -> DataFrame:
+    """REAL keyframe pixel decode over MP4 payloads: container demux
+    (stsc/stco/stsz offset math) → sync-sample slice bytes → CAVLC
+    intra decode → per-frame pixel stats: (id, track_id, sample_idx,
+    width, height, n_mb, n_pcm, y_sum, y_min, y_max, cb_sum, cr_sum).
+
+    Scan-side ``mapInPandas``, zero shuffles; fan-out bounded by
+    ``max_frames`` per track (the 100 TB cap, as in
+    ``mp4_keyframe_slices``)."""
+    schema = (
+        f"{id_col} long, track_id long, sample_idx long, width int, "
+        "height int, n_mb int, n_pcm int, y_sum long, y_min int, "
+        "y_max int, cb_sum long, cr_sum long"
+    )
+    cols = [
+        id_col, "track_id", "sample_idx", "width", "height", "n_mb",
+        "n_pcm", "y_sum", "y_min", "y_max", "cb_sum", "cr_sum",
+    ]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload or b"")
+                meta = parse_mp4(raw)
+                for tr in meta["tracks"]:
+                    avcc = tr.get("avcc")
+                    if not avcc:
+                        continue
+                    if avcc["pps_nal"] is None:
+                        raise ValueError("corrupt avcC: no PPS NAL")
+                    sps = avcc["sps"]
+                    pps = decode_pps(avcc["pps_nal"])
+                    n_samples = len(tr["sizes"])
+                    for snum in tr["sync"][::every_nth][:max_frames]:
+                        if not 1 <= snum <= n_samples:
+                            raise ValueError(
+                                "corrupt MP4: stss sample number "
+                                f"{snum} > sample count {n_samples}"
+                            )
+                        off = tr["offsets"][snum - 1]
+                        size = tr["sizes"][snum - 1]
+                        if off + size > len(raw):
+                            raise ValueError(
+                                "corrupt MP4: sample extends past EOF"
+                            )
+                        dec = decode_avc_sample(
+                            raw[off : off + size],
+                            sps,
+                            pps,
+                            avcc["length_size"],
+                        )
+                        rows.append(
+                            (int(rid), tr["track_id"], snum)
+                            + _crop_stats(dec, sps)
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_decode, schema=schema)

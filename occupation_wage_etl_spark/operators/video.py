@@ -117,7 +117,10 @@ def _parse_stbl(b: bytes, s: int, e: int) -> dict:
                         b, es + 86, min(es + esize, be)
                     ):
                         if t2 == b"avcC":
-                            out["sps"] = _parse_avcc(b, cs, ce)
+                            cfg = _parse_avcc(b, cs, ce)
+                            if cfg is not None:
+                                out["sps"] = cfg["sps"]
+                                out["avcc"] = cfg
         elif t == b"stsz":
             fixed, count = struct.unpack_from(">II", b, bs + 4)
             out["n_samples"] = count
@@ -322,6 +325,10 @@ def decode_sps(nal: bytes) -> dict:
         "coded_width": w_mbs * 16 - crop_x * (crop_l + crop_r),
         "coded_height": (2 - frame_mbs_only) * h_units * 16
         - crop_y * (crop_t + crop_b),
+        "crop_left_px": crop_x * crop_l,
+        "crop_top_px": crop_y * crop_t,
+        "width_mbs": w_mbs,
+        "height_mbs": h_units * (2 - frame_mbs_only),
         "vui_present": vui_present,
     }
 
@@ -397,13 +404,17 @@ def _avcc_box(sps_nal: bytes, pps_nal: bytes | None = None) -> bytes:
 
 
 def _parse_avcc(b: bytes, s: int, e: int) -> dict | None:
-    """Parse an avcC payload; decode the first SPS."""
+    """Parse an avcC payload: decoded first SPS, plus the raw SPS/PPS
+    NAL bytes and the NALU length-prefix size — everything the slice
+    decoder (operators/h264.py) needs to decode the track's samples."""
     if e - s < 7:
         raise ValueError("corrupt avcC: too short")
     if b[s] != 1:
         raise ValueError("corrupt avcC: configurationVersion != 1")
+    length_size = (b[s + 4] & 3) + 1
     n_sps = b[s + 5] & 0x1F
     pos = s + 6
+    sps_nal = None
     for _ in range(n_sps):
         if pos + 2 > e:
             raise ValueError("corrupt avcC: SPS length overrun")
@@ -411,8 +422,31 @@ def _parse_avcc(b: bytes, s: int, e: int) -> dict | None:
         pos += 2
         if pos + ln > e:
             raise ValueError("corrupt avcC: SPS body overrun")
-        return decode_sps(b[pos : pos + ln])
-    return None
+        if sps_nal is None:
+            sps_nal = b[pos : pos + ln]
+        pos += ln
+    if sps_nal is None:
+        return None
+    pps_nal = None
+    if pos < e:
+        n_pps = b[pos]
+        pos += 1
+        for _ in range(n_pps):
+            if pos + 2 > e:
+                raise ValueError("corrupt avcC: PPS length overrun")
+            ln = struct.unpack_from(">H", b, pos)[0]
+            pos += 2
+            if pos + ln > e:
+                raise ValueError("corrupt avcC: PPS body overrun")
+            if pps_nal is None:
+                pps_nal = b[pos : pos + ln]
+            pos += ln
+    return {
+        "sps": decode_sps(sps_nal),
+        "sps_nal": sps_nal,
+        "pps_nal": pps_nal,
+        "length_size": length_size,
+    }
 
 
 def _sample_offsets(stbl: dict) -> list[int]:
@@ -540,6 +574,7 @@ def _parse_trak(b: bytes, s: int, e: int) -> dict:
     tr["entry_width"] = stbl.get("entry_width", 0)
     tr["entry_height"] = stbl.get("entry_height", 0)
     tr["sps"] = stbl.get("sps")
+    tr["avcc"] = stbl.get("avcc")
     tr["sizes"] = stbl.get("sizes", [])
     tr["n_samples"] = stbl.get("n_samples", 0)
     tr["offsets"] = _sample_offsets(stbl) if stbl else []
@@ -834,8 +869,16 @@ def encode_mp4_fixture(
         )
         sps_cfg = t.get("sps")
         if sps_cfg:
-            # full VisualSampleEntry (ISO 14496-12 §12.1.3) + avcC child
-            avcc = _avcc_box(encode_sps(**sps_cfg))
+            # full VisualSampleEntry (ISO 14496-12 §12.1.3) + avcC child;
+            # sps may be a config dict (encode_sps kwargs) or raw NAL
+            # bytes; an optional "pps_nal" plants a specific PPS (the
+            # h264 fixture path needs deblocking_filter_control_present)
+            sps_nal = (
+                sps_cfg
+                if isinstance(sps_cfg, (bytes, bytearray))
+                else encode_sps(**sps_cfg)
+            )
+            avcc = _avcc_box(bytes(sps_nal), t.get("pps_nal"))
             entry = (
                 struct.pack(">I", 86 + len(avcc))
                 + t["codec"].encode("ascii")
