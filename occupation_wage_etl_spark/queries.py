@@ -80,6 +80,7 @@ from occupation_wage_etl_spark.operators import (
     splits,
     stats,
     text_analysis,
+    h264,
     timeseries,
     topk,
     video,
@@ -12334,6 +12335,175 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# q251/q252 — H.264 IDR keyframe PIXEL decode (operators/h264.py):
+# the frame-decode stub RETIRED for intra pictures.  Per document a
+# conformant single-keyframe MP4 is synthesized from CHOSEN quantized
+# coefficient levels (q217's pattern at the slice layer), then the
+# full player path runs: box-tree demux → stsc/stco/stsz offsets →
+# avcC SPS/PPS → CAVLC entropy decode → dequant → Hadamard/core
+# inverse transforms → intra prediction → pixel stats.
+#
+# q251 exercises the coefficient path on a single Intra_16x16 DC-mode
+# MB: luma DC levels at Hadamard scan 0/1 (column-sign structure
+# s_j = +1,+1,-1,-1), one luma AC level at zigzag pos 1 (raster
+# (0,1): the row-0-only plant keeps the §8.5.12 core transform's
+# >>1 folds exact in closed form), chroma DC on both components.
+# The oracle replays the exact integer arithmetic: qp 28 → luma DC
+# scale f*16<<2 = f*64, AC class-2 scale 20<<4 = 320, chroma
+# qPc 28 → (f*16<<4)>>1 = f*128; pixel = clip(128 + (d+32)>>6).
+#
+# q252 exercises prediction chaining + I_PCM on a 2×2 MB frame:
+# MB0 DC-mode flat (residual L exactly = +L since (64L+32)>>6 = L),
+# MB1 Horizontal-predicts from MB0's right edge, MB2
+# Vertical-predicts from MB0's bottom edge, MB3 is I_PCM with planted
+# raster bytes (decoded samples ARE the planted bytes, per §8.3.5).
+# ---------------------------------------------------------------------------
+
+
+def _synth_h264_coeffs(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): single-MB IDR MP4 from chosen levels."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mb = {
+                    "mode": 2,
+                    "luma_dc": {0: did % 39 - 19, 1: did % 11 - 5},
+                    "luma_ac": {0: {0: did % 9 - 4}},
+                    "cb_dc": {0: did % 21 - 10},
+                    "cr_dc": {0: did % 17 - 8},
+                }
+                out.append(h264.encode_avc_mp4_fixture(1, 1, [mb], qp=28))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q251_h264_idr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return h264.decode_avc_keyframes(_synth_h264_coeffs(docs))
+
+
+Q251_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 39 - 19 AS l0, doc_id % 11 - 5 AS l1,
+         (doc_id % 9 - 4) * 320 AS a,
+         doc_id % 21 - 10 AS k, doc_id % 17 - 8 AS m
+  FROM documents
+), v AS (
+  SELECT doc_id, a, 64 * (l0 + l1) AS dc0,
+         list_transform([1, 1, -1, -1], s ->
+           least(greatest(128 + CAST(floor((64 * (l0 + l1 * s) + 32)
+                 / 64.0) AS BIGINT), 0), 255)) AS vf,
+         least(greatest(128 + CAST(floor((128 * k + 32) / 64.0)
+               AS BIGINT), 0), 255) AS cbv,
+         least(greatest(128 + CAST(floor((128 * m + 32) / 64.0)
+               AS BIGINT), 0), 255) AS crv
+  FROM p
+), w AS (
+  SELECT doc_id, vf, cbv, crv,
+         list_transform([a, a // 2, -(a // 2), -a], t ->
+           least(greatest(128 + CAST(floor((dc0 + t + 32) / 64.0)
+                 AS BIGINT), 0), 255)) AS vals
+  FROM v
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+       CAST(1 AS BIGINT) AS sample_idx,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS n_mb, CAST(0 AS INT) AS n_pcm,
+       CAST(64 * list_sum(vf) - 16 * vf[1] + 4 * list_sum(vals)
+            AS BIGINT) AS y_sum,
+       CAST(least(list_min(vf), list_min(vals)) AS INT) AS y_min,
+       CAST(greatest(list_max(vf), list_max(vals)) AS INT) AS y_max,
+       CAST(64 * cbv AS BIGINT) AS cb_sum,
+       CAST(64 * crv AS BIGINT) AS cr_sum
+FROM w
+"""
+
+
+def _synth_h264_chain(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): 2x2-MB IDR MP4 — pred chain + I_PCM."""
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mbs = [
+                    {"mode": 2, "luma_dc": {0: 7 + did % 5}},
+                    {
+                        "mode": 1,
+                        "chroma_mode": 1,
+                        "luma_dc": {0: did % 7 - 3},
+                    },
+                    {
+                        "mode": 0,
+                        "chroma_mode": 2,
+                        "luma_dc": {0: did % 9 - 4},
+                    },
+                    {
+                        "pcm": {
+                            "y": [(did * 7 + 13 * j) % 256 for j in range(256)],
+                            "cb": [(did * 5 + 11 * j) % 256 for j in range(64)],
+                            "cr": [(did * 3 + 17 * j) % 256 for j in range(64)],
+                        }
+                    },
+                ]
+                out.append(h264.encode_avc_mp4_fixture(2, 2, mbs, qp=28))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q252_h264_pred_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return h264.decode_avc_keyframes(_synth_h264_chain(docs))
+
+
+Q252_SQL = """
+WITH p AS (
+  SELECT doc_id, 135 + doc_id % 5 AS v0,
+         doc_id % 7 - 3 AS l1, doc_id % 9 - 4 AS l2
+  FROM documents
+), s AS (
+  SELECT doc_id, v0, v0 + l1 AS v1, v0 + l2 AS v2,
+         list_transform(range(0, 256),
+                        j -> (doc_id * 7 + 13 * j) % 256) AS py,
+         list_transform(range(0, 64),
+                        j -> (doc_id * 5 + 11 * j) % 256) AS pcb,
+         list_transform(range(0, 64),
+                        j -> (doc_id * 3 + 17 * j) % 256) AS pcr
+  FROM p
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+       CAST(1 AS BIGINT) AS sample_idx,
+       CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       CAST(4 AS INT) AS n_mb, CAST(1 AS INT) AS n_pcm,
+       CAST(256 * (v0 + v1 + v2) + list_sum(py) AS BIGINT) AS y_sum,
+       CAST(least(v0, v1, v2, list_min(py)) AS INT) AS y_min,
+       CAST(greatest(v0, v1, v2, list_max(py)) AS INT) AS y_max,
+       CAST(192 * 128 + list_sum(pcb) AS BIGINT) AS cb_sum,
+       CAST(192 * 128 + list_sum(pcr) AS BIGINT) AS cr_sum
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — multi-pass sorted-neighborhood blocking as a production
 # candidate generator (fuzzy_join.multipass_snb_pairs): forward +
 # reversed-key passes over the full customer table, union + distinct —
@@ -12730,6 +12900,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q248_multipass_snb": q248_multipass_snb,
     "q249_flac_streaminfo": q249_flac_streaminfo,
     "q250_id3_tags": q250_id3_tags,
+    "q251_h264_idr_decode": q251_h264_idr_decode,
+    "q252_h264_pred_chain": q252_h264_pred_chain,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -12983,4 +13155,6 @@ ORACLE_SQL: dict[str, str] = {
     "q248_multipass_snb": Q248_SQL,
     "q249_flac_streaminfo": Q249_SQL,
     "q250_id3_tags": Q250_SQL,
+    "q251_h264_idr_decode": Q251_SQL,
+    "q252_h264_pred_chain": Q252_SQL,
 }
