@@ -28,9 +28,13 @@ time and the JVM⇄Python boundary is columnar.  The ops here are:
 - ``resize_image`` / ``sample_frames`` — resize has the same real path
   as decode; ``sample_frames(mode="mp4")`` does REAL ISO-BMFF container
   demux (``operators/video.py``: stsc/stco/stsz offset math, stss
-  keyframe slices) and returns per-sample payload slices — only the
-  PIXEL decode of those slices (H.264/AAC entropy coding) is stubbed
-  (no ffmpeg): ``fake`` exercises the fan-out plumbing.
+  keyframe slices) and returns per-sample payload slices.  Since round
+  8, ``operators/h264.py`` REALLY decodes the pixels of IDR INTRA
+  keyframes (CAVLC entropy, I_PCM + Intra_16x16, §8.5 integer
+  transforms, all §8.3.3/8.3.4 prediction modes) — the remaining
+  stub is narrowed to inter (P/B) frames, CABAC streams and I_NxN
+  spatial prediction (no ffmpeg); ``fake`` exercises the fan-out
+  plumbing.
 - ``extract_features`` — content-derived features, library-free.
 
 Partitioning: media rows are wildly skewed by payload size, so every
@@ -372,8 +376,10 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
 
 _STUB_MSG = (
     "payload is not decodable with the built-in codecs (PNG/BMP/"
-    "baseline+progressive-JPEG images, WAV/PCM16 audio); video FRAME "
-    "decode requires an ffmpeg-class codec — pass mode='fake' for the "
+    "baseline+progressive-JPEG images, WAV/PCM16 audio, H.264 IDR "
+    "intra keyframes via operators/h264.decode_avc_keyframes); "
+    "INTER (P/B) video frames, CABAC streams and I_NxN prediction "
+    "require an ffmpeg-class codec — pass mode='fake' for the "
     "deterministic test fake, mode='mp4' on sample_frames for the real "
     "ISO-BMFF container demux (operators/video.py), or swap the "
     "per-batch body for a codec-library decoder"
