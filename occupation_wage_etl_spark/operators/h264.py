@@ -811,6 +811,189 @@ def _pred_chroma8(plane, x0, y0, mode, left, top):
     return out
 
 # --------------------------------------------------------------------------
+# Intra_4x4 (I_NxN) support: Table 9-4 CBP mapping + §8.3.1 predictors
+# --------------------------------------------------------------------------
+
+# coded_block_pattern me(v) mapping for intra MBs (Table 9-4, codeNum ->
+# cbp).  Bijectivity (a permutation of 0..47) is machine-checked in
+# tests; encoder and decoder share the transcription.
+_CBP_INTRA = (
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+)
+_CBP_INTRA_INV = {cbp: code for code, cbp in enumerate(_CBP_INTRA)}
+
+
+def _pred_mode4(mode_grid, bx: int, by: int) -> int:
+    """Predicted Intra4x4PredMode (§8.3.1.1): DC (2) when either
+    neighbor block is unavailable; otherwise min of the neighbors'
+    modes, with non-I_4x4 neighbor MBs counting as DC."""
+    if bx == 0 or by == 0:
+        return 2
+    a = mode_grid[by][bx - 1]
+    b = mode_grid[by - 1][bx]
+    return min(2 if a is None else a, 2 if b is None else b)
+
+
+def _pred_luma4(plane, gx, gy, mode, recon, wl):
+    """4x4 intra prediction (§8.3.1.2) at global pixel (gx, gy).
+    ``recon`` is the per-4x4-block reconstructed-yet grid (decode
+    order matters for the top-right neighbors); unavailable top-right
+    samples substitute p[3,-1] per §8.3.1.2.1."""
+    left_ok, top_ok = gx > 0, gy > 0
+    top = [plane[gy - 1][gx + k] for k in range(4)] if top_ok else None
+    left = [plane[gy + k][gx - 1] for k in range(4)] if left_ok else None
+    tl = plane[gy - 1][gx - 1] if (left_ok and top_ok) else None
+    p = None
+    if top_ok:
+        tr_ok = gx + 4 < wl and recon[(gy - 1) >> 2][(gx + 4) >> 2]
+        tr = (
+            [plane[gy - 1][gx + 4 + k] for k in range(4)]
+            if tr_ok
+            else [top[3]] * 4
+        )
+        p = top + tr  # p[0..7, -1]
+
+    def need(cond, what):
+        if not cond:
+            raise ValueError(
+                f"corrupt H.264: 4x4 mode {mode} without {what} neighbor"
+            )
+
+    out = [[0] * 4 for _ in range(4)]
+    if mode == 0:  # Vertical
+        need(top_ok, "top")
+        return [top] * 4
+    if mode == 1:  # Horizontal
+        need(left_ok, "left")
+        return [[left[y]] * 4 for y in range(4)]
+    if mode == 2:  # DC
+        if left_ok and top_ok:
+            v = (sum(top) + sum(left) + 4) >> 3
+        elif left_ok:
+            v = (sum(left) + 2) >> 2
+        elif top_ok:
+            v = (sum(top) + 2) >> 2
+        else:
+            v = 128
+        return [[v] * 4] * 4
+    if mode == 3:  # Diagonal Down-Left
+        need(top_ok, "top")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y][x] = (p[6] + 3 * p[7] + 2) >> 2
+                else:
+                    out[y][x] = (
+                        p[x + y] + 2 * p[x + y + 1] + p[x + y + 2] + 2
+                    ) >> 2
+        return out
+    if mode == 4:  # Diagonal Down-Right
+        need(left_ok and top_ok, "left+top")
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    a0 = tl if x - y == 1 else p[x - y - 2]
+                    out[y][x] = (
+                        a0 + 2 * p[x - y - 1] + p[x - y] + 2
+                    ) >> 2
+                elif x < y:
+                    a0 = left[y - x - 2] if y - x >= 2 else tl
+                    out[y][x] = (
+                        a0 + 2 * left[y - x - 1] + left[y - x] + 2
+                    ) >> 2
+                else:
+                    out[y][x] = (p[0] + 2 * tl + left[0] + 2) >> 2
+        return out
+    if mode == 5:  # Vertical-Right
+        need(left_ok and top_ok, "left+top")
+        pm1 = lambda i: tl if i < 0 else p[i]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (
+                        pm1(x - (y >> 1) - 1) + pm1(x - (y >> 1)) + 1
+                    ) >> 1
+                elif z >= 0:
+                    out[y][x] = (
+                        pm1(x - (y >> 1) - 2)
+                        + 2 * pm1(x - (y >> 1) - 1)
+                        + pm1(x - (y >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y][x] = (left[0] + 2 * tl + p[0] + 2) >> 2
+                else:
+                    l = lambda i: tl if i < 0 else left[i]
+                    out[y][x] = (
+                        l(y - 2 * x - 1)
+                        + 2 * l(y - 2 * x - 2)
+                        + l(y - 2 * x - 3)
+                        + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # Horizontal-Down
+        need(left_ok and top_ok, "left+top")
+        lm1 = lambda i: tl if i < 0 else left[i]
+        tm1 = lambda i: tl if i < 0 else p[i]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (
+                        lm1(y - (x >> 1) - 1) + lm1(y - (x >> 1)) + 1
+                    ) >> 1
+                elif z >= 0:
+                    out[y][x] = (
+                        lm1(y - (x >> 1) - 2)
+                        + 2 * lm1(y - (x >> 1) - 1)
+                        + lm1(y - (x >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y][x] = (left[0] + 2 * tl + p[0] + 2) >> 2
+                else:
+                    out[y][x] = (
+                        tm1(x - 2 * y - 1)
+                        + 2 * tm1(x - 2 * y - 2)
+                        + tm1(x - 2 * y - 3)
+                        + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # Vertical-Left
+        need(top_ok, "top")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y][x] = (p[i] + p[i + 1] + 1) >> 1
+                else:
+                    out[y][x] = (p[i] + 2 * p[i + 1] + p[i + 2] + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal-Up
+        need(left_ok, "left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    i = y + (x >> 1)
+                    out[y][x] = (left[i] + left[i + 1] + 1) >> 1
+                elif z in (1, 3):
+                    i = y + (x >> 1)
+                    out[y][x] = (
+                        left[i] + 2 * left[i + 1] + left[i + 2] + 2
+                    ) >> 2
+                elif z == 5:
+                    out[y][x] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    out[y][x] = left[3]
+        return out
+    raise ValueError("corrupt H.264: invalid intra4x4 pred mode")
+
+
+# --------------------------------------------------------------------------
 # PPS (§7.3.2.2)
 # --------------------------------------------------------------------------
 
@@ -908,7 +1091,7 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
     Returns {"y": rows, "cb": rows, "cr": rows, "qp": final QPy,
     "n_mb": int, "n_pcm": int, "mb_types": list} with UNCROPPED planes
     (callers crop per SPS).  Raises ValueError on corruption or on the
-    documented scope bounds (P/B slices, I_NxN, deblocking enabled)."""
+    documented scope bounds (P/B slices, deblocking enabled)."""
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise ValueError("corrupt H.264: not a coded-slice NAL unit")
@@ -965,9 +1148,61 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
     luma_grid = [[None] * (w_mbs * 4) for _ in range(h_mbs * 4)]
     cb_grid = [[None] * (w_mbs * 2) for _ in range(h_mbs * 2)]
     cr_grid = [[None] * (w_mbs * 2) for _ in range(h_mbs * 2)]
+    mode_grid = [[None] * (w_mbs * 4) for _ in range(h_mbs * 4)]
+    recon = [[False] * (w_mbs * 4) for _ in range(h_mbs * 4)]
     chroma_off = pps["chroma_qp_index_offset"]
     n_pcm = 0
     mb_types: list[int] = []
+
+    def parse_chroma(cbp_chroma, mbx, mby):
+        if cbp_chroma:
+            cbdc, _ = _decode_residual(r, -1, 4)
+            crdc, _ = _decode_residual(r, -1, 4)
+        else:
+            cbdc, crdc = [0] * 4, [0] * 4
+        acs = {"cb": [], "cr": []}
+        for comp, grid in (("cb", cb_grid), ("cr", cr_grid)):
+            for b in range(4):
+                bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
+                if cbp_chroma == 2:
+                    nc = _nc_of(grid, bx, by)
+                    scan, tc = _decode_residual(r, nc, 15)
+                else:
+                    scan, tc = [0] * 15, 0
+                acs[comp].append(scan)
+                grid[by][bx] = tc
+        return cbdc, crdc, acs
+
+    def recon_chroma(x0, y0, chroma_mode, left, top, cbdc, crdc, acs, qpc):
+        cx, cy = x0 >> 1, y0 >> 1
+        for comp, plane, dcs in (
+            ("cb", cb_plane, cbdc),
+            ("cr", cr_plane, crdc),
+        ):
+            predc = _pred_chroma8(plane, cx, cy, chroma_mode, left, top)
+            c00, c01, c10, c11 = dcs
+            fdc = (
+                (c00 + c01 + c10 + c11, c00 - c01 + c10 - c11),
+                (c00 + c01 - c10 - c11, c00 - c01 - c10 + c11),
+            )
+            for b in range(4):
+                bx, by = b & 1, b >> 1
+                d = [[0] * 4 for _ in range(4)]
+                scan = acs[comp][b]
+                for k in range(15):
+                    if scan[k]:
+                        idx = _ZIGZAG4[k + 1]
+                        i, j = idx >> 2, idx & 3
+                        d[i][j] = _dequant_ac(scan[k], qpc, i, j)
+                d[0][0] = _scale_chroma_dc(fdc[by][bx], qpc)
+                res = _icore4(d)
+                for i in range(4):
+                    row = plane[cy + by * 4 + i]
+                    prow = predc[by * 4 + i]
+                    for j in range(4):
+                        row[cx + bx * 4 + j] = _clip255(
+                            prow[bx * 4 + j] + res[i][j]
+                        )
 
     for mb_idx in range(w_mbs * h_mbs):
         mbx, mby = mb_idx % w_mbs, mb_idx // w_mbs
@@ -976,10 +1211,73 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
         mb_type = r.ue()
         mb_types.append(mb_type)
         if mb_type == 0:
-            raise ValueError(
-                "H.264 I_NxN (Intra_4x4/8x8) unsupported by the intra "
-                "tier — Intra_16x16 and I_PCM macroblocks only"
+            # I_NxN -> Intra_4x4 (PPS has no 8x8 transform): per-block
+            # prediction-mode syntax (§8.3.1.1), me(v) CBP (Table 9-4),
+            # per-8x8-group residual gating, block-serial reconstruction
+            # in Z-order (later blocks predict from earlier ones).
+            modes = []
+            for b in range(16):
+                offx, offy = _BLK_OFF[b]
+                bx = mbx * 4 + (offx >> 2)
+                by = mby * 4 + (offy >> 2)
+                pm = _pred_mode4(mode_grid, bx, by)
+                if r.u(1):  # prev_intra4x4_pred_mode_flag
+                    m = pm
+                else:
+                    rem = r.u(3)
+                    m = rem if rem < pm else rem + 1
+                mode_grid[by][bx] = m
+                modes.append(m)
+            chroma_mode = r.ue()
+            if chroma_mode > 3:
+                raise ValueError(
+                    "corrupt H.264: intra_chroma_pred_mode > 3"
+                )
+            cbp_code = r.ue()
+            if cbp_code > 47:
+                raise ValueError(
+                    "corrupt H.264: coded_block_pattern code > 47"
+                )
+            cbp = _CBP_INTRA[cbp_code]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp = (qp + r.se() + 52) % 52
+            qpc = _qpc_of(qp, chroma_off)
+            scans = []
+            for b in range(16):
+                offx, offy = _BLK_OFF[b]
+                bx = mbx * 4 + (offx >> 2)
+                by = mby * 4 + (offy >> 2)
+                if cbp_luma & (1 << (b >> 2)):
+                    nc = _nc_of(luma_grid, bx, by)
+                    scan, tc = _decode_residual(r, nc, 16)
+                else:
+                    scan, tc = [0] * 16, 0
+                scans.append(scan)
+                luma_grid[by][bx] = tc
+            cbdc, crdc, acs = parse_chroma(cbp_chroma, mbx, mby)
+            for b in range(16):
+                offx, offy = _BLK_OFF[b]
+                gx, gy = x0 + offx, y0 + offy
+                pred = _pred_luma4(y_plane, gx, gy, modes[b], recon, wl)
+                d = [[0] * 4 for _ in range(4)]
+                scan = scans[b]
+                for k in range(16):
+                    if scan[k]:
+                        idx = _ZIGZAG4[k]
+                        i, j = idx >> 2, idx & 3
+                        d[i][j] = _dequant_ac(scan[k], qp, i, j)
+                res = _icore4(d)
+                for i in range(4):
+                    row = y_plane[gy + i]
+                    prow = pred[i]
+                    for j in range(4):
+                        row[gx + j] = _clip255(prow[j] + res[i][j])
+                recon[gy >> 2][gx >> 2] = True
+            recon_chroma(
+                x0, y0, chroma_mode, left, top, cbdc, crdc, acs, qpc
             )
+            continue
         if mb_type > 25:
             raise ValueError("corrupt H.264: invalid I-slice mb_type")
         if mb_type == 25:  # I_PCM (§7.3.5, §8.3.5)
@@ -997,6 +1295,7 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
             for by in range(4):
                 for bx in range(4):
                     luma_grid[mby * 4 + by][mbx * 4 + bx] = 16
+                    recon[mby * 4 + by][mbx * 4 + bx] = True
             for by in range(2):
                 for bx in range(2):
                     cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
@@ -1027,22 +1326,7 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
                 scan, tc = [0] * 15, 0
             ac_scans.append(scan)
             luma_grid[by][bx] = tc
-        if cbp_chroma:
-            cbdc, _ = _decode_residual(r, -1, 4)
-            crdc, _ = _decode_residual(r, -1, 4)
-        else:
-            cbdc, crdc = [0] * 4, [0] * 4
-        chroma_acs = {"cb": [], "cr": []}
-        for comp, grid in (("cb", cb_grid), ("cr", cr_grid)):
-            for b in range(4):
-                bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
-                if cbp_chroma == 2:
-                    nc = _nc_of(grid, bx, by)
-                    scan, tc = _decode_residual(r, nc, 15)
-                else:
-                    scan, tc = [0] * 15, 0
-                chroma_acs[comp].append(scan)
-                grid[by][bx] = tc
+        cbdc, crdc, chroma_acs = parse_chroma(cbp_chroma, mbx, mby)
 
         # --- luma reconstruction
         pred = _pred_luma16(y_plane, x0, y0, pred_mode, left, top)
@@ -1069,37 +1353,13 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
                     row[x0 + offx + j] = _clip255(
                         prow[offx + j] + res[i][j]
                     )
+        for by in range(4):
+            for bx in range(4):
+                recon[mby * 4 + by][mbx * 4 + bx] = True
 
         # --- chroma reconstruction (2x2 DC Hadamard §8.5.11)
-        cx, cy = x0 >> 1, y0 >> 1
-        for comp, plane, dcs in (
-            ("cb", cb_plane, cbdc),
-            ("cr", cr_plane, crdc),
-        ):
-            predc = _pred_chroma8(plane, cx, cy, chroma_mode, left, top)
-            c00, c01, c10, c11 = dcs
-            fdc = (
-                (c00 + c01 + c10 + c11, c00 - c01 + c10 - c11),
-                (c00 + c01 - c10 - c11, c00 - c01 - c10 + c11),
-            )
-            for b in range(4):
-                bx, by = b & 1, b >> 1
-                d = [[0] * 4 for _ in range(4)]
-                scan = chroma_acs[comp][b]
-                for k in range(15):
-                    if scan[k]:
-                        idx = _ZIGZAG4[k + 1]
-                        i, j = idx >> 2, idx & 3
-                        d[i][j] = _dequant_ac(scan[k], qpc, i, j)
-                d[0][0] = _scale_chroma_dc(fdc[by][bx], qpc)
-                res = _icore4(d)
-                for i in range(4):
-                    row = plane[cy + by * 4 + i]
-                    prow = predc[by * 4 + i]
-                    for j in range(4):
-                        row[cx + bx * 4 + j] = _clip255(
-                            prow[bx * 4 + j] + res[i][j]
-                        )
+        recon_chroma(x0, y0, chroma_mode, left, top, cbdc, crdc,
+                     chroma_acs, qpc)
 
     return {
         "y": y_plane,
@@ -1132,8 +1392,11 @@ def encode_idr_access_unit(
     test.  Returns (sample_bytes, sps_nal, pps_nal) where sample_bytes
     is the 4-byte-length-prefixed slice NAL (avcC convention).
 
-    Each mb dict is either ``{"pcm": {"y": 256 ints, "cb": 64,
-    "cr": 64}}`` or an Intra_16x16 spec::
+    Each mb dict is ``{"pcm": {"y": 256 ints, "cb": 64, "cr": 64}}``,
+    an Intra_4x4 spec ``{"i4x4": {"modes": [16 modes 0..8], "luma":
+    {blk: {scan_pos0_15: level}}}, "chroma_mode": ..., "cb_dc": ...,
+    "qp_delta": ...}`` (per-8x8-group CBP derived from the plants;
+    qp_delta requires a nonzero cbp), or an Intra_16x16 spec::
 
         {"mode": 0..3,            # V/H/DC/Plane (§8.3.3)
          "chroma_mode": 0..3,     # DC/H/V/Plane (§8.3.4)
@@ -1178,6 +1441,7 @@ def encode_idr_access_unit(
     luma_grid = [[None] * (width_mbs * 4) for _ in range(height_mbs * 4)]
     cb_grid = [[None] * (width_mbs * 2) for _ in range(height_mbs * 2)]
     cr_grid = [[None] * (width_mbs * 2) for _ in range(height_mbs * 2)]
+    mode_grid = [[None] * (width_mbs * 4) for _ in range(height_mbs * 4)]
 
     def scan_block(d: dict | None, max_coeff: int) -> list[int]:
         out = [0] * max_coeff
@@ -1186,6 +1450,20 @@ def encode_idr_access_unit(
                 raise ValueError("fixture: coefficient position out of range")
             out[int(pos)] = int(lvl)
         return out
+
+    def write_chroma(cbp_chroma, mbx, mby, cbdc, crdc, cb_ac, cr_ac):
+        if cbp_chroma:
+            _encode_residual(w, cbdc, -1, 4)
+            _encode_residual(w, crdc, -1, 4)
+        for grid, acs in ((cb_grid, cb_ac), (cr_grid, cr_ac)):
+            for b in range(4):
+                bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
+                if cbp_chroma == 2:
+                    nc = _nc_of(grid, bx, by)
+                    tc = _encode_residual(w, acs.get(b, [0] * 15), nc, 15)
+                else:
+                    tc = 0
+                grid[by][bx] = tc
 
     for mb_idx, mb in enumerate(mbs):
         mbx, mby = mb_idx % width_mbs, mb_idx // width_mbs
@@ -1205,6 +1483,76 @@ def encode_idr_access_unit(
                 for bx in range(2):
                     cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
                     cr_grid[mby * 2 + by][mbx * 2 + bx] = 16
+            continue
+
+        if "i4x4" in mb:
+            i4 = mb["i4x4"]
+            modes = [int(m) for m in i4["modes"]]
+            if len(modes) != 16 or any(not 0 <= m <= 8 for m in modes):
+                raise ValueError("fixture: i4x4 needs 16 modes in 0..8")
+            luma = {
+                int(b): scan_block(d, 16)
+                for b, d in (i4.get("luma") or {}).items()
+            }
+            cb_ac = {
+                int(b): scan_block(d, 15)
+                for b, d in (mb.get("cb_ac") or {}).items()
+            }
+            cr_ac = {
+                int(b): scan_block(d, 15)
+                for b, d in (mb.get("cr_ac") or {}).items()
+            }
+            cbdc = scan_block(mb.get("cb_dc"), 4)
+            crdc = scan_block(mb.get("cr_dc"), 4)
+            cbp_luma = 0
+            for g in range(4):
+                if any(
+                    any(luma.get(b, ())) for b in range(4 * g, 4 * g + 4)
+                ):
+                    cbp_luma |= 1 << g
+            has_cac = any(any(v) for v in cb_ac.values()) or any(
+                any(v) for v in cr_ac.values()
+            )
+            cbp_chroma = (
+                2 if has_cac else (1 if (any(cbdc) or any(crdc)) else 0)
+            )
+            cbp = cbp_luma | (cbp_chroma << 4)
+            w.ue(0)  # mb_type = I_NxN
+            for b in range(16):
+                offx, offy = _BLK_OFF[b]
+                bx = mbx * 4 + (offx >> 2)
+                by = mby * 4 + (offy >> 2)
+                pm = _pred_mode4(mode_grid, bx, by)
+                m = modes[b]
+                if m == pm:
+                    w.u(1, 1)
+                else:
+                    w.u(0, 1)
+                    w.u(m if m < pm else m - 1, 3)
+                mode_grid[by][bx] = m
+            w.ue(int(mb.get("chroma_mode", 0)))
+            w.ue(_CBP_INTRA_INV[cbp])
+            delta = int(mb.get("qp_delta", 0))
+            if cbp:
+                w.se(delta)
+                cur_qp = (cur_qp + delta + 52) % 52
+            elif delta:
+                raise ValueError(
+                    "fixture: i4x4 qp_delta needs a nonzero cbp"
+                )
+            for b in range(16):
+                offx, offy = _BLK_OFF[b]
+                bx = mbx * 4 + (offx >> 2)
+                by = mby * 4 + (offy >> 2)
+                if cbp_luma & (1 << (b >> 2)):
+                    nc = _nc_of(luma_grid, bx, by)
+                    tc = _encode_residual(
+                        w, luma.get(b, [0] * 16), nc, 16
+                    )
+                else:
+                    tc = 0
+                luma_grid[by][bx] = tc
+            write_chroma(cbp_chroma, mbx, mby, cbdc, crdc, cb_ac, cr_ac)
             continue
 
         luma_ac = {
@@ -1253,21 +1601,7 @@ def encode_idr_access_unit(
                     raise ValueError("fixture: luma AC requires cbp")
                 tc = 0
             luma_grid[by][bx] = tc
-        if cbp_chroma:
-            _encode_residual(w, cbdc, -1, 4)
-            _encode_residual(w, crdc, -1, 4)
-        for comp, grid, acs in (
-            ("cb", cb_grid, cb_ac),
-            ("cr", cr_grid, cr_ac),
-        ):
-            for b in range(4):
-                bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
-                if cbp_chroma == 2:
-                    nc = _nc_of(grid, bx, by)
-                    tc = _encode_residual(w, acs.get(b, [0] * 15), nc, 15)
-                else:
-                    tc = 0
-                grid[by][bx] = tc
+        write_chroma(cbp_chroma, mbx, mby, cbdc, crdc, cb_ac, cr_ac)
 
     slice_nal = bytes([0x65]) + _ep_insert(w.rbsp())
     sample = struct.pack(">I", len(slice_nal)) + slice_nal

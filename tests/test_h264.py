@@ -368,20 +368,168 @@ def test_inter_slice_raises():
         h264.decode_idr_slice(sps, pps, bytes([0x65]) + w.rbsp())
 
 
-def test_i_nxn_raises():
-    sample, sps_nal, pps_nal = h264.encode_idr_access_unit(
-        1, 1, [{"mode": 2}], qp=28
-    )
-    sps = decode_sps(sps_nal)
-    pps = h264.decode_pps(pps_nal)
-    # patch the slice: rebuild header then mb_type = 0 (I_NxN)
-    w = h264._BitWriter()
-    w.ue(0); w.ue(7); w.ue(0)
-    w.u(0, 4); w.ue(0); w.u(0, 4); w.u(0, 1); w.u(0, 1)
-    w.se(2); w.ue(1)
-    w.ue(0)  # mb_type = I_NxN
-    with pytest.raises(ValueError, match="I_NxN"):
-        h264.decode_idr_slice(sps, pps, bytes([0x65]) + w.rbsp())
+# --------------------------------------------------------------- I_4x4
+
+
+def test_cbp_intra_table_is_permutation():
+    assert sorted(h264._CBP_INTRA) == list(range(48))
+
+
+def _i4_mode_layout(b):
+    x, y = h264._BLK_OFF[b]
+    c, r = x >> 2, y >> 2
+    if c == 0:
+        return 2  # DC down the left column
+    return 1 if r == 0 else 0  # H across the top row, V elsewhere
+
+
+def test_i4x4_dc_chain_closed_form():
+    # All blocks plant c00 = L (qp 28 -> flat residual 4L); the
+    # DC/H/V availability chain gives V[r][c] = 128 + 4L*(r+c+1)
+    # (derivation in queries.py q253) — checked per block.
+    for L in (-4, -1, 0, 2, 4):
+        mb = {
+            "i4x4": {
+                "modes": [_i4_mode_layout(b) for b in range(16)],
+                "luma": {b: {0: L} for b in range(16)},
+            },
+            "cb_dc": {0: 5},
+            "cr_dc": {0: -7},
+        }
+        dec = _decode([mb], 1, 1, qp=28)
+        for b in range(16):
+            x, y = h264._BLK_OFF[b]
+            c, r = x >> 2, y >> 2
+            got = {dec["y"][y + i][x + j] for i in range(4) for j in range(4)}
+            assert got == {128 + 4 * L * (r + c + 1)}, (L, b)
+        assert {v for row in dec["cb"] for v in row} == {138}
+        assert {v for row in dec["cr"] for v in row} == {114}
+
+
+def test_i4x4_ddl_hand_computed():
+    # MB0 = I_PCM with bottom row 10,20,...; MB1 below it, block 0 in
+    # Diagonal-Down-Left: §8.3.1.2.4 hand-computed expectations.
+    bottom = [10 * (k + 1) for k in range(16)]
+    pcm_y = [0] * 240 + bottom
+    mbs = [
+        {"pcm": {"y": pcm_y, "cb": [0] * 64, "cr": [0] * 64}},
+        {
+            "i4x4": {
+                "modes": [3] + [2] * 15,
+                "luma": {},
+            },
+        },
+    ]
+    dec = _decode(mbs, 1, 2, qp=28)
+    got = [[dec["y"][16 + y][x] for x in range(4)] for y in range(4)]
+    assert got == [
+        [20, 30, 40, 50],
+        [30, 40, 50, 60],
+        [40, 50, 60, 70],
+        [50, 60, 70, 78],  # the (3,3) special: (p6 + 3*p7 + 2) >> 2
+    ]
+
+
+def test_i4x4_ddr_and_vr_hand_computed():
+    # 2x2 PCM frame: MB0 all-7 (the p[-1,-1] corner), MB1 bottom row
+    # 10..80 at x=16..23, MB2 right column 12/24/36/48; MB3 block 0
+    # decodes Diagonal-Down-Right then (second frame) Vertical-Right.
+    mb0 = {"pcm": {"y": [7] * 256, "cb": [0] * 64, "cr": [0] * 64}}
+    row = [10 * (k + 1) for k in range(8)] + [0] * 8
+    mb1 = {"pcm": {"y": [0] * 240 + row, "cb": [0] * 64, "cr": [0] * 64}}
+    col = [0] * 256
+    for r, v in enumerate((12, 24, 36, 48)):
+        col[16 * r + 15] = v
+    mb2 = {"pcm": {"y": col, "cb": [0] * 64, "cr": [0] * 64}}
+    expect = {
+        4: [[9, 12, 20, 30], [14, 9, 12, 20], [24, 14, 9, 12],
+            [36, 24, 14, 9]],
+        5: [[9, 15, 25, 35], [9, 12, 20, 30], [14, 9, 15, 25],
+            [24, 9, 12, 20]],
+    }
+    for mode, want in expect.items():
+        mb3 = {"i4x4": {"modes": [mode] + [2] * 15, "luma": {}}}
+        dec = _decode([mb0, mb1, mb2, mb3], 2, 2, qp=28)
+        got = [
+            [dec["y"][16 + y][16 + x] for x in range(4)] for y in range(4)
+        ]
+        assert got == want, (mode, got)
+
+
+def test_i4x4_hu_hand_computed():
+    # MB0 right column 10/20/30/40; MB1 block 0 in Horizontal-Up.
+    col = [0] * 256
+    for r, v in enumerate((10, 20, 30, 40)):
+        col[16 * r + 15] = v
+    mbs = [
+        {"pcm": {"y": col, "cb": [0] * 64, "cr": [0] * 64}},
+        {"i4x4": {"modes": [8] + [2] * 15, "luma": {}}},
+    ]
+    dec = _decode(mbs, 2, 1, qp=28)
+    got = [[dec["y"][y][16 + x] for x in range(4)] for y in range(4)]
+    assert got == [
+        [15, 20, 25, 30],
+        [25, 30, 35, 38],
+        [35, 38, 40, 40],
+        [40, 40, 40, 40],
+    ]
+
+
+def test_i4x4_rem_mode_syntax_and_random_roundtrip():
+    rng = random.Random(5)
+    for _ in range(15):
+        wm, hm = rng.choice([(1, 1), (2, 2)])
+        mbs = []
+        for i in range(wm * hm):
+            mbx, mby = i % wm, i // wm
+            modes = []
+            for b in range(16):
+                offx, offy = h264._BLK_OFF[b]
+                gx, gy = mbx * 16 + offx, mby * 16 + offy
+                ok = [2, 8] if gx else [2]
+                if gy:
+                    ok += [0, 3, 7]
+                if gx and gy:
+                    ok += [1, 4, 5, 6]
+                modes.append(rng.choice(sorted(set(ok))))
+            mbs.append(
+                {
+                    "i4x4": {
+                        "modes": modes,
+                        "luma": {
+                            b: {
+                                k: rng.randint(-6, 6)
+                                for k in range(16)
+                                if rng.random() < 0.3
+                            }
+                            for b in range(16)
+                            if rng.random() < 0.7
+                        },
+                    },
+                    "cb_dc": {0: rng.randint(-4, 4)},
+                    "qp_delta": 0,
+                }
+            )
+        dec = _decode(mbs, wm, hm, qp=rng.choice([16, 28, 40]))
+        assert dec["n_mb"] == wm * hm
+        assert all(0 <= v <= 255 for row in dec["y"] for v in row)
+
+
+def test_i4x4_mixed_with_i16x16_context():
+    # I_4x4 next to Intra_16x16: mode prediction must treat the
+    # non-I4x4 neighbor as DC, and nC contexts must cross MB types.
+    mbs = [
+        {"mode": 2, "luma_dc": {0: 7}, "luma_ac": {0: {0: 2}}},
+        {
+            "i4x4": {
+                "modes": [1] + [2] * 15,
+                "luma": {0: {0: 3, 1: -2}},
+            },
+        },
+    ]
+    dec = _decode(mbs, 2, 1, qp=28)
+    assert dec["n_mb"] == 2
+    assert all(0 <= v <= 255 for row in dec["y"] for v in row)
 
 
 def test_deblocking_enabled_raises():
