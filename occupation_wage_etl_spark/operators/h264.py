@@ -8,13 +8,16 @@ PNG codecs in ``multimodal.py``:
 
 - :func:`decode_pps` — pic_parameter_set_rbsp (§7.3.2.2).
 - :func:`decode_idr_slice` — slice_header (§7.3.3) + slice_data for I
-  slices: ``I_PCM`` macroblocks (§7.3.5, raw samples) and
-  ``Intra_16x16`` macroblocks with all four luma prediction modes
-  (V/H/DC/Plane, §8.3.3), all four chroma modes (§8.3.4), CAVLC
-  entropy decode (§9.2 — coeff_token / level prefix+suffix with
-  adaptive suffixLength / total_zeros / run_before), dequantisation
-  (§8.5.9-11, flat scaling lists) and the 4x4 integer inverse
-  transform + Hadamard DC transforms (§8.5.10/12).
+  slices: ALL three I-slice macroblock classes — ``I_PCM`` (§7.3.5,
+  raw samples), ``Intra_16x16`` with all four luma prediction modes
+  (V/H/DC/Plane, §8.3.3), and ``Intra_4x4`` (I_NxN) with all nine
+  spatial modes (§8.3.1.2, incl. top-right substitution and
+  prev/rem mode-prediction syntax §8.3.1.1 + Table 9-4 me(v) CBP) —
+  all four chroma modes (§8.3.4), CAVLC entropy decode (§9.2 —
+  coeff_token / level prefix+suffix with adaptive suffixLength /
+  total_zeros / run_before), dequantisation (§8.5.9-11, flat scaling
+  lists) and the 4x4 integer inverse transform + Hadamard DC
+  transforms (§8.5.10/12).
 - :func:`encode_idr_access_unit` — the fixture encoder: chosen
   quantized coefficient LEVELS (or raw I_PCM samples) per macroblock
   → a conformant length-prefixed AVC sample plus matching SPS/PPS
@@ -26,7 +29,7 @@ PNG codecs in ``multimodal.py``:
 
 Documented scope bounds (each raises an explicit ``ValueError``):
 CABAC entropy (PPS entropy_coding_mode_flag=1), inter slices (P/B),
-``I_NxN`` spatial prediction (Intra_4x4/8x8), field coding, FMO, and
+Intra_8x8 (the High-profile 8x8 transform), field coding, FMO, and
 in-loop deblocking (streams must carry disable_deblocking_filter_idc
 == 1; the fixtures do).  These are the non-intra / non-baseline
 halves of the codec — the intra tier decodes real pixels for the

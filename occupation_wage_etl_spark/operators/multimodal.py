@@ -377,12 +377,13 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
 _STUB_MSG = (
     "payload is not decodable with the built-in codecs (PNG/BMP/"
     "baseline+progressive-JPEG images, WAV/PCM16 audio, H.264 IDR "
-    "intra keyframes via operators/h264.decode_avc_keyframes); "
-    "INTER (P/B) video frames, CABAC streams and I_NxN prediction "
-    "require an ffmpeg-class codec — pass mode='fake' for the "
-    "deterministic test fake, mode='mp4' on sample_frames for the real "
-    "ISO-BMFF container demux (operators/video.py), or swap the "
-    "per-batch body for a codec-library decoder"
+    "intra keyframes — I_PCM/Intra_16x16/Intra_4x4 CAVLC — via "
+    "operators/h264.decode_avc_keyframes); INTER (P/B) video frames "
+    "and CABAC streams require an ffmpeg-class codec — pass "
+    "mode='fake' for the deterministic test fake, mode='mp4' on "
+    "sample_frames for the real ISO-BMFF container demux "
+    "(operators/video.py), or swap the per-batch body for a "
+    "codec-library decoder"
 )
 
 

@@ -12504,6 +12504,92 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# q253 — Intra_4x4 (I_NxN) macroblocks (operators/h264.py round-8b):
+# the per-block spatial-prediction MB type real encoders emit most for
+# detail regions.  Every 4x4 block plants c00 = L (qp 28 → class-0
+# dequant 256L → flat residual exactly 4L); the mode layout (DC down
+# the left column, Horizontal across the top row, Vertical elsewhere)
+# chains each block's prediction off the previous block's
+# reconstruction, so the closed form is V[r][c] = 128 + 4L*(r+c+1)
+# per 4x4 block — one wrong neighbor, one wrong Table 9-4 CBP bit or
+# one wrong prev_intra4x4_pred_mode derivation shifts every
+# downstream block.  L ∈ [-4, 4] keeps all values unclipped.  Chroma
+# plants the q251 closed form.  Exercises: mb_type 0 syntax,
+# prev/rem mode prediction (the H blocks encode rem codes), me(v)
+# CBP, per-8x8-group residual gating (L=0 docs drop cbp_luma to 0 —
+# chroma-only CBP), block-serial reconstruction.
+# ---------------------------------------------------------------------------
+
+
+def _synth_h264_i4x4(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): single-MB I_4x4 IDR MP4 from chosen levels."""
+
+    def _make(batches):
+        import pandas as pd
+
+        blk_off = h264._BLK_OFF
+        modes = []
+        for b in range(16):
+            x, y = blk_off[b]
+            c, r = x >> 2, y >> 2
+            modes.append(2 if c == 0 else (1 if r == 0 else 0))
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lvl = did % 9 - 4
+                mb = {
+                    "i4x4": {
+                        "modes": modes,
+                        "luma": {b: {0: lvl} for b in range(16)},
+                    },
+                    "cb_dc": {0: did % 21 - 10},
+                    "cr_dc": {0: did % 17 - 8},
+                }
+                out.append(h264.encode_avc_mp4_fixture(1, 1, [mb], qp=28))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q253_h264_i4x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return h264.decode_avc_keyframes(_synth_h264_i4x4(docs))
+
+
+Q253_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 9 - 4 AS l,
+         doc_id % 21 - 10 AS k, doc_id % 17 - 8 AS m
+  FROM documents
+), s AS (
+  SELECT doc_id, l,
+         least(greatest(128 + CAST(floor((128 * k + 32) / 64.0)
+               AS BIGINT), 0), 255) AS cbv,
+         least(greatest(128 + CAST(floor((128 * m + 32) / 64.0)
+               AS BIGINT), 0), 255) AS crv
+  FROM p
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+       CAST(1 AS BIGINT) AS sample_idx,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS n_mb, CAST(0 AS INT) AS n_pcm,
+       -- sum over the 4x4 block grid of 16 px * (128 + 4L(r+c+1)):
+       -- sum(r+c+1) over the grid = 64
+       CAST(16 * 16 * 128 + 16 * 4 * l * 64 AS BIGINT) AS y_sum,
+       CAST(least(128 + 4 * l, 128 + 28 * l) AS INT) AS y_min,
+       CAST(greatest(128 + 4 * l, 128 + 28 * l) AS INT) AS y_max,
+       CAST(64 * cbv AS BIGINT) AS cb_sum,
+       CAST(64 * crv AS BIGINT) AS cr_sum
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — multi-pass sorted-neighborhood blocking as a production
 # candidate generator (fuzzy_join.multipass_snb_pairs): forward +
 # reversed-key passes over the full customer table, union + distinct —
@@ -12902,6 +12988,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q250_id3_tags": q250_id3_tags,
     "q251_h264_idr_decode": q251_h264_idr_decode,
     "q252_h264_pred_chain": q252_h264_pred_chain,
+    "q253_h264_i4x4": q253_h264_i4x4,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13157,4 +13244,5 @@ ORACLE_SQL: dict[str, str] = {
     "q250_id3_tags": Q250_SQL,
     "q251_h264_idr_decode": Q251_SQL,
     "q252_h264_pred_chain": Q252_SQL,
+    "q253_h264_i4x4": Q253_SQL,
 }
