@@ -304,6 +304,7 @@ def decode_sps(nal: bytes) -> dict:
     if r.u(1):  # frame_cropping_flag
         crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
     vui_present = r.u(1)
+    vui = _decode_vui(r) if vui_present else {}
     # §7.4.2.1.1: ChromaArrayType 0 → CropUnitX 1 / CropUnitY 2−fmof;
     # else SubWidthC / SubHeightC·(2−fmof)
     sub_w = {0: 1, 1: 2, 2: 2, 3: 1}[chroma_format_idc]
@@ -330,7 +331,52 @@ def decode_sps(nal: bytes) -> dict:
         "width_mbs": w_mbs,
         "height_mbs": h_units * (2 - frame_mbs_only),
         "vui_present": vui_present,
+        **vui,
     }
+
+
+# sample_aspect_ratio_idc 1..16 -> (sar_w, sar_h) (Table E-1)
+_SAR_TABLE = (
+    (1, 1), (12, 11), (10, 11), (16, 11), (40, 33), (24, 11),
+    (20, 11), (32, 11), (80, 33), (18, 11), (15, 11), (64, 33),
+    (160, 99), (4, 3), (3, 2), (2, 1),
+)
+
+
+def _decode_vui(r) -> dict:
+    """VUI parameters (H.264 Annex E §E.1.1), through timing_info —
+    the catalog-relevant prefix: sample aspect ratio, video signal
+    type (full range + colour primaries), and the frame-rate clock
+    (fps = time_scale / (2 * num_units_in_tick) for frame-coded
+    streams).  Fields after timing_info (NAL HRD etc.) are not read —
+    nothing in the SPS follows the VUI, so stopping early is safe."""
+    out: dict = {}
+    if r.u(1):  # aspect_ratio_info_present_flag
+        idc = r.u(8)
+        if idc == 255:  # Extended_SAR
+            out["sar_width"] = r.u(16)
+            out["sar_height"] = r.u(16)
+        elif 1 <= idc <= 16:
+            out["sar_width"], out["sar_height"] = _SAR_TABLE[idc - 1]
+        elif idc != 0:
+            raise ValueError("corrupt SPS: reserved aspect_ratio_idc")
+    if r.u(1):  # overscan_info_present_flag
+        r.u(1)
+    if r.u(1):  # video_signal_type_present_flag
+        out["video_format"] = r.u(3)
+        out["video_full_range"] = r.u(1)
+        if r.u(1):  # colour_description_present_flag
+            out["colour_primaries"] = r.u(8)
+            out["transfer_characteristics"] = r.u(8)
+            out["matrix_coefficients"] = r.u(8)
+    if r.u(1):  # chroma_loc_info_present_flag
+        r.ue()
+        r.ue()
+    if r.u(1):  # timing_info_present_flag
+        out["num_units_in_tick"] = r.u(32)
+        out["time_scale"] = r.u(32)
+        out["fixed_frame_rate"] = r.u(1)
+    return out
 
 
 def encode_sps(
@@ -348,10 +394,14 @@ def encode_sps(
     height_units: int = 3,
     frame_mbs_only: int = 1,
     crop: tuple[int, int, int, int] = (0, 0, 0, 0),
+    vui: dict | None = None,
 ) -> bytes:
     """Encode a seq_parameter_set_rbsp NAL (header 0x67, emulation
     prevention applied) — the SPS fixture generator, exact inverse of
-    :func:`decode_sps` for the field subset it emits."""
+    :func:`decode_sps` for the field subset it emits.  ``vui`` plants
+    Annex E fields: ``sar`` (idc int, or (w, h) for Extended_SAR),
+    ``video_full_range``/``colour_primaries``/``transfer``/``matrix``,
+    and ``num_units_in_tick``/``time_scale``/``fixed_frame_rate``."""
     w = _EgBitWriter()
     w.u(profile_idc, 8)
     w.u(constraint_flags, 8)
@@ -383,7 +433,48 @@ def encode_sps(
             w.ue(c)
     else:
         w.u(0, 1)
-    w.u(0, 1)  # vui_parameters_present_flag
+    if not vui:
+        w.u(0, 1)  # vui_parameters_present_flag
+        return bytes([0x67]) + _ep_insert(w.rbsp())
+    w.u(1, 1)
+    sar = vui.get("sar")
+    if sar is None:
+        w.u(0, 1)
+    else:
+        w.u(1, 1)
+        if isinstance(sar, tuple):
+            w.u(255, 8)
+            w.u(sar[0], 16)
+            w.u(sar[1], 16)
+        else:
+            w.u(int(sar), 8)
+    w.u(0, 1)  # overscan_info_present_flag
+    if "video_full_range" in vui or "colour_primaries" in vui:
+        w.u(1, 1)
+        w.u(int(vui.get("video_format", 5)), 3)
+        w.u(int(vui.get("video_full_range", 0)), 1)
+        if "colour_primaries" in vui:
+            w.u(1, 1)
+            w.u(int(vui["colour_primaries"]), 8)
+            w.u(int(vui.get("transfer", 2)), 8)
+            w.u(int(vui.get("matrix", 2)), 8)
+        else:
+            w.u(0, 1)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # chroma_loc_info_present_flag
+    if "num_units_in_tick" in vui:
+        w.u(1, 1)
+        w.u(int(vui["num_units_in_tick"]), 32)
+        w.u(int(vui["time_scale"]), 32)
+        w.u(int(vui.get("fixed_frame_rate", 1)), 1)
+    else:
+        w.u(0, 1)
+    # remaining Annex E presence flags, all absent
+    w.u(0, 1)  # nal_hrd_parameters_present_flag
+    w.u(0, 1)  # vcl_hrd_parameters_present_flag
+    w.u(0, 1)  # pic_struct_present_flag
+    w.u(0, 1)  # bitstream_restriction_flag
     return bytes([0x67]) + _ep_insert(w.rbsp())
 
 
@@ -771,6 +862,66 @@ def mp4_sps_params(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_sps, schema=schema)
+
+
+def mp4_vui_params(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per AVC track: the VUI (Annex E) catalog facts — sample
+    aspect ratio, signal range/colour primaries, and the frame-rate
+    clock as an exact rational (``fps_num``/``fps_den`` =
+    time_scale / 2*num_units_in_tick for frame-coded streams; floats
+    never enter the plan).  NULL columns when the SPS carries no VUI
+    or omits a group — absence is data, not an error.  Scan-side
+    ``mapInPandas``, zero shuffles (the q246 shape)."""
+    schema = (
+        f"{id_col} long, track_id long, sar_width int, sar_height int, "
+        "video_full_range int, colour_primaries int, "
+        "fps_num long, fps_den long, fixed_frame_rate int"
+    )
+    cols = [
+        id_col, "track_id", "sar_width", "sar_height",
+        "video_full_range", "colour_primaries", "fps_num", "fps_den",
+        "fixed_frame_rate",
+    ]
+
+    def _vui(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                meta = parse_mp4(bytes(payload or b""))
+                for tr in meta["tracks"]:
+                    sps = tr.get("sps")
+                    if sps is None:
+                        continue
+                    ts = sps.get("time_scale")
+                    nuit = sps.get("num_units_in_tick")
+                    rows.append(
+                        (
+                            int(rid),
+                            tr["track_id"],
+                            sps.get("sar_width"),
+                            sps.get("sar_height"),
+                            sps.get("video_full_range"),
+                            sps.get("colour_primaries"),
+                            ts,
+                            2 * nuit if nuit is not None else None,
+                            sps.get("fixed_frame_rate"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {
+                    "sar_width": "Int32", "sar_height": "Int32",
+                    "video_full_range": "Int32",
+                    "colour_primaries": "Int32",
+                    "fps_num": "Int64", "fps_den": "Int64",
+                    "fixed_frame_rate": "Int32",
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_vui, schema=schema)
 
 
 # ------------------------------------------------------ fixture encoder

@@ -12590,6 +12590,103 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# q254 — SPS VUI catalog facts (operators/video.py:mp4_vui_params /
+# _decode_vui): frame rate as an exact rational (time_scale /
+# 2*num_units_in_tick), sample aspect ratio (Table E-1 idc + the
+# Extended_SAR escape), signal range and colour primaries — the
+# bitstream-authoritative video facts after dimensions (q246).
+# Fixtures plant every presence combination (no-VUI, sar-only,
+# timing-only, signal-with/without colour description), so the NULL
+# columns are data, not parse failures.
+# ---------------------------------------------------------------------------
+
+
+def _synth_mp4_vui(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vui: dict = {}
+                m4, m3, m5 = did % 4, did % 3, did % 5
+                if m4 == 0:
+                    vui["sar"] = (1 + did % 50, 1 + did % 30)
+                elif m4 != 2:
+                    vui["sar"] = 1 + did % 16
+                if m3 != 2:
+                    vui["num_units_in_tick"] = 1000 + did % 7
+                    vui["time_scale"] = 24000 + 1000 * (did % 5)
+                    vui["fixed_frame_rate"] = did % 2
+                if m5 <= 3:
+                    vui["video_full_range"] = did % 2
+                if m5 <= 1:
+                    vui["colour_primaries"] = 1 + did % 9
+                out.append(
+                    video.encode_mp4_fixture(
+                        [
+                            {
+                                "handler": "vide",
+                                "codec": "avc1",
+                                "timescale": 600,
+                                "sample_delta": 100,
+                                "sizes": [8],
+                                "sync": [1],
+                                "width": 64,
+                                "height": 48,
+                                "sps": {
+                                    "width_mbs": 4,
+                                    "height_units": 3,
+                                    "vui": vui or None,
+                                },
+                            }
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q254_mp4_vui(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return video.mp4_vui_params(_synth_mp4_vui(docs))
+
+
+Q254_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS m4, doc_id % 3 AS m3, doc_id % 5 AS m5
+  FROM documents
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+       CAST(CASE WHEN m4 = 0 THEN 1 + doc_id % 50
+                 WHEN m4 = 2 THEN NULL
+                 ELSE ([1,12,10,16,40,24,20,32,80,18,15,64,160,4,3,2]
+                      )[1 + doc_id % 16] END AS INT) AS sar_width,
+       CAST(CASE WHEN m4 = 0 THEN 1 + doc_id % 30
+                 WHEN m4 = 2 THEN NULL
+                 ELSE ([1,11,11,11,33,11,11,11,33,11,11,33,99,3,2,1]
+                      )[1 + doc_id % 16] END AS INT) AS sar_height,
+       CAST(CASE WHEN m5 <= 3 THEN doc_id % 2 END AS INT)
+         AS video_full_range,
+       CAST(CASE WHEN m5 <= 1 THEN 1 + doc_id % 9 END AS INT)
+         AS colour_primaries,
+       CAST(CASE WHEN m3 <> 2 THEN 24000 + 1000 * (doc_id % 5) END
+            AS BIGINT) AS fps_num,
+       CAST(CASE WHEN m3 <> 2 THEN 2 * (1000 + doc_id % 7) END
+            AS BIGINT) AS fps_den,
+       CAST(CASE WHEN m3 <> 2 THEN doc_id % 2 END AS INT)
+         AS fixed_frame_rate
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — multi-pass sorted-neighborhood blocking as a production
 # candidate generator (fuzzy_join.multipass_snb_pairs): forward +
 # reversed-key passes over the full customer table, union + distinct —
@@ -12989,6 +13086,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q251_h264_idr_decode": q251_h264_idr_decode,
     "q252_h264_pred_chain": q252_h264_pred_chain,
     "q253_h264_i4x4": q253_h264_i4x4,
+    "q254_mp4_vui": q254_mp4_vui,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13245,4 +13343,5 @@ ORACLE_SQL: dict[str, str] = {
     "q251_h264_idr_decode": Q251_SQL,
     "q252_h264_pred_chain": Q252_SQL,
     "q253_h264_i4x4": Q253_SQL,
+    "q254_mp4_vui": Q254_SQL,
 }

@@ -297,3 +297,44 @@ def test_container_sps_vs_advisory_dims(spark):
     )
     df2 = spark.createDataFrame([(1, plain)], "doc_id long, content binary")
     assert V.mp4_sps_params(df2).count() == 0
+
+
+def test_vui_round_trip_all_groups():
+    from occupation_wage_etl_spark.operators.video import (
+        decode_sps,
+        encode_sps,
+    )
+
+    # Extended_SAR + timing + full signal description
+    sps = decode_sps(
+        encode_sps(
+            width_mbs=4,
+            height_units=3,
+            vui={
+                "sar": (37, 21),
+                "num_units_in_tick": 1001,
+                "time_scale": 60000,
+                "fixed_frame_rate": 1,
+                "video_full_range": 1,
+                "colour_primaries": 9,
+                "transfer": 16,
+                "matrix": 9,
+            },
+        )
+    )
+    assert (sps["sar_width"], sps["sar_height"]) == (37, 21)
+    assert sps["num_units_in_tick"] == 1001
+    assert sps["time_scale"] == 60000
+    assert sps["fixed_frame_rate"] == 1
+    assert sps["video_full_range"] == 1
+    assert sps["colour_primaries"] == 9
+    assert sps["transfer_characteristics"] == 16
+    # table idc path: idc 2 -> 12:11
+    sps = decode_sps(
+        encode_sps(width_mbs=4, height_units=3, vui={"sar": 2})
+    )
+    assert (sps["sar_width"], sps["sar_height"]) == (12, 11)
+    assert "time_scale" not in sps
+    # no VUI at all: keys absent, flag 0
+    sps = decode_sps(encode_sps(width_mbs=4, height_units=3))
+    assert sps["vui_present"] == 0 and "sar_width" not in sps
