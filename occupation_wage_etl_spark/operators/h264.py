@@ -828,29 +828,45 @@ _CBP_INTRA = (
 _CBP_INTRA_INV = {cbp: code for code, cbp in enumerate(_CBP_INTRA)}
 
 
-def _pred_mode4(mode_grid, bx: int, by: int) -> int:
+def _pred_mode4(mode_grid, bx: int, by: int, avail=None) -> int:
     """Predicted Intra4x4PredMode (§8.3.1.1): DC (2) when either
-    neighbor block is unavailable; otherwise min of the neighbors'
-    modes, with non-I_4x4 neighbor MBs counting as DC."""
+    neighbor block is unavailable (picture edge or other slice);
+    otherwise min of the neighbors' modes, with non-I_4x4 neighbor
+    MBs counting as DC."""
     if bx == 0 or by == 0:
+        return 2
+    if avail is not None and not (avail(bx - 1, by) and avail(bx, by - 1)):
         return 2
     a = mode_grid[by][bx - 1]
     b = mode_grid[by - 1][bx]
     return min(2 if a is None else a, 2 if b is None else b)
 
 
-def _pred_luma4(plane, gx, gy, mode, recon, wl):
+def _pred_luma4(plane, gx, gy, mode, recon, wl, avail=None):
     """4x4 intra prediction (§8.3.1.2) at global pixel (gx, gy).
     ``recon`` is the per-4x4-block reconstructed-yet grid (decode
     order matters for the top-right neighbors); unavailable top-right
-    samples substitute p[3,-1] per §8.3.1.2.1."""
-    left_ok, top_ok = gx > 0, gy > 0
+    samples substitute p[3,-1] per §8.3.1.2.1.  ``avail(bx, by)``
+    narrows neighbor availability to the current slice."""
+
+    def blk_ok(px, py):
+        if px < 0 or py < 0:
+            return False
+        return avail is None or avail(px >> 2, py >> 2)
+
+    left_ok = gx > 0 and blk_ok(gx - 1, gy)
+    top_ok = gy > 0 and blk_ok(gx, gy - 1)
+    tl_ok = left_ok and top_ok and blk_ok(gx - 1, gy - 1)
     top = [plane[gy - 1][gx + k] for k in range(4)] if top_ok else None
     left = [plane[gy + k][gx - 1] for k in range(4)] if left_ok else None
-    tl = plane[gy - 1][gx - 1] if (left_ok and top_ok) else None
+    tl = plane[gy - 1][gx - 1] if tl_ok else None
     p = None
     if top_ok:
-        tr_ok = gx + 4 < wl and recon[(gy - 1) >> 2][(gx + 4) >> 2]
+        tr_ok = (
+            gx + 4 < wl
+            and blk_ok(gx + 4, gy - 1)
+            and recon[(gy - 1) >> 2][(gx + 4) >> 2]
+        )
         tr = (
             [plane[gy - 1][gx + 4 + k] for k in range(4)]
             if tr_ok
@@ -893,7 +909,7 @@ def _pred_luma4(plane, gx, gy, mode, recon, wl):
                     ) >> 2
         return out
     if mode == 4:  # Diagonal Down-Right
-        need(left_ok and top_ok, "left+top")
+        need(tl_ok, "left+top+corner")
         for y in range(4):
             for x in range(4):
                 if x > y:
@@ -910,7 +926,7 @@ def _pred_luma4(plane, gx, gy, mode, recon, wl):
                     out[y][x] = (p[0] + 2 * tl + left[0] + 2) >> 2
         return out
     if mode == 5:  # Vertical-Right
-        need(left_ok and top_ok, "left+top")
+        need(tl_ok, "left+top+corner")
         pm1 = lambda i: tl if i < 0 else p[i]
         for y in range(4):
             for x in range(4):
@@ -938,7 +954,7 @@ def _pred_luma4(plane, gx, gy, mode, recon, wl):
                     ) >> 2
         return out
     if mode == 6:  # Horizontal-Down
-        need(left_ok and top_ok, "left+top")
+        need(tl_ok, "left+top+corner")
         lm1 = lambda i: tl if i < 0 else left[i]
         tm1 = lambda i: tl if i < 0 else p[i]
         for y in range(4):
@@ -1067,9 +1083,13 @@ def encode_pps(
 # --------------------------------------------------------------------------
 
 
-def _nc_of(grid, bx: int, by: int) -> int:
-    na = grid[by][bx - 1] if bx > 0 else None
-    nb = grid[by - 1][bx] if by > 0 else None
+def _nc_of(grid, bx: int, by: int, avail=None) -> int:
+    """§9.2.1 nC from neighbor blocks; ``avail(bx, by)`` narrows
+    availability beyond picture bounds (slice boundaries)."""
+    la = bx > 0 and (avail is None or avail(bx - 1, by))
+    ta = by > 0 and (avail is None or avail(bx, by - 1))
+    na = grid[by][bx - 1] if la else None
+    nb = grid[by - 1][bx] if ta else None
     if na is not None and nb is not None:
         return (na + nb + 1) >> 1
     if na is not None:
@@ -1089,22 +1109,17 @@ def _scan_to_raster4(scan: list[int], start: int) -> list[list[int]]:
     return m
 
 
-def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
-    """Decode one CAVLC I/IDR slice covering the whole picture.
-    Returns {"y": rows, "cb": rows, "cr": rows, "qp": final QPy,
-    "n_mb": int, "n_pcm": int, "mb_types": list} with UNCROPPED planes
-    (callers crop per SPS).  Raises ValueError on corruption or on the
-    documented scope bounds (P/B slices, deblocking enabled)."""
+def _parse_slice_header(
+    sps: dict, pps: dict, nal: bytes
+) -> tuple[_BitReader, int, int]:
+    """slice_header (§7.3.3) for a CAVLC I/IDR slice: returns the
+    positioned bit reader, first_mb_in_slice, and the slice's initial
+    QPy.  Raises on the documented scope bounds."""
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise ValueError("corrupt H.264: not a coded-slice NAL unit")
-    if sps["chroma_format_idc"] != 1 or sps["bit_depth_luma"] != 8:
-        raise ValueError("H.264 intra tier requires 4:2:0 8-bit")
-    if not sps["frame_mbs_only"]:
-        raise ValueError("H.264 field/MBAFF coding unsupported")
     r = _BitReader(_ep_strip(nal[1:]))
-    if r.ue() != 0:
-        raise ValueError("H.264 multi-slice pictures unsupported")
+    first_mb = r.ue()
     slice_type = r.ue()
     if slice_type % 5 != 2:
         raise ValueError(
@@ -1138,6 +1153,30 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
             "H.264 in-loop deblocking unsupported — PPS must carry "
             "deblocking_filter_control_present_flag"
         )
+    return r, first_mb, qp
+
+
+def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
+    """Single-slice convenience wrapper over
+    :func:`decode_idr_picture`."""
+    return decode_idr_picture(sps, pps, [nal])
+
+
+def decode_idr_picture(sps: dict, pps: dict, nals: list[bytes]) -> dict:
+    """Decode one IDR/I picture from its CAVLC slice NALs — one or
+    MANY (first_mb_in_slice partitions the MB raster; real encoders
+    emit sliced pictures for threading and packetization).  Intra
+    prediction, Intra4x4 mode prediction and CAVLC nC contexts are
+    slice-bounded per §6.4.11 / §9.2.1 — neighbors in another slice
+    are unavailable.  QPy restarts from slice_qp_delta each slice
+    (§7.4.3).  Returns {"y", "cb", "cr", "qp", "n_mb", "n_pcm",
+    "n_slices", "mb_types"} with UNCROPPED planes (callers crop per
+    SPS); raises on corruption, MB overlap/gaps, or the documented
+    scope bounds (P/B slices, deblocking enabled)."""
+    if sps["chroma_format_idc"] != 1 or sps["bit_depth_luma"] != 8:
+        raise ValueError("H.264 intra tier requires 4:2:0 8-bit")
+    if not sps["frame_mbs_only"]:
+        raise ValueError("H.264 field/MBAFF coding unsupported")
 
     # picture geometry from the SPS (uncropped MB grid)
     w_mbs = (sps["coded_width"] + sps.get("crop_left_px", 0) + 15) // 16
@@ -1154,8 +1193,13 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
     mode_grid = [[None] * (w_mbs * 4) for _ in range(h_mbs * 4)]
     recon = [[False] * (w_mbs * 4) for _ in range(h_mbs * 4)]
     chroma_off = pps["chroma_qp_index_offset"]
+    n_mbs_total = w_mbs * h_mbs
+    mb_slice: list[int | None] = [None] * n_mbs_total
     n_pcm = 0
-    mb_types: list[int] = []
+    mb_types: list[int | None] = [None] * n_mbs_total
+    # slice-bounded availability (reassigned per slice below; the
+    # nested helpers read them at call time)
+    lav = cav = None
 
     def parse_chroma(cbp_chroma, mbx, mby):
         if cbp_chroma:
@@ -1168,7 +1212,7 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
             for b in range(4):
                 bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
                 if cbp_chroma == 2:
-                    nc = _nc_of(grid, bx, by)
+                    nc = _nc_of(grid, bx, by, cav)
                     scan, tc = _decode_residual(r, nc, 15)
                 else:
                     scan, tc = [0] * 15, 0
@@ -1207,170 +1251,198 @@ def decode_idr_slice(sps: dict, pps: dict, nal: bytes) -> dict:
                             prow[bx * 4 + j] + res[i][j]
                         )
 
-    for mb_idx in range(w_mbs * h_mbs):
-        mbx, mby = mb_idx % w_mbs, mb_idx // w_mbs
-        x0, y0 = mbx * 16, mby * 16
-        left, top = mbx > 0, mby > 0
-        mb_type = r.ue()
-        mb_types.append(mb_type)
-        if mb_type == 0:
-            # I_NxN -> Intra_4x4 (PPS has no 8x8 transform): per-block
-            # prediction-mode syntax (§8.3.1.1), me(v) CBP (Table 9-4),
-            # per-8x8-group residual gating, block-serial reconstruction
-            # in Z-order (later blocks predict from earlier ones).
-            modes = []
-            for b in range(16):
-                offx, offy = _BLK_OFF[b]
-                bx = mbx * 4 + (offx >> 2)
-                by = mby * 4 + (offy >> 2)
-                pm = _pred_mode4(mode_grid, bx, by)
-                if r.u(1):  # prev_intra4x4_pred_mode_flag
-                    m = pm
-                else:
-                    rem = r.u(3)
-                    m = rem if rem < pm else rem + 1
-                mode_grid[by][bx] = m
-                modes.append(m)
+    seen_mb = 0
+    for slice_idx, nal in enumerate(nals):
+        r, first_mb, qp = _parse_slice_header(sps, pps, nal)
+
+        def lav(bx, by, _s=slice_idx):  # luma 4x4 block availability
+            return mb_slice[(by >> 2) * w_mbs + (bx >> 2)] == _s
+
+        def cav(bx, by, _s=slice_idx):  # chroma 4x4 block availability
+            return mb_slice[(by >> 1) * w_mbs + (bx >> 1)] == _s
+
+        mb_idx = first_mb - 1
+        while r.more_rbsp_data():
+            mb_idx += 1
+            if mb_idx >= n_mbs_total:
+                raise ValueError(
+                    "corrupt H.264: slice data beyond the MB raster"
+                )
+            if mb_slice[mb_idx] is not None:
+                raise ValueError("corrupt H.264: overlapping slices")
+            mb_slice[mb_idx] = slice_idx
+            seen_mb += 1
+            mbx, mby = mb_idx % w_mbs, mb_idx // w_mbs
+            x0, y0 = mbx * 16, mby * 16
+            left = mbx > 0 and mb_slice[mb_idx - 1] == slice_idx
+            top = mby > 0 and mb_slice[mb_idx - w_mbs] == slice_idx
+            mb_type = r.ue()
+            mb_types[mb_idx] = mb_type
+            # ---- macroblock body ----
+            if mb_type == 0:
+                # I_NxN -> Intra_4x4 (PPS has no 8x8 transform): per-block
+                # prediction-mode syntax (§8.3.1.1), me(v) CBP (Table 9-4),
+                # per-8x8-group residual gating, block-serial reconstruction
+                # in Z-order (later blocks predict from earlier ones).
+                modes = []
+                for b in range(16):
+                    offx, offy = _BLK_OFF[b]
+                    bx = mbx * 4 + (offx >> 2)
+                    by = mby * 4 + (offy >> 2)
+                    pm = _pred_mode4(mode_grid, bx, by, lav)
+                    if r.u(1):  # prev_intra4x4_pred_mode_flag
+                        m = pm
+                    else:
+                        rem = r.u(3)
+                        m = rem if rem < pm else rem + 1
+                    mode_grid[by][bx] = m
+                    modes.append(m)
+                chroma_mode = r.ue()
+                if chroma_mode > 3:
+                    raise ValueError(
+                        "corrupt H.264: intra_chroma_pred_mode > 3"
+                    )
+                cbp_code = r.ue()
+                if cbp_code > 47:
+                    raise ValueError(
+                        "corrupt H.264: coded_block_pattern code > 47"
+                    )
+                cbp = _CBP_INTRA[cbp_code]
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    qp = (qp + r.se() + 52) % 52
+                qpc = _qpc_of(qp, chroma_off)
+                scans = []
+                for b in range(16):
+                    offx, offy = _BLK_OFF[b]
+                    bx = mbx * 4 + (offx >> 2)
+                    by = mby * 4 + (offy >> 2)
+                    if cbp_luma & (1 << (b >> 2)):
+                        nc = _nc_of(luma_grid, bx, by, lav)
+                        scan, tc = _decode_residual(r, nc, 16)
+                    else:
+                        scan, tc = [0] * 16, 0
+                    scans.append(scan)
+                    luma_grid[by][bx] = tc
+                cbdc, crdc, acs = parse_chroma(cbp_chroma, mbx, mby)
+                for b in range(16):
+                    offx, offy = _BLK_OFF[b]
+                    gx, gy = x0 + offx, y0 + offy
+                    pred = _pred_luma4(y_plane, gx, gy, modes[b], recon, wl, lav)
+                    d = [[0] * 4 for _ in range(4)]
+                    scan = scans[b]
+                    for k in range(16):
+                        if scan[k]:
+                            idx = _ZIGZAG4[k]
+                            i, j = idx >> 2, idx & 3
+                            d[i][j] = _dequant_ac(scan[k], qp, i, j)
+                    res = _icore4(d)
+                    for i in range(4):
+                        row = y_plane[gy + i]
+                        prow = pred[i]
+                        for j in range(4):
+                            row[gx + j] = _clip255(prow[j] + res[i][j])
+                    recon[gy >> 2][gx >> 2] = True
+                recon_chroma(
+                    x0, y0, chroma_mode, left, top, cbdc, crdc, acs, qpc
+                )
+                continue
+            if mb_type > 25:
+                raise ValueError("corrupt H.264: invalid I-slice mb_type")
+            if mb_type == 25:  # I_PCM (§7.3.5, §8.3.5)
+                n_pcm += 1
+                r.align()
+                ysamp = r.bytes_(256)
+                cbsamp = r.bytes_(64)
+                crsamp = r.bytes_(64)
+                for y in range(16):
+                    y_plane[y0 + y][x0 : x0 + 16] = ysamp[16 * y : 16 * y + 16]
+                cx, cy = x0 >> 1, y0 >> 1
+                for y in range(8):
+                    cb_plane[cy + y][cx : cx + 8] = cbsamp[8 * y : 8 * y + 8]
+                    cr_plane[cy + y][cx : cx + 8] = crsamp[8 * y : 8 * y + 8]
+                for by in range(4):
+                    for bx in range(4):
+                        luma_grid[mby * 4 + by][mbx * 4 + bx] = 16
+                        recon[mby * 4 + by][mbx * 4 + bx] = True
+                for by in range(2):
+                    for bx in range(2):
+                        cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
+                        cr_grid[mby * 2 + by][mbx * 2 + bx] = 16
+                continue
+
+            # Intra_16x16 (mb_type 1..24): mode/cbp packed in mb_type
+            pred_mode = (mb_type - 1) % 4
+            cbp_chroma = ((mb_type - 1) % 12) // 4
+            cbp_luma = 15 if mb_type >= 13 else 0
             chroma_mode = r.ue()
             if chroma_mode > 3:
-                raise ValueError(
-                    "corrupt H.264: intra_chroma_pred_mode > 3"
-                )
-            cbp_code = r.ue()
-            if cbp_code > 47:
-                raise ValueError(
-                    "corrupt H.264: coded_block_pattern code > 47"
-                )
-            cbp = _CBP_INTRA[cbp_code]
-            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-            if cbp:
-                qp = (qp + r.se() + 52) % 52
+                raise ValueError("corrupt H.264: intra_chroma_pred_mode > 3")
+            qp = (qp + r.se() + 52) % 52
             qpc = _qpc_of(qp, chroma_off)
-            scans = []
+
+            # --- residuals (§7.3.5.3): luma DC, luma AC, chroma DC, chroma AC
+            nc = _nc_of(luma_grid, mbx * 4, mby * 4, lav)
+            dc_scan, _ = _decode_residual(r, nc, 16)
+            ac_scans: list[list[int]] = []
             for b in range(16):
                 offx, offy = _BLK_OFF[b]
-                bx = mbx * 4 + (offx >> 2)
-                by = mby * 4 + (offy >> 2)
-                if cbp_luma & (1 << (b >> 2)):
-                    nc = _nc_of(luma_grid, bx, by)
-                    scan, tc = _decode_residual(r, nc, 16)
+                bx, by = mbx * 4 + (offx >> 2), mby * 4 + (offy >> 2)
+                if cbp_luma:
+                    nc = _nc_of(luma_grid, bx, by, lav)
+                    scan, tc = _decode_residual(r, nc, 15)
                 else:
-                    scan, tc = [0] * 16, 0
-                scans.append(scan)
+                    scan, tc = [0] * 15, 0
+                ac_scans.append(scan)
                 luma_grid[by][bx] = tc
-            cbdc, crdc, acs = parse_chroma(cbp_chroma, mbx, mby)
+            cbdc, crdc, chroma_acs = parse_chroma(cbp_chroma, mbx, mby)
+
+            # --- luma reconstruction
+            pred = _pred_luma16(y_plane, x0, y0, pred_mode, left, top)
+            dc_raster = _scan_to_raster4(dc_scan, 0)
+            f = _ihadamard4(dc_raster)
+            dc_scaled = [
+                [_scale_luma_dc(f[i][j], qp) for j in range(4)] for i in range(4)
+            ]
             for b in range(16):
                 offx, offy = _BLK_OFF[b]
-                gx, gy = x0 + offx, y0 + offy
-                pred = _pred_luma4(y_plane, gx, gy, modes[b], recon, wl)
                 d = [[0] * 4 for _ in range(4)]
-                scan = scans[b]
-                for k in range(16):
+                scan = ac_scans[b]
+                for k in range(15):
                     if scan[k]:
-                        idx = _ZIGZAG4[k]
+                        idx = _ZIGZAG4[k + 1]
                         i, j = idx >> 2, idx & 3
                         d[i][j] = _dequant_ac(scan[k], qp, i, j)
+                d[0][0] = dc_scaled[offy >> 2][offx >> 2]
                 res = _icore4(d)
                 for i in range(4):
-                    row = y_plane[gy + i]
-                    prow = pred[i]
+                    row = y_plane[y0 + offy + i]
+                    prow = pred[offy + i]
                     for j in range(4):
-                        row[gx + j] = _clip255(prow[j] + res[i][j])
-                recon[gy >> 2][gx >> 2] = True
-            recon_chroma(
-                x0, y0, chroma_mode, left, top, cbdc, crdc, acs, qpc
-            )
-            continue
-        if mb_type > 25:
-            raise ValueError("corrupt H.264: invalid I-slice mb_type")
-        if mb_type == 25:  # I_PCM (§7.3.5, §8.3.5)
-            n_pcm += 1
-            r.align()
-            ysamp = r.bytes_(256)
-            cbsamp = r.bytes_(64)
-            crsamp = r.bytes_(64)
-            for y in range(16):
-                y_plane[y0 + y][x0 : x0 + 16] = ysamp[16 * y : 16 * y + 16]
-            cx, cy = x0 >> 1, y0 >> 1
-            for y in range(8):
-                cb_plane[cy + y][cx : cx + 8] = cbsamp[8 * y : 8 * y + 8]
-                cr_plane[cy + y][cx : cx + 8] = crsamp[8 * y : 8 * y + 8]
+                        row[x0 + offx + j] = _clip255(
+                            prow[offx + j] + res[i][j]
+                        )
             for by in range(4):
                 for bx in range(4):
-                    luma_grid[mby * 4 + by][mbx * 4 + bx] = 16
                     recon[mby * 4 + by][mbx * 4 + bx] = True
-            for by in range(2):
-                for bx in range(2):
-                    cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
-                    cr_grid[mby * 2 + by][mbx * 2 + bx] = 16
-            continue
 
-        # Intra_16x16 (mb_type 1..24): mode/cbp packed in mb_type
-        pred_mode = (mb_type - 1) % 4
-        cbp_chroma = ((mb_type - 1) % 12) // 4
-        cbp_luma = 15 if mb_type >= 13 else 0
-        chroma_mode = r.ue()
-        if chroma_mode > 3:
-            raise ValueError("corrupt H.264: intra_chroma_pred_mode > 3")
-        qp = (qp + r.se() + 52) % 52
-        qpc = _qpc_of(qp, chroma_off)
+            # --- chroma reconstruction (2x2 DC Hadamard §8.5.11)
+            recon_chroma(x0, y0, chroma_mode, left, top, cbdc, crdc,
+                         chroma_acs, qpc)
 
-        # --- residuals (§7.3.5.3): luma DC, luma AC, chroma DC, chroma AC
-        nc = _nc_of(luma_grid, mbx * 4, mby * 4)
-        dc_scan, _ = _decode_residual(r, nc, 16)
-        ac_scans: list[list[int]] = []
-        for b in range(16):
-            offx, offy = _BLK_OFF[b]
-            bx, by = mbx * 4 + (offx >> 2), mby * 4 + (offy >> 2)
-            if cbp_luma:
-                nc = _nc_of(luma_grid, bx, by)
-                scan, tc = _decode_residual(r, nc, 15)
-            else:
-                scan, tc = [0] * 15, 0
-            ac_scans.append(scan)
-            luma_grid[by][bx] = tc
-        cbdc, crdc, chroma_acs = parse_chroma(cbp_chroma, mbx, mby)
-
-        # --- luma reconstruction
-        pred = _pred_luma16(y_plane, x0, y0, pred_mode, left, top)
-        dc_raster = _scan_to_raster4(dc_scan, 0)
-        f = _ihadamard4(dc_raster)
-        dc_scaled = [
-            [_scale_luma_dc(f[i][j], qp) for j in range(4)] for i in range(4)
-        ]
-        for b in range(16):
-            offx, offy = _BLK_OFF[b]
-            d = [[0] * 4 for _ in range(4)]
-            scan = ac_scans[b]
-            for k in range(15):
-                if scan[k]:
-                    idx = _ZIGZAG4[k + 1]
-                    i, j = idx >> 2, idx & 3
-                    d[i][j] = _dequant_ac(scan[k], qp, i, j)
-            d[0][0] = dc_scaled[offy >> 2][offx >> 2]
-            res = _icore4(d)
-            for i in range(4):
-                row = y_plane[y0 + offy + i]
-                prow = pred[offy + i]
-                for j in range(4):
-                    row[x0 + offx + j] = _clip255(
-                        prow[offx + j] + res[i][j]
-                    )
-        for by in range(4):
-            for bx in range(4):
-                recon[mby * 4 + by][mbx * 4 + bx] = True
-
-        # --- chroma reconstruction (2x2 DC Hadamard §8.5.11)
-        recon_chroma(x0, y0, chroma_mode, left, top, cbdc, crdc,
-                     chroma_acs, qpc)
-
+    if seen_mb != n_mbs_total:
+        raise ValueError(
+            "corrupt H.264: picture incomplete — slices cover "
+            f"{seen_mb} of {n_mbs_total} macroblocks"
+        )
     return {
         "y": y_plane,
         "cb": cb_plane,
         "cr": cr_plane,
         "qp": qp,
-        "n_mb": w_mbs * h_mbs,
+        "n_mb": n_mbs_total,
         "n_pcm": n_pcm,
+        "n_slices": len(nals),
         "mb_types": mb_types,
         "width_mbs": w_mbs,
         "height_mbs": h_mbs,
@@ -1388,6 +1460,7 @@ def encode_idr_access_unit(
     qp: int = 28,
     chroma_qp_offset: int = 0,
     level_idc: int = 30,
+    slices: list[int] | None = None,
 ) -> tuple[bytes, bytes, bytes]:
     """Encode one IDR access unit from chosen macroblock specs —
     q217's fixture pattern at the slice layer: the LEVELS are the
@@ -1422,24 +1495,13 @@ def encode_idr_access_unit(
         max_num_ref_frames=1,
     )
     pps_nal = encode_pps(init_qp=26, chroma_qp_offset=chroma_qp_offset)
-    w = _BitWriter()
-    # slice_header (§7.3.3): IDR, I slice, whole picture
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type = I (all slices)
-    w.ue(0)  # pic_parameter_set_id
-    w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
-    w.ue(0)  # idr_pic_id
-    w.u(0, 4)  # pic_order_cnt_lsb (log2_max_poc_lsb = 4)
-    w.u(0, 1)  # no_output_of_prior_pics_flag
-    w.u(0, 1)  # long_term_reference_flag
-    cur_qp = 26
-    first = mbs[0]
-    first_delta = 0 if "pcm" in first else int(first.get("qp_delta", 0))
-    # slice_qp_delta lands the FIRST coded MB at `qp` (its own
-    # mb_qp_delta still round-trips through the parser)
-    w.se(qp - first_delta - 26)
-    cur_qp = qp - first_delta
-    w.ue(1)  # disable_deblocking_filter_idc = 1 (no deblocking)
+    if slices is None:
+        slices = [len(mbs)]
+    if sum(slices) != len(mbs) or any(c <= 0 for c in slices):
+        raise ValueError("fixture: slice MB counts must partition mbs")
+    mb_slice: list[int | None] = [None] * len(mbs)
+    w = None  # per-slice _BitWriter (nested writers read it at call time)
+    lav = cav = None  # per-slice availability closures
 
     luma_grid = [[None] * (width_mbs * 4) for _ in range(height_mbs * 4)]
     cb_grid = [[None] * (width_mbs * 2) for _ in range(height_mbs * 2)]
@@ -1462,40 +1524,137 @@ def encode_idr_access_unit(
             for b in range(4):
                 bx, by = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
                 if cbp_chroma == 2:
-                    nc = _nc_of(grid, bx, by)
+                    nc = _nc_of(grid, bx, by, cav)
                     tc = _encode_residual(w, acs.get(b, [0] * 15), nc, 15)
                 else:
                     tc = 0
                 grid[by][bx] = tc
 
-    for mb_idx, mb in enumerate(mbs):
-        mbx, mby = mb_idx % width_mbs, mb_idx // width_mbs
-        if "pcm" in mb:
-            w.ue(25)
-            w.align_zero()
-            pcm = mb["pcm"]
-            for plane_key, n in (("y", 256), ("cb", 64), ("cr", 64)):
-                samples = pcm[plane_key]
-                if len(samples) != n:
-                    raise ValueError("fixture: bad PCM sample count")
-                w.raw_bytes(bytes(samples))
-            for by in range(4):
-                for bx in range(4):
-                    luma_grid[mby * 4 + by][mbx * 4 + bx] = 16
-            for by in range(2):
-                for bx in range(2):
-                    cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
-                    cr_grid[mby * 2 + by][mbx * 2 + bx] = 16
-            continue
+    nals: list[bytes] = []
+    mb_idx = 0
+    for slice_idx, count in enumerate(slices):
+        w = _BitWriter()
+        # slice_header (§7.3.3): IDR, I slice
+        w.ue(mb_idx)  # first_mb_in_slice
+        w.ue(7)  # slice_type = I (all slices)
+        w.ue(0)  # pic_parameter_set_id
+        w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
+        w.ue(0)  # idr_pic_id
+        w.u(0, 4)  # pic_order_cnt_lsb (log2_max_poc_lsb = 4)
+        w.u(0, 1)  # no_output_of_prior_pics_flag
+        w.u(0, 1)  # long_term_reference_flag
+        first = mbs[mb_idx]
+        first_delta = 0 if "pcm" in first else int(first.get("qp_delta", 0))
+        # slice_qp_delta lands each slice's FIRST coded MB at `qp`
+        # (its own mb_qp_delta still round-trips through the parser);
+        # QPy restarts per slice (§7.4.3)
+        w.se(qp - first_delta - 26)
+        cur_qp = qp - first_delta
+        w.ue(1)  # disable_deblocking_filter_idc = 1 (no deblocking)
 
-        if "i4x4" in mb:
-            i4 = mb["i4x4"]
-            modes = [int(m) for m in i4["modes"]]
-            if len(modes) != 16 or any(not 0 <= m <= 8 for m in modes):
-                raise ValueError("fixture: i4x4 needs 16 modes in 0..8")
-            luma = {
-                int(b): scan_block(d, 16)
-                for b, d in (i4.get("luma") or {}).items()
+        def lav(bx, by, _s=slice_idx):
+            return mb_slice[(by >> 2) * width_mbs + (bx >> 2)] == _s
+
+        def cav(bx, by, _s=slice_idx):
+            return mb_slice[(by >> 1) * width_mbs + (bx >> 1)] == _s
+
+        for _local in range(count):
+            mb = mbs[mb_idx]
+            mb_slice[mb_idx] = slice_idx
+            cur = mb_idx
+            mb_idx += 1
+            mbx, mby = cur % width_mbs, cur // width_mbs
+            if "pcm" in mb:
+                w.ue(25)
+                w.align_zero()
+                pcm = mb["pcm"]
+                for plane_key, n in (("y", 256), ("cb", 64), ("cr", 64)):
+                    samples = pcm[plane_key]
+                    if len(samples) != n:
+                        raise ValueError("fixture: bad PCM sample count")
+                    w.raw_bytes(bytes(samples))
+                for by in range(4):
+                    for bx in range(4):
+                        luma_grid[mby * 4 + by][mbx * 4 + bx] = 16
+                for by in range(2):
+                    for bx in range(2):
+                        cb_grid[mby * 2 + by][mbx * 2 + bx] = 16
+                        cr_grid[mby * 2 + by][mbx * 2 + bx] = 16
+                continue
+
+            if "i4x4" in mb:
+                i4 = mb["i4x4"]
+                modes = [int(m) for m in i4["modes"]]
+                if len(modes) != 16 or any(not 0 <= m <= 8 for m in modes):
+                    raise ValueError("fixture: i4x4 needs 16 modes in 0..8")
+                luma = {
+                    int(b): scan_block(d, 16)
+                    for b, d in (i4.get("luma") or {}).items()
+                }
+                cb_ac = {
+                    int(b): scan_block(d, 15)
+                    for b, d in (mb.get("cb_ac") or {}).items()
+                }
+                cr_ac = {
+                    int(b): scan_block(d, 15)
+                    for b, d in (mb.get("cr_ac") or {}).items()
+                }
+                cbdc = scan_block(mb.get("cb_dc"), 4)
+                crdc = scan_block(mb.get("cr_dc"), 4)
+                cbp_luma = 0
+                for g in range(4):
+                    if any(
+                        any(luma.get(b, ())) for b in range(4 * g, 4 * g + 4)
+                    ):
+                        cbp_luma |= 1 << g
+                has_cac = any(any(v) for v in cb_ac.values()) or any(
+                    any(v) for v in cr_ac.values()
+                )
+                cbp_chroma = (
+                    2 if has_cac else (1 if (any(cbdc) or any(crdc)) else 0)
+                )
+                cbp = cbp_luma | (cbp_chroma << 4)
+                w.ue(0)  # mb_type = I_NxN
+                for b in range(16):
+                    offx, offy = _BLK_OFF[b]
+                    bx = mbx * 4 + (offx >> 2)
+                    by = mby * 4 + (offy >> 2)
+                    pm = _pred_mode4(mode_grid, bx, by, lav)
+                    m = modes[b]
+                    if m == pm:
+                        w.u(1, 1)
+                    else:
+                        w.u(0, 1)
+                        w.u(m if m < pm else m - 1, 3)
+                    mode_grid[by][bx] = m
+                w.ue(int(mb.get("chroma_mode", 0)))
+                w.ue(_CBP_INTRA_INV[cbp])
+                delta = int(mb.get("qp_delta", 0))
+                if cbp:
+                    w.se(delta)
+                    cur_qp = (cur_qp + delta + 52) % 52
+                elif delta:
+                    raise ValueError(
+                        "fixture: i4x4 qp_delta needs a nonzero cbp"
+                    )
+                for b in range(16):
+                    offx, offy = _BLK_OFF[b]
+                    bx = mbx * 4 + (offx >> 2)
+                    by = mby * 4 + (offy >> 2)
+                    if cbp_luma & (1 << (b >> 2)):
+                        nc = _nc_of(luma_grid, bx, by, lav)
+                        tc = _encode_residual(
+                            w, luma.get(b, [0] * 16), nc, 16
+                        )
+                    else:
+                        tc = 0
+                    luma_grid[by][bx] = tc
+                write_chroma(cbp_chroma, mbx, mby, cbdc, crdc, cb_ac, cr_ac)
+                continue
+
+            luma_ac = {
+                int(b): scan_block(d, 15)
+                for b, d in (mb.get("luma_ac") or {}).items()
             }
             cb_ac = {
                 int(b): scan_block(d, 15)
@@ -1507,107 +1666,44 @@ def encode_idr_access_unit(
             }
             cbdc = scan_block(mb.get("cb_dc"), 4)
             crdc = scan_block(mb.get("cr_dc"), 4)
-            cbp_luma = 0
-            for g in range(4):
-                if any(
-                    any(luma.get(b, ())) for b in range(4 * g, 4 * g + 4)
-                ):
-                    cbp_luma |= 1 << g
-            has_cac = any(any(v) for v in cb_ac.values()) or any(
+            has_luma_ac = any(any(v) for v in luma_ac.values())
+            has_chroma_ac = any(any(v) for v in cb_ac.values()) or any(
                 any(v) for v in cr_ac.values()
             )
-            cbp_chroma = (
-                2 if has_cac else (1 if (any(cbdc) or any(crdc)) else 0)
+            has_chroma_dc = any(cbdc) or any(crdc)
+            cbp_chroma = 2 if has_chroma_ac else (1 if has_chroma_dc else 0)
+            mb_type = (
+                1
+                + int(mb.get("mode", 2))
+                + 4 * cbp_chroma
+                + 12 * (1 if has_luma_ac else 0)
             )
-            cbp = cbp_luma | (cbp_chroma << 4)
-            w.ue(0)  # mb_type = I_NxN
-            for b in range(16):
-                offx, offy = _BLK_OFF[b]
-                bx = mbx * 4 + (offx >> 2)
-                by = mby * 4 + (offy >> 2)
-                pm = _pred_mode4(mode_grid, bx, by)
-                m = modes[b]
-                if m == pm:
-                    w.u(1, 1)
-                else:
-                    w.u(0, 1)
-                    w.u(m if m < pm else m - 1, 3)
-                mode_grid[by][bx] = m
+            w.ue(mb_type)
             w.ue(int(mb.get("chroma_mode", 0)))
-            w.ue(_CBP_INTRA_INV[cbp])
             delta = int(mb.get("qp_delta", 0))
-            if cbp:
-                w.se(delta)
-                cur_qp = (cur_qp + delta + 52) % 52
-            elif delta:
-                raise ValueError(
-                    "fixture: i4x4 qp_delta needs a nonzero cbp"
-                )
+            w.se(delta)
+            cur_qp = (cur_qp + delta + 52) % 52
+
+            nc = _nc_of(luma_grid, mbx * 4, mby * 4, lav)
+            _encode_residual(w, scan_block(mb.get("luma_dc"), 16), nc, 16)
             for b in range(16):
                 offx, offy = _BLK_OFF[b]
-                bx = mbx * 4 + (offx >> 2)
-                by = mby * 4 + (offy >> 2)
-                if cbp_luma & (1 << (b >> 2)):
-                    nc = _nc_of(luma_grid, bx, by)
-                    tc = _encode_residual(
-                        w, luma.get(b, [0] * 16), nc, 16
-                    )
+                bx, by = mbx * 4 + (offx >> 2), mby * 4 + (offy >> 2)
+                if has_luma_ac:
+                    nc = _nc_of(luma_grid, bx, by, lav)
+                    scan = luma_ac.get(b, [0] * 15)
+                    tc = _encode_residual(w, scan, nc, 15)
                 else:
+                    if b in luma_ac and any(luma_ac[b]):
+                        raise ValueError("fixture: luma AC requires cbp")
                     tc = 0
                 luma_grid[by][bx] = tc
             write_chroma(cbp_chroma, mbx, mby, cbdc, crdc, cb_ac, cr_ac)
-            continue
 
-        luma_ac = {
-            int(b): scan_block(d, 15)
-            for b, d in (mb.get("luma_ac") or {}).items()
-        }
-        cb_ac = {
-            int(b): scan_block(d, 15)
-            for b, d in (mb.get("cb_ac") or {}).items()
-        }
-        cr_ac = {
-            int(b): scan_block(d, 15)
-            for b, d in (mb.get("cr_ac") or {}).items()
-        }
-        cbdc = scan_block(mb.get("cb_dc"), 4)
-        crdc = scan_block(mb.get("cr_dc"), 4)
-        has_luma_ac = any(any(v) for v in luma_ac.values())
-        has_chroma_ac = any(any(v) for v in cb_ac.values()) or any(
-            any(v) for v in cr_ac.values()
-        )
-        has_chroma_dc = any(cbdc) or any(crdc)
-        cbp_chroma = 2 if has_chroma_ac else (1 if has_chroma_dc else 0)
-        mb_type = (
-            1
-            + int(mb.get("mode", 2))
-            + 4 * cbp_chroma
-            + 12 * (1 if has_luma_ac else 0)
-        )
-        w.ue(mb_type)
-        w.ue(int(mb.get("chroma_mode", 0)))
-        delta = int(mb.get("qp_delta", 0))
-        w.se(delta)
-        cur_qp = (cur_qp + delta + 52) % 52
-
-        nc = _nc_of(luma_grid, mbx * 4, mby * 4)
-        _encode_residual(w, scan_block(mb.get("luma_dc"), 16), nc, 16)
-        for b in range(16):
-            offx, offy = _BLK_OFF[b]
-            bx, by = mbx * 4 + (offx >> 2), mby * 4 + (offy >> 2)
-            if has_luma_ac:
-                nc = _nc_of(luma_grid, bx, by)
-                scan = luma_ac.get(b, [0] * 15)
-                tc = _encode_residual(w, scan, nc, 15)
-            else:
-                if b in luma_ac and any(luma_ac[b]):
-                    raise ValueError("fixture: luma AC requires cbp")
-                tc = 0
-            luma_grid[by][bx] = tc
-        write_chroma(cbp_chroma, mbx, mby, cbdc, crdc, cb_ac, cr_ac)
-
-    slice_nal = bytes([0x65]) + _ep_insert(w.rbsp())
-    sample = struct.pack(">I", len(slice_nal)) + slice_nal
+        nals.append(bytes([0x65]) + _ep_insert(w.rbsp()))
+    sample = b"".join(
+        struct.pack(">I", len(n)) + n for n in nals
+    )
     return sample, sps_nal, pps_nal
 
 
@@ -1655,10 +1751,13 @@ def encode_avc_mp4_fixture(
 def decode_avc_sample(
     sample: bytes, sps: dict, pps: dict, length_size: int = 4
 ) -> dict:
-    """Decode the IDR slice inside one length-prefixed AVC sample
-    (ISO 14496-15 NALU framing); non-VCL NALs (SEI, AUD, parameter
-    sets) are skipped."""
+    """Decode the IDR picture inside one length-prefixed AVC sample
+    (ISO 14496-15 NALU framing): ALL coded-slice NALs are collected
+    and decoded as one picture (multi-slice pictures are the norm for
+    threaded encoders); non-VCL NALs (SEI, AUD, parameter sets) are
+    skipped."""
     pos = 0
+    vcl: list[bytes] = []
     while pos + length_size <= len(sample):
         ln = int.from_bytes(sample[pos : pos + length_size], "big")
         pos += length_size
@@ -1667,8 +1766,10 @@ def decode_avc_sample(
         nal = sample[pos : pos + ln]
         pos += ln
         if nal and (nal[0] & 0x1F) in (1, 5):
-            return decode_idr_slice(sps, pps, nal)
-    raise ValueError("corrupt H.264: sample carries no coded slice")
+            vcl.append(nal)
+    if not vcl:
+        raise ValueError("corrupt H.264: sample carries no coded slice")
+    return decode_idr_picture(sps, pps, vcl)
 
 
 def _crop_stats(dec: dict, sps: dict) -> tuple:
@@ -1689,6 +1790,7 @@ def _crop_stats(dec: dict, sps: dict) -> tuple:
         h,
         dec["n_mb"],
         dec["n_pcm"],
+        dec["n_slices"],
         sum(y_vals),
         min(y_vals),
         max(y_vals),
@@ -1714,12 +1816,13 @@ def decode_avc_keyframes(
     ``mp4_keyframe_slices``)."""
     schema = (
         f"{id_col} long, track_id long, sample_idx long, width int, "
-        "height int, n_mb int, n_pcm int, y_sum long, y_min int, "
-        "y_max int, cb_sum long, cr_sum long"
+        "height int, n_mb int, n_pcm int, n_slices int, y_sum long, "
+        "y_min int, y_max int, cb_sum long, cr_sum long"
     )
     cols = [
         id_col, "track_id", "sample_idx", "width", "height", "n_mb",
-        "n_pcm", "y_sum", "y_min", "y_max", "cb_sum", "cr_sum",
+        "n_pcm", "n_slices", "y_sum", "y_min", "y_max", "cb_sum",
+        "cr_sum",
     ]
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

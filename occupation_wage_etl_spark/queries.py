@@ -12420,6 +12420,7 @@ SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
        CAST(1 AS BIGINT) AS sample_idx,
        CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
        CAST(1 AS INT) AS n_mb, CAST(0 AS INT) AS n_pcm,
+       CAST(1 AS INT) AS n_slices,
        CAST(64 * list_sum(vf) - 16 * vf[1] + 4 * list_sum(vals)
             AS BIGINT) AS y_sum,
        CAST(least(list_min(vf), list_min(vals)) AS INT) AS y_min,
@@ -12494,6 +12495,7 @@ SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
        CAST(1 AS BIGINT) AS sample_idx,
        CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
        CAST(4 AS INT) AS n_mb, CAST(1 AS INT) AS n_pcm,
+       CAST(1 AS INT) AS n_slices,
        CAST(256 * (v0 + v1 + v2) + list_sum(py) AS BIGINT) AS y_sum,
        CAST(least(v0, v1, v2, list_min(py)) AS INT) AS y_min,
        CAST(greatest(v0, v1, v2, list_max(py)) AS INT) AS y_max,
@@ -12578,6 +12580,7 @@ SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
        CAST(1 AS BIGINT) AS sample_idx,
        CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
        CAST(1 AS INT) AS n_mb, CAST(0 AS INT) AS n_pcm,
+       CAST(1 AS INT) AS n_slices,
        -- sum over the 4x4 block grid of 16 px * (128 + 4L(r+c+1)):
        -- sum(r+c+1) over the grid = 64
        CAST(16 * 16 * 128 + 16 * 4 * l * 64 AS BIGINT) AS y_sum,
@@ -12683,6 +12686,103 @@ SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
        CAST(CASE WHEN m3 <> 2 THEN doc_id % 2 END AS INT)
          AS fixed_frame_rate
 FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# q255 — MULTI-SLICE IDR pictures (h264.decode_idr_picture): real
+# encoders partition each picture into slice NALs (threading,
+# packetization), and §6.4.11/§9.2.1 make prediction and CAVLC
+# contexts SLICE-BOUNDED.  The fixture splits a 2×2-MB picture into
+# two 2-MB slices: MB2 opens slice 1, so although MB0 sits directly
+# above it, its DC prediction must restart from 128 — a decoder that
+# ignores slice boundaries reconstructs 146-series values instead of
+# the 128-series and every hash diverges.  QPy also restarts per
+# slice (§7.4.3).  Closed form: v0 = 128+L0, v1 = v0+L1 (H pred),
+# v2 = 128+L2 (slice restart), v3 = v2+L3.
+# ---------------------------------------------------------------------------
+
+
+def _synth_h264_slices(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mbs = [
+                    {"mode": 2, "luma_dc": {0: 7 + did % 5}},
+                    {
+                        "mode": 1,
+                        "chroma_mode": 1,
+                        "luma_dc": {0: did % 7 - 3},
+                    },
+                    {"mode": 2, "luma_dc": {0: did % 9 - 4}},
+                    {
+                        "mode": 1,
+                        "chroma_mode": 1,
+                        "luma_dc": {0: did % 11 - 5},
+                    },
+                ]
+                sample, sps_nal, pps_nal = h264.encode_idr_access_unit(
+                    2, 2, mbs, qp=28, slices=[2, 2]
+                )
+                out.append(
+                    video.encode_mp4_fixture(
+                        [
+                            {
+                                "handler": "vide",
+                                "codec": "avc1",
+                                "timescale": 12800,
+                                "sample_delta": 512,
+                                "sizes": [len(sample)],
+                                "sync": [1],
+                                "width": 32,
+                                "height": 32,
+                                "sps": sps_nal,
+                                "pps_nal": pps_nal,
+                                "payloads": [sample],
+                            }
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q255_h264_multislice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return h264.decode_avc_keyframes(_synth_h264_slices(docs))
+
+
+Q255_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         135 + doc_id % 5 AS v0,
+         doc_id % 7 - 3 AS l1,
+         128 + doc_id % 9 - 4 AS v2,
+         doc_id % 11 - 5 AS l3
+  FROM documents
+), s AS (
+  SELECT doc_id, v0, v0 + l1 AS v1, v2, v2 + l3 AS v3 FROM p
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+       CAST(1 AS BIGINT) AS sample_idx,
+       CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       CAST(4 AS INT) AS n_mb, CAST(0 AS INT) AS n_pcm,
+       CAST(2 AS INT) AS n_slices,
+       CAST(256 * (v0 + v1 + v2 + v3) AS BIGINT) AS y_sum,
+       CAST(least(v0, v1, v2, v3) AS INT) AS y_min,
+       CAST(greatest(v0, v1, v2, v3) AS INT) AS y_max,
+       CAST(4 * 64 * 128 AS BIGINT) AS cb_sum,
+       CAST(4 * 64 * 128 AS BIGINT) AS cr_sum
+FROM s
 """
 
 
@@ -13087,6 +13187,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q252_h264_pred_chain": q252_h264_pred_chain,
     "q253_h264_i4x4": q253_h264_i4x4,
     "q254_mp4_vui": q254_mp4_vui,
+    "q255_h264_multislice": q255_h264_multislice,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13344,4 +13445,5 @@ ORACLE_SQL: dict[str, str] = {
     "q252_h264_pred_chain": Q252_SQL,
     "q253_h264_i4x4": Q253_SQL,
     "q254_mp4_vui": Q254_SQL,
+    "q255_h264_multislice": Q255_SQL,
 }

@@ -556,3 +556,127 @@ def test_truncated_slice_raises():
     nal = sample[4:]
     with pytest.raises(ValueError, match="corrupt"):
         h264.decode_idr_slice(sps, pps, nal[: len(nal) // 2])
+
+
+# ------------------------------------------------------------ multi-slice
+
+
+def test_multislice_boundary_availability():
+    # 2x2 picture in two 2-MB slices: slice 1 cannot see slice 0 —
+    # MB2's DC prediction restarts at 128 even though MB0 sits above.
+    mbs = [
+        {"mode": 2, "luma_dc": {0: 14}},  # 146
+        {"mode": 2, "luma_dc": {0: 14}},  # left(146)+18 -> 164
+        {"mode": 2, "luma_dc": {0: 14}},  # slice restart: 128+18 -> 146
+        {"mode": 2},
+    ]
+    sample, sn, pn = h264.encode_idr_access_unit(
+        2, 2, mbs, qp=30, slices=[2, 2]
+    )
+    dec = h264.decode_avc_sample(
+        sample, decode_sps(sn), h264.decode_pps(pn)
+    )
+    assert dec["n_slices"] == 2
+    assert dec["y"][0][0] == 146 and dec["y"][0][16] == 164
+    assert dec["y"][16][0] == 146  # NOT 164: top neighbor is other-slice
+    # same picture in ONE slice: MB2 sees MB0 -> 164
+    sample1, sn1, pn1 = h264.encode_idr_access_unit(2, 2, mbs, qp=30)
+    dec1 = h264.decode_avc_sample(
+        sample1, decode_sps(sn1), h264.decode_pps(pn1)
+    )
+    assert dec1["y"][16][0] == 164
+
+
+def test_multislice_pred_across_boundary_raises():
+    mbs = [
+        {"mode": 2, "luma_dc": {0: 14}},
+        {"mode": 2},
+        {"mode": 0},  # V pred: top MB exists but in another slice
+        {"mode": 2},
+    ]
+    sample, sn, pn = h264.encode_idr_access_unit(
+        2, 2, mbs, qp=30, slices=[2, 2]
+    )
+    with pytest.raises(ValueError, match="V pred"):
+        h264.decode_avc_sample(sample, decode_sps(sn), h264.decode_pps(pn))
+
+
+def test_multislice_incomplete_picture_raises():
+    import struct as _s
+
+    mbs = [{"mode": 2}] * 4
+    sample, sn, pn = h264.encode_idr_access_unit(
+        2, 2, mbs, qp=28, slices=[2, 2]
+    )
+    first_len = _s.unpack(">I", sample[:4])[0]
+    with pytest.raises(ValueError, match="incomplete"):
+        h264.decode_avc_sample(
+            sample[: 4 + first_len], decode_sps(sn), h264.decode_pps(pn)
+        )
+
+
+def test_multislice_i4x4_and_nc_contexts():
+    # dense I_4x4 MBs split across slices: mode prediction and CAVLC
+    # nC contexts must both stop at the boundary (the encoder mirrors
+    # the decoder, so a bit-exact round trip proves symmetry).
+    rng = random.Random(9)
+    mbs = []
+    for i in range(4):
+        mbx, mby = i % 2, i // 2
+        in_slice0 = i < 2
+        modes = []
+        for b in range(16):
+            offx, offy = h264._BLK_OFF[b]
+            gx = mbx * 16 + offx
+            gy = (0 if in_slice0 else 16) + offy if False else mby * 16 + offy
+            ok = [2]
+            if gx:
+                ok += [8]
+            # top within the same slice only: row-0 blocks of slice-1
+            # MBs (mby==1, offy==0) have no usable top
+            if offy or (mby == 1 and not in_slice0 and False) or (mby == 1 and offy) or (mby == 0 and gy):
+                ok += [0, 3, 7]
+            if gx and (offy or (mby == 0 and gy)):
+                ok += [1, 4, 5, 6]
+            modes.append(rng.choice(sorted(set(ok))))
+        mbs.append(
+            {
+                "i4x4": {
+                    "modes": modes,
+                    "luma": {
+                        b: {k: rng.randint(-5, 5) for k in range(0, 16, 3)}
+                        for b in range(16)
+                    },
+                },
+                "cb_dc": {0: rng.randint(-4, 4)},
+            }
+        )
+    sample, sn, pn = h264.encode_idr_access_unit(
+        2, 2, mbs, qp=28, slices=[2, 2]
+    )
+    dec = h264.decode_avc_sample(
+        sample, decode_sps(sn), h264.decode_pps(pn)
+    )
+    assert dec["n_slices"] == 2 and dec["n_mb"] == 4
+    assert all(0 <= v <= 255 for row in dec["y"] for v in row)
+
+
+def test_multislice_qp_restart():
+    # QPy restarts from slice_qp_delta per slice (§7.4.3): MB2 in its
+    # own slice lands at the slice qp, unaffected by MB1's delta.
+    mbs = [
+        {"mode": 2, "luma_dc": {0: 3}},
+        {"mode": 2, "luma_dc": {0: 3}, "qp_delta": 4},
+        {"mode": 2, "luma_dc": {0: 3}},  # fresh slice: qp 28 again
+        {"mode": 2},
+    ]
+    sample, sn, pn = h264.encode_idr_access_unit(
+        2, 2, mbs, qp=28, slices=[2, 2]
+    )
+    dec = h264.decode_avc_sample(
+        sample, decode_sps(sn), h264.decode_pps(pn)
+    )
+    # qp28: dc=3*64 -> +3 (131); qp32: %6=2 V0=13, f*13<<3 = 312 -> +5
+    assert dec["y"][0][0] == 131
+    assert dec["y"][0][16] == 131 + 5 + 3 - 3  # pred131+(312+32>>6)=136
+    assert dec["y"][16][0] == 131  # slice 1 back at qp 28 on 128 base
