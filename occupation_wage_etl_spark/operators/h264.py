@@ -1865,3 +1865,79 @@ def decode_avc_keyframes(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_decode, schema=schema)
+
+def keyframe_luma_thumbs(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    every_nth: int = 1,
+    max_frames: int = 4,
+    thumb: int = 8,
+) -> DataFrame:
+    """Decoded-keyframe LUMA thumbnails: MP4 demux → IDR intra decode →
+    SPS crop → nearest-neighbor ``thumb``² raster (the deterministic
+    floor map shared with ``multimodal.decode_image``), one row per
+    sampled sync sample: (id, track_id, sample_idx, width, height,
+    pixels array<int>).  This is the bridge from the codec tier into
+    the dedup/similarity tiers — downstream exact-dup grouping, SimHash
+    or embedding stages consume ``pixels`` like any other raster
+    (q256 groups exact duplicates on it).  Scan-side ``mapInPandas``;
+    the thumbnails (thumb² ints) are the only thing that can enter a
+    shuffle, never the decoded planes."""
+    from occupation_wage_etl_spark.operators.multimodal import (
+        _nearest_resample,
+    )
+
+    schema = (
+        f"{id_col} long, track_id long, sample_idx long, "
+        "width int, height int, pixels array<int>"
+    )
+    cols = [id_col, "track_id", "sample_idx", "width", "height", "pixels"]
+
+    def _thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload or b"")
+                meta = parse_mp4(raw)
+                for tr in meta["tracks"]:
+                    avcc = tr.get("avcc")
+                    if not avcc:
+                        continue
+                    if avcc["pps_nal"] is None:
+                        raise ValueError("corrupt avcC: no PPS NAL")
+                    sps = avcc["sps"]
+                    pps = decode_pps(avcc["pps_nal"])
+                    n_samples = len(tr["sizes"])
+                    for snum in tr["sync"][::every_nth][:max_frames]:
+                        if not 1 <= snum <= n_samples:
+                            raise ValueError(
+                                "corrupt MP4: stss sample number "
+                                f"{snum} > sample count {n_samples}"
+                            )
+                        off = tr["offsets"][snum - 1]
+                        size = tr["sizes"][snum - 1]
+                        dec = decode_avc_sample(
+                            raw[off : off + size],
+                            sps,
+                            pps,
+                            avcc["length_size"],
+                        )
+                        cl = sps.get("crop_left_px", 0)
+                        ct = sps.get("crop_top_px", 0)
+                        w, h = sps["coded_width"], sps["coded_height"]
+                        flat = bytes(
+                            b
+                            for row in dec["y"][ct : ct + h]
+                            for b in row[cl : cl + w]
+                        )
+                        px = _nearest_resample(flat, w, h, thumb, thumb)
+                        rows.append(
+                            (
+                                int(rid), tr["track_id"], snum, w, h,
+                                list(px),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_thumbs, schema=schema)

@@ -12787,6 +12787,75 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# q256 — keyframe EXACT-DUP groups over DECODED pixels
+# (h264.keyframe_luma_thumbs): the codec→curation bridge — MP4 demux →
+# IDR intra decode → 8×8 luma thumbnail → group-by-raster exact dedup,
+# i.e. the q12 pattern running on pixels the engine itself decoded.
+# Fixtures are keyed on g = doc_id % 37 (docs sharing g byte-identical;
+# distinct g provably distinct: the flat values separate g mod
+# lcm(5,7,9)=315 and the I_PCM bytes mod 256, both > 37), so the
+# oracle replays the grouping arithmetically without touching pixels.
+# ---------------------------------------------------------------------------
+
+
+def _synth_h264_groups(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                g = int(did) % 37
+                mbs = [
+                    {"mode": 2, "luma_dc": {0: 7 + g % 5}},
+                    {
+                        "mode": 1,
+                        "chroma_mode": 1,
+                        "luma_dc": {0: g % 7 - 3},
+                    },
+                    {
+                        "mode": 0,
+                        "chroma_mode": 2,
+                        "luma_dc": {0: g % 9 - 4},
+                    },
+                    {
+                        "pcm": {
+                            "y": [(g * 7 + 13 * j) % 256 for j in range(256)],
+                            "cb": [(g * 5 + 11 * j) % 256 for j in range(64)],
+                            "cr": [(g * 3 + 17 * j) % 256 for j in range(64)],
+                        }
+                    },
+                ]
+                out.append(h264.encode_avc_mp4_fixture(2, 2, mbs, qp=28))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q256_keyframe_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    thumbs = h264.keyframe_luma_thumbs(_synth_h264_groups(docs))
+    return (
+        thumbs.groupBy("pixels")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("rep_doc_id", "n_dups")
+    )
+
+
+Q256_SQL = """
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY doc_id % 37
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — multi-pass sorted-neighborhood blocking as a production
 # candidate generator (fuzzy_join.multipass_snb_pairs): forward +
 # reversed-key passes over the full customer table, union + distinct —
@@ -13188,6 +13257,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q253_h264_i4x4": q253_h264_i4x4,
     "q254_mp4_vui": q254_mp4_vui,
     "q255_h264_multislice": q255_h264_multislice,
+    "q256_keyframe_dup_groups": q256_keyframe_dup_groups,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13446,4 +13516,5 @@ ORACLE_SQL: dict[str, str] = {
     "q253_h264_i4x4": Q253_SQL,
     "q254_mp4_vui": Q254_SQL,
     "q255_h264_multislice": Q255_SQL,
+    "q256_keyframe_dup_groups": Q256_SQL,
 }
