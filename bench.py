@@ -293,6 +293,12 @@ BENCH_QUERIES = [
     "q248_multipass_snb",
     "q249_flac_streaminfo",
     "q250_id3_tags",
+    "q251_h264_idr_decode",
+    "q252_h264_pred_chain",
+    "q253_h264_i4x4",
+    "q254_mp4_vui",
+    "q255_h264_multislice",
+    "q256_keyframe_dup_groups",
 ]
 
 
