@@ -1466,7 +1466,9 @@ def encode_idr_access_unit(
     q217's fixture pattern at the slice layer: the LEVELS are the
     planted facts, the entropy/transform layers are the code under
     test.  Returns (sample_bytes, sps_nal, pps_nal) where sample_bytes
-    is the 4-byte-length-prefixed slice NAL (avcC convention).
+    is the 4-byte-length-prefixed slice NAL (avcC convention) — or
+    several concatenated ones when ``slices`` (a list of per-slice MB
+    counts partitioning ``mbs``) requests a multi-slice picture.
 
     Each mb dict is ``{"pcm": {"y": 256 ints, "cb": 64, "cr": 64}}``,
     an Intra_4x4 spec ``{"i4x4": {"modes": [16 modes 0..8], "luma":
@@ -1809,7 +1811,8 @@ def decode_avc_keyframes(
     """REAL keyframe pixel decode over MP4 payloads: container demux
     (stsc/stco/stsz offset math) → sync-sample slice bytes → CAVLC
     intra decode → per-frame pixel stats: (id, track_id, sample_idx,
-    width, height, n_mb, n_pcm, y_sum, y_min, y_max, cb_sum, cr_sum).
+    width, height, n_mb, n_pcm, n_slices, y_sum, y_min, y_max, cb_sum,
+    cr_sum).
 
     Scan-side ``mapInPandas``, zero shuffles; fan-out bounded by
     ``max_frames`` per track (the 100 TB cap, as in
