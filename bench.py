@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "q254_mp4_vui",
     "q255_h264_multislice",
     "q256_keyframe_dup_groups",
+    "q257_pdf_text",
+    "q258_pdf_dup_pages",
 ]
 
 

@@ -12856,6 +12856,134 @@ FROM documents GROUP BY doc_id % 37
 
 
 # ---------------------------------------------------------------------------
+# q257/q258 — PDF text extraction (sources/pdf.py): the dominant messy
+# SOURCE format of real training corpora.  Fixtures are VALID PDFs
+# (catalog → pages tree → content streams, correct xref) with planted
+# page texts; the parse path is real: object grammar → Pages-tree walk
+# → /Contents resolution → FlateDecode inflate → text-operator
+# execution (Tj / TJ kerned arrays / Td line breaks, literal-string
+# escape grammar incl. the planted parens).  q257 checks per-page text
+# verbatim against the closed-form plant; q258 bridges into the
+# curation tier — extracted pages grouped by exact text (the q12/q256
+# dedup pattern over text the ENGINE extracted), fixtures keyed on
+# doc_id % 23.
+# ---------------------------------------------------------------------------
+
+
+def _synth_pdf(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = []
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                pages = [
+                    [
+                        f"doc {did} pg {p + 1} ln {k} (ok)"
+                        for k in range(1 + (did + p) % 4)
+                    ]
+                    for p in range(1 + did % 3)
+                ]
+                out.append(
+                    pdfmod.encode_pdf_fixture(
+                        pages,
+                        compress_page=lambda p, d=did: (d + p) % 2 == 0,
+                        use_tj_array_every=2,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q257_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return pdfmod.pdf_text(_synth_pdf(docs))
+
+
+Q257_SQL = """
+WITH pg AS (
+  SELECT doc_id, UNNEST(range(1, 2 + doc_id % 3)) AS page
+  FROM documents
+), t AS (
+  SELECT doc_id, page,
+         array_to_string(
+           list_transform(range(0, 1 + (doc_id + page - 1) % 4),
+             l -> 'doc ' || doc_id || ' pg ' || page || ' ln ' || l
+                  || ' (ok)'),
+           chr(10)) AS text
+  FROM pg
+)
+SELECT doc_id, CAST(page AS INT) AS page,
+       CAST(length(text) AS INT) AS n_chars, text
+FROM t
+"""
+
+
+def _synth_pdf_groups(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = []
+            for did in pdf_batch["doc_id"]:
+                g = int(did) % 23
+                pages = [
+                    [f"group {g} page {p} line {k}" for k in range(3)]
+                    for p in range(1 + g % 2)
+                ]
+                out.append(
+                    pdfmod.encode_pdf_fixture(
+                        pages, compress_page=lambda p: p == 0
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q258_pdf_dup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = pdfmod.pdf_text(_synth_pdf_groups(docs))
+    return (
+        pages.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("rep_doc_id", "n_dups")
+    )
+
+
+Q258_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 23 AS g FROM documents
+), e AS (
+  SELECT doc_id, g, UNNEST(range(1, 2 + g % 2)) AS pg FROM p
+)
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups
+FROM e GROUP BY g, pg
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — multi-pass sorted-neighborhood blocking as a production
 # candidate generator (fuzzy_join.multipass_snb_pairs): forward +
 # reversed-key passes over the full customer table, union + distinct —
@@ -13258,6 +13386,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q254_mp4_vui": q254_mp4_vui,
     "q255_h264_multislice": q255_h264_multislice,
     "q256_keyframe_dup_groups": q256_keyframe_dup_groups,
+    "q257_pdf_text": q257_pdf_text,
+    "q258_pdf_dup_pages": q258_pdf_dup_pages,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13517,4 +13647,6 @@ ORACLE_SQL: dict[str, str] = {
     "q254_mp4_vui": Q254_SQL,
     "q255_h264_multislice": Q255_SQL,
     "q256_keyframe_dup_groups": Q256_SQL,
+    "q257_pdf_text": Q257_SQL,
+    "q258_pdf_dup_pages": Q258_SQL,
 }

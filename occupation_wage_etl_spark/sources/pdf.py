@@ -1,0 +1,551 @@
+"""PDF text extraction — the dominant messy SOURCE format of real
+training-data corpora, as a pure-stdlib edge-ingestion tier.
+
+What a curation pipeline needs from a PDF is the TEXT (then the usual
+quality → lang-ID → dedup funnel takes over); everything here is the
+public PDF spec (ISO 32000-1) and ``zlib``:
+
+- :func:`extract_pdf_text` — real parse: indirect-object scan
+  (``N G obj … endobj``), minimal object grammar (dicts, arrays,
+  names, numbers, refs, strings), Pages-tree walk from the catalog
+  (``/Root → /Pages → /Kids``, nested tree nodes handled, falls back
+  to scan order when the trailer is missing), per-page ``/Contents``
+  resolution (single ref or array, concatenated per spec),
+  ``/FlateDecode`` stream inflation, and a content-stream tokenizer
+  that executes the TEXT operators: ``Tj``, ``'``, ``"``, ``TJ``
+  (kern numbers skipped), with ``Td/TD/T*/Tm`` line breaks.  Literal
+  strings handle the full escape grammar (backslash escapes, octal,
+  line continuations, nested parens) and hex strings decode per
+  §7.3.4.3 (odd final digit padded with 0).
+- :func:`pdf_text` — the Spark operator: one row per PAGE, scan-side
+  ``mapInPandas`` (Arrow-batched, zero shuffles) — the q238/q251
+  shape: bytes are parsed where they already are, only extracted text
+  enters the plan.
+- :func:`encode_pdf_fixture` — a VALID minimal PDF writer (catalog,
+  pages tree, Type1 font, per-page content streams, optional Flate
+  compression, correct xref table + trailer), the oracle fixture
+  generator (q217's pattern): planted page texts round-trip through
+  the real parse path.
+
+Documented scope bounds (explicit, not silent): only ``/FlateDecode``
+and plain streams are decoded (``DCTDecode``/``CCITT`` etc. raise —
+those are image data, not text); simple fonts with byte-oriented
+strings are decoded as Latin-1 (composite fonts with CID/ToUnicode
+CMaps are out of scope — the extractor raises when a ``/Type0`` font
+is the page's only resource is NOT detectable cheaply, so text from
+such pages may be garbled exactly as with every CMap-less extractor);
+encrypted documents (``/Encrypt`` in the trailer) raise.
+
+Reference analogue: none — the reference ETL ingests XLSX/HTML only
+(``pipeline/load_data.py``); this extends the engine's edge-ingestion
+surface next to ``sources/excel.py`` and ``sources/html_table.py``.
+
+Scale posture: per-row parse of an opaque binary column; the plan is
+scan → mapInPandas with zero exchanges, and page fan-out is bounded by
+``max_pages``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+# literal-string escapes (§7.3.4.2)
+_ESCAPES = {
+    ord("n"): ord("\n"), ord("r"): ord("\r"), ord("t"): ord("\t"),
+    ord("b"): ord("\b"), ord("f"): ord("\f"),
+    ord("("): ord("("), ord(")"): ord(")"), ord("\\"): ord("\\"),
+}
+
+_WHITE = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    while i < len(b) and (
+        b[i : i + 1] in (b" ", b"\t", b"\r", b"\n", b"\x0c", b"\x00")
+        or b[i : i + 1] == b"%"
+    ):
+        if b[i : i + 1] == b"%":  # comment to EOL
+            while i < len(b) and b[i] not in (10, 13):
+                i += 1
+        else:
+            i += 1
+    return i
+
+
+def _parse_value(b: bytes, i: int):
+    """Parse one PDF object value at ``i``; returns (value, next_i).
+    Values: dict, list, name str ('/x'), ('ref', n) tuple, int/float,
+    bytes (strings), True/False/None."""
+    i = _skip_ws(b, i)
+    if i >= len(b):
+        raise ValueError("corrupt PDF: unexpected end of object")
+    c = b[i : i + 1]
+    if b[i : i + 2] == b"<<":
+        i += 2
+        d = {}
+        while True:
+            i = _skip_ws(b, i)
+            if b[i : i + 2] == b">>":
+                return d, i + 2
+            if b[i : i + 1] != b"/":
+                raise ValueError("corrupt PDF: dict key is not a name")
+            key, i = _parse_name(b, i)
+            val, i = _parse_value(b, i)
+            d[key] = val
+    if c == b"[":
+        i += 1
+        out = []
+        while True:
+            i = _skip_ws(b, i)
+            if b[i : i + 1] == b"]":
+                return out, i + 1
+            v, i = _parse_value(b, i)
+            out.append(v)
+    if c == b"/":
+        return _parse_name(b, i)
+    if c == b"(":
+        return _parse_literal_string(b, i)
+    if c == b"<":
+        return _parse_hex_string(b, i)
+    if b[i : i + 4] == b"true":
+        return True, i + 4
+    if b[i : i + 5] == b"false":
+        return False, i + 5
+    if b[i : i + 4] == b"null":
+        return None, i + 4
+    # number — or an indirect reference "n g R"
+    m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", b[i:])
+    if not m:
+        raise ValueError(f"corrupt PDF: unparseable token at {i}")
+    tok = m.group(0)
+    j = i + len(tok)
+    if b"." not in tok:
+        mref = re.match(rb"\s+(\d+)\s+R\b", b[j:])
+        if mref:
+            return ("ref", int(tok)), j + mref.end()
+        return int(tok), j
+    return float(tok), j
+
+
+def _parse_name(b: bytes, i: int):
+    assert b[i : i + 1] == b"/"
+    i += 1
+    out = bytearray()
+    while i < len(b) and b[i] not in _WHITE and b[i : i + 1] not in (
+        b"(", b")", b"<", b">", b"[", b"]", b"{", b"}", b"/", b"%",
+    ):
+        if b[i : i + 1] == b"#" and i + 2 < len(b):
+            out.append(int(b[i + 1 : i + 3], 16))
+            i += 3
+        else:
+            out.append(b[i])
+            i += 1
+    return "/" + out.decode("latin-1"), i
+
+
+def _parse_literal_string(b: bytes, i: int):
+    assert b[i : i + 1] == b"("
+    i += 1
+    out = bytearray()
+    depth = 1
+    while i < len(b):
+        ch = b[i]
+        if ch == 0x5C:  # backslash
+            i += 1
+            if i >= len(b):
+                break
+            e = b[i]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray([e])
+                i += 1
+                while (
+                    len(oct_digits) < 3
+                    and i < len(b)
+                    and 0x30 <= b[i] <= 0x37
+                ):
+                    oct_digits.append(b[i])
+                    i += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in (10, 13):  # line continuation
+                i += 1
+                if e == 13 and i < len(b) and b[i] == 10:
+                    i += 1
+            else:  # lone backslash: drop it, keep the char
+                out.append(e)
+                i += 1
+            continue
+        if ch == 0x28:  # (
+            depth += 1
+        elif ch == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(ch)
+        i += 1
+    raise ValueError("corrupt PDF: unterminated literal string")
+
+
+def _parse_hex_string(b: bytes, i: int):
+    assert b[i : i + 1] == b"<"
+    j = b.find(b">", i + 1)
+    if j < 0:
+        raise ValueError("corrupt PDF: unterminated hex string")
+    digits = bytes(
+        c for c in b[i + 1 : j] if c not in _WHITE
+    )
+    if len(digits) % 2:
+        digits += b"0"  # §7.3.4.3: odd final digit padded with 0
+    return bytes.fromhex(digits.decode("ascii")), j + 1
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
+    """All indirect objects by number: (value, stream_bytes|None).
+    Stream extents use a direct /Length when present (the normal
+    case), else fall back to the next ``endstream``."""
+    objs: dict[int, tuple[object, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        i = m.end()
+        try:
+            val, j = _parse_value(data, i)
+        except ValueError:
+            continue
+        stream = None
+        k = _skip_ws(data, j)
+        if data[k : k + 6] == b"stream":
+            k += 6
+            if data[k : k + 2] == b"\r\n":
+                k += 2
+            elif data[k : k + 1] == b"\n":
+                k += 1
+            ln = val.get("/Length") if isinstance(val, dict) else None
+            if isinstance(ln, int):
+                stream = data[k : k + ln]
+            else:
+                e = data.find(b"endstream", k)
+                if e < 0:
+                    raise ValueError("corrupt PDF: unterminated stream")
+                stream = data[k:e].rstrip(b"\r\n")
+        objs[num] = (val, stream)
+    if not objs:
+        raise ValueError("corrupt PDF: no indirect objects found")
+    return objs
+
+
+def _resolve(objs, v):
+    seen = 0
+    while isinstance(v, tuple) and len(v) == 2 and v[0] == "ref":
+        if v[1] not in objs:
+            raise ValueError(f"corrupt PDF: missing object {v[1]}")
+        v = objs[v[1]][0]
+        seen += 1
+        if seen > 32:
+            raise ValueError("corrupt PDF: reference cycle")
+    return v
+
+
+def _page_order(objs) -> list[int]:
+    """Page object numbers in document order via the Pages tree; falls
+    back to scan order over /Type /Page objects."""
+    root_pages = None
+    for num, (val, _s) in objs.items():
+        if isinstance(val, dict) and val.get("/Type") == "/Catalog":
+            pages_ref = val.get("/Pages")
+            if isinstance(pages_ref, tuple):
+                root_pages = pages_ref[1]
+            break
+    order: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64:
+            raise ValueError("corrupt PDF: Pages tree too deep")
+        val, _s = objs.get(num, (None, None))
+        if not isinstance(val, dict):
+            return
+        if val.get("/Type") == "/Page":
+            order.append(num)
+            return
+        for kid in val.get("/Kids", []) or []:
+            if isinstance(kid, tuple) and kid[0] == "ref":
+                walk(kid[1], depth + 1)
+
+    if root_pages is not None:
+        walk(root_pages)
+    if not order:
+        order = [
+            num
+            for num, (val, _s) in sorted(objs.items())
+            if isinstance(val, dict) and val.get("/Type") == "/Page"
+        ]
+    return order
+
+
+def _decode_stream(d: dict, raw: bytes) -> bytes:
+    filt = d.get("/Filter")
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    out = raw
+    for f in filters:
+        if f == "/FlateDecode":
+            try:
+                out = zlib.decompress(out)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt PDF: bad Flate stream ({exc})")
+        else:
+            raise ValueError(
+                f"PDF filter {f} unsupported (text tier decodes "
+                "/FlateDecode and plain streams)"
+            )
+    return out
+
+
+def _content_text(content: bytes) -> str:
+    """Execute the text-showing operators of one content stream."""
+    i = 0
+    parts: list[str] = []
+    stack: list[object] = []  # operand stack (strings/arrays/numbers)
+
+    def newline() -> None:
+        if parts and parts[-1] != "\n":
+            parts.append("\n")
+
+    def show(sb: bytes) -> None:
+        parts.append(sb.decode("latin-1"))
+
+    n = len(content)
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i : i + 1]
+        if c == b"(":
+            s, i = _parse_literal_string(content, i)
+            stack.append(s)
+        elif c == b"<" and content[i : i + 2] != b"<<":
+            s, i = _parse_hex_string(content, i)
+            stack.append(s)
+        elif c == b"<":
+            d, i = _parse_value(content, i)  # inline dict (e.g. BDC)
+            stack.append(d)
+        elif c == b"[":
+            arr, i = _parse_value(content, i)
+            stack.append(arr)
+        elif c == b"/":
+            name, i = _parse_name(content, i)
+            stack.append(name)
+        elif re.match(rb"[+-.\d]", c):
+            v, i = _parse_value(content, i)
+            stack.append(v)
+        else:
+            m = re.match(rb"[A-Za-z'\"*]+", content[i:])
+            if not m:
+                i += 1  # unknown byte: skip
+                continue
+            op = m.group(0)
+            i += len(op)
+            if op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            elif op == b"'" and stack and isinstance(stack[-1], bytes):
+                newline()
+                show(stack[-1])
+            elif op == b'"' and stack and isinstance(stack[-1], bytes):
+                newline()
+                show(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        show(el)  # kern numbers skipped by design
+            elif op in (b"Td", b"TD"):
+                # vertical move => line break (ty operand is on top)
+                if (
+                    len(stack) >= 2
+                    and isinstance(stack[-1], (int, float))
+                    and stack[-1] != 0
+                ):
+                    newline()
+            elif op == b"T*":
+                newline()
+            elif op == b"Tm":
+                newline()
+            elif op == b"BI":
+                # inline image: skip to EI (binary payload)
+                e = content.find(b"EI", i)
+                if e < 0:
+                    raise ValueError("corrupt PDF: unterminated inline image")
+                i = e + 2
+            stack.clear()
+    return "".join(parts).strip("\n")
+
+
+def extract_pdf_text(data: bytes, max_pages: int = 64) -> list[str]:
+    """Text of each page (document order), via the real parse path:
+    object scan → Pages tree → /Contents resolution → Flate inflate →
+    text-operator execution.  Encrypted documents raise."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("corrupt PDF: missing %PDF- header")
+    if b"/Encrypt" in data[-2048:]:
+        raise ValueError("encrypted PDF unsupported (text tier)")
+    objs = _scan_objects(data)
+    pages = _page_order(objs)[:max_pages]
+    out: list[str] = []
+    for pnum in pages:
+        pval, _ = objs[pnum]
+        contents = pval.get("/Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        chunks: list[bytes] = []
+        for ref in refs:
+            if not (isinstance(ref, tuple) and ref[0] == "ref"):
+                continue
+            cval, craw = objs.get(ref[1], (None, None))
+            if craw is None:
+                raise ValueError("corrupt PDF: /Contents is not a stream")
+            chunks.append(_decode_stream(cval, craw))
+        # §7.8.2: multiple content streams form ONE stream when
+        # concatenated with whitespace between them
+        out.append(_content_text(b"\n".join(chunks)))
+    return out
+
+
+# ------------------------------------------------------------ operator
+
+
+def pdf_text(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    max_pages: int = 64,
+) -> DataFrame:
+    """(id, page [1-based], n_chars, text) per page of each PDF
+    payload — scan-side ``mapInPandas``, zero shuffles; page fan-out
+    bounded by ``max_pages`` (the 100 TB cap).  Downstream quality /
+    lang-ID / dedup stages consume ``text`` like any other document
+    column."""
+    schema = f"{id_col} long, page int, n_chars int, text string"
+    cols = [id_col, "page", "n_chars", "text"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for rid, payload in zip(pdf_batch[id_col], pdf_batch[bin_col]):
+                texts = extract_pdf_text(
+                    bytes(payload or b""), max_pages=max_pages
+                )
+                for p, t in enumerate(texts, start=1):
+                    rows.append((int(rid), p, len(t), t))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+# ------------------------------------------------------ fixture writer
+
+
+def _escape_literal(s: str) -> bytes:
+    """Literal-string encoder: backslash-escapes the specials, octal-
+    escapes non-Latin-1-printables — exercises both decode paths."""
+    out = bytearray()
+    for ch in s.encode("latin-1"):
+        if ch in (0x28, 0x29, 0x5C):  # ( ) \
+            out += b"\\" + bytes([ch])
+        elif ch < 32 or ch > 126:
+            out += b"\\%03o" % ch
+        else:
+            out.append(ch)
+    return bytes(out)
+
+
+def encode_pdf_fixture(
+    pages: list[list[str]],
+    compress_page=lambda p: False,
+    hex_lines: bool = False,
+    use_tj_array_every: int = 0,
+) -> bytes:
+    """A VALID minimal PDF: catalog → pages tree → per-page content
+    streams (Helvetica, one ``Td`` line advance per line), correct
+    xref + trailer.  ``pages`` is a list of pages, each a list of text
+    lines.  ``compress_page(page_idx)`` chooses Flate per page;
+    ``hex_lines`` shows every other line as a HEX string;
+    ``use_tj_array_every`` > 0 renders every k-th line as a kerned
+    ``TJ`` array split mid-line (kern numbers must not alter the
+    extracted text)."""
+    objects: list[bytes] = []  # bodies, object number = index+1
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, lines in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        body = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for k, line in enumerate(lines):
+            if k > 0:
+                body += b"0 -14 Td\n"
+            if hex_lines and k % 2 == 1:
+                body += (
+                    b"<" + line.encode("latin-1").hex().encode() + b"> Tj\n"
+                )
+            elif use_tj_array_every and k % use_tj_array_every == 0 and len(line) > 2:
+                mid = len(line) // 2
+                body += (
+                    b"[ ("
+                    + _escape_literal(line[:mid])
+                    + b") -120 ("
+                    + _escape_literal(line[mid:])
+                    + b") ] TJ\n"
+                )
+            else:
+                body += b"(" + _escape_literal(line) + b") Tj\n"
+        body += b"ET"
+        data = bytes(body)
+        if compress_page(i):
+            data = zlib.compress(data)
+            head = (
+                f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+            )
+        else:
+            head = f"<< /Length {len(data)} >>".encode()
+        objects.append(
+            head + b"\nstream\n" + data + b"\nendstream"
+        )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

@@ -1,0 +1,136 @@
+"""PDF text extraction (sources/pdf.py): object grammar, string
+escapes, Flate streams, Pages-tree order, content-stream operators,
+and the documented scope bounds."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from occupation_wage_etl_spark.sources import pdf
+
+
+def test_round_trip_plain_and_compressed():
+    pages = [
+        ["Hello (World)", "back\\slash", "third line"],
+        ["page two", "x" * 40],
+        ["last"],
+    ]
+    data = pdf.encode_pdf_fixture(pages, compress_page=lambda p: p % 2 == 1)
+    texts = pdf.extract_pdf_text(data)
+    assert texts == ["\n".join(p) for p in pages]
+
+
+def test_hex_strings_and_tj_arrays():
+    pages = [["alpha", "beta", "gamma", "delta"]]
+    d_hex = pdf.encode_pdf_fixture(pages, hex_lines=True)
+    assert pdf.extract_pdf_text(d_hex) == ["alpha\nbeta\ngamma\ndelta"]
+    d_tj = pdf.encode_pdf_fixture(pages, use_tj_array_every=2)
+    # kern numbers in TJ arrays must not alter the text
+    assert pdf.extract_pdf_text(d_tj) == ["alpha\nbeta\ngamma\ndelta"]
+
+
+def test_escape_grammar():
+    # octal escapes, nested parens via escapes, high Latin-1, tabs
+    pages = [["caf\xe9 \t (nested (deep)) \\ end"]]
+    data = pdf.encode_pdf_fixture(pages)
+    assert pdf.extract_pdf_text(data) == pages[0]
+
+
+def test_literal_string_parser_directly():
+    s, i = pdf._parse_literal_string(b"(a\\(b\\)c\\\\d\\101\\n)", 0)
+    assert s == b"a(b)c\\dA\n"
+    # nested unescaped parens are legal
+    s, _ = pdf._parse_literal_string(b"(a(b(c))d)", 0)
+    assert s == b"a(b(c))d"
+    # line continuation
+    s, _ = pdf._parse_literal_string(b"(ab\\\ncd)", 0)
+    assert s == b"abcd"
+    with pytest.raises(ValueError, match="unterminated"):
+        pdf._parse_literal_string(b"(abc", 0)
+
+
+def test_hex_string_odd_digit_padded():
+    s, _ = pdf._parse_hex_string(b"<41424>", 0)
+    assert s == b"AB@"  # trailing 4 -> 40 hex
+
+
+def test_pages_tree_order_vs_scan_order():
+    # builder emits page objects in order; extractor must follow the
+    # /Kids list of the Pages tree, not numeric scan order — verify by
+    # checking each page's text lands at its tree position.
+    pages = [[f"page {i}"] for i in range(5)]
+    data = pdf.encode_pdf_fixture(pages)
+    assert pdf.extract_pdf_text(data) == [f"page {i}" for i in range(5)]
+
+
+def test_multiple_content_lines_newlines():
+    data = pdf.encode_pdf_fixture([["a", "b", "c"]])
+    assert pdf.extract_pdf_text(data) == ["a\nb\nc"]
+
+
+def test_scope_bounds():
+    with pytest.raises(ValueError, match="header"):
+        pdf.extract_pdf_text(b"GIF89a not a pdf")
+    data = pdf.encode_pdf_fixture([["x"]])
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf.extract_pdf_text(data + b"\n%/Encrypt\n")
+    # unsupported filter raises with the filter named
+    bad = data.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
+    with pytest.raises(ValueError, match="DCTDecode"):
+        pdf.extract_pdf_text(bad)
+
+
+def test_corrupt_stream_raises():
+    pages = [["hello compressed"]]
+    data = pdf.encode_pdf_fixture(pages, compress_page=lambda p: True)
+    # truncate the Flate payload: find the stream and cut bytes
+    i = data.find(b"stream\n") + 7
+    j = data.find(b"\nendstream", i)
+    corrupted = data[: i + 3] + data[j:]
+    # /Length now overruns into 'endstream' -> either bad Flate or
+    # structural error; both must raise ValueError
+    with pytest.raises(ValueError):
+        pdf.extract_pdf_text(corrupted)
+
+
+def test_max_pages_cap():
+    pages = [[f"p{i}"] for i in range(10)]
+    data = pdf.encode_pdf_fixture(pages)
+    assert len(pdf.extract_pdf_text(data, max_pages=3)) == 3
+
+
+def test_external_shape_sanity():
+    # xref offsets in the trailer must point at actual object headers
+    data = pdf.encode_pdf_fixture([["a"], ["b"]])
+    xref_at = int(data.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert data[xref_at : xref_at + 4] == b"xref"
+    # each xref entry points at "N 0 obj"
+    body = data[xref_at:].split(b"trailer")[0]
+    entries = body.split(b"\n")[3:]  # skip header + free entry
+    for num, line in enumerate(e for e in entries if e.strip()):
+        off = int(line.split(b" ")[0])
+        assert data[off : off + len(f"{num + 1} 0 obj")] == (
+            f"{num + 1} 0 obj".encode()
+        )
+
+
+def test_spark_operator(spark):
+    import pandas as pd
+
+    rows = []
+    for did in range(6):
+        pages = [
+            [f"doc {did} line {k}" for k in range(1 + did % 3)]
+            for _p in range(1 + did % 2)
+        ]
+        rows.append((did, pdf.encode_pdf_fixture(
+            pages, compress_page=lambda p: p % 2 == 0
+        )))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = pdf.pdf_text(df).orderBy("doc_id", "page").collect()
+    assert len(got) == sum(1 + d % 2 for d in range(6))
+    r0 = got[0]
+    assert r0.page == 1 and r0.text == "doc 0 line 0"
+    assert all(r.n_chars == len(r.text) for r in got)
