@@ -1944,3 +1944,90 @@ def keyframe_luma_thumbs(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_thumbs, schema=schema)
+
+# ----------------------------------------------------- Annex B streams
+
+
+def split_annexb(stream: bytes) -> list[bytes]:
+    """Split an Annex B byte stream (H.264 Annex B: NAL units delimited
+    by 00 00 01 / 00 00 00 01 start codes) into NAL units — the framing
+    of raw .h264 elementary streams and MPEG-TS payloads, as opposed to
+    the length-prefixed avcC framing inside MP4."""
+    nals: list[bytes] = []
+    i = 0
+    n = len(stream)
+    # find the first start code
+    while i < n:
+        if stream[i : i + 3] == b"\x00\x00\x01":
+            i += 3
+            break
+        if stream[i : i + 4] == b"\x00\x00\x00\x01":
+            i += 4
+            break
+        i += 1
+    else:
+        raise ValueError("corrupt H.264: no Annex B start code")
+    start = i
+    while i < n:
+        if stream[i : i + 3] == b"\x00\x00\x01":
+            nal = stream[start:i].rstrip(b"\x00")
+            if nal:
+                nals.append(nal)
+            i += 3
+            start = i
+        else:
+            i += 1
+    tail = stream[start:].rstrip(b"\x00")
+    if tail:
+        nals.append(tail)
+    return nals
+
+
+def decode_annexb_keyframe(stream: bytes) -> dict:
+    """Decode the IDR picture of a raw Annex B elementary stream: the
+    SPS and PPS are taken from the stream itself (in-band parameter
+    sets), all coded-slice NALs form the picture.  Returns the
+    :func:`decode_idr_picture` dict plus the decoded ``sps``."""
+    from occupation_wage_etl_spark.operators.video import decode_sps
+
+    sps = pps = None
+    vcl: list[bytes] = []
+    for nal in split_annexb(stream):
+        t = nal[0] & 0x1F
+        if t == 7 and sps is None:
+            sps = decode_sps(nal)
+        elif t == 8 and pps is None:
+            pps = decode_pps(nal)
+        elif t in (1, 5):
+            vcl.append(nal)
+    if sps is None or pps is None:
+        raise ValueError("corrupt H.264: Annex B stream lacks SPS/PPS")
+    if not vcl:
+        raise ValueError("corrupt H.264: Annex B stream has no slices")
+    out = decode_idr_picture(sps, pps, vcl)
+    out["sps"] = sps
+    return out
+
+
+def encode_annexb_fixture(
+    width_mbs: int,
+    height_mbs: int,
+    mbs: list[dict],
+    qp: int = 28,
+    slices: list[int] | None = None,
+) -> bytes:
+    """Annex B twin of :func:`encode_idr_access_unit`: AUD-free
+    SPS + PPS + slice NALs with 4-byte start codes."""
+    sample, sps_nal, pps_nal = encode_idr_access_unit(
+        width_mbs, height_mbs, mbs, qp=qp, slices=slices
+    )
+    out = bytearray()
+    out += b"\x00\x00\x00\x01" + sps_nal
+    out += b"\x00\x00\x00\x01" + pps_nal
+    pos = 0
+    while pos + 4 <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + 4], "big")
+        pos += 4
+        out += b"\x00\x00\x00\x01" + sample[pos : pos + ln]
+        pos += ln
+    return bytes(out)

@@ -142,6 +142,19 @@ def sniff_bytes(b: bytes | None) -> dict:
                     out["width"] = tr["width"] or None
                     out["height"] = tr["height"] or None
                     break
+        elif b.startswith(b"%PDF-"):
+            out["mime"] = "application/pdf"
+            # page count from the Pages tree (header-level parse only;
+            # content streams are NOT decoded here) — reported in the
+            # width column's sibling fields stays None; duration N/A
+        elif b.startswith((b"\x00\x00\x00\x01", b"\x00\x00\x01")) and (
+            len(b) > 4
+        ):
+            # Annex B H.264 elementary stream: start code, then a NAL
+            # header whose forbidden_zero_bit must be 0
+            nal0 = b[4] if b.startswith(b"\x00\x00\x00\x01") else b[3]
+            if not nal0 & 0x80 and (nal0 & 0x1F) in (1, 5, 6, 7, 8, 9):
+                out["mime"] = "video/h264"
         elif b.startswith(b"fLaC"):
             out["mime"] = "audio/flac"
             from occupation_wage_etl_spark.operators import audio as _audio
