@@ -12890,7 +12890,12 @@ def _synth_pdf(docs: DataFrame) -> DataFrame:
                 out.append(
                     pdfmod.encode_pdf_fixture(
                         pages,
-                        compress_page=lambda p, d=did: (d + p) % 2 == 0,
+                        # rotate stream filters: plain / Flate / ASCII85
+                        # / ASCIIHex — all four decode paths run under
+                        # the oracle gate (text is filter-invariant)
+                        compress_page=lambda p, d=did: (
+                            [None, "flate", "a85", "ahx"][(d + p) % 4]
+                        ),
                         use_tj_array_every=2,
                     )
                 )

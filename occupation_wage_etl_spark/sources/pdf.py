@@ -27,14 +27,15 @@ public PDF spec (ISO 32000-1) and ``zlib``:
   generator (q217's pattern): planted page texts round-trip through
   the real parse path.
 
-Documented scope bounds (explicit, not silent): only ``/FlateDecode``
-and plain streams are decoded (``DCTDecode``/``CCITT`` etc. raise —
-those are image data, not text); simple fonts with byte-oriented
-strings are decoded as Latin-1 (composite fonts with CID/ToUnicode
-CMaps are out of scope — the extractor raises when a ``/Type0`` font
-is the page's only resource is NOT detectable cheaply, so text from
-such pages may be garbled exactly as with every CMap-less extractor);
-encrypted documents (``/Encrypt`` in the trailer) raise.
+Documented scope bounds (explicit, not silent): ``/FlateDecode``,
+``/ASCII85Decode``, ``/ASCIIHexDecode`` (chains too) and plain streams
+are decoded (``DCTDecode``/``CCITT``/``LZW`` etc. raise — image-era
+filters, not text); simple fonts with byte-oriented strings are
+decoded as Latin-1 — composite (``/Type0``) fonts with CID/ToUnicode
+CMaps are out of scope, so text shown through them comes out garbled
+exactly as with every CMap-less extractor (documented, not detected:
+cheap detection would require parsing page font resources); encrypted
+documents (``/Encrypt`` in the trailer) raise.
 
 Reference analogue: none — the reference ETL ingests XLSX/HTML only
 (``pipeline/load_data.py``); this extends the engine's edge-ingestion
@@ -291,6 +292,35 @@ def _page_order(objs) -> list[int]:
     return order
 
 
+def _ascii85_decode(raw: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups, ``z`` shorthand for four
+    zero bytes, ``~>`` EOD, whitespace ignored."""
+    body = raw.split(b"~>")[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    import base64
+
+    try:
+        return base64.a85decode(
+            bytes(c for c in body if c not in _WHITE), adobe=False
+        )
+    except ValueError as exc:
+        raise ValueError(f"corrupt PDF: bad ASCII85 stream ({exc})")
+
+
+def _asciihex_decode(raw: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs to EOD ``>``, whitespace
+    ignored, odd final digit padded with 0."""
+    body = raw.split(b">")[0]
+    digits = bytes(c for c in body if c not in _WHITE)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError as exc:
+        raise ValueError(f"corrupt PDF: bad ASCIIHex stream ({exc})")
+
+
 def _decode_stream(d: dict, raw: bytes) -> bytes:
     filt = d.get("/Filter")
     if filt is None:
@@ -303,10 +333,15 @@ def _decode_stream(d: dict, raw: bytes) -> bytes:
                 out = zlib.decompress(out)
             except zlib.error as exc:
                 raise ValueError(f"corrupt PDF: bad Flate stream ({exc})")
+        elif f == "/ASCII85Decode":
+            out = _ascii85_decode(out)
+        elif f == "/ASCIIHexDecode":
+            out = _asciihex_decode(out)
         else:
             raise ValueError(
                 f"PDF filter {f} unsupported (text tier decodes "
-                "/FlateDecode and plain streams)"
+                "/FlateDecode, /ASCII85Decode, /ASCIIHexDecode and "
+                "plain streams)"
             )
     return out
 
@@ -520,11 +555,32 @@ def encode_pdf_fixture(
                 body += b"(" + _escape_literal(line) + b") Tj\n"
         body += b"ET"
         data = bytes(body)
-        if compress_page(i):
+        mode = compress_page(i)
+        if mode is True or mode == "flate":
             data = zlib.compress(data)
             head = (
                 f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
             )
+        elif mode == "a85":
+            import base64
+
+            data = base64.a85encode(data) + b"~>"
+            head = (
+                f"<< /Length {len(data)} /Filter /ASCII85Decode >>".encode()
+            )
+        elif mode == "ahx":
+            data = data.hex().encode() + b">"
+            head = (
+                f"<< /Length {len(data)} /Filter /ASCIIHexDecode >>".encode()
+            )
+        elif mode == "a85flate":
+            import base64
+
+            data = base64.a85encode(zlib.compress(data)) + b"~>"
+            head = (
+                f"<< /Length {len(data)} "
+                "/Filter [/ASCII85Decode /FlateDecode] >>"
+            ).encode()
         else:
             head = f"<< /Length {len(data)} >>".encode()
         objects.append(

@@ -134,3 +134,21 @@ def test_spark_operator(spark):
     r0 = got[0]
     assert r0.page == 1 and r0.text == "doc 0 line 0"
     assert all(r.n_chars == len(r.text) for r in got)
+
+
+def test_ascii_filters_and_chain():
+    pages = [["hex page"], ["a85 page"], ["chained page"], ["plain"]]
+    modes = {0: "ahx", 1: "a85", 2: "a85flate", 3: None}
+    data = pdf.encode_pdf_fixture(
+        pages, compress_page=lambda p: modes[p]
+    )
+    assert pdf.extract_pdf_text(data) == [
+        "hex page", "a85 page", "chained page", "plain",
+    ]
+
+
+def test_unsupported_filter_names_supported_set():
+    data = pdf.encode_pdf_fixture([["x"]])
+    bad = data.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    with pytest.raises(ValueError, match="LZWDecode"):
+        pdf.extract_pdf_text(bad)
