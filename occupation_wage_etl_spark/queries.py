@@ -12890,13 +12890,16 @@ def _synth_pdf(docs: DataFrame) -> DataFrame:
                 out.append(
                     pdfmod.encode_pdf_fixture(
                         pages,
-                        # rotate stream filters: plain / Flate / ASCII85
-                        # / ASCIIHex — all four decode paths run under
-                        # the oracle gate (text is filter-invariant)
+                        # rotate stream filters: plain / Flate / LZW /
+                        # ASCII85 / ASCIIHex — every decode path runs
+                        # under the oracle gate (text is
+                        # filter-invariant); doc_id%3==0 docs use the
+                        # PDF 1.5 ObjStm + XRef-stream layout
                         compress_page=lambda p, d=did: (
-                            [None, "flate", "a85", "ahx"][(d + p) % 4]
+                            [None, "flate", "lzw", "a85", "ahx"][(d + p) % 5]
                         ),
                         use_tj_array_every=2,
+                        use_objstm=(did % 3 == 0),
                     )
                 )
             yield pd.DataFrame(

@@ -28,9 +28,11 @@ public PDF spec (ISO 32000-1) and ``zlib``:
   the real parse path.
 
 Documented scope bounds (explicit, not silent): ``/FlateDecode``,
+``/LZWDecode`` (TIFF variant, EarlyChange honored, Clear restarts),
 ``/ASCII85Decode``, ``/ASCIIHexDecode`` (chains too) and plain streams
-are decoded (``DCTDecode``/``CCITT``/``LZW`` etc. raise — image-era
-filters, not text); simple fonts with byte-oriented strings are
+are decoded; PDF 1.5 object streams (``/ObjStm``) are exploded, so
+modern xref-stream files parse (``DCTDecode``/``CCITT``/JBIG2 raise —
+image filters, not text; LZW predictors raise); simple fonts with byte-oriented strings are
 decoded as Latin-1 — composite (``/Type0``) fonts with CID/ToUnicode
 CMaps are out of scope, so text shown through them comes out garbled
 exactly as with every CMap-less extractor (documented, not detected:
@@ -241,6 +243,35 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
         objs[num] = (val, stream)
     if not objs:
         raise ValueError("corrupt PDF: no indirect objects found")
+    # PDF 1.5 object streams (/Type /ObjStm, §7.5.7): non-stream
+    # objects packed inside a compressed stream — the storage modern
+    # writers default to.  Explode them: header is N (objnum, offset)
+    # integer pairs, bodies start at /First.
+    for num, (val, stream) in list(objs.items()):
+        if not (
+            isinstance(val, dict)
+            and val.get("/Type") == "/ObjStm"
+            and stream is not None
+        ):
+            continue
+        data = _decode_stream(val, stream)
+        n = val.get("/N")
+        first = val.get("/First")
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("corrupt PDF: ObjStm lacks /N or /First")
+        pos = 0
+        pairs = []
+        for _ in range(2 * n):
+            pos = _skip_ws(data, pos)
+            m2 = re.match(rb"\d+", data[pos:])
+            if not m2:
+                raise ValueError("corrupt PDF: bad ObjStm header")
+            pairs.append(int(m2.group(0)))
+            pos += m2.end()
+        for k in range(n):
+            onum, ooff = pairs[2 * k], pairs[2 * k + 1]
+            oval, _ = _parse_value(data, first + ooff)
+            objs.setdefault(onum, (oval, None))
     return objs
 
 
@@ -321,6 +352,103 @@ def _asciihex_decode(raw: bytes) -> bytes:
         raise ValueError(f"corrupt PDF: bad ASCIIHex stream ({exc})")
 
 
+def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
+    """LZWDecode (§7.4.4 — the TIFF variant): 9→12-bit MSB-first
+    codes, Clear=256, EOD=257, EarlyChange default 1 (code width grows
+    one code early)."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitpos = 0
+    total = len(raw) * 8
+
+    def base_table():
+        return {i: bytes([i]) for i in range(256)}
+
+    table = base_table()
+    while bitpos + width <= total:
+        code = 0
+        for k in range(width):
+            p = bitpos + k
+            code = (code << 1) | ((raw[p >> 3] >> (7 - (p & 7))) & 1)
+        bitpos += width
+        if code == 256:
+            table = base_table()
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError("corrupt PDF: LZW stream starts mid-table")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt PDF: invalid LZW code")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - early and width < 12:
+                width += 1
+        prev = entry
+    raise ValueError("corrupt PDF: LZW stream missing EOD")
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Exact inverse of :func:`_lzw_decode` (fixture side)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for k in range(width - 1, -1, -1):
+            bits.append((code >> k) & 1)
+
+    emit(256)  # Clear
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags one entry at read time, so the
+        # encoder's width bump fires one entry later than the
+        # decoder's (next_code - early) condition
+        if next_code == (1 << width) + 1 - early and width < 12:
+            width += 1
+        elif width == 12 and next_code == (1 << 12) - early:
+            # table full at 12 bits: Clear and restart (§7.4.4.2)
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    while len(bits) % 8:
+        bits.append(0)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for b in bits[i : i + 8]:
+            v = (v << 1) | b
+        out.append(v)
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes) -> bytes:
     filt = d.get("/Filter")
     if filt is None:
@@ -337,11 +465,23 @@ def _decode_stream(d: dict, raw: bytes) -> bytes:
             out = _ascii85_decode(out)
         elif f == "/ASCIIHexDecode":
             out = _asciihex_decode(out)
+        elif f == "/LZWDecode":
+            parms = d.get("/DecodeParms") or {}
+            if isinstance(parms, dict) and parms.get("/Predictor", 1) != 1:
+                raise ValueError("PDF LZW predictors unsupported")
+            out = _lzw_decode(
+                out,
+                early=(
+                    parms.get("/EarlyChange", 1)
+                    if isinstance(parms, dict)
+                    else 1
+                ),
+            )
         else:
             raise ValueError(
                 f"PDF filter {f} unsupported (text tier decodes "
-                "/FlateDecode, /ASCII85Decode, /ASCIIHexDecode and "
-                "plain streams)"
+                "/FlateDecode, /LZWDecode, /ASCII85Decode, "
+                "/ASCIIHexDecode and plain streams)"
             )
     return out
 
@@ -506,15 +646,21 @@ def encode_pdf_fixture(
     compress_page=lambda p: False,
     hex_lines: bool = False,
     use_tj_array_every: int = 0,
+    use_objstm: bool = False,
 ) -> bytes:
     """A VALID minimal PDF: catalog → pages tree → per-page content
     streams (Helvetica, one ``Td`` line advance per line), correct
     xref + trailer.  ``pages`` is a list of pages, each a list of text
-    lines.  ``compress_page(page_idx)`` chooses Flate per page;
+    lines.  ``compress_page(page_idx)`` chooses the stream filter per
+    page (None / "flate" / "a85" / "ahx" / "a85flate");
     ``hex_lines`` shows every other line as a HEX string;
     ``use_tj_array_every`` > 0 renders every k-th line as a kerned
     ``TJ`` array split mid-line (kern numbers must not alter the
-    extracted text)."""
+    extracted text).  ``use_objstm`` writes a PDF 1.5 file: all
+    non-stream objects packed into a Flate /ObjStm and a binary
+    cross-reference STREAM (/Type /XRef, W [1 4 2], type-2 entries for
+    the compressed objects) instead of a classic xref table — the
+    storage layout modern writers default to."""
     objects: list[bytes] = []  # bodies, object number = index+1
 
     n_pages = len(pages)
@@ -573,6 +719,11 @@ def encode_pdf_fixture(
             head = (
                 f"<< /Length {len(data)} /Filter /ASCIIHexDecode >>".encode()
             )
+        elif mode == "lzw":
+            data = _lzw_encode(data)
+            head = (
+                f"<< /Length {len(data)} /Filter /LZWDecode >>".encode()
+            )
         elif mode == "a85flate":
             import base64
 
@@ -590,18 +741,77 @@ def encode_pdf_fixture(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
+    if not use_objstm:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]
+        for num, body in enumerate(objects, start=1):
+            offsets.append(len(out))
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_off = len(out)
+        out += f"xref\n0 {len(objects) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # --- PDF 1.5 layout: dict objects -> /ObjStm, binary /XRef stream
+    is_stream_obj = [b"stream" in body for body in objects]
+    packed = [
+        (num, body)
+        for num, body in enumerate(objects, start=1)
+        if not is_stream_obj[num - 1]
+    ]
+    objstm_num = len(objects) + 1
+    xref_num = len(objects) + 2
+    header = bytearray()
+    bodies = bytearray()
+    for num, body in packed:
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b"\n"
+    payload = zlib.compress(bytes(header) + bytes(bodies))
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(payload)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n"
+        + payload
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
     for num, body in enumerate(objects, start=1):
-        offsets.append(len(out))
+        if not is_stream_obj[num - 1]:
+            continue  # lives in the ObjStm
+        offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
     xref_off = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+
+    # xref stream entries, W = [1 4 2]: (type, field2, field3)
+    def entry(t: int, f2: int, f3: int) -> bytes:
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    rows = [entry(0, 0, 0xFFFF)]  # object 0: free
+    pack_index = {num: k for k, (num, _b) in enumerate(packed)}
+    for num in range(1, xref_num + 1):
+        if num in pack_index:
+            rows.append(entry(2, objstm_num, pack_index[num]))
+        elif num == xref_num:
+            rows.append(entry(1, xref_off, 0))
+        else:
+            rows.append(entry(1, offsets[num], 0))
+    xdata = zlib.compress(b"".join(rows))
     out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_off}\n%%EOF\n"
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+        f"/W [1 4 2] /Root 1 0 R /Length {len(xdata)} "
+        "/Filter /FlateDecode >>\nstream\n"
     ).encode()
+    out += xdata
+    out += b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)

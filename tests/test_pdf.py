@@ -149,6 +149,44 @@ def test_ascii_filters_and_chain():
 
 def test_unsupported_filter_names_supported_set():
     data = pdf.encode_pdf_fixture([["x"]])
-    bad = data.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
-    with pytest.raises(ValueError, match="LZWDecode"):
+    bad = data.replace(b"<< /Length", b"<< /Filter /JBIG2Decode /Length")
+    with pytest.raises(ValueError, match="JBIG2Decode"):
         pdf.extract_pdf_text(bad)
+    # LZW is now supported, but plain data is not a valid LZW stream
+    bad2 = data.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    with pytest.raises(ValueError, match="LZW"):
+        pdf.extract_pdf_text(bad2)
+
+
+def test_lzw_filter_and_vector():
+    # hand-traced vector: 'AAAA' -> 9-bit codes 256,65,258,65,257
+    enc = pdf._lzw_encode(b"AAAA")
+    bits = "".join(f"{b:08b}" for b in enc)
+    codes = [int(bits[i : i + 9], 2) for i in range(0, 45, 9)]
+    assert codes == [256, 65, 258, 65, 257]
+    assert pdf._lzw_decode(enc) == b"AAAA"
+    # width growth through 10/11/12 bits and table-full Clear restarts
+    import random as _r
+
+    rng = _r.Random(7)
+    data = bytes(rng.choice(b"abcdefgh") for _ in range(50000))
+    assert pdf._lzw_decode(pdf._lzw_encode(data)) == data
+    d = pdf.encode_pdf_fixture(
+        [["lzw page", "two"]], compress_page=lambda p: "lzw"
+    )
+    assert pdf.extract_pdf_text(d) == ["lzw page\ntwo"]
+
+
+def test_objstm_xref_stream_layout():
+    pages = [["obj stream page"], ["second"]]
+    data = pdf.encode_pdf_fixture(pages, use_objstm=True)
+    assert data.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in data and b"/XRef" in data
+    # the catalog/page dicts must NOT appear as top-level objects
+    assert b"/Type /Catalog" not in data.split(b"/ObjStm")[0]
+    assert pdf.extract_pdf_text(data) == ["obj stream page", "second"]
+    # mixed with filters
+    d2 = pdf.encode_pdf_fixture(
+        pages, compress_page=lambda p: ["flate", "lzw"][p], use_objstm=True
+    )
+    assert pdf.extract_pdf_text(d2) == ["obj stream page", "second"]
