@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "q256_keyframe_dup_groups",
     "q257_pdf_text",
     "q258_pdf_dup_pages",
+    "q259_docx_text",
 ]
 
 

@@ -12992,6 +12992,66 @@ FROM e GROUP BY g, pg
 
 
 # ---------------------------------------------------------------------------
+# q259 — DOCX text extraction (sources/docx.py): WordprocessingML
+# paragraphs through the real zip + XML parse — multi-run splits
+# reassembled, XML escapes (&, <, >) round-tripped, tabs mapped from
+# <w:tab/>.  Fixture run counts rotate 1..4 per doc so the
+# run-reassembly path is oracle-gated, not just unit-tested.
+# ---------------------------------------------------------------------------
+
+
+def _synth_docx(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import docx as docxmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                paras = [
+                    f"doc {did} para {k}\tA&B <x{(did + k) % 7}>"
+                    for k in range(2 + did % 3)
+                ]
+                out.append(
+                    docxmod.encode_docx_fixture(
+                        paras, runs_per_paragraph=1 + did % 4
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q259_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import docx as docxmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return docxmod.docx_text(_synth_docx(docs))
+
+
+Q259_SQL = """
+WITH p AS (
+  SELECT doc_id, UNNEST(range(1, 3 + doc_id % 3)) AS para
+  FROM documents
+), t AS (
+  SELECT doc_id, para,
+         'doc ' || doc_id || ' para ' || (para - 1) || chr(9)
+           || 'A&B <x' || ((doc_id + para - 1) % 7) || '>' AS text
+  FROM p
+)
+SELECT doc_id, CAST(para AS INT) AS para,
+       CAST(length(text) AS INT) AS n_chars, text
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # q248 — multi-pass sorted-neighborhood blocking as a production
 # candidate generator (fuzzy_join.multipass_snb_pairs): forward +
 # reversed-key passes over the full customer table, union + distinct —
@@ -13396,6 +13456,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q256_keyframe_dup_groups": q256_keyframe_dup_groups,
     "q257_pdf_text": q257_pdf_text,
     "q258_pdf_dup_pages": q258_pdf_dup_pages,
+    "q259_docx_text": q259_docx_text,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13657,4 +13718,5 @@ ORACLE_SQL: dict[str, str] = {
     "q256_keyframe_dup_groups": Q256_SQL,
     "q257_pdf_text": Q257_SQL,
     "q258_pdf_dup_pages": Q258_SQL,
+    "q259_docx_text": Q259_SQL,
 }
