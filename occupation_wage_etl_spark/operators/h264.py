@@ -1833,41 +1833,47 @@ def decode_avc_keyframes(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(payload or b"")
-                meta = parse_mp4(raw)
-                for tr in meta["tracks"]:
-                    avcc = tr.get("avcc")
-                    if not avcc:
-                        continue
-                    if avcc["pps_nal"] is None:
-                        raise ValueError("corrupt avcC: no PPS NAL")
-                    sps = avcc["sps"]
-                    pps = decode_pps(avcc["pps_nal"])
-                    n_samples = len(tr["sizes"])
-                    for snum in tr["sync"][::every_nth][:max_frames]:
-                        if not 1 <= snum <= n_samples:
-                            raise ValueError(
-                                "corrupt MP4: stss sample number "
-                                f"{snum} > sample count {n_samples}"
-                            )
-                        off = tr["offsets"][snum - 1]
-                        size = tr["sizes"][snum - 1]
-                        if off + size > len(raw):
-                            raise ValueError(
-                                "corrupt MP4: sample extends past EOF"
-                            )
-                        dec = decode_avc_sample(
-                            raw[off : off + size],
-                            sps,
-                            pps,
-                            avcc["length_size"],
-                        )
-                        rows.append(
-                            (int(rid), tr["track_id"], snum)
-                            + _crop_stats(dec, sps)
-                        )
+                for tr, sps, snum, dec in _iter_decoded_keyframes(
+                    raw, every_nth, max_frames
+                ):
+                    rows.append(
+                        (int(rid), tr["track_id"], snum)
+                        + _crop_stats(dec, sps)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_decode, schema=schema)
+
+
+def _iter_decoded_keyframes(raw: bytes, every_nth: int, max_frames: int):
+    """Shared demux-and-decode walk: yield (track, sps, sample_num,
+    decoded picture) for every sampled sync sample of each AVC track —
+    the common front half of :func:`decode_avc_keyframes` and
+    :func:`keyframe_luma_thumbs`."""
+    meta = parse_mp4(raw)
+    for tr in meta["tracks"]:
+        avcc = tr.get("avcc")
+        if not avcc:
+            continue
+        if avcc["pps_nal"] is None:
+            raise ValueError("corrupt avcC: no PPS NAL")
+        sps = avcc["sps"]
+        pps = decode_pps(avcc["pps_nal"])
+        n_samples = len(tr["sizes"])
+        for snum in tr["sync"][::every_nth][:max_frames]:
+            if not 1 <= snum <= n_samples:
+                raise ValueError(
+                    "corrupt MP4: stss sample number "
+                    f"{snum} > sample count {n_samples}"
+                )
+            off = tr["offsets"][snum - 1]
+            size = tr["sizes"][snum - 1]
+            if off + size > len(raw):
+                raise ValueError("corrupt MP4: sample extends past EOF")
+            dec = decode_avc_sample(
+                raw[off : off + size], sps, pps, avcc["length_size"]
+            )
+            yield tr, sps, snum, dec
 
 def keyframe_luma_thumbs(
     df: DataFrame,
@@ -1902,45 +1908,21 @@ def keyframe_luma_thumbs(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(payload or b"")
-                meta = parse_mp4(raw)
-                for tr in meta["tracks"]:
-                    avcc = tr.get("avcc")
-                    if not avcc:
-                        continue
-                    if avcc["pps_nal"] is None:
-                        raise ValueError("corrupt avcC: no PPS NAL")
-                    sps = avcc["sps"]
-                    pps = decode_pps(avcc["pps_nal"])
-                    n_samples = len(tr["sizes"])
-                    for snum in tr["sync"][::every_nth][:max_frames]:
-                        if not 1 <= snum <= n_samples:
-                            raise ValueError(
-                                "corrupt MP4: stss sample number "
-                                f"{snum} > sample count {n_samples}"
-                            )
-                        off = tr["offsets"][snum - 1]
-                        size = tr["sizes"][snum - 1]
-                        dec = decode_avc_sample(
-                            raw[off : off + size],
-                            sps,
-                            pps,
-                            avcc["length_size"],
-                        )
-                        cl = sps.get("crop_left_px", 0)
-                        ct = sps.get("crop_top_px", 0)
-                        w, h = sps["coded_width"], sps["coded_height"]
-                        flat = bytes(
-                            b
-                            for row in dec["y"][ct : ct + h]
-                            for b in row[cl : cl + w]
-                        )
-                        px = _nearest_resample(flat, w, h, thumb, thumb)
-                        rows.append(
-                            (
-                                int(rid), tr["track_id"], snum, w, h,
-                                list(px),
-                            )
-                        )
+                for tr, sps, snum, dec in _iter_decoded_keyframes(
+                    raw, every_nth, max_frames
+                ):
+                    cl = sps.get("crop_left_px", 0)
+                    ct = sps.get("crop_top_px", 0)
+                    w, h = sps["coded_width"], sps["coded_height"]
+                    flat = bytes(
+                        b
+                        for row in dec["y"][ct : ct + h]
+                        for b in row[cl : cl + w]
+                    )
+                    px = _nearest_resample(flat, w, h, thumb, thumb)
+                    rows.append(
+                        (int(rid), tr["track_id"], snum, w, h, list(px))
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_thumbs, schema=schema)
