@@ -468,6 +468,11 @@ def _decode_residual(
             sz = suffix_len if lp < 14 else (4 if suffix_len == 0 else suffix_len)
         else:
             level_code = (15 << suffix_len) + (1 << (lp - 3)) - 4096
+            if suffix_len == 0:
+                # §9.2.2.1: the suffixLength-0 escape starts at levelCode 30
+                # (14-prefix branch tops out at 29), so add 15 on top of the
+                # 15<<0 base.
+                level_code += 15
             sz = lp - 3
         if sz:
             level_code += r.u(sz)
@@ -573,11 +578,11 @@ def _encode_residual(
                 w.u(1, 1)
                 w.u(level_code - 14, 4)
             else:
-                if level_code - 15 >= 4096:
+                if level_code - 30 >= 4096:
                     raise ValueError("fixture: level too large for CAVLC")
                 w.u(0, 15)
                 w.u(1, 1)
-                w.u(level_code - 15, 12)
+                w.u(level_code - 30, 12)
         else:
             prefix = level_code >> suffix_len
             if prefix < 15:
@@ -1132,7 +1137,7 @@ def _parse_slice_header(
     if nal_type == 5:
         r.ue()  # idr_pic_id
     if sps["pic_order_cnt_type"] == 0:
-        r.u(sps.get("log2_max_poc_lsb", 4))  # pic_order_cnt_lsb
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb (from decode_sps)
         if pps["bottom_field_pic_order_in_frame_present"]:
             r.se()
     if nal_type == 5:

@@ -282,8 +282,9 @@ def decode_sps(nal: bytes) -> dict:
             raise ValueError("SPS scaling lists unsupported (metadata tier)")
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = None
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4  # log2_max_pic_order_cnt_lsb_minus4
     elif poc_type == 1:
         r.u(1)  # delta_pic_order_always_zero_flag
         r.se()  # offset_for_non_ref_pic
@@ -321,6 +322,7 @@ def decode_sps(nal: bytes) -> dict:
         "bit_depth_chroma": bit_depth_chroma,
         "log2_max_frame_num": log2_max_frame_num,
         "pic_order_cnt_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
         "max_num_ref_frames": max_num_ref_frames,
         "frame_mbs_only": frame_mbs_only,
         "coded_width": w_mbs * 16 - crop_x * (crop_l + crop_r),
@@ -358,8 +360,8 @@ def _decode_vui(r) -> dict:
             out["sar_height"] = r.u(16)
         elif 1 <= idc <= 16:
             out["sar_width"], out["sar_height"] = _SAR_TABLE[idc - 1]
-        elif idc != 0:
-            raise ValueError("corrupt SPS: reserved aspect_ratio_idc")
+        # Annex E: reserved idc 17..254 "shall be interpreted as
+        # unspecified" — leave sar_width/sar_height unset, don't raise.
     if r.u(1):  # overscan_info_present_flag
         r.u(1)
     if r.u(1):  # video_signal_type_present_flag

@@ -214,9 +214,15 @@ def _parse_hex_string(b: bytes, i: int):
 
 def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
     """All indirect objects by number: (value, stream_bytes|None).
-    Stream extents use a direct /Length when present (the normal
-    case), else fall back to the next ``endstream``."""
+    Stream extents use /Length — direct ints immediately, indirect
+    references in a second pass once every object is indexed (writers
+    that stream data of unknown size put the length object *after* the
+    stream, §7.3.8.2 note).  Only when /Length is absent or its target
+    missing does the scan fall back to the next ``endstream`` — that
+    heuristic truncates binary streams that contain the token or end in
+    CR/LF, so it is strictly last-resort."""
     objs: dict[int, tuple[object, bytes | None]] = {}
+    pending: list[tuple[int, dict, int]] = []  # (num, dict, stream start)
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         i = m.end()
@@ -236,13 +242,23 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
             if isinstance(ln, int):
                 stream = data[k : k + ln]
             else:
-                e = data.find(b"endstream", k)
-                if e < 0:
-                    raise ValueError("corrupt PDF: unterminated stream")
-                stream = data[k:e].rstrip(b"\r\n")
+                pending.append((num, val, k))
         objs[num] = (val, stream)
     if not objs:
         raise ValueError("corrupt PDF: no indirect objects found")
+    for num, val, k in pending:
+        ln = None
+        try:
+            ln = _resolve(objs, val.get("/Length"))
+        except ValueError:
+            pass
+        if isinstance(ln, int):
+            objs[num] = (val, data[k : k + ln])
+        else:
+            e = data.find(b"endstream", k)
+            if e < 0:
+                raise ValueError("corrupt PDF: unterminated stream")
+            objs[num] = (val, data[k:e].rstrip(b"\r\n"))
     # PDF 1.5 object streams (/Type /ObjStm, §7.5.7): non-stream
     # objects packed inside a compressed stream — the storage modern
     # writers default to.  Explode them: header is N (objnum, offset)
@@ -305,10 +321,12 @@ def _page_order(objs) -> list[int]:
         val, _s = objs.get(num, (None, None))
         if not isinstance(val, dict):
             return
-        if val.get("/Type") == "/Page":
+        if _resolve(objs, val.get("/Type")) == "/Page":
             order.append(num)
             return
-        for kid in val.get("/Kids", []) or []:
+        # /Kids may itself be an indirect reference to the array
+        kids = _resolve(objs, val.get("/Kids", []))
+        for kid in kids or []:
             if isinstance(kid, tuple) and kid[0] == "ref":
                 walk(kid[1], depth + 1)
 
@@ -647,6 +665,8 @@ def encode_pdf_fixture(
     hex_lines: bool = False,
     use_tj_array_every: int = 0,
     use_objstm: bool = False,
+    indirect_length: bool = False,
+    indirect_kids: bool = False,
 ) -> bytes:
     """A VALID minimal PDF: catalog → pages tree → per-page content
     streams (Helvetica, one ``Td`` line advance per line), correct
@@ -660,16 +680,27 @@ def encode_pdf_fixture(
     non-stream objects packed into a Flate /ObjStm and a binary
     cross-reference STREAM (/Type /XRef, W [1 4 2], type-2 entries for
     the compressed objects) instead of a classic xref table — the
-    storage layout modern writers default to."""
+    storage layout modern writers default to.  ``indirect_length``
+    writes each content stream's /Length as an indirect reference to a
+    length object placed AFTER the stream data (the
+    unknown-size-at-write-time layout, §7.3.8.2 note 2);
+    ``indirect_kids`` stores the pages tree's /Kids array as its own
+    indirect object referenced from /Pages."""
     objects: list[bytes] = []  # bodies, object number = index+1
 
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
+    # trailing objects (after the font): per-page length objects when
+    # indirect_length, then the kids array when indirect_kids
+    len_num0 = font_num + 1
+    kids_num = len_num0 + (n_pages if indirect_length else 0)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids_val = f"{kids_num} 0 R" if indirect_kids else f"[{kids}]"
     objects.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+        f"<< /Type /Pages /Kids {kids_val} /Count {n_pages} >>".encode()
     )
+    stream_lengths: list[int] = []
     for i, lines in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
@@ -734,12 +765,27 @@ def encode_pdf_fixture(
             ).encode()
         else:
             head = f"<< /Length {len(data)} >>".encode()
+        if indirect_length:
+            head = head.replace(
+                f"/Length {len(data)}".encode(),
+                f"/Length {len_num0 + i} 0 R".encode(),
+            )
+            stream_lengths.append(len(data))
         objects.append(
             head + b"\nstream\n" + data + b"\nendstream"
         )
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    if indirect_length:
+        if use_objstm:
+            raise ValueError(
+                "fixture: indirect_length + use_objstm not supported"
+            )
+        for ln in stream_lengths:
+            objects.append(str(ln).encode())
+    if indirect_kids:
+        objects.append(f"[{kids}]".encode())
 
     if not use_objstm:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

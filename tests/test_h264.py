@@ -90,6 +90,35 @@ def test_richardson_published_cavlc_example():
     assert back == scan and tc2 == 5
 
 
+def test_cavlc_suffixlen0_escape_levelcode_offset():
+    """H.264 §9.2.2.1: at suffixLength 0 the level_prefix>=15 escape carries
+    levelCode - 30 (the 14-prefix branch tops out at levelCode 29), i.e.
+    levelCode gets +15 on top of the 15<<0 base.  First coded level
+    |level| >= 17 (levelCode >= 30 after the t1<3 first-level -2) must hit
+    the escape and round-trip; |level| == 16 stays in the 14-prefix branch."""
+    for level in (16, 17, -17, 100, 2064):
+        block = [level] + [0] * 15
+        w = h264._BitWriter()
+        tc = h264._encode_residual(w, block, 0, 16)
+        assert tc == 1
+        tok = h264._BitWriter()
+        h264._write_coeff_token(tok, 0, 1, 0)
+        bits = "".join(map(str, w.bits))[len(tok.bits) :]
+        r = h264._BitReader(w.rbsp())
+        back, _ = h264._decode_residual(r, 0, 16)
+        assert back == block, (level, back)
+        if abs(level) >= 17:
+            # escape: 15 zeros, stop bit, then a 12-bit suffix = levelCode-30
+            assert bits.startswith("0" * 15 + "1"), (level, bits)
+            level_code = (2 * level - 2 if level > 0 else -2 * level - 1) - 2
+            assert bits[16:28] == format(level_code - 30, "012b"), (
+                level,
+                bits,
+            )
+        else:
+            assert bits.startswith("0" * 14 + "1"), (level, bits)
+
+
 # ------------------------------------------------------ residual round-trip
 
 

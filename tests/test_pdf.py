@@ -70,6 +70,59 @@ def test_multiple_content_lines_newlines():
     assert pdf.extract_pdf_text(data) == ["a\nb\nc"]
 
 
+def test_indirect_stream_length_resolved_two_pass():
+    # writers that stream data of unknown size put the /Length object
+    # AFTER the stream — extraction must resolve it, not guess extents
+    pages = [["indirect one", "line two"], ["page 2"]]
+    data = pdf.encode_pdf_fixture(
+        pages, compress_page=lambda p: True, indirect_length=True
+    )
+    assert b"/Length 5 0 R" in data or b" 0 R /Filter" in data
+    assert pdf.extract_pdf_text(data) == ["\n".join(p) for p in pages]
+
+
+def test_indirect_length_stream_containing_endstream_token():
+    # the endstream-scan fallback would truncate this stream: its body
+    # CONTAINS the literal token and ends in newline bytes.  With an
+    # indirect /Length (resolved after the full index pass) the exact
+    # extent must win over the heuristic.
+    body = b"BT /F1 12 Tf 72 720 Td\n(okendstream\\nok) Tj\nET\n\n"
+    raw = bytearray(b"%PDF-1.4\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length 5 0 R >>\nstream\n" + body + b"\nendstream",
+        str(len(body)).encode(),
+    ]
+    offsets = []
+    for num, b_ in enumerate(objs, start=1):
+        offsets.append(len(raw))
+        raw += f"{num} 0 obj\n".encode() + b_ + b"\nendobj\n"
+    xref_off = len(raw)
+    raw += b"xref\n0 6\n0000000000 65535 f \n"
+    for off in offsets:
+        raw += f"{off:010d} 00000 n \n".encode()
+    raw += (
+        f"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    texts = pdf.extract_pdf_text(bytes(raw))
+    assert texts == ["okendstream\nok"]
+
+
+def test_indirect_kids_array_resolved():
+    # /Kids given as an indirect reference to the array: the tree walk
+    # must resolve it — a silent partial order would drop every page
+    pages = [[f"page {i}"] for i in range(4)]
+    data = pdf.encode_pdf_fixture(pages, indirect_kids=True)
+    assert pdf.extract_pdf_text(data) == [f"page {i}" for i in range(4)]
+    # combined: indirect kids + indirect stream lengths
+    data2 = pdf.encode_pdf_fixture(
+        pages, indirect_kids=True, indirect_length=True
+    )
+    assert pdf.extract_pdf_text(data2) == [f"page {i}" for i in range(4)]
+
+
 def test_scope_bounds():
     with pytest.raises(ValueError, match="header"):
         pdf.extract_pdf_text(b"GIF89a not a pdf")

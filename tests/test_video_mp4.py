@@ -338,3 +338,53 @@ def test_vui_round_trip_all_groups():
     # no VUI at all: keys absent, flag 0
     sps = decode_sps(encode_sps(width_mbs=4, height_units=3))
     assert sps["vui_present"] == 0 and "sar_width" not in sps
+
+
+def test_vui_reserved_sar_idc_is_unspecified_not_error():
+    # Annex E: reserved aspect_ratio_idc 17..254 shall be treated as
+    # unspecified — SAR keys unset, no raise, rest of the VUI still parses
+    sps = V.decode_sps(
+        V.encode_sps(
+            width_mbs=4,
+            height_units=3,
+            vui={"sar": 100, "num_units_in_tick": 1, "time_scale": 50},
+        )
+    )
+    assert "sar_width" not in sps and "sar_height" not in sps
+    assert sps["time_scale"] == 50
+
+
+def test_sps_log2_max_poc_lsb_surfaced_and_slice_header_honors_it():
+    # decode_sps must emit the real log2_max_pic_order_cnt_lsb (minus4+4),
+    # not assume 4 — a poc_type-0 stream with minus4 != 0 mis-parses the
+    # whole slice header otherwise
+    sps = V.decode_sps(
+        V.encode_sps(width_mbs=4, height_units=3, log2_max_poc_lsb=8)
+    )
+    assert sps["log2_max_poc_lsb"] == 8
+    # poc_type 2 has no poc_lsb field at all
+    sps2 = V.decode_sps(
+        V.encode_sps(width_mbs=4, height_units=3, pic_order_cnt_type=2)
+    )
+    assert sps2["log2_max_poc_lsb"] is None
+    # slice header: hand-build an IDR I-slice header with an 8-bit
+    # pic_order_cnt_lsb and check _parse_slice_header lands on the
+    # correct slice_qp_delta (it would desync with an assumed 4)
+    from occupation_wage_etl_spark.operators import h264
+
+    pps = h264.decode_pps(h264.encode_pps())
+    w = h264._BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type I
+    w.ue(pps["pps_id"])
+    w.u(0, sps["log2_max_frame_num"])  # frame_num
+    w.ue(0)  # idr_pic_id
+    w.u(0b10101010, 8)  # pic_order_cnt_lsb, 8 bits (nonzero pattern)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(3)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc = 1
+    nal = bytes([0x65]) + h264._ep_insert(w.rbsp())
+    _, first_mb, qp = h264._parse_slice_header(sps, pps, nal)
+    assert first_mb == 0
+    assert qp == pps["pic_init_qp"] + 3
