@@ -302,6 +302,16 @@ BENCH_QUERIES = [
     "q257_pdf_text",
     "q258_pdf_dup_pages",
     "q259_docx_text",
+    "q260_warc_records",
+    "q261_wet_text",
+    "q262_wet_curation",
+    "q263_html_main_text",
+    "q264_html_boilerplate_collapse",
+    "q265_charset_sniff",
+    "q266_pdf_cid_text",
+    "q267_docx_parts",
+    "q268_web_ingest_chain",
+    "q269_url_canonicalize",
 ]
 
 
@@ -536,6 +546,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # First-class suite-wall gate (vs the previous round's committed
+    # record, over COMMON queries only so new queries don't read as
+    # regression).  The suite wall is stable to ~3% across runs; the
+    # PER-QUERY envelope is ×1.4–1.8 (run-level CPU state, measured in
+    # BENCH_SCALE.md) — gate on this ratio, not on per-query deltas.
+    common = [n for n in timings if n in prev]
+    prev_common = round(sum(prev[n] for n in common), 3)
+    cur_common = round(sum(timings[n] for n in common), 3)
+    suite_wall_vs_prev = (
+        round(cur_common / prev_common, 4) if prev_common else None
+    )
     # Full per-query record → committed file (the driver's stdout tail
     # capture truncates long lines — round 2 lost q01–q70's numbers that
     # way).  stdout carries ONE SHORT line: suite totals + the slowest
@@ -549,6 +570,9 @@ def main() -> None:
         "ingest_sec": ingest_sec,
         "total_with_ingest_sec": round(total + ingest_sec, 3),
         "timing": "min_of_2_heavy_min_of_3_retime_gt1.5x",
+        "suite_wall_vs_prev": suite_wall_vs_prev,
+        "suite_wall_common_sec": cur_common,
+        "suite_wall_prev_common_sec": prev_common,
         "retimed": retimed,
         "heavy_min3": sorted(heavy),
         "sample_spread": {
@@ -576,6 +600,7 @@ def main() -> None:
                 "ingest_sec": ingest_sec,
                 "total_with_ingest_sec": round(total + ingest_sec, 3),
                 "timing": "min_of_2_retime_gt1.5x",
+                "suite_wall_vs_prev": suite_wall_vs_prev,
                 "n_retimed": len(retimed),
             }
         )

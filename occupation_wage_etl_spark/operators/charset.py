@@ -1,0 +1,108 @@
+"""Charset detection + transcoding for the binary-document path — real
+corpora are not all UTF-8, and the bytes→text step must pick the right
+decode before any text operator runs.
+
+Deterministic detection ladder (every rule exact and replayable —
+no confidence scores, no trained models):
+
+1. **BOM**: UTF-8 (EF BB BF), UTF-32 LE/BE (FF FE 00 00 / 00 00 FE FF
+   — checked before UTF-16, whose LE BOM is a prefix), UTF-16 LE/BE
+   (FF FE / FE FF).
+2. **Strict UTF-8 validation**: decodes cleanly AND contains no NUL
+   byte → ``utf-8`` (ASCII is a subset; the NUL guard keeps BOM-less
+   UTF-16 of ASCII — all NULs, yet "valid" UTF-8 — out of this rule).
+3. **Zero-byte pattern**: BOM-less UTF-16 of mostly-ASCII text shows
+   NUL at every other position — >= 30% NULs on odd offsets →
+   ``utf-16-le``, on even offsets → ``utf-16-be`` (even length only).
+4. **Latin-1 fallback**: every byte sequence decodes; the standard
+   web-legacy default (HTML5 calls it windows-1252; the pure stdlib
+   superset latin-1 keeps the mapping bijective/replayable).
+
+Reference analogue: none (the reference reads one UTF-8 page);
+LLM-training-data extension surface (SURVEY.md §2 extensions).
+
+Scale shape: scan-side ``mapInPandas`` over the binary column, zero
+shuffles — same layout as the PDF/WARC/multimodal tiers.
+"""
+
+from __future__ import annotations
+
+import codecs
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
+def detect_charset(data: bytes) -> tuple[str, bool]:
+    """(encoding, had_bom) for a byte payload, by the module ladder."""
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return enc, True
+    has_nul = b"\x00" in data
+    if not has_nul:
+        # NUL never appears in text; a payload full of NULs that still
+        # "validates" as UTF-8 is BOM-less UTF-16/32, not UTF-8
+        try:
+            data.decode("utf-8", "strict")
+            return "utf-8", False
+        except UnicodeDecodeError:
+            pass
+    n = len(data)
+    if n >= 2 and n % 2 == 0:
+        odd_nul = sum(1 for i in range(1, n, 2) if data[i] == 0)
+        even_nul = sum(1 for i in range(0, n, 2) if data[i] == 0)
+        half = n // 2
+        if odd_nul * 10 >= half * 3 and odd_nul > even_nul:
+            return "utf-16-le", False
+        if even_nul * 10 >= half * 3 and even_nul > odd_nul:
+            return "utf-16-be", False
+    return "latin-1", False
+
+
+def transcode(data: bytes) -> tuple[str, str, bool]:
+    """(text, encoding, had_bom) — decode by the detected charset, BOM
+    stripped; undecodable bytes in the detected non-fallback encodings
+    are replaced, never raising on a single bad payload."""
+    enc, had_bom = detect_charset(data)
+    if had_bom:
+        for bom, benc in _BOMS:
+            if benc == enc and data.startswith(bom):
+                data = data[len(bom) :]
+                break
+    return data.decode(enc, "replace"), enc, had_bom
+
+
+def sniff_transcode(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, encoding, had_bom, n_bytes, n_chars, text) per binary
+    payload — the bytes→text entry step of the curation funnel."""
+    schema = (
+        f"{id_col} long, encoding string, had_bom boolean, "
+        "n_bytes long, n_chars int, text string"
+    )
+    cols = [id_col, "encoding", "had_bom", "n_bytes", "n_chars", "text"]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, payload in zip(batch[id_col], batch[bin_col]):
+                raw = bytes(payload or b"")
+                text, enc, had_bom = transcode(raw)
+                rows.append(
+                    (int(rid), enc, had_bom, len(raw), len(text), text)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_run, schema=schema)

@@ -13197,6 +13197,749 @@ FROM af
 """
 
 
+# ---------------------------------------------------------------------------
+# q260/q261/q262 — WARC/WET web-archive source (sources/warc.py): the
+# entry-point container of every real 100 TB text pipeline.  Fixtures
+# are VALID archives (ISO 28500 record framing, member-per-record gzip
+# for half the docs so both compression paths run under the oracle
+# gate); the parse path is real: gzip-member walk → version line →
+# header fields → Content-Length block slice → HTTP message split.
+# q260 catalogs records (type/uri/status/payload size), q261 extracts
+# WET conversion text verbatim, q262 bridges WET text into the full
+# curation funnel (quality → lang-ID → dedup, the q34 pattern) by
+# planting each document's OWN text as its conversion record — the
+# engine must recover byte-identical text through the archive walk for
+# the funnel to match the q34-style oracle.
+# ---------------------------------------------------------------------------
+
+
+def _synth_warc(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": (
+                            f"http://site{did % 7}.example/{did}/{r}"
+                        ),
+                        "status": 404 if (did + r) % 4 == 0 else 200,
+                        "http_content_type": "text/html",
+                        "payload": (
+                            f"payload doc {did} rec {r} "
+                            + "x" * ((did + r) % 17)
+                        ).encode(),
+                    }
+                    for r in range(1 + did % 3)
+                ]
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        recs, gzip_records=(did % 2 == 0)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q260_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return warcmod.warc_records(_synth_warc(docs)).select(
+        "doc_id", "rec_idx", "warc_type", "target_uri", "http_status",
+        "payload_len",
+    )
+
+
+Q260_SQL = """
+WITH info AS (
+  SELECT doc_id, CAST(0 AS INT) AS rec_idx, 'warcinfo' AS warc_type,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(NULL AS INT) AS http_status,
+         CAST(length('software: occupation-wage-etl-spark') + 2
+              AS BIGINT) AS payload_len
+  FROM documents
+), resp AS (
+  SELECT doc_id, UNNEST(range(1, 2 + doc_id % 3)) AS k FROM documents
+), r2 AS (
+  SELECT doc_id, CAST(k AS INT) AS rec_idx, 'response' AS warc_type,
+         'http://site' || (doc_id % 7) || '.example/' || doc_id || '/'
+           || (k - 1) AS target_uri,
+         CAST(CASE WHEN (doc_id + k - 1) % 4 = 0 THEN 404 ELSE 200 END
+              AS INT) AS http_status,
+         CAST(length('payload doc ' || doc_id || ' rec ' || (k - 1)
+              || ' ') + (doc_id + k - 1) % 17 AS BIGINT) AS payload_len
+  FROM resp
+)
+SELECT * FROM info UNION ALL SELECT * FROM r2
+"""
+
+
+def _synth_wet(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                recs = [
+                    {
+                        "type": "conversion",
+                        "uri": f"http://w{did % 5}.example/{did}/{r}",
+                        "text": "\n".join(
+                            f"doc {did} seg {r} ln {j}"
+                            for j in range(1 + (did + r) % 3)
+                        ),
+                    }
+                    for r in range(1 + did % 4)
+                ]
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        recs,
+                        gzip_records=(did % 3 == 0),
+                        warcinfo=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q261_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return warcmod.wet_text(_synth_wet(docs))
+
+
+Q261_SQL = """
+WITH s AS (
+  SELECT doc_id, UNNEST(range(0, 1 + doc_id % 4)) AS r FROM documents
+), t AS (
+  SELECT doc_id, r,
+         array_to_string(
+           list_transform(range(0, 1 + (doc_id + r) % 3),
+             j -> 'doc ' || doc_id || ' seg ' || r || ' ln ' || j),
+           chr(10)) AS text
+  FROM s
+)
+SELECT doc_id, CAST(r AS INT) AS rec_idx,
+       'http://w' || (doc_id % 5) || '.example/' || doc_id || '/' || r
+         AS target_uri,
+       CAST(length(text) AS INT) AS n_chars, text
+FROM t
+"""
+
+
+def _synth_wet_of_documents(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did, text in zip(batch["doc_id"], batch["text"]):
+                did = int(did)
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        [
+                            {
+                                "type": "conversion",
+                                "uri": f"http://c{did % 11}.example/{did}",
+                                "text": str(text or ""),
+                            }
+                        ],
+                        gzip_records=(did % 2 == 0),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q262_wet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    wet = warcmod.wet_text(_synth_wet_of_documents(docs))
+    out = curation.curate_corpus(
+        wet, min_quality=CURATE_MIN_Q, langs=("en",)
+    )
+    return out.select("doc_id", "quality", "pred_lang")
+
+
+def _wet_curate_oracle_sql() -> str:
+    quality_cte = Q17_SQL.strip()
+    lang_cte = _lang_id_oracle_sql().strip()
+    return f"""
+WITH q AS ({quality_cte}),
+l AS ({lang_cte}),
+kept AS (
+  SELECT d.doc_id, d.text, q.quality, l.pred_lang
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN l ON d.doc_id = l.doc_id
+  WHERE q.quality >= {CURATE_MIN_Q} AND l.pred_lang = 'en'
+),
+keep_ids AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5({_NORM})
+)
+SELECT k.doc_id, k.quality, k.pred_lang
+FROM kept k JOIN keep_ids USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q263/q264 — HTML main-content extraction (sources/html_text.py): the
+# boilerplate-stripping page→text step between the WARC payload and the
+# curation funnel.  Pages are synthesized as ONE codegen Column
+# expression (concat + transform over a sequence — no Python in the
+# synth path): site chrome (header/nav with doc-unique link text),
+# planted main blocks (h1 + 1..4 <p>s with an &amp; entity), an
+# in-body pure-link <ul> (link-density boilerplate), and a doc-unique
+# footer.  q263 checks the extracted text verbatim; q264 plants
+# group-shared main content under doc-UNIQUE chrome — whole-page dedup
+# sees all-distinct pages, extracted-main dedup collapses them to one
+# group per plant (the reason page→text runs BEFORE dedup in every
+# real pipeline).
+# ---------------------------------------------------------------------------
+
+
+def _synth_page_html(did: F.Column, main: F.Column) -> F.Column:
+    """Full page: chrome + planted main content + link-list + footer."""
+    d = did.cast("string")
+    return F.concat(
+        F.lit("<html><head><title>t</title><style>p{x:1}</style>"
+              "<script>var a='<p>no</p>';</script></head><body>"),
+        F.lit("<header><h1>site "), d, F.lit(" chrome</h1></header>"),
+        F.lit("<nav><ul><li><a href='/'>home "), d,
+        F.lit("</a></li><li><a href='/x'>sec "), d,
+        F.lit("</a></li></ul></nav>"),
+        main,
+        F.lit("<ul><li><a href='/r1'>rel "), d,
+        F.lit(" one</a></li><li><a href='/r2'>rel "), d,
+        F.lit(" two</a></li></ul>"),
+        F.lit("<aside><p>also like "), d, F.lit("</p></aside>"),
+        F.lit("<footer><p>(c) "), d, F.lit(" corp</p></footer>"),
+        F.lit("</body></html>"),
+    )
+
+
+def q263_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = did.cast("string")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (did % 4).cast("int")),
+            lambda k: F.concat(
+                F.lit("<p>doc "), d, F.lit(" para "), k.cast("string"),
+                F.lit(" text &amp; <b>more</b></p>"),
+            ),
+        ),
+        "",
+    )
+    main = F.concat(
+        F.lit("<article><h1>doc "), d, F.lit(" headline</h1>"),
+        paras, F.lit("</article>"),
+    )
+    pages = docs.select(
+        "doc_id", _synth_page_html(did, main).alias("html")
+    )
+    return html_text.main_text_distributed(pages)
+
+
+Q263_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         'doc ' || doc_id || ' headline' || chr(10) ||
+         array_to_string(
+           list_transform(range(0, 1 + doc_id % 4),
+             k -> 'doc ' || doc_id || ' para ' || k || ' text & more'),
+           chr(10)) AS text,
+         CAST(2 + doc_id % 4 AS INT) AS n_blocks
+  FROM documents
+)
+SELECT doc_id, n_blocks, CAST(length(text) AS INT) AS n_chars, text
+FROM t
+"""
+
+
+def q264_html_boilerplate_collapse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    g = (did % 19).cast("string")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda k: F.concat(
+                F.lit("<p>group "), g, F.lit(" para "),
+                k.cast("string"), F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    pages = docs.select(
+        "doc_id", _synth_page_html(did, paras).alias("html")
+    )
+    extracted = html_text.main_text_distributed(pages)
+    return (
+        extracted.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("rep_doc_id", "n_dups")
+    )
+
+
+Q264_SQL = """
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY doc_id % 19
+"""
+
+
+# ---------------------------------------------------------------------------
+# q265 — charset sniff + transcode (operators/charset.py): the
+# bytes→text entry step for non-UTF-8 corpora.  Fixture rotates the
+# encoding by doc_id % 6 — plain UTF-8, UTF-8+BOM, UTF-16LE/BE with
+# BOM, high-byte Latin-1 (invalid as UTF-8), and BOM-less UTF-16LE
+# (valid-as-UTF-8 NUL trap) — so every rung of the detection ladder is
+# oracle-gated.  DuckDB replays byte counts via encode()/length().
+# ---------------------------------------------------------------------------
+
+
+def _synth_charset_bytes(docs: DataFrame) -> DataFrame:
+    import codecs
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                m = did % 6
+                if m == 0:
+                    raw = f"doc {did} plain ascii".encode("utf-8")
+                elif m == 1:
+                    raw = codecs.BOM_UTF8 + (
+                        f"doc {did} café ünïcode".encode()
+                    )
+                elif m == 2:
+                    raw = codecs.BOM_UTF16_LE + (
+                        f"doc {did} wide le".encode("utf-16-le")
+                    )
+                elif m == 3:
+                    raw = codecs.BOM_UTF16_BE + (
+                        f"doc {did} wide be".encode("utf-16-be")
+                    )
+                elif m == 4:
+                    raw = f"café {did} à la carte".encode(
+                        "latin-1"
+                    )
+                else:
+                    raw = f"doc {did} bare wide".encode("utf-16-le")
+                out.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q265_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import charset
+
+    docs = _t(spark, sf_dir, "documents")
+    return charset.sniff_transcode(_synth_charset_bytes(docs))
+
+
+Q265_SQL = """
+WITH t AS (
+  SELECT doc_id, doc_id % 6 AS m,
+         CASE doc_id % 6
+           WHEN 0 THEN 'doc ' || doc_id || ' plain ascii'
+           WHEN 1 THEN 'doc ' || doc_id || ' café ünïcode'
+           WHEN 2 THEN 'doc ' || doc_id || ' wide le'
+           WHEN 3 THEN 'doc ' || doc_id || ' wide be'
+           WHEN 4 THEN 'café ' || doc_id || ' à la carte'
+           ELSE 'doc ' || doc_id || ' bare wide'
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+              WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+              WHEN 4 THEN 'latin-1' ELSE 'utf-16-le' END AS encoding,
+       m IN (1, 2, 3) AS had_bom,
+       CAST(CASE m
+         WHEN 0 THEN octet_length(encode(text))
+         WHEN 1 THEN octet_length(encode(text)) + 3
+         WHEN 2 THEN 2 + 2 * length(text)
+         WHEN 3 THEN 2 + 2 * length(text)
+         WHEN 4 THEN length(text)
+         ELSE 2 * length(text)
+       END AS BIGINT) AS n_bytes,
+       CAST(length(text) AS INT) AS n_chars,
+       text
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q266 — composite-font (CID/Type0) PDF text extraction: the dominant
+# real-world PDF encoding.  Same planted pages as q257, but every line
+# is shown as 2-byte CID hex strings (codes 0x0100+, ≠ Unicode) that
+# decode ONLY through the embedded /ToUnicode CMap (bfchar + bfrange
+# halves, sources/pdf.py:_parse_tounicode_cmap); layouts rotate
+# Flate / plain / ObjStm+XRef-stream so the CMap stream itself rides
+# every container path.  Oracle: the q257 closed form — text must be
+# byte-identical to the simple-font plant.
+# ---------------------------------------------------------------------------
+
+
+def _synth_pdf_cid(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = []
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                pages = [
+                    [
+                        f"doc {did} pg {p + 1} ln {k} (ok)"
+                        for k in range(1 + (did + p) % 4)
+                    ]
+                    for p in range(1 + did % 3)
+                ]
+                out.append(
+                    pdfmod.encode_pdf_fixture(
+                        pages,
+                        cid_font=True,
+                        compress_page=lambda p, d=did: (
+                            [None, "flate"][(d + p) % 2]
+                        ),
+                        use_tj_array_every=3,
+                        use_objstm=(did % 3 == 1),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q266_pdf_cid_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return pdfmod.pdf_text(_synth_pdf_cid(docs))
+
+
+# ---------------------------------------------------------------------------
+# q267 — DOCX full-package walk (sources/docx.py:extract_docx_parts):
+# body + headerN/footerN parts + footnotes/endnotes, each tagged with
+# part kind and ordinal; the separator/continuation pseudo-notes the
+# fixture always writes (ids -1/0, as Word does) must be skipped by
+# w:type.  Endnotes planted on even docs only, so presence/absence of
+# a whole part file is oracle-gated too.
+# ---------------------------------------------------------------------------
+
+
+def _synth_docx_parts(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import docx as docxmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                paras = [
+                    f"doc {did} para {k}\tA&B <x{(did + k) % 7}>"
+                    for k in range(2 + did % 3)
+                ]
+                out.append(
+                    docxmod.encode_docx_fixture(
+                        paras,
+                        runs_per_paragraph=1 + did % 4,
+                        headers=[[f"doc {did} header"]],
+                        footers=[[f"doc {did} footer"]],
+                        footnotes=[
+                            [f"doc {did} note {n}"]
+                            for n in range(1 + did % 2)
+                        ],
+                        endnotes=(
+                            [[f"doc {did} endnote"]]
+                            if did % 2 == 0
+                            else None
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q267_docx_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import docx as docxmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return docxmod.docx_parts_text(_synth_docx_parts(docs))
+
+
+Q267_SQL = """
+WITH body AS (
+  SELECT doc_id, UNNEST(range(1, 3 + doc_id % 3)) AS para
+  FROM documents
+), bt AS (
+  SELECT doc_id, 'document' AS part, 0 AS part_idx, para,
+         'doc ' || doc_id || ' para ' || (para - 1) || chr(9)
+           || 'A&B <x' || ((doc_id + para - 1) % 7) || '>' AS text
+  FROM body
+), hd AS (
+  SELECT doc_id, 'header' AS part, 1 AS part_idx, 1 AS para,
+         'doc ' || doc_id || ' header' AS text
+  FROM documents
+), ft AS (
+  SELECT doc_id, 'footer' AS part, 1 AS part_idx, 1 AS para,
+         'doc ' || doc_id || ' footer' AS text
+  FROM documents
+), fn0 AS (
+  SELECT doc_id, UNNEST(range(1, 2 + doc_id % 2)) AS part_idx
+  FROM documents
+), fn AS (
+  SELECT doc_id, 'footnote' AS part, part_idx, 1 AS para,
+         'doc ' || doc_id || ' note ' || (part_idx - 1) AS text
+  FROM fn0
+), en AS (
+  SELECT doc_id, 'endnote' AS part, 1 AS part_idx, 1 AS para,
+         'doc ' || doc_id || ' endnote' AS text
+  FROM documents WHERE doc_id % 2 = 0
+), u AS (
+  SELECT * FROM bt UNION ALL SELECT * FROM hd
+  UNION ALL SELECT * FROM ft UNION ALL SELECT * FROM fn
+  UNION ALL SELECT * FROM en
+)
+SELECT doc_id, part, CAST(part_idx AS INT) AS part_idx,
+       CAST(para AS INT) AS para,
+       CAST(length(text) AS INT) AS n_chars, text
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# q268 — the END-TO-END web-ingest chain, one lazy plan: WARC archive →
+# response payload bytes (sources/warc.py:warc_payloads) → charset
+# sniff + transcode (operators/charset.py — encodings rotate utf-8 /
+# utf-8+BOM / latin-1 by doc_id%3, with a planted 'café' so latin-1
+# bytes differ) → HTML main-content extraction (sources/html_text.py —
+# group-shared main text under doc-unique chrome) → exact-dup collapse.
+# Four mapInPandas tiers chained scan-side with ONE final shuffle (the
+# dedup groupBy); n_encodings per group proves byte-level diversity
+# collapsed to identical text.  This is the q34-class composition for
+# the crawl entry path.
+# ---------------------------------------------------------------------------
+
+
+def _synth_web_archives(docs: DataFrame) -> DataFrame:
+    import codecs
+
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                g = did % 19
+                paras = "".join(
+                    f"<p>group {g} café para {k}</p>" for k in range(3)
+                )
+                html = (
+                    "<html><head><title>t</title></head><body>"
+                    f"<nav><a href='/'>home {did}</a></nav>"
+                    f"<article>{paras}</article>"
+                    f"<footer><p>(c) {did} corp</p></footer>"
+                    "</body></html>"
+                )
+                m = did % 3
+                if m == 0:
+                    raw = html.encode("utf-8")
+                elif m == 1:
+                    raw = codecs.BOM_UTF8 + html.encode("utf-8")
+                else:
+                    raw = html.encode("latin-1")
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        [
+                            {
+                                "type": "response",
+                                "uri": f"http://g{g}.example/{did}",
+                                "status": 200,
+                                "http_content_type": "text/html",
+                                "payload": raw,
+                            }
+                        ],
+                        gzip_records=(did % 2 == 0),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q268_web_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import charset
+    from occupation_wage_etl_spark.sources import html_text
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    pay = warcmod.warc_payloads(_synth_web_archives(docs))
+    dec = charset.sniff_transcode(
+        pay.select("doc_id", F.col("payload").alias("content"))
+    )
+    dec = cached(dec)  # one decode pass feeds both branches below
+    main = html_text.main_text_distributed(
+        dec.selectExpr("doc_id", "text AS html")
+    )
+    joined = main.join(
+        dec.select("doc_id", "encoding", "had_bom"), "doc_id"
+    )
+    return (
+        joined.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            # utf-8 and utf-8+BOM are distinct byte-level variants
+            F.countDistinct("encoding", "had_bom").alias("n_encodings"),
+        )
+        .select("rep_doc_id", "n_dups", "n_encodings")
+    )
+
+
+Q268_SQL = """
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups,
+       count(DISTINCT doc_id % 3) AS n_encodings
+FROM documents GROUP BY doc_id % 19
+"""
+
+
+# ---------------------------------------------------------------------------
+# q269 — URL canonicalization (functions/url.py): the URL-level dedup
+# key for crawled corpora, entirely codegen (regexp chain — zero
+# Python, zero shuffles; the ONLY query-side cost is the scan).
+# Fixture rotates four variants by doc_id%4 — plain, uppercased
+# scheme/host + :80 + fragment, utm-decorated, and mixed real+tracking
+# params — and the oracle states the expected canonical form
+# closed-form (it does NOT replay the regexes, so the gate is on the
+# canonicalizer's OUTPUT contract, not its implementation).
+# ---------------------------------------------------------------------------
+
+
+def q269_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s7 = (did % 7).cast("string")
+    s5 = (did % 5).cast("string")
+    base = F.concat(
+        F.lit("http://www.site"), s7, F.lit(".example/path"), s5
+    )
+    m = did % 4
+    raw = (
+        F.when(m == 0, base)
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("HTTP://WWW.SITE"), s7, F.lit(".EXAMPLE:80/path"),
+                s5, F.lit("#frag"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(base, F.lit("?utm_source=x&utm_campaign=y")),
+        )
+        .otherwise(
+            F.concat(
+                base, F.lit("?id="), (did % 3).cast("string"),
+                F.lit("&utm_medium=z"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        U.canonicalize_url(raw).alias("canon_url"),
+        U.url_host(raw).alias("host"),
+        U.url_path(raw).alias("path"),
+    )
+
+
+Q269_SQL = """
+SELECT doc_id,
+       'http://www.site' || (doc_id % 7) || '.example/path'
+         || (doc_id % 5)
+         || CASE WHEN doc_id % 4 = 3
+                 THEN '?id=' || (doc_id % 3) ELSE '' END AS canon_url,
+       'www.site' || (doc_id % 7) || '.example' AS host,
+       '/path' || (doc_id % 5) AS path
+FROM documents
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -13457,6 +14200,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q257_pdf_text": q257_pdf_text,
     "q258_pdf_dup_pages": q258_pdf_dup_pages,
     "q259_docx_text": q259_docx_text,
+    "q260_warc_records": q260_warc_records,
+    "q261_wet_text": q261_wet_text,
+    "q262_wet_curation": q262_wet_curation,
+    "q263_html_main_text": q263_html_main_text,
+    "q264_html_boilerplate_collapse": q264_html_boilerplate_collapse,
+    "q265_charset_sniff": q265_charset_sniff,
+    "q266_pdf_cid_text": q266_pdf_cid_text,
+    "q267_docx_parts": q267_docx_parts,
+    "q268_web_ingest_chain": q268_web_ingest_chain,
+    "q269_url_canonicalize": q269_url_canonicalize,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13719,4 +14472,14 @@ ORACLE_SQL: dict[str, str] = {
     "q257_pdf_text": Q257_SQL,
     "q258_pdf_dup_pages": Q258_SQL,
     "q259_docx_text": Q259_SQL,
+    "q260_warc_records": Q260_SQL,
+    "q261_wet_text": Q261_SQL,
+    "q262_wet_curation": _wet_curate_oracle_sql(),
+    "q263_html_main_text": Q263_SQL,
+    "q264_html_boilerplate_collapse": Q264_SQL,
+    "q265_charset_sniff": Q265_SQL,
+    "q266_pdf_cid_text": Q257_SQL,
+    "q267_docx_parts": Q267_SQL,
+    "q268_web_ingest_chain": Q268_SQL,
+    "q269_url_canonicalize": Q269_SQL,
 }

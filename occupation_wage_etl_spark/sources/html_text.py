@@ -1,0 +1,163 @@
+"""HTML main-content text extraction — boilerplate-stripped page→text,
+the first transform applied to every crawled page in a web-scale text
+pipeline (the step between the WARC response payload and the curation
+funnel).
+
+Heuristic (deterministic, stdlib ``html.parser`` — no dependencies):
+
+- **Container stripping**: everything inside ``<script> <style>
+  <noscript> <template> <svg> <head> <nav> <header> <footer>
+  <aside>`` is dropped, at any nesting depth — the tag-semantics tier
+  of boilerplate removal (site chrome announces itself in HTML5).
+- **Block whitelist**: text is collected per block element from
+  ``<p> <h1>..<h6> <li> <pre> <blockquote>`` only; inline markup
+  (``a b i em span code`` …) flows into its enclosing block.  Stray
+  text in bare ``<div>``/``<body>`` (ads, tracking pixels' alt text)
+  is not main content.
+- **Link-density filter**: a block whose characters live ENTIRELY
+  inside ``<a>`` anchors is navigation, not prose (in-body menus,
+  "related articles" lists) and is dropped — the char-level
+  link-density rule from the boilerplate literature (Kohlschütter et
+  al., boilerpipe; threshold 1.0 keeps the rule exact/replayable).
+- Whitespace inside a block collapses to single spaces; blocks join
+  with ``\\n``.
+
+Reference parity note: the reference parses *tables* from one BLS page
+(``pipeline/load_data.py:53-84``, see sources/html_table.py); it has no
+page→text operator.  This module is part of the LLM-training-data
+extension surface (SURVEY.md §2 extensions).
+
+Scale shape: embarrassingly parallel scan-side ``mapInPandas`` — one
+task per file split, zero shuffles, same layout as pdf_text/wet_text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_SKIP_TAGS = frozenset(
+    (
+        "script", "style", "noscript", "template", "svg", "head",
+        "nav", "header", "footer", "aside",
+    )
+)
+_BLOCK_TAGS = frozenset(
+    ("p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote")
+)
+_VOID_TAGS = frozenset(
+    ("br", "hr", "img", "input", "meta", "link", "area", "base",
+     "col", "embed", "source", "track", "wbr")
+)
+
+
+class _MainTextParser(HTMLParser):
+    """Collects (tag, text, link_chars, total_chars) per whitelist block
+    outside skip containers."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str, int, int]] = []
+        self._skip_depth = 0
+        self._block_stack: list[list] = []  # [tag, parts, link, total]
+        self._anchor_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            return
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        elif tag in _BLOCK_TAGS:
+            # HTML5 implicit close: <li>a<li>b / <p>a<p>b are siblings
+            if self._block_stack and self._block_stack[-1][0] == tag:
+                self._close_block(len(self._block_stack) - 1)
+            self._block_stack.append([tag, [], 0, 0])
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            if self._anchor_depth:
+                self._anchor_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            # close the innermost matching open block (HTML recovery:
+            # unclosed inner blocks fold into their parent)
+            for i in range(len(self._block_stack) - 1, -1, -1):
+                if self._block_stack[i][0] == tag:
+                    self._close_block(i)
+                    break
+
+    def _close_block(self, i: int) -> None:
+        closed = self._block_stack[i]
+        # inner blocks past i fold their text into `closed`
+        for inner in self._block_stack[i + 1 :]:
+            closed[1].extend(inner[1])
+            closed[2] += inner[2]
+            closed[3] += inner[3]
+        del self._block_stack[i:]
+        text = " ".join("".join(closed[1]).split())
+        if text:
+            self.blocks.append((closed[0], text, closed[2], closed[3]))
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not self._block_stack:
+            return
+        cur = self._block_stack[-1]
+        cur[1].append(data)
+        n = len("".join(data.split()))
+        cur[3] += n
+        if self._anchor_depth:
+            cur[2] += n
+
+
+def extract_main_blocks(html: str) -> list[tuple[str, str]]:
+    """(tag, text) per surviving content block, document order."""
+    p = _MainTextParser()
+    p.feed(html or "")
+    p.close()
+    out = []
+    for tag, text, link_chars, total_chars in p.blocks:
+        if total_chars > 0 and link_chars == total_chars:
+            continue  # pure-link block = navigation
+        out.append((tag, text))
+    return out
+
+
+def extract_main_text(html: str) -> str:
+    """Boilerplate-stripped page text: surviving blocks joined by \\n."""
+    return "\n".join(t for _tag, t in extract_main_blocks(html))
+
+
+def main_text_distributed(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_blocks, n_chars, text) per page — scan-side
+    ``mapInPandas``, zero shuffles; output text feeds quality/lang-ID/
+    dedup like any other document column."""
+    schema = f"{id_col} long, n_blocks int, n_chars int, text string"
+    cols = [id_col, "n_blocks", "n_chars", "text"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, page in zip(batch[id_col], batch[html_col]):
+                blocks = extract_main_blocks(str(page or ""))
+                text = "\n".join(t for _tag, t in blocks)
+                rows.append((int(rid), len(blocks), len(text), text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)

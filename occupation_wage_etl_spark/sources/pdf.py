@@ -504,18 +504,127 @@ def _decode_stream(d: dict, raw: bytes) -> bytes:
     return out
 
 
-def _content_text(content: bytes) -> str:
-    """Execute the text-showing operators of one content stream."""
+def _utf16be_hex_to_str(h: bytes) -> str:
+    """UTF-16BE hex (the ToUnicode dst encoding, §9.10.3) → str."""
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """A /ToUnicode CMap stream (§9.10.3) → (code byte-width, code→text
+    map).  Handles codespacerange (width), bfchar pairs, and both
+    bfrange forms — ``<lo> <hi> <dstStart>`` (increment the LAST
+    UTF-16 code unit) and ``<lo> <hi> [<dst> ...]`` (explicit array).
+    Composite (CID) fonts — the dominant real-world case — need this
+    map for any text extraction at all."""
+    width = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        h = re.search(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if h:
+            width = max(1, len(h.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", sec.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            mapping[int(toks[k], 16)] = _utf16be_hex_to_str(toks[k + 1])
+    entry_re = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+        rb"(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+        re.S,
+    )
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for em in entry_re.finditer(sec.group(1)):
+            lo, hi = int(em.group(1), 16), int(em.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                raise ValueError("corrupt PDF: bad bfrange extent")
+            dst = em.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for k, code in enumerate(range(lo, hi + 1)):
+                    if k < len(dsts):
+                        mapping[code] = _utf16be_hex_to_str(dsts[k])
+            else:
+                base = bytes.fromhex(dst.strip(b"<>").decode("ascii"))
+                if len(base) % 2:
+                    base += b"\x00"
+                units = [
+                    int.from_bytes(base[k : k + 2], "big")
+                    for k in range(0, len(base), 2)
+                ]
+                for off, code in enumerate(range(lo, hi + 1)):
+                    u = units[:-1] + [units[-1] + off]
+                    mapping[code] = b"".join(
+                        x.to_bytes(2, "big") for x in u
+                    ).decode("utf-16-be", "replace")
+    return width, mapping
+
+
+def _page_fonts(objs, pval: dict) -> dict[str, tuple[int, dict[int, str]]]:
+    """Font-name → ToUnicode map for a page; /Resources may be
+    inherited from an ancestor Pages node (§7.7.3.4)."""
+    res = None
+    node: dict | None = pval
+    for _ in range(32):
+        if not isinstance(node, dict):
+            break
+        if "/Resources" in node:
+            res = _resolve(objs, node["/Resources"])
+            break
+        par = node.get("/Parent")
+        node = _resolve(objs, par) if par is not None else None
+    if not isinstance(res, dict):
+        return {}
+    fdict = _resolve(objs, res.get("/Font"))
+    if not isinstance(fdict, dict):
+        return {}
+    fonts: dict[str, tuple[int, dict[int, str]]] = {}
+    for name, ref in fdict.items():
+        fobj = _resolve(objs, ref)
+        if not isinstance(fobj, dict):
+            continue
+        tu = fobj.get("/ToUnicode")
+        if isinstance(tu, tuple) and tu[0] == "ref":
+            cval, craw = objs.get(tu[1], (None, None))
+            if craw is not None:
+                fonts[name] = _parse_tounicode_cmap(
+                    _decode_stream(cval, craw)
+                )
+    return fonts
+
+
+def _content_text(
+    content: bytes,
+    fonts: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> str:
+    """Execute the text-showing operators of one content stream.
+    ``fonts`` carries per-font ToUnicode maps; string operands of a
+    mapped font decode code-by-code through the CMap, everything else
+    through the simple-font Latin-1 path."""
     i = 0
     parts: list[str] = []
     stack: list[object] = []  # operand stack (strings/arrays/numbers)
+    cur_font: list[str | None] = [None]
 
     def newline() -> None:
         if parts and parts[-1] != "\n":
             parts.append("\n")
 
     def show(sb: bytes) -> None:
-        parts.append(sb.decode("latin-1"))
+        fm = fonts.get(cur_font[0]) if fonts and cur_font[0] else None
+        if fm is None:
+            parts.append(sb.decode("latin-1"))
+            return
+        width, mapping = fm
+        parts.append(
+            "".join(
+                mapping.get(
+                    int.from_bytes(sb[j : j + width], "big"), "�"
+                )
+                for j in range(0, len(sb) - width + 1, width)
+            )
+        )
 
     n = len(content)
     while i < n:
@@ -560,6 +669,10 @@ def _content_text(content: bytes) -> str:
                 for el in stack[-1]:
                     if isinstance(el, bytes):
                         show(el)  # kern numbers skipped by design
+            elif op == b"Tf":
+                # /FontName size Tf: switch the active font
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    cur_font[0] = stack[-2]
             elif op in (b"Td", b"TD"):
                 # vertical move => line break (ty operand is on top)
                 if (
@@ -607,7 +720,9 @@ def extract_pdf_text(data: bytes, max_pages: int = 64) -> list[str]:
             chunks.append(_decode_stream(cval, craw))
         # §7.8.2: multiple content streams form ONE stream when
         # concatenated with whitespace between them
-        out.append(_content_text(b"\n".join(chunks)))
+        out.append(
+            _content_text(b"\n".join(chunks), _page_fonts(objs, pval))
+        )
     return out
 
 
@@ -667,6 +782,7 @@ def encode_pdf_fixture(
     use_objstm: bool = False,
     indirect_length: bool = False,
     indirect_kids: bool = False,
+    cid_font: bool = False,
 ) -> bytes:
     """A VALID minimal PDF: catalog → pages tree → per-page content
     streams (Helvetica, one ``Td`` line advance per line), correct
@@ -685,15 +801,29 @@ def encode_pdf_fixture(
     length object placed AFTER the stream data (the
     unknown-size-at-write-time layout, §7.3.8.2 note 2);
     ``indirect_kids`` stores the pages tree's /Kids array as its own
-    indirect object referenced from /Pages."""
+    indirect object referenced from /Pages.  ``cid_font`` renders every
+    line through a composite Type0/Identity-H font: glyphs are shown as
+    2-byte CID hex strings decodable ONLY via the embedded /ToUnicode
+    CMap (codes 0x0100+, deliberately ≠ Unicode values; half the
+    charset mapped via bfchar pairs, half via a bfrange array) — the
+    dominant real-world PDF text encoding."""
     objects: list[bytes] = []  # bodies, object number = index+1
 
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
     # trailing objects (after the font): per-page length objects when
-    # indirect_length, then the kids array when indirect_kids
+    # indirect_length, then the kids array when indirect_kids, then
+    # the ToUnicode CMap stream + descendant CIDFont when cid_font
     len_num0 = font_num + 1
     kids_num = len_num0 + (n_pages if indirect_length else 0)
+    cmap_num = kids_num + (1 if indirect_kids else 0)
+    desc_num = cmap_num + 1
+    cid_codes: dict[str, int] = {}
+    if cid_font:
+        charset = sorted({c for pg in pages for ln in pg for c in ln})
+        if len(charset) > 0xFEFF:
+            raise ValueError("fixture: cid_font charset too large")
+        cid_codes = {c: 0x0100 + k for k, c in enumerate(charset)}
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     kids_val = f"{kids_num} 0 R" if indirect_kids else f"[{kids}]"
@@ -712,10 +842,27 @@ def encode_pdf_fixture(
             ).encode()
         )
         body = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+
+        def _cid_hex(s: str) -> bytes:
+            return "".join(f"{cid_codes[c]:04X}" for c in s).encode()
+
         for k, line in enumerate(lines):
             if k > 0:
                 body += b"0 -14 Td\n"
-            if hex_lines and k % 2 == 1:
+            if cid_font:
+                if (
+                    use_tj_array_every
+                    and k % use_tj_array_every == 0
+                    and len(line) > 2
+                ):
+                    mid = len(line) // 2
+                    body += (
+                        b"[ <" + _cid_hex(line[:mid]) + b"> -120 <"
+                        + _cid_hex(line[mid:]) + b"> ] TJ\n"
+                    )
+                else:
+                    body += b"<" + _cid_hex(line) + b"> Tj\n"
+            elif hex_lines and k % 2 == 1:
                 body += (
                     b"<" + line.encode("latin-1").hex().encode() + b"> Tj\n"
                 )
@@ -774,9 +921,18 @@ def encode_pdf_fixture(
         objects.append(
             head + b"\nstream\n" + data + b"\nendstream"
         )
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    if cid_font:
+        objects.append(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+                f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R "
+                f"/DescendantFonts [{desc_num} 0 R] >>"
+            ).encode()
+        )
+    else:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
     if indirect_length:
         if use_objstm:
             raise ValueError(
@@ -786,6 +942,49 @@ def encode_pdf_fixture(
             objects.append(str(ln).encode())
     if indirect_kids:
         objects.append(f"[{kids}]".encode())
+    if cid_font:
+        items = sorted(cid_codes.items(), key=lambda kv: kv[1])
+        half = len(items) // 2
+        cm = [
+            b"/CIDInit /ProcSet findresource begin",
+            b"12 dict begin",
+            b"begincmap",
+            b"1 begincodespacerange",
+            b"<0000> <FFFF>",
+            b"endcodespacerange",
+        ]
+        # first half: bfchar pairs (chunks of <=100 per §9.10.3)
+        for s in range(0, half, 100):
+            chunk = items[s : min(s + 100, half)]
+            cm.append(f"{len(chunk)} beginbfchar".encode())
+            for ch, code in chunk:
+                dst = ch.encode("utf-16-be").hex().upper()
+                cm.append(f"<{code:04X}> <{dst}>".encode())
+            cm.append(b"endbfchar")
+        # second half: ONE bfrange with an explicit dst array
+        if half < len(items):
+            lo = items[half][1]
+            hi = items[-1][1]
+            dsts = " ".join(
+                f"<{ch.encode('utf-16-be').hex().upper()}>"
+                for ch, _ in items[half:]
+            )
+            cm.append(b"1 beginbfrange")
+            cm.append(f"<{lo:04X}> <{hi:04X}> [{dsts}]".encode())
+            cm.append(b"endbfrange")
+        cm += [b"endcmap", b"CMapName currentdict /CMap defineresource pop",
+               b"end", b"end"]
+        cmap_body = b"\n".join(cm)
+        objects.append(
+            f"<< /Length {len(cmap_body)} >>\nstream\n".encode()
+            + cmap_body
+            + b"\nendstream"
+        )
+        objects.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
 
     if not use_objstm:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

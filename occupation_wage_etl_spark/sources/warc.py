@@ -1,0 +1,389 @@
+"""WARC / WET web-archive source — the canonical input container of
+web-scale text corpora (ISO 28500 / WARC 1.1; the WET "conversion"
+flavor is the text-extract sidecar Common Crawl publishes next to every
+crawl segment).
+
+Layout contract (the Common Crawl convention): an archive is a
+concatenation of records; when gzip-compressed, EACH record is its own
+gzip member, so a 1 GiB .warc.gz splits at member boundaries without
+parsing — here the whole archive arrives as one binary cell and is
+walked record-by-record inside a scan-side ``mapInPandas`` (zero
+shuffles; the 100 TB layout is many archive files scanned in parallel,
+one task per file split, exactly like the PDF/DOCX/MP4 tiers).
+
+Record grammar (ISO 28500 §4): a version line ``WARC/1.0``, named
+header fields (``Name: value``, RFC 5322 continuation-line folding),
+a blank line, ``Content-Length`` octets of block, then CRLF CRLF.
+``response`` records carry a full HTTP message in the block
+(status line + headers + payload); ``conversion`` (WET) records carry
+the extracted plain text directly.
+
+Reference parity note: the reference pipeline (pipeline/load_data.py)
+has no web-archive tier at all; this module is part of the engine's
+LLM-training-data extension surface (SURVEY.md §2 extensions) and
+derives only from the public ISO 28500 spec and the Common Crawl file
+conventions.  Everything downstream — curation funnel, dedup, lang-ID
+— consumes the extracted text like any other document column (q260 /
+q261 / the q262 WET→curation bridge).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_CRLF = b"\r\n"
+
+
+# --------------------------------------------------------------- gunzip
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the member-per-record
+    WARC layout, or a single whole-archive member) into one buffer."""
+    out = bytearray()
+    while data:
+        d = zlib.decompressobj(31)  # gzip wrapper
+        try:
+            out += d.decompress(data)
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"corrupt WARC: bad gzip member ({exc})")
+        if not d.eof:
+            raise ValueError("corrupt WARC: truncated gzip member")
+        data = d.unused_data
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- parse
+
+
+def _read_line(data: bytes, pos: int) -> tuple[bytes, int]:
+    e = data.find(b"\n", pos)
+    if e < 0:
+        return data[pos:], len(data)
+    line = data[pos:e]
+    if line.endswith(b"\r"):
+        line = line[:-1]
+    return line, e + 1
+
+
+def _parse_headers(data: bytes, pos: int) -> tuple[dict[str, str], int]:
+    """Named fields up to the blank line; continuation lines (leading
+    SP/HT) fold into the previous value (ISO 28500 §4 / RFC 5322)."""
+    headers: dict[str, str] = {}
+    last: str | None = None
+    while pos < len(data):
+        line, pos = _read_line(data, pos)
+        if not line:
+            break
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError("corrupt WARC: malformed header line")
+        key = name.strip().decode("latin-1").lower()
+        headers[key] = value.strip().decode("latin-1")
+        last = key
+    return headers, pos
+
+
+def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, payload) out of an HTTP message block."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        sep = block.find(b"\n\n")
+        body_at = sep + 2 if sep >= 0 else len(block)
+    else:
+        body_at = sep + 4
+    head = block[: sep if sep >= 0 else len(block)]
+    status: int | None = None
+    ctype: str | None = None
+    line, pos = _read_line(head, 0)
+    parts = line.split()
+    if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    hdrs, _ = _parse_headers(head + b"\n", pos)
+    ctype = hdrs.get("content-type")
+    return status, ctype, block[body_at:]
+
+
+def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
+    """All records of a WARC/WET archive (plain or gzip-member
+    compressed), each a dict of the catalog fields plus the raw block
+    and — for ``response`` records — the parsed HTTP payload.
+    Fan-out is bounded by ``max_records`` (the 100 TB cap, same rule
+    as pdf_text's max_pages)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    while pos < len(data) and len(records) < max_records:
+        # skip inter-record CRLFs
+        while pos < len(data) and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= len(data):
+            break
+        line, pos = _read_line(data, pos)
+        if not line.startswith(b"WARC/"):
+            raise ValueError("corrupt WARC: missing version line")
+        headers, pos = _parse_headers(data, pos)
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("corrupt WARC: missing/bad Content-Length")
+        if pos + length > len(data):
+            raise ValueError("corrupt WARC: truncated record block")
+        block = data[pos : pos + length]
+        pos += length
+        rec = {
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "block": block,
+            "http_status": None,
+            "http_content_type": None,
+            "payload": block,
+        }
+        ctype = (rec["content_type"] or "").lower()
+        if ctype.startswith("application/http"):
+            status, hct, payload = _parse_http_block(block)
+            rec["http_status"] = status
+            rec["http_content_type"] = hct
+            rec["payload"] = payload
+        records.append(rec)
+    return records
+
+
+def extract_wet_text(data: bytes, max_records: int = 4096) -> list[dict]:
+    """The WET view: one (uri, date, text) entry per ``conversion``
+    record, text decoded as UTF-8 (the WET contract; undecodable bytes
+    replaced, never raising on a single bad page)."""
+    out = []
+    for rec in parse_warc(data, max_records=max_records):
+        if rec["warc_type"] != "conversion":
+            continue
+        out.append(
+            {
+                "target_uri": rec["target_uri"],
+                "warc_date": rec["warc_date"],
+                "text": rec["block"].decode("utf-8", "replace"),
+            }
+        )
+    return out
+
+
+# ------------------------------------------------------------ operators
+
+
+def warc_records(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    max_records: int = 4096,
+) -> DataFrame:
+    """One row per record of each archive payload: the catalog fields
+    plus HTTP status/content-type and payload size for response
+    records.  Scan-side ``mapInPandas``, zero shuffles."""
+    schema = (
+        f"{id_col} long, rec_idx int, warc_type string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, http_status int, "
+        "http_content_type string, payload_len long"
+    )
+    cols = [
+        id_col, "rec_idx", "warc_type", "target_uri", "warc_date",
+        "content_type", "content_length", "http_status",
+        "http_content_type", "payload_len",
+    ]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, payload in zip(batch[id_col], batch[bin_col]):
+                recs = parse_warc(
+                    bytes(payload or b""), max_records=max_records
+                )
+                for k, rec in enumerate(recs):
+                    rows.append(
+                        (
+                            int(rid), k, rec["warc_type"],
+                            rec["target_uri"], rec["warc_date"],
+                            rec["content_type"], rec["content_length"],
+                            rec["http_status"], rec["http_content_type"],
+                            len(rec["payload"]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+def warc_payloads(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    max_records: int = 4096,
+    warc_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """(id, rec_idx, target_uri, http_status, http_content_type,
+    payload) — the raw payload bytes of each matching record, for the
+    downstream bytes→text tiers (charset sniff, HTML extraction).
+    ``rec_idx`` is the per-archive ordinal among matching records."""
+    schema = (
+        f"{id_col} long, rec_idx int, target_uri string, "
+        "http_status int, http_content_type string, payload binary"
+    )
+    cols = [
+        id_col, "rec_idx", "target_uri", "http_status",
+        "http_content_type", "payload",
+    ]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, payload in zip(batch[id_col], batch[bin_col]):
+                recs = parse_warc(
+                    bytes(payload or b""), max_records=max_records
+                )
+                k = 0
+                for rec in recs:
+                    if rec["warc_type"] not in warc_types:
+                        continue
+                    rows.append(
+                        (
+                            int(rid), k, rec["target_uri"],
+                            rec["http_status"],
+                            rec["http_content_type"], rec["payload"],
+                        )
+                    )
+                    k += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+def wet_text(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    max_records: int = 4096,
+) -> DataFrame:
+    """(id, rec_idx [per-archive conversion-record ordinal], uri,
+    n_chars, text) — the WET text table, ready for the curation funnel
+    (quality → lang-ID → dedup) exactly like the documents table."""
+    schema = (
+        f"{id_col} long, rec_idx int, target_uri string, "
+        "n_chars int, text string"
+    )
+    cols = [id_col, "rec_idx", "target_uri", "n_chars", "text"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, payload in zip(batch[id_col], batch[bin_col]):
+                recs = extract_wet_text(
+                    bytes(payload or b""), max_records=max_records
+                )
+                for k, rec in enumerate(recs):
+                    rows.append(
+                        (
+                            int(rid), k, rec["target_uri"],
+                            len(rec["text"]), rec["text"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+# ------------------------------------------------------ fixture writer
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    """One deterministic gzip member (mtime 0, no filename)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    # compressobj(wbits=31) writes a fixed header with mtime 0 — unlike
+    # gzip.compress, which stamps wall-clock time
+    return co.compress(raw) + co.flush()
+
+
+def encode_warc_fixture(
+    records: list[dict],
+    gzip_records: bool = False,
+    warcinfo: bool = True,
+) -> bytes:
+    """A VALID minimal WARC/WET archive.  Each entry of ``records``:
+
+    - ``{"type": "conversion", "uri": ..., "date": ..., "text": str}``
+      (a WET record), or
+    - ``{"type": "response", "uri": ..., "date": ..., "status": int,
+      "http_content_type": str, "payload": bytes}`` (a crawl record
+      wrapping a full HTTP/1.1 message), or
+    - ``{"type": <other>, "body": bytes}`` for anything else.
+
+    ``gzip_records`` emits the Common Crawl member-per-record layout;
+    ``warcinfo`` prepends the customary archive-metadata record."""
+    out = bytearray()
+    items = list(records)
+    if warcinfo:
+        items.insert(
+            0,
+            {
+                "type": "warcinfo",
+                "content_type": "application/warc-fields",
+                "body": b"software: occupation-wage-etl-spark\r\n",
+            },
+        )
+    for idx, spec in enumerate(items):
+        rtype = spec["type"]
+        if rtype == "response":
+            payload = spec["payload"]
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            http = (
+                f"HTTP/1.1 {spec.get('status', 200)} OK\r\n"
+                f"Content-Type: "
+                f"{spec.get('http_content_type', 'text/html')}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1") + payload
+            block = http
+            ctype = "application/http; msgtype=response"
+        elif rtype == "conversion":
+            block = spec["text"].encode("utf-8")
+            ctype = "text/plain"
+        else:
+            block = spec.get("body", b"")
+            if isinstance(block, str):
+                block = block.encode("utf-8")
+            ctype = spec.get("content_type", "application/octet-stream")
+        head = [f"WARC/1.0"]
+        head.append(f"WARC-Type: {rtype}")
+        head.append(
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-"
+            f"{idx:012d}>"
+        )
+        head.append(
+            f"WARC-Date: {spec.get('date', '2024-01-01T00:00:00Z')}"
+        )
+        if spec.get("uri"):
+            head.append(f"WARC-Target-URI: {spec['uri']}")
+        head.append(f"Content-Type: {ctype}")
+        head.append(f"Content-Length: {len(block)}")
+        rec = (
+            ("\r\n".join(head) + "\r\n\r\n").encode("latin-1")
+            + block
+            + b"\r\n\r\n"
+        )
+        out += _gzip_member(rec) if gzip_records else rec
+    return bytes(out)

@@ -97,3 +97,56 @@ def test_spark_operator(spark):
     got = docx.docx_text(df).orderBy("doc_id", "para").collect()
     assert len(got) == sum(1 + d % 3 for d in range(6))
     assert got[0].text == "doc 0 para 0" and got[0].n_chars == 12
+
+
+def test_parts_walk_headers_footers_notes():
+    data = docx.encode_docx_fixture(
+        ["body one", "body two"],
+        runs_per_paragraph=2,
+        headers=[["head A"], ["head B line", "head B two"]],
+        footers=[["foot 1"]],
+        footnotes=[["note one"], ["note two\twith tab"]],
+        endnotes=[["end one"]],
+    )
+    parts = docx.extract_docx_parts(data)
+    assert parts == [
+        ("document", 0, 1, "body one"),
+        ("document", 0, 2, "body two"),
+        ("header", 1, 1, "head A"),
+        ("header", 2, 1, "head B line"),
+        ("header", 2, 2, "head B two"),
+        ("footer", 1, 1, "foot 1"),
+        ("footnote", 1, 1, "note one"),
+        ("footnote", 2, 1, "note two\twith tab"),
+        ("endnote", 1, 1, "end one"),
+    ]
+    # separator/continuation pseudo-notes carry a <w:p> but no text —
+    # they must be skipped by w:type, not by emptiness
+    assert not any(p[0] == "footnote" and p[1] <= 0 for p in parts)
+    # body-only extraction unchanged
+    assert docx.extract_docx_text(data) == ["body one", "body two"]
+
+
+def test_parts_walk_body_only_document():
+    data = docx.encode_docx_fixture(["just body"])
+    assert docx.extract_docx_parts(data) == [
+        ("document", 0, 1, "just body")
+    ]
+
+
+def test_parts_spark_operator(spark):
+    rows = [
+        (did, docx.encode_docx_fixture(
+            [f"doc {did} body"],
+            headers=[[f"doc {did} header"]],
+            footnotes=[[f"doc {did} note {k}"] for k in range(1 + did % 2)],
+        ))
+        for did in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = docx.docx_parts_text(df).collect()
+    by_key = {(r.doc_id, r.part, r.part_idx): r.text for r in got}
+    assert by_key[(3, "document", 0)] == "doc 3 body"
+    assert by_key[(3, "header", 1)] == "doc 3 header"
+    assert by_key[(1, "footnote", 2)] == "doc 1 note 1"
+    assert len(got) == sum(1 + 1 + 1 + d % 2 for d in range(4))

@@ -1,0 +1,108 @@
+"""HTML main-content extraction (sources/html_text.py): container
+stripping, block whitelist, link-density navigation drop, entity
+decoding, tag-soup recovery, and the Spark operator."""
+
+from __future__ import annotations
+
+from occupation_wage_etl_spark.sources import html_text
+
+
+PAGE = """
+<html><head><title>T</title><style>p{color:red}</style>
+<script>var x = "<p>not text</p>";</script></head>
+<body>
+  <header><h1>Site Chrome Title</h1></header>
+  <nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></nav>
+  <div class="ad">sponsored text in bare div</div>
+  <article>
+    <h1>Real Headline</h1>
+    <p>First paragraph with <b>bold</b> &amp; an <a href="x">inline link</a>.</p>
+    <ul>
+      <li><a href="/r1">Related one</a></li>
+      <li><a href="/r2">Related two</a></li>
+    </ul>
+    <li>Item with text and <a href="y">a link</a></li>
+    <blockquote>Quoted   wisdom
+       across lines</blockquote>
+    <pre>code block</pre>
+  </article>
+  <aside><p>You may also like</p></aside>
+  <footer><p>© 2024 Example Corp</p></footer>
+</body></html>
+"""
+
+
+def test_main_blocks_strip_chrome_and_nav():
+    blocks = html_text.extract_main_blocks(PAGE)
+    assert blocks == [
+        ("h1", "Real Headline"),
+        ("p", "First paragraph with bold & an inline link."),
+        ("li", "Item with text and a link"),
+        ("blockquote", "Quoted wisdom across lines"),
+        ("pre", "code block"),
+    ]
+    text = html_text.extract_main_text(PAGE)
+    assert "Site Chrome" not in text
+    assert "Home" not in text and "Related one" not in text
+    assert "sponsored" not in text
+    assert "also like" not in text and "Example Corp" not in text
+    assert "not text" not in text  # script body
+
+
+def test_pure_link_block_dropped_mixed_kept():
+    html = (
+        "<p><a href='x'>only a link</a></p>"
+        "<p>text <a href='x'>and link</a></p>"
+    )
+    blocks = html_text.extract_main_blocks(html)
+    assert blocks == [("p", "text and link")]
+
+
+def test_unclosed_tags_fold_into_parent():
+    # unclosed <li>s are legal HTML; each </ul>-less li folds on the
+    # next close — recovery must not lose text
+    html = "<li>alpha<li>beta</li><p>gamma"
+    blocks = html_text.extract_main_blocks(html)
+    texts = [t for _tag, t in blocks]
+    assert "beta" in " ".join(texts) and "alpha" in " ".join(texts)
+    # no <p> close: gamma is never emitted (document-end flush is not
+    # part of the contract; real pages close their blocks)
+    html2 = "<p>one</p><p>two</p>"
+    assert [t for _, t in html_text.extract_main_blocks(html2)] == [
+        "one", "two",
+    ]
+
+
+def test_nested_skip_containers():
+    html = (
+        "<nav><div><p>deep nav text</p></div></nav>"
+        "<p>real</p>"
+        "<footer><nav><p>double</p></nav></footer>"
+    )
+    assert html_text.extract_main_text(html) == "real"
+
+
+def test_entities_and_whitespace():
+    html = "<p>a &lt;tag&gt; &amp;\n\t  b</p>"
+    assert html_text.extract_main_text(html) == "a <tag> & b"
+
+
+def test_spark_operator(spark):
+    rows = [
+        (
+            i,
+            f"<html><body><nav><a href='/'>menu {i}</a></nav>"
+            f"<p>doc {i} body text</p>"
+            f"<footer>foot</footer></body></html>",
+        )
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r
+        for r in html_text.main_text_distributed(df).collect()
+    }
+    assert len(got) == 5
+    assert got[3]["text"] == "doc 3 body text"
+    assert got[3]["n_blocks"] == 1
+    assert got[3]["n_chars"] == len("doc 3 body text")

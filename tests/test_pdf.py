@@ -110,6 +110,84 @@ def test_indirect_length_stream_containing_endstream_token():
     assert texts == ["okendstream\nok"]
 
 
+def test_cid_font_tounicode_round_trip():
+    # composite Type0/Identity-H font: codes are NOT char codes; text
+    # is recoverable only through the /ToUnicode CMap (bfchar + bfrange
+    # array halves) — across every container layout
+    pages = [["Hello (World) fi", "line 2 café"], ["page two"]]
+    for opts in (
+        dict(cid_font=True),
+        dict(cid_font=True, use_tj_array_every=2),
+        dict(cid_font=True, compress_page=lambda p: True),
+        dict(cid_font=True, use_objstm=True),
+        dict(cid_font=True, indirect_length=True, indirect_kids=True),
+    ):
+        data = pdf.encode_pdf_fixture(pages, **opts)
+        assert pdf.extract_pdf_text(data) == [
+            "\n".join(p) for p in pages
+        ], opts
+    # raw codes must not leak: without the CMap the hex shows garbage
+    data = pdf.encode_pdf_fixture(pages, cid_font=True)
+    assert b"Hello" not in data
+
+
+def test_tounicode_cmap_forms_directly():
+    w, m = pdf._parse_tounicode_cmap(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0100> <00660069> <0101> <0041> endbfchar\n"
+        b"1 beginbfrange <0041> <0043> <0061> endbfrange\n"
+        b"1 beginbfrange <0200> <0201> [<0058> <0059>] endbfrange"
+    )
+    assert w == 2
+    assert m[0x0100] == "fi"  # multi-char (ligature) dst
+    assert m[0x0101] == "A"
+    # <lo> <hi> <dstStart>: increments the last UTF-16 unit
+    assert (m[0x41], m[0x42], m[0x43]) == ("a", "b", "c")
+    assert (m[0x200], m[0x201]) == ("X", "Y")
+    # 1-byte codespace
+    w1, m1 = pdf._parse_tounicode_cmap(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <005A> endbfchar"
+    )
+    assert w1 == 1 and m1[0x41] == "Z"
+
+
+def test_resources_inherited_from_pages_node():
+    # §7.7.3.4: /Resources (and thus the font table) may live on an
+    # ancestor Pages node; the extractor must walk /Parent to find it
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0100> <0102> <0061> endbfrange"
+    )
+    content = b"BT /F9 12 Tf 72 720 Td\n<010001010102> Tj\nET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F9 6 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /S "
+        b"/Encoding /Identity-H /ToUnicode 5 0 R >>",
+    ]
+    raw = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, b_ in enumerate(objs, start=1):
+        offsets.append(len(raw))
+        raw += f"{num} 0 obj\n".encode() + b_ + b"\nendobj\n"
+    xref_off = len(raw)
+    raw += b"xref\n0 7\n0000000000 65535 f \n"
+    for off in offsets:
+        raw += f"{off:010d} 00000 n \n".encode()
+    raw += (
+        f"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n{xref_off}"
+        "\n%%EOF\n"
+    ).encode()
+    assert pdf.extract_pdf_text(bytes(raw)) == ["abc"]
+
+
 def test_indirect_kids_array_resolved():
     # /Kids given as an indirect reference to the array: the tree walk
     # must resolve it — a silent partial order would drop every page

@@ -1,0 +1,79 @@
+"""URL canonicalization (functions/url.py): fragment/case/port/
+tracking-param rules and the decomposition helpers — all codegen
+Column expressions, checked through a real Spark plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.functions import url as U
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, u string")
+    rows = (
+        df.select("i", U.canonicalize_url(F.col("u")).alias("c"))
+        .orderBy("i").collect()
+    )
+    return [r["c"] for r in rows]
+
+
+def test_canonicalize_rules(spark):
+    got = _canon(spark, [
+        "HTTP://WWW.Site.EXAMPLE:80/Path/Page?x=1#frag",
+        "https://host.example:443/a",
+        "http://host.example:8080/a",          # non-default port kept
+        "http://h.example/p?utm_source=x&utm_campaign=y",
+        "http://h.example/p?id=7&utm_medium=z",
+        "http://h.example/p?utm_source=x&id=7",
+        "http://h.example/p?gclid=abc&fbclid=def",
+        "http://h.example/UPPER/case?Q=Mixed",  # path/query case kept
+        "http://h.example/trail/",              # trailing slash kept
+    ])
+    assert got == [
+        "http://www.site.example/Path/Page?x=1",
+        "https://host.example/a",
+        "http://host.example:8080/a",
+        "http://h.example/p",
+        "http://h.example/p?id=7",
+        "http://h.example/p?id=7",
+        "http://h.example/p",
+        "http://h.example/UPPER/case?Q=Mixed",
+        "http://h.example/trail/",
+    ]
+
+
+def test_variants_collapse_to_one_key(spark):
+    variants = [
+        "http://Host.Example/page",
+        "HTTP://host.example:80/page#sec2",
+        "http://host.example/page?utm_source=feed",
+    ]
+    assert len(set(_canon(spark, variants))) == 1
+
+
+def test_parts(spark):
+    df = spark.createDataFrame(
+        [(0, "https://User@Host.Example:8443/a/b?q=1&r=2#f")],
+        "i long, u string",
+    )
+    r = df.select(
+        U.url_host(F.col("u")).alias("h"),
+        U.url_path(F.col("u")).alias("p"),
+        U.url_query(F.col("u")).alias("q"),
+    ).collect()[0]
+    assert r["h"] == "host.example"
+    assert r["p"] == "/a/b"
+    assert r["q"] == "q=1&r=2"
+    # absent pieces
+    r2 = (
+        spark.createDataFrame([(0, "http://x.example")], "i long, u string")
+        .select(
+            U.url_host(F.col("u")).alias("h"),
+            U.url_path(F.col("u")).alias("p"),
+            U.url_query(F.col("u")).alias("q"),
+        )
+        .collect()[0]
+    )
+    assert r2["h"] == "x.example" and r2["p"] == "" and r2["q"] == ""

@@ -1,0 +1,162 @@
+"""WARC/WET web-archive source (sources/warc.py): record framing,
+gzip member-per-record layout, HTTP response blocks, WET conversion
+text, and the Spark operators."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from occupation_wage_etl_spark.sources import warc
+
+
+def _sample_records():
+    return [
+        {
+            "type": "response",
+            "uri": "http://example.com/a",
+            "date": "2024-03-01T12:00:00Z",
+            "status": 200,
+            "http_content_type": "text/html; charset=UTF-8",
+            "payload": b"<html><body>hello A</body></html>",
+        },
+        {
+            "type": "conversion",
+            "uri": "http://example.com/a",
+            "date": "2024-03-01T12:00:00Z",
+            "text": "hello A\nsecond line",
+        },
+        {
+            "type": "response",
+            "uri": "http://example.com/b",
+            "status": 404,
+            "http_content_type": "text/plain",
+            "payload": b"not found",
+        },
+    ]
+
+
+def test_round_trip_plain_and_gzip_members():
+    for gz in (False, True):
+        data = warc.encode_warc_fixture(_sample_records(), gzip_records=gz)
+        recs = warc.parse_warc(data)
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "response", "conversion", "response",
+        ]
+        assert recs[1]["target_uri"] == "http://example.com/a"
+        assert recs[1]["http_status"] == 200
+        assert recs[1]["http_content_type"] == "text/html; charset=UTF-8"
+        assert recs[1]["payload"] == b"<html><body>hello A</body></html>"
+        assert recs[2]["block"].decode() == "hello A\nsecond line"
+        assert recs[3]["http_status"] == 404
+        # content_length is the BLOCK length (HTTP message incl headers)
+        assert recs[1]["content_length"] > len(recs[1]["payload"])
+
+
+def test_each_gzip_member_is_one_record():
+    # the Common Crawl split contract: the archive splits at member
+    # boundaries without parsing — the first member alone is a valid
+    # single-record archive
+    data = warc.encode_warc_fixture(
+        _sample_records(), gzip_records=True, warcinfo=False
+    )
+    d = zlib.decompressobj(31)
+    d.decompress(data)
+    d.flush()
+    first_member = data[: len(data) - len(d.unused_data)]
+    recs = warc.parse_warc(first_member)
+    assert len(recs) == 1 and recs[0]["warc_type"] == "response"
+
+
+def test_wet_text_view():
+    data = warc.encode_warc_fixture(_sample_records())
+    wet = warc.extract_wet_text(data)
+    assert wet == [
+        {
+            "target_uri": "http://example.com/a",
+            "warc_date": "2024-03-01T12:00:00Z",
+            "text": "hello A\nsecond line",
+        }
+    ]
+
+
+def test_header_folding_and_strictness():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: http://example.com/very/long\r\n"
+        b"\tcontinued-path\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"ok\r\n\r\n"
+    )
+    recs = warc.parse_warc(raw)
+    assert recs[0]["target_uri"] == (
+        "http://example.com/very/long continued-path"
+    )
+    with pytest.raises(ValueError, match="version line"):
+        warc.parse_warc(b"NOT-WARC\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc.parse_warc(b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated record"):
+        warc.parse_warc(
+            b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 99\r\n\r\nshort"
+        )
+    with pytest.raises(ValueError, match="gzip"):
+        warc.parse_warc(b"\x1f\x8b\x08" + b"\x00" * 20)
+
+
+def test_max_records_cap():
+    recs = [
+        {"type": "conversion", "uri": f"http://x/{i}", "text": f"t{i}"}
+        for i in range(10)
+    ]
+    data = warc.encode_warc_fixture(recs, warcinfo=False)
+    assert len(warc.parse_warc(data, max_records=4)) == 4
+
+
+def test_deterministic_gzip_bytes():
+    # fixture must be bit-stable (no wall-clock mtime in the member)
+    a = warc.encode_warc_fixture(_sample_records(), gzip_records=True)
+    b = warc.encode_warc_fixture(_sample_records(), gzip_records=True)
+    assert a == b
+
+
+def test_spark_operators(spark):
+    rows = [
+        (
+            i,
+            warc.encode_warc_fixture(
+                [
+                    {
+                        "type": "response",
+                        "uri": f"http://host{i}/p",
+                        "status": 200,
+                        "payload": f"payload {i}".encode(),
+                    },
+                    {
+                        "type": "conversion",
+                        "uri": f"http://host{i}/p",
+                        "text": f"text {i}\nline two",
+                    },
+                ],
+                gzip_records=(i % 2 == 0),
+            ),
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    rec = warc.warc_records(df)
+    got = {
+        (r["doc_id"], r["rec_idx"]): r for r in rec.collect()
+    }
+    assert len(got) == 12  # warcinfo + response + conversion per doc
+    assert got[(1, 1)]["http_status"] == 200
+    assert got[(1, 1)]["payload_len"] == len(b"payload 1")
+    wet = warc.wet_text(df).collect()
+    assert len(wet) == 4
+    by_id = {r["doc_id"]: r for r in wet}
+    assert by_id[2]["text"] == "text 2\nline two"
+    assert by_id[2]["rec_idx"] == 0
+    assert by_id[2]["n_chars"] == len("text 2\nline two")
