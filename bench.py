@@ -312,6 +312,12 @@ BENCH_QUERIES = [
     "q267_docx_parts",
     "q268_web_ingest_chain",
     "q269_url_canonicalize",
+    "q270_repeated_spans",
+    "q271_robots_rules",
+    "q272_robots_allowed",
+    "q273_span_cut",
+    "q274_sentence_chunks",
+    "q275_link_graph_edges",
 ]
 
 

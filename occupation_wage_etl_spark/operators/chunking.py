@@ -152,3 +152,80 @@ def denoising_pairs(
             f"s -> concat(CAST(s.i AS STRING), ':', s.t)), ' ')"
         ).alias("target_text"),
     )
+
+
+_SENT_RE = r"(?<=[.!?])\s+"
+
+
+def sentence_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Sentence-aware chunking under a token budget — the RAG/pretrain
+    chunker that never cuts mid-sentence: split on sentence boundaries
+    (``(?<=[.!?])\\s+``), then greedily pack consecutive sentences
+    into chunks of at most ``max_tokens`` whitespace tokens (a single
+    over-budget sentence becomes its own chunk — truncation is the
+    tokenizer's job, not the chunker's).
+
+    ZERO-shuffle plan: the split, the greedy fold (``F.aggregate``
+    with an array-of-chunks accumulator — append-or-merge-into-last
+    per sentence), and the chunk explode are all scan-side row-local
+    expressions; nothing leaves the task until the next stage.  The
+    fold copies its accumulator per step (O(m²) in a doc's sentence
+    count m) — fine at document scale, and the whole cost stays inside
+    whole-stage projection.
+
+    Returns (id, chunk [0-based], n_sentences, n_tokens, text).
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), _SENT_RE), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    empty = F.array().cast(
+        "array<struct<t:string,n:int,k:int>>"
+    )
+    ntok = lambda s: F.size(F.split(s, r"\s+"))  # noqa: E731
+
+    def step(acc, s):
+        n = ntok(s)
+        last = F.element_at(acc, -1)
+        fits = (F.size(acc) > 0) & (last["n"] + n <= max_tokens)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    F.concat_ws(" ", last["t"], s).alias("t"),
+                    (last["n"] + n).cast("int").alias("n"),
+                    (last["k"] + 1).cast("int").alias("k"),
+                )
+            ),
+        )
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s.alias("t"),
+                    n.cast("int").alias("n"),
+                    F.lit(1).cast("int").alias("k"),
+                )
+            ),
+        )
+        return F.when(fits, merged).otherwise(appended)
+
+    chunks = F.aggregate(sents, empty, step)
+    out = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(chunks).alias("chunk", "__c"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "chunk",
+        F.col("__c.k").alias("n_sentences"),
+        F.col("__c.n").alias("n_tokens"),
+        F.col("__c.t").alias("text"),
+    )

@@ -1383,3 +1383,149 @@ def golden_records(
         )
         out = out.join(mode, "cluster", "left")
     return out
+
+
+def repeated_tile_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tile: int = 16,
+    min_tiles: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """Maximal cross-document repeated SPANS — the exact-substring
+    dedup primitive (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": repeated spans, not whole-doc near-dups,
+    are what verbatim memorization tracks).
+
+    Construction: the text is cut into ``tile``-char aligned tiles
+    (md5 fingerprints, the :func:`~occupation_wage_etl_spark.functions.
+    text.rolling_fingerprints` grid WITH positions); tiles shared by
+    two documents at a fixed alignment offset (diagonal
+    ``ia - ib``) that sit at CONSECUTIVE tile indices merge into one
+    maximal span via the islands trick (``ia - row_number()`` is
+    constant within a run) — no quadratic pair-position scan, one
+    window partitioned by (pair, diagonal), which is exactly the key
+    the span belongs to.
+
+    Scale shape: one explode (positioned tiles), the q20
+    stop-fingerprint df-cap (``max_df``, the 100 TB linearity guard —
+    boilerplate tiles carry no span signal), one equi-join on the tile
+    hash, one bounded window, one aggregate.  Returns
+    (id_a, id_b, a_start, b_start, n_tiles, span_chars) with
+    ``a_start``/``b_start`` 0-based char offsets into the NORMALIZED
+    text and ``span_chars = n_tiles * tile`` (aligned-grid resolution:
+    true spans are detected once they cover ``min_tiles`` aligned
+    tiles; sub-tile overhang is deliberately not chased — at corpus
+    scale the grid loses at most ``2*(tile-1)`` boundary chars per
+    span, and keeps the plan join+window shaped)."""
+    s = T.normalize_text(F.col(text_col))
+    k = F.greatest(
+        F.ceil(F.length(s) / F.lit(tile)).cast("int"), F.lit(1)
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.md5(F.substring(s, i * F.lit(tile) + F.lit(1), tile)),
+    )
+    tiles = df.select(
+        F.col(id_col).alias("id"), F.posexplode(arr).alias("i", "fp")
+    )
+    wdf = Window.partitionBy("fp")
+    tiles = (
+        tiles.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+    l, r = tiles.alias("l"), tiles.alias("r")
+    hits = l.join(
+        r,
+        (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.i").alias("ia"),
+        F.col("r.i").alias("ib"),
+    )
+    wrun = Window.partitionBy(
+        "id_a", "id_b", F.col("ia") - F.col("ib")
+    ).orderBy("ia")
+    runs = hits.withColumn(
+        "__grp", F.col("ia") - F.row_number().over(wrun)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", (F.col("ia") - F.col("ib")).alias("__d"), "__grp")
+        .agg(
+            F.min("ia").alias("__a0"),
+            F.min("ib").alias("__b0"),
+            F.count(F.lit(1)).alias("n_tiles"),
+        )
+        .filter(F.col("n_tiles") >= min_tiles)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__a0") * tile).alias("a_start"),
+            (F.col("__b0") * tile).alias("b_start"),
+            "n_tiles",
+            (F.col("n_tiles") * tile).alias("span_chars"),
+        )
+    )
+
+
+def cut_longest_repeated_span(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply span-level dedup: for every document that appears as the
+    HIGHER id of a repeated span (the min-id copy stays canonical, the
+    q12 convention), cut its single LONGEST span out of the normalized
+    text (ties → smallest b_start, then smallest partner id — a
+    deterministic struct-argmax, no window).  One cut per doc per pass
+    — the fixed-point loop (re-run spans → cut) is the caller's knob;
+    one pass removes the dominant duplication mass, and a bounded pass
+    count keeps the whole computation an oracle-replayable DAG.
+
+    Returns (id, n_before, n_after, cut_chars, new_text_md5) for EVERY
+    input document (cut_chars 0 where nothing was cut); the md5 gates
+    the actual string surgery, not just the arithmetic."""
+    s = T.normalize_text(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), s.alias("__s"))
+    pick = (
+        spans.groupBy(F.col("id_b").alias("id"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("span_chars").alias("len"),
+                    (-F.col("b_start")).alias("nbs"),
+                    (-F.col("id_a")).alias("nia"),
+                )
+            ).alias("__w")
+        )
+        .select(
+            "id",
+            (-F.col("__w.nbs")).alias("__b0"),
+            F.col("__w.len").alias("__cut"),
+        )
+    )
+    joined = base.join(pick, "id", "left")
+    new_text = F.when(
+        F.col("__cut").isNotNull(),
+        F.concat(
+            F.substring(F.col("__s"), 1, F.col("__b0").cast("int")),
+            F.substring(
+                F.col("__s"),
+                (F.col("__b0") + F.col("__cut") + 1).cast("int"),
+                F.length("__s"),
+            ),
+        ),
+    ).otherwise(F.col("__s"))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.length("__s").cast("long").alias("n_before"),
+        F.length(new_text).cast("long").alias("n_after"),
+        F.coalesce(F.col("__cut"), F.lit(0)).cast("long").alias(
+            "cut_chars"
+        ),
+        F.md5(new_text).alias("new_text_md5"),
+    )

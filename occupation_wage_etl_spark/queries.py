@@ -13940,6 +13940,345 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q270 — exact-substring repeated spans (dedup.repeated_tile_spans):
+# the Lee-et-al. span-level dedup primitive — maximal cross-doc
+# repeated spans via positioned 16-char tiles merged along alignment
+# diagonals (islands trick; one join + one pair-keyed window, q20's
+# stop-fingerprint cap for 100 TB linearity).  Plant: each doc is
+# unique-prefix (1+id%3 tiles) ‖ GROUP-shared mid (3 tiles, g=id%199)
+# ‖ unique-suffix — same-group docs share exactly one 48-char span at
+# different aligned offsets, and the oracle replays tiles → cap →
+# join → islands in SQL.  At ≫64 docs/group the cap (by design)
+# suppresses the span as boilerplate — the oracle mirrors it.
+# ---------------------------------------------------------------------------
+
+SPAN_G = 199
+
+
+def _planted_span_docs(docs: DataFrame) -> DataFrame:
+    """unique-prefix ‖ group-shared mid ‖ unique-suffix, all 16-char
+    md5-derived tiles (codegen; the oracle rebuilds the same string)."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    g = (did % SPAN_G).cast("string")
+
+    def tiles_of(prefix_expr, n_expr):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_expr - F.lit(1)),
+                lambda j: F.substring(
+                    F.md5(F.concat(prefix_expr, j.cast("string"))), 1, 16
+                ),
+            ),
+            "",
+        )
+
+    text = F.concat(
+        tiles_of(F.concat(ds, F.lit("p")), (did % 3).cast("int") + F.lit(1)),
+        tiles_of(F.concat(F.lit("g"), g, F.lit("m")), F.lit(3)),
+        tiles_of(F.concat(ds, F.lit("s")), (did % 2).cast("int") + F.lit(1)),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def q270_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.repeated_tile_spans(
+        _planted_span_docs(docs), min_tiles=2
+    )
+
+
+_SPAN_PIPE_SQL = f"""txt AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, 1 + doc_id % 3),
+      j -> substr(md5(doc_id || 'p' || j), 1, 16)), '')
+    || array_to_string(list_transform(range(0, 3),
+      j -> substr(md5('g' || (doc_id % {SPAN_G}) || 'm' || j), 1, 16)), '')
+    || array_to_string(list_transform(range(0, 1 + doc_id % 2),
+      j -> substr(md5(doc_id || 's' || j), 1, 16)), '') AS s
+  FROM documents
+), tiles AS (
+  SELECT doc_id AS id, CAST(j AS INT) AS i,
+         md5(substr(s, CAST(j AS INT) * 16 + 1, 16)) AS fp
+  FROM txt, UNNEST(range(0, greatest(CAST(ceil(length(s) / 16.0) AS BIGINT), 1))) AS u(j)
+), capped AS (
+  SELECT id, i, fp FROM (
+    SELECT id, i, fp, count(*) OVER (PARTITION BY fp) AS df FROM tiles
+  ) WHERE df <= 64
+), hits AS (
+  SELECT l.id AS id_a, r.id AS id_b, l.i AS ia, r.i AS ib
+  FROM capped l JOIN capped r ON l.fp = r.fp AND l.id < r.id
+), runs AS (
+  SELECT id_a, id_b, ia, ib,
+         ia - row_number() OVER (
+           PARTITION BY id_a, id_b, ia - ib ORDER BY ia
+         ) AS grp
+  FROM hits
+), spans AS (
+  SELECT id_a, id_b, CAST(min(ia) * 16 AS INT) AS a_start,
+         CAST(min(ib) * 16 AS INT) AS b_start,
+         count(*) AS n_tiles, count(*) * 16 AS span_chars
+  FROM runs GROUP BY id_a, id_b, ia - ib, grp
+  HAVING count(*) >= 2
+)"""
+
+Q270_SQL = f"""
+WITH {_SPAN_PIPE_SQL}
+SELECT id_a, id_b, a_start, b_start, n_tiles, span_chars FROM spans
+"""
+
+
+# ---------------------------------------------------------------------------
+# q273 — span-level dedup APPLIED (dedup.cut_longest_repeated_span):
+# the transform half of the Lee-et-al. loop — every doc appearing as
+# the higher id of a q270 span gets its longest span cut (min-id copy
+# stays canonical; deterministic struct-argmax tie-break), and the
+# output md5 gates the actual string surgery bit-exactly, not just the
+# length arithmetic.  Oracle: the shared q270 span pipeline + the same
+# argmax + substr surgery in SQL.
+# ---------------------------------------------------------------------------
+
+
+def q273_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    planted = cached(_planted_span_docs(docs))
+    spans = dedup.repeated_tile_spans(planted, min_tiles=2)
+    return dedup.cut_longest_repeated_span(planted, spans)
+
+
+Q273_SQL = f"""
+WITH {_SPAN_PIPE_SQL},
+pick AS (
+  SELECT id_b AS id,
+         max({{'len': span_chars, 'nbs': -b_start, 'nia': -id_a}}) AS w
+  FROM spans GROUP BY id_b
+),
+cutx AS (
+  SELECT t.doc_id, t.s, (p.w).len AS cut, -((p.w).nbs) AS b0
+  FROM txt t LEFT JOIN pick p ON t.doc_id = p.id
+)
+SELECT doc_id,
+       CAST(length(s) AS BIGINT) AS n_before,
+       CAST(length(s) - coalesce(cut, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(cut, 0) AS BIGINT) AS cut_chars,
+       md5(CASE WHEN cut IS NULL THEN s
+           ELSE substr(s, 1, CAST(b0 AS INT))
+                || substr(s, CAST(b0 + cut + 1 AS INT)) END)
+         AS new_text_md5
+FROM cutx
+"""
+
+
+# ---------------------------------------------------------------------------
+# q271/q272 — robots.txt rules + allow evaluation (operators/robots.py):
+# crawl politeness as engine tables.  The fixture robots file per doc
+# has the canonical layout — a '*' group (Disallow + longer Allow +
+# Crawl-delay), a bot-specific group, and a group-independent Sitemap —
+# built as ONE codegen concat.  q271 gates the group-scoped parse
+# (blank-line blocks, UA×rules binding, agentless sitemap); q272 gates
+# longest-prefix-wins / tie→allow / default-allow over planted paths.
+# ---------------------------------------------------------------------------
+
+
+def _synth_robots(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.lit("# policy "), did.cast("string"), F.lit("\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /private\n"),
+        F.lit("Allow: /private/ok"), (did % 3).cast("string"),
+        F.lit("\n"),
+        F.lit("Crawl-delay: "), (did % 5 + 1).cast("string"),
+        F.lit("\n\n"),
+        F.lit("User-agent: bot"), (did % 2).cast("string"),
+        F.lit("\nDisallow: /\n\n"),
+        F.lit("Sitemap: http://s"), (did % 7).cast("string"),
+        F.lit(".example/sitemap.xml\n"),
+    )
+    return docs.select("doc_id", txt.alias("robots_txt"))
+
+
+def q271_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    return robots.robots_rules(_synth_robots(docs))
+
+
+Q271_SQL = """
+SELECT doc_id, '*' AS agent, 'disallow' AS rule_type,
+       '/private' AS value FROM documents
+UNION ALL
+SELECT doc_id, '*', 'allow', '/private/ok' || (doc_id % 3)
+FROM documents
+UNION ALL
+SELECT doc_id, '*', 'crawl-delay', CAST(doc_id % 5 + 1 AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT doc_id, 'bot' || (doc_id % 2), 'disallow', '/' FROM documents
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR), 'sitemap',
+       'http://s' || (doc_id % 7) || '.example/sitemap.xml'
+FROM documents
+"""
+
+
+def q272_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = robots.robots_rules(_synth_robots(docs))
+    did = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("/private/ok"), (did % 3).cast("string"),
+                    F.lit("/page"),
+                ),
+                F.lit("/private/no"),
+                F.concat(F.lit("/pub"), (did % 5).cast("string")),
+            )
+        ).alias("path"),
+    )
+    return robots.robots_is_allowed(rules, urls, agent="*")
+
+
+Q272_SQL = """
+SELECT doc_id, '/private/ok' || (doc_id % 3) || '/page' AS path,
+       TRUE AS allowed,
+       '/private/ok' || (doc_id % 3) AS matched_rule,
+       CAST(12 AS INT) AS matched_len
+FROM documents
+UNION ALL
+SELECT doc_id, '/private/no', FALSE, '/private', CAST(8 AS INT)
+FROM documents
+UNION ALL
+SELECT doc_id, '/pub' || (doc_id % 5), TRUE,
+       CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q274 — sentence-aware chunking under a token budget
+# (chunking.sentence_chunks): the RAG/pretrain chunker that never cuts
+# mid-sentence, as a ZERO-shuffle scan-side fold (split → greedy
+# append-or-merge F.aggregate → posexplode).  Plant: equal-token
+# sentences (t = 2 + id%3 tokens each, ns = 5 + id%4 sentences,
+# budget 7) make greedy packing equal floor-arithmetic, so the oracle
+# states chunk boundaries closed-form; unequal-size behavior is
+# unit-tested (over-budget sentence → own chunk).
+# ---------------------------------------------------------------------------
+
+CHUNK_BUDGET = 7
+
+
+def q274_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = (did % 3).cast("int") + F.lit(2)
+    ns = (did % 4).cast("int") + F.lit(5)
+    sent = lambda k: F.concat(  # noqa: E731
+        F.lit("d"), did.cast("string"), F.lit(" s"), k.cast("string"),
+        F.repeat(F.lit(" f"), t - F.lit(2)), F.lit("."),
+    )
+    text = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), ns - F.lit(1)), sent)
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return chunking.sentence_chunks(planted, max_tokens=CHUNK_BUDGET)
+
+
+Q274_SQL = f"""
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS t, 5 + doc_id % 4 AS ns,
+         (7 // (2 + doc_id % 3)) AS spc
+  FROM documents
+), c AS (
+  SELECT doc_id, t, ns, spc,
+         UNNEST(range(0, CAST(ceil(ns / CAST(spc AS DOUBLE)) AS BIGINT)))
+           AS chunk
+  FROM p
+), s AS (
+  SELECT doc_id, CAST(chunk AS INT) AS chunk,
+         least(ns, (chunk + 1) * spc) - chunk * spc AS nsent,
+         t,
+         array_to_string(
+           list_transform(range(chunk * spc, least(ns, (chunk + 1) * spc)),
+             k -> 'd' || doc_id || ' s' || k || repeat(' f', t - 2) || '.'),
+           ' ') AS text
+  FROM c
+)
+SELECT doc_id, chunk, CAST(nsent AS INT) AS n_sentences,
+       CAST(nsent * t AS INT) AS n_tokens, text
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q275 — web-graph edge extraction (html_text.links_distributed →
+# functions/url.py): in-content <a href> links pulled out of planted
+# pages (chrome nav/footer links excluded by the container rules, the
+# link targets deliberately messy — uppercase scheme/host, :80,
+# utm params) then canonicalized into the graph's edge key.  The
+# crawl-side mirror of the q92/q204 graph tier's edge table.
+# ---------------------------------------------------------------------------
+
+
+def q275_link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    links = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (did % 3).cast("int") + F.lit(1)),
+            lambda k: F.concat(
+                F.lit("<a href='HTTP://T"),
+                ((did * 7 + k) % 101).cast("string"),
+                F.lit(".EXAMPLE:80/p?utm_source=x'>ref "),
+                k.cast("string"),
+                F.lit("</a> "),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit("<html><body><nav><a href='/chrome'>menu</a></nav>"
+              "<article><p>"),
+        links,
+        F.lit("</p></article>"
+              "<footer><a href='/legal'>legal</a></footer>"
+              "</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    edges = html_text.links_distributed(pages)
+    return edges.select(
+        "doc_id",
+        "link_idx",
+        U.canonicalize_url(F.col("href")).alias("canon_href"),
+        U.url_host(F.col("href")).alias("target_host"),
+        "anchor_text",
+    )
+
+
+Q275_SQL = """
+WITH e AS (
+  SELECT doc_id, UNNEST(range(0, 2 + doc_id % 3)) AS k FROM documents
+)
+SELECT doc_id, CAST(k AS INT) AS link_idx,
+       'http://t' || ((doc_id * 7 + k) % 101) || '.example/p'
+         AS canon_href,
+       't' || ((doc_id * 7 + k) % 101) || '.example' AS target_host,
+       'ref ' || k AS anchor_text
+FROM e
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -14210,6 +14549,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q267_docx_parts": q267_docx_parts,
     "q268_web_ingest_chain": q268_web_ingest_chain,
     "q269_url_canonicalize": q269_url_canonicalize,
+    "q270_repeated_spans": q270_repeated_spans,
+    "q271_robots_rules": q271_robots_rules,
+    "q272_robots_allowed": q272_robots_allowed,
+    "q273_span_cut": q273_span_cut,
+    "q274_sentence_chunks": q274_sentence_chunks,
+    "q275_link_graph_edges": q275_link_graph_edges,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -14482,4 +14827,10 @@ ORACLE_SQL: dict[str, str] = {
     "q267_docx_parts": Q267_SQL,
     "q268_web_ingest_chain": Q268_SQL,
     "q269_url_canonicalize": Q269_SQL,
+    "q270_repeated_spans": Q270_SQL,
+    "q271_robots_rules": Q271_SQL,
+    "q272_robots_allowed": Q272_SQL,
+    "q273_span_cut": Q273_SQL,
+    "q274_sentence_chunks": Q274_SQL,
+    "q275_link_graph_edges": Q275_SQL,
 }

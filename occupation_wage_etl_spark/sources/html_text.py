@@ -161,3 +161,88 @@ def main_text_distributed(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)
+
+
+class _LinkParser(HTMLParser):
+    """Collects (href, anchor text) pairs outside skip containers —
+    the web-graph edge extractor (nav/footer chrome links excluded by
+    the same container rules as main-content text)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip_depth = 0
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._flush()
+            self._href = dict(attrs).get("href")
+            self._parts = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._parts).split())
+            self.links.append((self._href, text))
+        self._href = None
+        self._parts = []
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth and self._href is not None:
+            self._parts.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """(href, anchor text) per in-content <a href> — document order,
+    chrome containers (nav/header/footer/aside/script/style) excluded."""
+    p = _LinkParser()
+    p.feed(html or "")
+    p.close()
+    return p.links
+
+
+def links_distributed(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, link_idx, href, anchor_text) per in-content link — the
+    web-graph edge table, scan-side ``mapInPandas``, zero shuffles;
+    join ``href`` through functions/url.py canonicalization for the
+    dedup-keyed graph."""
+    schema = (
+        f"{id_col} long, link_idx int, href string, anchor_text string"
+    )
+    cols = [id_col, "link_idx", "href", "anchor_text"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, page in zip(batch[id_col], batch[html_col]):
+                for k, (href, text) in enumerate(
+                    extract_links(str(page or ""))
+                ):
+                    rows.append((int(rid), k, href, text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)

@@ -109,3 +109,33 @@ def test_triangle_counts_exact(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_sentence_chunks(spark):
+    from occupation_wage_etl_spark.operators import chunking
+
+    rows = [
+        (1, "One two three. Four five! Six seven eight nine? Ten."),
+        (2, "Single sentence without terminator"),
+        (3, "A long one two three four five six seven eight. Tiny."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        chunking.sentence_chunks(df, max_tokens=5).collect(),
+        key=lambda r: (r.doc_id, r.chunk),
+    )
+    as_t = [
+        (r.doc_id, r.chunk, r.n_sentences, r.n_tokens, r.text)
+        for r in got
+    ]
+    assert as_t == [
+        (1, 0, 2, 5, "One two three. Four five!"),
+        (1, 1, 2, 5, "Six seven eight nine? Ten."),
+        (2, 0, 1, 4, "Single sentence without terminator"),
+        # over-budget sentence -> its own chunk, NOT truncated
+        (3, 0, 1, 10, "A long one two three four five six seven eight."),
+        (3, 1, 1, 1, "Tiny."),
+    ]
+    # empty doc -> zero chunks (doc 4 absent)
+    assert {r.doc_id for r in got} == {1, 2, 3}

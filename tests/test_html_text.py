@@ -106,3 +106,44 @@ def test_spark_operator(spark):
     assert got[3]["text"] == "doc 3 body text"
     assert got[3]["n_blocks"] == 1
     assert got[3]["n_chars"] == len("doc 3 body text")
+
+
+def test_extract_links():
+    html = (
+        "<html><body>"
+        "<nav><a href='/home'>Home</a></nav>"
+        "<article>"
+        "<p>See <a href='/a'>first &amp; best</a> and"
+        " <a href='/b'><b>second</b> link</a>.</p>"
+        "<a name='anchor-only'>no href</a>"
+        "<a href='/c'></a>"
+        "</article>"
+        "<footer><a href='/legal'>Legal</a></footer>"
+        "</body></html>"
+    )
+    assert html_text.extract_links(html) == [
+        ("/a", "first & best"),
+        ("/b", "second link"),
+        ("/c", ""),
+    ]
+
+
+def test_links_spark_operator(spark):
+    rows = [
+        (
+            i,
+            f"<body><nav><a href='/x'>chrome</a></nav>"
+            f"<p><a href='/d/{i}'>doc {i} link</a> text</p></body>",
+        )
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        (r.doc_id, r.link_idx): (r.href, r.anchor_text)
+        for r in html_text.links_distributed(df).collect()
+    }
+    assert got == {
+        (0, 0): ("/d/0", "doc 0 link"),
+        (1, 0): ("/d/1", "doc 1 link"),
+        (2, 0): ("/d/2", "doc 2 link"),
+    }

@@ -528,3 +528,81 @@ def test_wasserstein_1d_absent_group_yields_null(spark):
     assert len(r) == 1
     assert r[0]["n_b"] == 0
     assert r[0]["wasserstein"] is None
+
+
+def test_repeated_tile_spans(spark):
+    from occupation_wage_etl_spark.operators import dedup
+
+    # 16-char tiles; docs share a 3-tile (48-char) middle at different
+    # aligned offsets, plus doc 3 shares nothing
+    t = {
+        "u1": "aaaabbbbccccdddd",
+        "u2": "eeeeffffgggghhhh",
+        "u3": "iiiijjjjkkkkllll",
+        "s0": "mmmmnnnnoooopppp",
+        "s1": "qqqqrrrrsssstttt",
+        "s2": "uuuuvvvvwwwwxxxx",
+        "u4": "yyyyzzzzyyyyzzzz",
+    }
+    rows = [
+        (1, t["u1"] + t["s0"] + t["s1"] + t["s2"]),
+        (2, t["u2"] + t["u3"] + t["s0"] + t["s1"] + t["s2"] + t["u4"]),
+        (3, "0000111122223333" * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.repeated_tile_spans(df, min_tiles=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_tiles == 3 and r.span_chars == 48
+    assert r.a_start == 16 and r.b_start == 32
+    # min_tiles gate: a single shared tile is not a span
+    rows2 = [(1, t["u1"] + t["s0"]), (2, t["u2"] + t["s0"])]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    assert dedup.repeated_tile_spans(df2, min_tiles=2).count() == 0
+    assert dedup.repeated_tile_spans(df2, min_tiles=1).count() == 1
+    # two DISJOINT shared runs stay two spans (different diagonals)
+    rows3 = [
+        (1, t["s0"] + t["s1"] + t["u1"] + t["s2"] + t["u3"]),
+        (2, t["s0"] + t["s1"] + t["u2"] + t["u4"] + t["s2"] + t["u3"]),
+    ]
+    df3 = spark.createDataFrame(rows3, "doc_id long, text string")
+    got3 = sorted(
+        dedup.repeated_tile_spans(df3, min_tiles=2).collect(),
+        key=lambda r: r.a_start,
+    )
+    assert [(r.a_start, r.b_start, r.n_tiles) for r in got3] == [
+        (0, 0, 2), (48, 64, 2),
+    ]
+
+
+def test_cut_longest_repeated_span(spark):
+    from occupation_wage_etl_spark.operators import dedup
+    import hashlib
+
+    u1 = "aaaabbbbccccdddd"; u2 = "eeeeffffgggghhhh"
+    s0 = "mmmmnnnnoooopppp"; s1 = "qqqqrrrrsssstttt"; s2 = "uuuuvvvvwwwwxxxx"
+    rows = [
+        (1, u1 + s0 + s1 + s2),            # canonical (min id) — kept
+        (2, u2 + s0 + s1 + s2 + u1[:16]),  # higher id — span cut
+        (3, "0000111122223333"),           # no spans
+    ]
+    # doc 2 also shares u1 with doc 1? u1 appears as tile 0 of doc1 and
+    # tile 4 of doc2 -> a 1-tile run, below min_tiles=2 -> not a span
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.repeated_tile_spans(df, min_tiles=2)
+    got = {
+        r.doc_id: r
+        for r in dedup.cut_longest_repeated_span(df, spans).collect()
+    }
+    assert got[1].cut_chars == 0 and got[1].n_after == 64
+    assert got[2].cut_chars == 48
+    assert got[2].n_before == 80 and got[2].n_after == 32
+    expected2 = u2 + u1  # s0..s2 removed from offset 16
+    assert got[2].new_text_md5 == hashlib.md5(
+        expected2.encode()
+    ).hexdigest()
+    assert got[3].cut_chars == 0
+    assert got[3].new_text_md5 == hashlib.md5(
+        rows[2][1].encode()
+    ).hexdigest()
