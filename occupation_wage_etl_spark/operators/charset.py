@@ -14,9 +14,13 @@ no confidence scores, no trained models):
 3. **Zero-byte pattern**: BOM-less UTF-16 of mostly-ASCII text shows
    NUL at every other position — >= 30% NULs on odd offsets →
    ``utf-16-le``, on even offsets → ``utf-16-be`` (even length only).
-4. **Latin-1 fallback**: every byte sequence decodes; the standard
-   web-legacy default (HTML5 calls it windows-1252; the pure stdlib
-   superset latin-1 keeps the mapping bijective/replayable).
+4. **Windows-1252 / Latin-1 fallback**: every byte sequence decodes.
+   Per the HTML5 rule, ``latin-1``-labeled content IS windows-1252:
+   when any byte falls in 0x80–0x9F (the cp1252 smart-quote/euro
+   range, C1 controls in true Latin-1 — never intentional text) the
+   payload is decoded as ``windows-1252`` (undefined slots 0x81/0x8D/
+   0x8F/0x90/0x9D keep their Latin-1 identity, HTML5's behavior);
+   otherwise plain ``latin-1``.
 
 Reference analogue: none (the reference reads one UTF-8 page);
 LLM-training-data extension surface (SURVEY.md §2 extensions).
@@ -65,7 +69,22 @@ def detect_charset(data: bytes) -> tuple[str, bool]:
             return "utf-16-le", False
         if even_nul * 10 >= half * 3 and even_nul > odd_nul:
             return "utf-16-be", False
+    if any(0x80 <= b <= 0x9F for b in data):
+        return "windows-1252", False
     return "latin-1", False
+
+
+# HTML5 windows-1252: the 0x80-0x9F block (undefined slots keep their
+# Latin-1/C1 identity, so the translate map only lists defined ones)
+_CP1252_MAP = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8a: "Š", 0x8b: "‹", 0x8c: "Œ",
+    0x8e: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9a: "š", 0x9b: "›",
+    0x9c: "œ", 0x9e: "ž", 0x9f: "Ÿ",
+}
 
 
 def transcode(data: bytes) -> tuple[str, str, bool]:
@@ -78,6 +97,14 @@ def transcode(data: bytes) -> tuple[str, str, bool]:
             if benc == enc and data.startswith(bom):
                 data = data[len(bom) :]
                 break
+    if enc == "windows-1252":
+        # latin-1 decode + the cp1252 0x80-0x9F overlay (HTML5 rule;
+        # stdlib cp1252 raises on the five undefined slots)
+        return (
+            data.decode("latin-1").translate(_CP1252_MAP),
+            enc,
+            had_bom,
+        )
     return data.decode(enc, "replace"), enc, had_bom
 
 

@@ -1398,6 +1398,13 @@ def repeated_tile_spans(
     Language Models Better": repeated spans, not whole-doc near-dups,
     are what verbatim memorization tracks).
 
+    Complements :func:`substring_dup_spans` (q69), which only ACCOUNTS
+    duplication per document (dup_frac for threshold filtering): this
+    operator returns the PAIR identity and positions of each span —
+    who shares what with whom, and where — which is what
+    :func:`cut_longest_repeated_span` (q273) needs to actually remove
+    the duplication.
+
     Construction: the text is cut into ``tile``-char aligned tiles
     (md5 fingerprints, the :func:`~occupation_wage_etl_spark.functions.
     text.rolling_fingerprints` grid WITH positions); tiles shared by

@@ -13534,10 +13534,12 @@ GROUP BY doc_id % 19
 # ---------------------------------------------------------------------------
 # q265 — charset sniff + transcode (operators/charset.py): the
 # bytes→text entry step for non-UTF-8 corpora.  Fixture rotates the
-# encoding by doc_id % 6 — plain UTF-8, UTF-8+BOM, UTF-16LE/BE with
-# BOM, high-byte Latin-1 (invalid as UTF-8), and BOM-less UTF-16LE
-# (valid-as-UTF-8 NUL trap) — so every rung of the detection ladder is
-# oracle-gated.  DuckDB replays byte counts via encode()/length().
+# encoding by doc_id % 7 — plain UTF-8, UTF-8+BOM, UTF-16LE/BE with
+# BOM, high-byte Latin-1 (invalid as UTF-8), BOM-less UTF-16LE
+# (valid-as-UTF-8 NUL trap), and windows-1252 (0x80–0x9F smart-quote/
+# euro block, the HTML5 latin-1-is-cp1252 rule) — so every rung of the
+# detection ladder is oracle-gated.  DuckDB replays byte counts via
+# encode()/length().
 # ---------------------------------------------------------------------------
 
 
@@ -13551,7 +13553,7 @@ def _synth_charset_bytes(docs: DataFrame) -> DataFrame:
             out = []
             for did in batch["doc_id"]:
                 did = int(did)
-                m = did % 6
+                m = did % 7
                 if m == 0:
                     raw = f"doc {did} plain ascii".encode("utf-8")
                 elif m == 1:
@@ -13570,8 +13572,12 @@ def _synth_charset_bytes(docs: DataFrame) -> DataFrame:
                     raw = f"café {did} à la carte".encode(
                         "latin-1"
                     )
-                else:
+                elif m == 5:
                     raw = f"doc {did} bare wide".encode("utf-16-le")
+                else:
+                    raw = f"doc {did} “smart” price €9".encode(
+                        "cp1252"
+                    )
                 out.append(raw)
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"].to_numpy(), "content": out}
@@ -13591,21 +13597,23 @@ def q265_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q265_SQL = """
 WITH t AS (
-  SELECT doc_id, doc_id % 6 AS m,
-         CASE doc_id % 6
+  SELECT doc_id, doc_id % 7 AS m,
+         CASE doc_id % 7
            WHEN 0 THEN 'doc ' || doc_id || ' plain ascii'
            WHEN 1 THEN 'doc ' || doc_id || ' café ünïcode'
            WHEN 2 THEN 'doc ' || doc_id || ' wide le'
            WHEN 3 THEN 'doc ' || doc_id || ' wide be'
            WHEN 4 THEN 'café ' || doc_id || ' à la carte'
-           ELSE 'doc ' || doc_id || ' bare wide'
+           WHEN 5 THEN 'doc ' || doc_id || ' bare wide'
+           ELSE 'doc ' || doc_id || ' “smart” price €9'
          END AS text
   FROM documents
 )
 SELECT doc_id,
        CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
               WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
-              WHEN 4 THEN 'latin-1' ELSE 'utf-16-le' END AS encoding,
+              WHEN 4 THEN 'latin-1' WHEN 5 THEN 'utf-16-le'
+              ELSE 'windows-1252' END AS encoding,
        m IN (1, 2, 3) AS had_bom,
        CAST(CASE m
          WHEN 0 THEN octet_length(encode(text))
@@ -13613,7 +13621,8 @@ SELECT doc_id,
          WHEN 2 THEN 2 + 2 * length(text)
          WHEN 3 THEN 2 + 2 * length(text)
          WHEN 4 THEN length(text)
-         ELSE 2 * length(text)
+         WHEN 5 THEN 2 * length(text)
+         ELSE length(text)
        END AS BIGINT) AS n_bytes,
        CAST(length(text) AS INT) AS n_chars,
        text

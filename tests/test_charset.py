@@ -77,3 +77,17 @@ def test_spark_operator(spark):
     assert got[2]["encoding"] == "utf-16-le" and got[2]["text"] == "wide é"
     assert got[3]["encoding"] == "latin-1" and got[3]["text"] == "latiné"
     assert got[3]["n_chars"] == 6
+
+
+def test_windows_1252_rung():
+    raw = "doc “smart” price €9 — naïve™".encode("cp1252")
+    assert charset.detect_charset(raw) == ("windows-1252", False)
+    text, enc, bom = charset.transcode(raw)
+    assert text == "doc “smart” price €9 — naïve™"
+    # the five undefined cp1252 slots keep Latin-1/C1 identity
+    text2, enc2, _ = charset.transcode(b"x \x81 y \xe9")
+    assert enc2 == "windows-1252" and text2 == "x \x81 y é"
+    # high-byte latin-1 WITHOUT the 0x80-0x9F block stays latin-1
+    assert charset.detect_charset("café à".encode("latin-1")) == (
+        "latin-1", False,
+    )

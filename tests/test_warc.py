@@ -160,3 +160,37 @@ def test_spark_operators(spark):
     assert by_id[2]["text"] == "text 2\nline two"
     assert by_id[2]["rec_idx"] == 0
     assert by_id[2]["n_chars"] == len("text 2\nline two")
+
+
+def test_warc_payloads_operator(spark):
+    recs = [
+        {
+            "type": "response",
+            "uri": "http://a.example/1",
+            "status": 200,
+            "http_content_type": "text/html",
+            "payload": b"<p>one</p>",
+        },
+        {"type": "conversion", "uri": "http://a.example/1", "text": "one"},
+        {
+            "type": "response",
+            "uri": "http://a.example/2",
+            "status": 301,
+            "payload": b"",
+        },
+    ]
+    df = spark.createDataFrame(
+        [(7, warc.encode_warc_fixture(recs, gzip_records=True))],
+        "doc_id long, content binary",
+    )
+    got = sorted(
+        warc.warc_payloads(df).collect(), key=lambda r: r.rec_idx
+    )
+    # conversion + warcinfo records filtered; rec_idx is the ordinal
+    # among MATCHING records
+    assert [(r.rec_idx, r.target_uri, r.http_status, bytes(r.payload))
+            for r in got] == [
+        (0, "http://a.example/1", 200, b"<p>one</p>"),
+        (1, "http://a.example/2", 301, b""),
+    ]
+    assert got[0].http_content_type == "text/html"
