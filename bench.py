@@ -318,6 +318,9 @@ BENCH_QUERIES = [
     "q273_span_cut",
     "q274_sentence_chunks",
     "q275_link_graph_edges",
+    "q276_jsonld_metadata",
+    "q277_sitemap_entries",
+    "q278_image_dhash",
 ]
 
 

@@ -1889,3 +1889,23 @@ def encode_jpeg_progressive_ycbcr420_coeffs(
     out += ac_scan(1, zy, 1, 5, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def dhash64(pixels, grid: int = 9):
+    """64-bit difference hash (dHash, the standard perceptual
+    image-dedup fingerprint) from a ``grid``² grayscale raster: bit
+    (r, c) = pixel[r][c] > pixel[r][c+1] over the first 8 rows × 8
+    column comparisons, MSB-first.  Pure codegen Column expression —
+    feed it :func:`decode_image` output (``thumb=grid``) and group/
+    band on the hash for near-duplicate images; Hamming distance
+    between hashes tracks perceptual similarity where exact byte
+    hashes see nothing."""
+    h = F.lit(0).cast("long")
+    for r in range(8):
+        for c in range(8):
+            bit = (
+                F.element_at(pixels, r * grid + c + 1)
+                > F.element_at(pixels, r * grid + c + 2)
+            ).cast("long")
+            h = F.shiftleft(h, 1) + bit
+    return h

@@ -158,3 +158,70 @@ def robots_is_allowed(
         F.col("__best.rule").alias("matched_rule"),
         F.col("__best.len").alias("matched_len"),
     )
+
+
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    id_col: str = "doc_id",
+    max_entries: int = 50_000,
+) -> DataFrame:
+    """Parse sitemap.org XML — both ``<urlset>`` (page entries with
+    loc/lastmod/changefreq/priority) and ``<sitemapindex>`` (nested
+    sitemap pointers) — into (id, kind, ordinal, loc, lastmod,
+    changefreq, priority) rows.  ``max_entries`` mirrors the protocol's
+    own 50k-URL cap.  Scan-side ``mapInPandas`` (stdlib etree), zero
+    shuffles — the discovery companion to :func:`robots_rules`'
+    Sitemap lines."""
+    import xml.etree.ElementTree as ET
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    schema = (
+        f"{id_col} long, kind string, ordinal int, loc string, "
+        "lastmod string, changefreq string, priority double"
+    )
+    cols = [
+        id_col, "kind", "ordinal", "loc", "lastmod", "changefreq",
+        "priority",
+    ]
+
+    def _field(el, name):
+        c = el.find(ns + name)
+        return None if c is None or c.text is None else c.text.strip()
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, xml_text in zip(batch[id_col], batch[xml_col]):
+                try:
+                    root = ET.fromstring(str(xml_text or ""))
+                except ET.ParseError:
+                    continue  # malformed sitemap: skip, never fail
+                kind = (
+                    "url"
+                    if root.tag == ns + "urlset"
+                    else "sitemap"
+                    if root.tag == ns + "sitemapindex"
+                    else None
+                )
+                if kind is None:
+                    continue
+                child = ns + ("url" if kind == "url" else "sitemap")
+                for k, el in enumerate(root.findall(child)):
+                    if k >= max_entries:
+                        break
+                    pr = _field(el, "priority")
+                    rows.append(
+                        (
+                            int(rid), kind, k, _field(el, "loc"),
+                            _field(el, "lastmod"),
+                            _field(el, "changefreq"),
+                            float(pr) if pr is not None else None,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, xml_col).mapInPandas(_run, schema=schema)

@@ -13235,6 +13235,11 @@ def _synth_warc(docs: DataFrame) -> DataFrame:
                             f"payload doc {did} rec {r} "
                             + "x" * ((did + r) % 17)
                         ).encode(),
+                        # every third response rides chunked
+                        # transfer-encoding: payload_len gates the
+                        # DECODED length, so the dechunker is under
+                        # the oracle too
+                        "chunked": (did + r) % 3 == 0,
                     }
                     for r in range(1 + did % 3)
                 ]
@@ -14288,6 +14293,229 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# q276 — schema.org JSON-LD extraction (html_text.jsonld_distributed →
+# F.from_json): the machine-readable metadata block of modern pages.
+# Python only SLICES the <script type="application/ld+json"> text;
+# the JSON parse + schema projection is JVM `from_json` (codegen).
+# Plant: one Article object per page with nested author struct; a
+# plain <script> decoy must not leak into the blobs.
+# ---------------------------------------------------------------------------
+
+
+def q276_jsonld_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = did.cast("string")
+    page = F.concat(
+        F.lit('<html><head><script>var decoy="{}";</script>'
+              '<script type="application/ld+json">'
+              '{"@type":"Article","headline":"doc '),
+        d,
+        F.lit(' headline","author":{"@type":"Person","name":"author '),
+        (did % 23).cast("string"),
+        F.lit('"},"datePublished":"2024-0'),
+        (did % 9 + 1).cast("string"),
+        F.lit('-01","wordCount":'),
+        (did % 1000).cast("string"),
+        F.lit("}</script></head><body><p>body</p></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    blobs = html_text.jsonld_distributed(pages)
+    schema = (
+        "`@type` string, headline string, "
+        "author struct<`@type`:string, name:string>, "
+        "datePublished string, wordCount long"
+    )
+    parsed = blobs.select(
+        "doc_id",
+        F.from_json(F.col("json"), schema).alias("j"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("j.@type").alias("obj_type"),
+        F.col("j.headline").alias("headline"),
+        F.col("j.author.name").alias("author_name"),
+        F.col("j.datePublished").alias("date_published"),
+        F.col("j.wordCount").alias("word_count"),
+    )
+
+
+Q276_SQL = """
+SELECT doc_id, 'Article' AS obj_type,
+       'doc ' || doc_id || ' headline' AS headline,
+       'author ' || (doc_id % 23) AS author_name,
+       '2024-0' || (doc_id % 9 + 1) || '-01' AS date_published,
+       doc_id % 1000 AS word_count
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q277 — sitemap.org XML parse (robots.sitemap_entries): urlset pages
+# on 2/3 of docs (loc/lastmod/changefreq/priority fields, some
+# absent), sitemapindex pointers on the rest — both namespace-qualified
+# layouts under one oracle.  Pages synthesized as one codegen concat.
+# ---------------------------------------------------------------------------
+
+
+def q277_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = did.cast("string")
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    url_entries = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (did % 4).cast("int")),
+            lambda k: F.concat(
+                F.lit("<url><loc>http://h"), (did % 5).cast("string"),
+                F.lit(".example/p"), k.cast("string"), F.lit("</loc>"),
+                # lastmod+changefreq+priority only on even entries
+                F.when(
+                    k % 2 == 0,
+                    F.concat(
+                        F.lit("<lastmod>2024-01-0"),
+                        ((did + k) % 9 + 1).cast("string"),
+                        F.lit("</lastmod><changefreq>weekly</changefreq>"
+                              "<priority>0."),
+                        ((did + k) % 5 + 5).cast("string"),
+                        F.lit("</priority>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</url>"),
+            ),
+        ),
+        "",
+    )
+    idx_entries = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (did % 2).cast("int")),
+            lambda k: F.concat(
+                F.lit("<sitemap><loc>http://h"), (did % 5).cast("string"),
+                F.lit(".example/s"), k.cast("string"),
+                F.lit(".xml</loc></sitemap>"),
+            ),
+        ),
+        "",
+    )
+    xml = F.when(
+        did % 3 != 0,
+        F.concat(
+            F.lit(f'<urlset xmlns="{ns}">'), url_entries,
+            F.lit("</urlset>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(f'<sitemapindex xmlns="{ns}">'), idx_entries,
+            F.lit("</sitemapindex>"),
+        )
+    )
+    pages = docs.select("doc_id", xml.alias("sitemap_xml"))
+    return robots.sitemap_entries(pages)
+
+
+Q277_SQL = """
+WITH u AS (
+  SELECT doc_id, UNNEST(range(0, 1 + doc_id % 4)) AS k
+  FROM documents WHERE doc_id % 3 != 0
+), urls AS (
+  SELECT doc_id, 'url' AS kind, CAST(k AS INT) AS ordinal,
+         'http://h' || (doc_id % 5) || '.example/p' || k AS loc,
+         CASE WHEN k % 2 = 0
+              THEN '2024-01-0' || ((doc_id + k) % 9 + 1) END AS lastmod,
+         CASE WHEN k % 2 = 0 THEN 'weekly' END AS changefreq,
+         CASE WHEN k % 2 = 0
+              THEN CAST('0.' || ((doc_id + k) % 5 + 5) AS DOUBLE)
+         END AS priority
+  FROM u
+), i AS (
+  SELECT doc_id, UNNEST(range(0, 1 + doc_id % 2)) AS k
+  FROM documents WHERE doc_id % 3 = 0
+), idx AS (
+  SELECT doc_id, 'sitemap' AS kind, CAST(k AS INT) AS ordinal,
+         'http://h' || (doc_id % 5) || '.example/s' || k || '.xml' AS loc,
+         CAST(NULL AS VARCHAR) AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         CAST(NULL AS DOUBLE) AS priority
+  FROM i
+)
+SELECT * FROM urls UNION ALL SELECT * FROM idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# q278 — perceptual image hash (multimodal.dhash64 over decode_image):
+# the image-near-dup fingerprint — 64-bit difference hash as a pure
+# codegen expression over the decoded 9×9 luma raster (REAL stdlib PNG
+# decode in the loop).  Plant: 9×9 gradient PNGs with pixel
+# (did·31 + c·7 + r·13) mod 256, so every comparison bit — including
+# mod-256 wraps — is closed-form; the oracle rebuilds the signed
+# 64-bit value via HUGEINT shifts.  bit_count gates popcount parity.
+# ---------------------------------------------------------------------------
+
+
+def _synth_png9(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                px = bytes(
+                    (int(did) * 31 + (k % 9) * 7 + (k // 9) * 13) % 256
+                    for k in range(81)
+                )
+                out.append(multimodal.encode_png_gray(9, 9, px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q278_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = multimodal.decode_image(
+        _synth_png9(docs), mode="real", thumb=9
+    )
+    h = multimodal.dhash64(F.col("pixels"), grid=9)
+    return decoded.select(
+        "doc_id",
+        h.alias("dhash"),
+        F.bit_count(h).alias("n_bits"),
+    )
+
+
+Q278_SQL = """
+WITH b AS (
+  SELECT doc_id, r, c,
+         CASE WHEN ((doc_id * 31 + c * 7 + r * 13) % 256) >
+                   ((doc_id * 31 + (c + 1) * 7 + r * 13) % 256)
+              THEN 1 ELSE 0 END AS bit
+  FROM documents, UNNEST(range(0, 8)) AS t1(r),
+       UNNEST(range(0, 8)) AS t2(c)
+), h AS (
+  SELECT doc_id,
+         sum(CAST(bit AS HUGEINT)
+             << CAST(63 - (r * 8 + c) AS INTEGER)) AS v,
+         CAST(sum(bit) AS INT) AS n_bits
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                 THEN v - 18446744073709551616::HUGEINT
+                 ELSE v END AS BIGINT) AS dhash,
+       n_bits
+FROM h
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -14564,6 +14792,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q273_span_cut": q273_span_cut,
     "q274_sentence_chunks": q274_sentence_chunks,
     "q275_link_graph_edges": q275_link_graph_edges,
+    "q276_jsonld_metadata": q276_jsonld_metadata,
+    "q277_sitemap_entries": q277_sitemap_entries,
+    "q278_image_dhash": q278_image_dhash,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -14842,4 +15073,7 @@ ORACLE_SQL: dict[str, str] = {
     "q273_span_cut": Q273_SQL,
     "q274_sentence_chunks": Q274_SQL,
     "q275_link_graph_edges": Q275_SQL,
+    "q276_jsonld_metadata": Q276_SQL,
+    "q277_sitemap_entries": Q277_SQL,
+    "q278_image_dhash": Q278_SQL,
 }

@@ -246,3 +246,63 @@ def links_distributed(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)
+
+
+class _JsonLdParser(HTMLParser):
+    """Collects the raw text of <script type="application/ld+json">
+    blocks — schema.org structured data, the machine-readable metadata
+    embedded in most modern pages.  The parser only SLICES the blocks;
+    JSON decoding belongs to the JVM (`F.from_json` downstream)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+        self.blobs: list[str] = []
+        self._in_ldjson = False
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "script":
+            t = (dict(attrs).get("type") or "").split(";")[0].strip()
+            self._in_ldjson = t.lower() == "application/ld+json"
+            self._parts = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "script" and self._in_ldjson:
+            blob = "".join(self._parts).strip()
+            if blob:
+                self.blobs.append(blob)
+            self._in_ldjson = False
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ldjson:
+            self._parts.append(data)
+
+
+def extract_jsonld(html: str) -> list[str]:
+    """Raw JSON-LD block texts, document order."""
+    p = _JsonLdParser()
+    p.feed(html or "")
+    p.close()
+    return p.blobs
+
+
+def jsonld_distributed(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, blob_idx, json) per JSON-LD block — scan-side slicing only;
+    parse the ``json`` column with ``F.from_json`` (JVM, codegen) so
+    the schema projection stays out of Python."""
+    schema = f"{id_col} long, blob_idx int, json string"
+    cols = [id_col, "blob_idx", "json"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, page in zip(batch[id_col], batch[html_col]):
+                for k, blob in enumerate(extract_jsonld(str(page or ""))):
+                    rows.append((int(rid), k, blob))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)

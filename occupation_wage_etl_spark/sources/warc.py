@@ -92,8 +92,38 @@ def _parse_headers(data: bytes, pos: int) -> tuple[dict[str, str], int]:
     return headers, pos
 
 
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding: size-line (hex, optional
+    extensions) + chunk + CRLF, terminated by a zero chunk; trailer
+    fields ignored.  Malformed framing returns the body as-is (crawl
+    archives carry plenty of almost-HTTP — never fail the record)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        line, nxt = _read_line(body, pos)
+        size_tok = line.split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(body)
+        if size == 0:
+            break
+        if nxt + size > len(body):
+            return bytes(body)
+        out += body[nxt : nxt + size]
+        pos = nxt + size
+        # consume the CRLF after the chunk data
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+    return bytes(out)
+
+
 def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content-type, payload) out of an HTTP message block."""
+    """(status, content-type, payload) out of an HTTP message block;
+    chunked transfer-encoding is decoded (the wire framing is not
+    content)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         sep = block.find(b"\n\n")
@@ -112,7 +142,10 @@ def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
             status = None
     hdrs, _ = _parse_headers(head + b"\n", pos)
     ctype = hdrs.get("content-type")
-    return status, ctype, block[body_at:]
+    payload = block[body_at:]
+    if "chunked" in hdrs.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    return status, ctype, payload
 
 
 def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
@@ -351,12 +384,31 @@ def encode_warc_fixture(
             payload = spec["payload"]
             if isinstance(payload, str):
                 payload = payload.encode("utf-8")
+            if spec.get("chunked"):
+                # RFC 9112 chunked framing: split at 7 bytes to force
+                # multiple chunks through the decoder
+                chunks = [
+                    payload[o : o + 7] for o in range(0, len(payload), 7)
+                ] or [b""]
+                body = b"".join(
+                    b"%x\r\n" % len(c) + c + b"\r\n"
+                    for c in chunks
+                    if c
+                ) + b"0\r\n\r\n"
+                framing = b"Transfer-Encoding: chunked\r\n"
+            else:
+                body = payload
+                framing = b"Content-Length: %d\r\n" % len(payload)
             http = (
-                f"HTTP/1.1 {spec.get('status', 200)} OK\r\n"
-                f"Content-Type: "
-                f"{spec.get('http_content_type', 'text/html')}\r\n"
-                f"Content-Length: {len(payload)}\r\n\r\n"
-            ).encode("latin-1") + payload
+                (
+                    f"HTTP/1.1 {spec.get('status', 200)} OK\r\n"
+                    f"Content-Type: "
+                    f"{spec.get('http_content_type', 'text/html')}\r\n"
+                ).encode("latin-1")
+                + framing
+                + b"\r\n"
+                + body
+            )
             block = http
             ctype = "application/http; msgtype=response"
         elif rtype == "conversion":

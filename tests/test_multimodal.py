@@ -318,3 +318,42 @@ def test_decode_audio_stats_real(spark):
     bad = spark.createDataFrame([(1, b"zzz")], "doc_id long, content binary")
     with pytest.raises(Exception, match="stdlib codecs|ValueError"):
         M.decode_audio_stats(bad).collect()
+
+
+def test_dhash64_bounds_and_wrap(spark):
+    from pyspark.sql import functions as F
+
+    from occupation_wage_etl_spark.operators import multimodal
+
+    rows = [
+        (1, list(range(81))),            # strictly increasing -> 0
+        (2, list(range(81, 0, -1))),     # strictly decreasing -> all 64
+        (3, [7] * 81),                   # constant -> 0
+    ]
+    df = spark.createDataFrame(rows, "id long, px array<int>")
+    got = {
+        r.id: (r.h, r.n)
+        for r in df.select(
+            "id",
+            multimodal.dhash64(F.col("px")).alias("h"),
+            F.bit_count(multimodal.dhash64(F.col("px"))).alias("n"),
+        ).collect()
+    }
+    assert got[1] == (0, 0)
+    assert got[2] == (-1, 64)  # all-ones = signed -1
+    assert got[3] == (0, 0)
+    # end-to-end: identical images -> identical hash through the real
+    # PNG decode; a shifted gradient flips bits
+    px_a = bytes((3 * k) % 256 for k in range(81))
+    img = multimodal.encode_png_gray(9, 9, px_a)
+    df2 = spark.createDataFrame(
+        [(1, img), (2, img)], "doc_id long, content binary"
+    )
+    dec = multimodal.decode_image(df2, mode="real", thumb=9)
+    hs = [
+        r.h
+        for r in dec.select(
+            multimodal.dhash64(F.col("pixels")).alias("h")
+        ).collect()
+    ]
+    assert hs[0] == hs[1]

@@ -100,3 +100,40 @@ def test_equal_length_tie_prefers_allow(spark):
     # /dir/x matches neither /a/b nor /a/c -> allowed by default
     r1 = robots.robots_is_allowed(rdf, urls).collect()[0]
     assert r1.allowed is True and r1.matched_rule is None
+
+
+def test_sitemap_entries(spark):
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://h.example/a</loc>"
+        "<lastmod>2024-01-02</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>http://h.example/b</loc></url>"
+        "</urlset>"
+    )
+    index = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://h.example/s1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<notxml")],
+        "doc_id long, sitemap_xml string",
+    )
+    got = sorted(
+        robots.sitemap_entries(df).collect(),
+        key=lambda r: (r.doc_id, r.ordinal),
+    )
+    as_t = [
+        (r.doc_id, r.kind, r.ordinal, r.loc, r.lastmod, r.changefreq,
+         r.priority)
+        for r in got
+    ]
+    assert as_t == [
+        (1, "url", 0, "http://h.example/a", "2024-01-02", "daily", 0.8),
+        (1, "url", 1, "http://h.example/b", None, None, None),
+        (2, "sitemap", 0, "http://h.example/s1.xml", "2024-02-01",
+         None, None),
+    ]

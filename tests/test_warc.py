@@ -194,3 +194,30 @@ def test_warc_payloads_operator(spark):
         (1, "http://a.example/2", 301, b""),
     ]
     assert got[0].http_content_type == "text/html"
+
+
+def test_chunked_transfer_decoding():
+    payload = b"0123456789abcdefghij-final"  # > 3 chunks at size 7
+    data = warc.encode_warc_fixture(
+        [
+            {
+                "type": "response",
+                "uri": "http://c.example/x",
+                "status": 200,
+                "payload": payload,
+                "chunked": True,
+            }
+        ],
+        warcinfo=False,
+    )
+    # the raw block carries chunk framing, the parsed payload must not
+    rec = warc.parse_warc(data)[0]
+    assert b"Transfer-Encoding: chunked" in rec["block"]
+    assert b"\r\n7\r\n" in rec["block"] or b"7\r\n0123456" in rec["block"]
+    assert rec["payload"] == payload
+    # malformed size line: body returned as-is, record never fails
+    assert warc._dechunk(b"zz\r\nbody") == b"zz\r\nbody"
+    # truncated chunk: as-is
+    assert warc._dechunk(b"ff\r\nshort") == b"ff\r\nshort"
+    # zero-terminated empty body
+    assert warc._dechunk(b"0\r\n\r\n") == b""
