@@ -321,6 +321,7 @@ BENCH_QUERIES = [
     "q276_jsonld_metadata",
     "q277_sitemap_entries",
     "q278_image_dhash",
+    "q279_image_near_dup",
 ]
 
 

@@ -598,43 +598,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), bucket-join,
-    verify by exact hamming distance.  Returns (id_a, id_b, hamming)."""
+    verify by exact hamming distance.  Returns (id_a, id_b, hamming).
+    The band funnel itself is :func:`hash64_band_pairs` (shared with the
+    image dHash tier)."""
     fps = cached(
         simhash_fingerprints(_spread(df), text_col, id_col, hash_fn)
     )
-    banded = fps.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            S.hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return hash64_band_pairs(
+        fps, "simhash", id_col="id", max_hamming=max_hamming
     )
 
 
@@ -1535,4 +1506,59 @@ def cut_longest_repeated_span(
             "cut_chars"
         ),
         F.md5(new_text).alias("new_text_md5"),
+    )
+
+
+def hash64_band_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over ANY precomputed 64-bit fingerprint column
+    (SimHash, dHash, audio hashes …): band into 4×16-bit keys
+    (pigeonhole: hamming ≤ 3 ⇒ at least one band identical — larger
+    ``max_hamming`` trades recall, documented), bucket-join, verify by
+    exact Hamming distance.  The :func:`simhash_pairs` funnel with the
+    fingerprint computation factored out — e.g. feed
+    ``multimodal.dhash64`` output for perceptual image dedup.
+    Returns (id_a, id_b, hamming)."""
+    fps = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    banded = fps.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("h"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "h",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            S.hamming64(F.col("l.h"), F.col("r.h")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

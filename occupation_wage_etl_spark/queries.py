@@ -14516,6 +14516,105 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# q279 — perceptual image NEAR-dup pairs (multimodal.dhash64 →
+# dedup.hash64_band_pairs): the SimHash band funnel applied to image
+# fingerprints — the q22 pattern for pixels.  Plant: 29 image groups;
+# each doc renders the group gradient with a variant pixel bump
+# (did%3: none / +128 at one cell / +64 at another), so same-group
+# hashes differ by ≤4 comparison bits and cross-group hashes are far
+# apart; decode (REAL PNG) → dhash (codegen) → 4×16-bit band join →
+# exact Hamming verify.  Oracle replays pixels → bits → HUGEINT hash
+# → bands → join → bit_count(xor), bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _synth_png9_groups(docs: DataFrame) -> DataFrame:
+    def _make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did % 29, did % 3
+                # per-group multiplicative step: wrap phase AND stride
+                # differ per group, so cross-group hashes diverge by
+                # ~32 bits (no incidental band collisions at scale)
+                px = bytearray(
+                    ((g + 1) * k * 41 + g * 17) % 256 for k in range(81)
+                )
+                if v == 1:
+                    k = 9 * (g % 8) + 4
+                    px[k] = (px[k] + 128) % 256
+                elif v == 2:
+                    k = 9 * ((g + 3) % 8) + 2
+                    px[k] = (px[k] + 64) % 256
+                out.append(multimodal.encode_png_gray(9, 9, bytes(px)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q279_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = multimodal.decode_image(
+        _synth_png9_groups(docs), mode="real", thumb=9
+    )
+    hashed = decoded.select(
+        "doc_id", multimodal.dhash64(F.col("pixels"), grid=9).alias("dhash")
+    )
+    return dedup.hash64_band_pairs(
+        hashed, "dhash", id_col="doc_id", max_hamming=4
+    )
+
+
+Q279_SQL = """
+WITH px AS (
+  SELECT doc_id, doc_id % 29 AS g, doc_id % 3 AS v FROM documents
+), cmp AS (
+  SELECT doc_id, r, c,
+         ((g + 1) * (9 * r + c) * 41 + g * 17
+          + CASE WHEN v = 1 AND r = g % 8 AND c = 4 THEN 128
+                 WHEN v = 2 AND r = (g + 3) % 8 AND c = 2 THEN 64
+                 ELSE 0 END) % 256 AS pl,
+         ((g + 1) * (9 * r + c + 1) * 41 + g * 17
+          + CASE WHEN v = 1 AND r = g % 8 AND c + 1 = 4 THEN 128
+                 WHEN v = 2 AND r = (g + 3) % 8 AND c + 1 = 2 THEN 64
+                 ELSE 0 END) % 256 AS pr
+  FROM px, UNNEST(range(0, 8)) AS t1(r), UNNEST(range(0, 8)) AS t2(c)
+), h AS (
+  SELECT doc_id,
+         sum(CASE WHEN pl > pr THEN 1::HUGEINT ELSE 0::HUGEINT END
+             << CAST(63 - (r * 8 + c) AS INTEGER)) AS vv
+  FROM cmp GROUP BY doc_id
+), hs AS (
+  SELECT doc_id,
+         vv,
+         CAST(CASE WHEN vv >= 9223372036854775808::HUGEINT
+                   THEN vv - 18446744073709551616::HUGEINT
+                   ELSE vv END AS BIGINT) AS hh
+  FROM h
+), bands AS (
+  SELECT doc_id, hh, b AS band,
+         CAST((vv >> CAST(b * 16 AS INTEGER)) & 65535::HUGEINT
+              AS BIGINT) AS key
+  FROM hs, UNNEST(range(0, 4)) AS t(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b,
+         l.hh AS ha, r2.hh AS hb
+  FROM bands l JOIN bands r2
+    ON l.band = r2.band AND l.key = r2.key AND l.doc_id < r2.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 4
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -14795,6 +14894,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q276_jsonld_metadata": q276_jsonld_metadata,
     "q277_sitemap_entries": q277_sitemap_entries,
     "q278_image_dhash": q278_image_dhash,
+    "q279_image_near_dup": q279_image_near_dup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15076,4 +15176,5 @@ ORACLE_SQL: dict[str, str] = {
     "q276_jsonld_metadata": Q276_SQL,
     "q277_sitemap_entries": Q277_SQL,
     "q278_image_dhash": Q278_SQL,
+    "q279_image_near_dup": Q279_SQL,
 }
