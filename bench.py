@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "q277_sitemap_entries",
     "q278_image_dhash",
     "q279_image_near_dup",
+    "q280_nfc_dedup",
 ]
 
 

@@ -133,3 +133,41 @@ def sniff_transcode(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_run, schema=schema)
+
+
+def nfc_normalize_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC canonical composition — the normalization step that
+    makes canonically-EQUIVALENT text (composed é vs e+U+0301, the
+    classic copy-paste/OCR divergence) byte-identical before any
+    hash-keyed dedup; without it, exact dedup silently splits
+    equivalent documents.
+
+    No JVM builtin exists for Unicode normalization in Spark SQL, so
+    this is an Arrow-batched Python pass (``unicodedata.normalize`` —
+    stdlib, deterministic, the same table DuckDB's nfc_normalize
+    implements); it belongs at the bytes→text edge next to
+    :func:`sniff_transcode`, ONCE per document, not in any hot
+    aggregate.  Returns (id, n_chars_before, n_chars_after, changed,
+    text) with ``text`` in NFC."""
+    import unicodedata
+
+    schema = (
+        f"{id_col} long, n_chars_before int, n_chars_after int, "
+        "changed boolean, text string"
+    )
+    cols = [id_col, "n_chars_before", "n_chars_after", "changed", "text"]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, t in zip(batch[id_col], batch[text_col]):
+                s = str(t or "")
+                n = unicodedata.normalize("NFC", s)
+                rows.append((int(rid), len(s), len(n), n != s, n))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, text_col).mapInPandas(_run, schema=schema)

@@ -14626,6 +14626,53 @@ FROM pairs WHERE bit_count(xor(ha, hb)) <= 4
 """
 
 
+# ---------------------------------------------------------------------------
+# q280 — Unicode NFC normalization → dedup collapse
+# (charset.nfc_normalize_table): canonically-equivalent text (composed
+# é/ï/ü vs base char + combining mark — the copy-paste/OCR divergence)
+# is byte-DIFFERENT, so hash-keyed dedup silently splits it; after NFC
+# the planted composed/decomposed variant pairs (g = id%31 groups)
+# collapse to one group each, with n_changed counting the decomposed
+# members the pass actually rewrote.  Oracle replays via DuckDB's
+# nfc_normalize over the same chr()-built decomposed strings.
+# ---------------------------------------------------------------------------
+
+
+def q280_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import charset
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    g = (did % 31).cast("string")
+    composed = F.concat(
+        F.lit("café "), g, F.lit(" naïve ümlaut")
+    )
+    decomposed = F.concat(
+        F.lit("cafe\u0301 "), g,
+        F.lit(" nai\u0308ve u\u0308mlaut"),
+    )
+    text = F.when(did % 2 == 0, composed).otherwise(decomposed)
+    planted = docs.select("doc_id", text.alias("text"))
+    nfc = charset.nfc_normalize_table(planted)
+    return (
+        nfc.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sum(F.col("changed").cast("long")).alias("n_changed"),
+        )
+        .select("rep_doc_id", "n_dups", "n_changed")
+    )
+
+
+Q280_SQL = """
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM documents GROUP BY doc_id % 31
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -14906,6 +14953,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q277_sitemap_entries": q277_sitemap_entries,
     "q278_image_dhash": q278_image_dhash,
     "q279_image_near_dup": q279_image_near_dup,
+    "q280_nfc_dedup": q280_nfc_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15188,4 +15236,5 @@ ORACLE_SQL: dict[str, str] = {
     "q277_sitemap_entries": Q277_SQL,
     "q278_image_dhash": Q278_SQL,
     "q279_image_near_dup": Q279_SQL,
+    "q280_nfc_dedup": Q280_SQL,
 }

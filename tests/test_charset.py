@@ -91,3 +91,22 @@ def test_windows_1252_rung():
     assert charset.detect_charset("café à".encode("latin-1")) == (
         "latin-1", False,
     )
+
+
+def test_nfc_normalize_table(spark):
+    rows = [
+        (1, "café composed?"),     # decomposed -> composes
+        (2, "café composed?"),            # already NFC
+        (3, "plain ascii"),
+        (4, "å ring"),              # a + combining ring -> å
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in charset.nfc_normalize_table(df).collect()
+    }
+    assert got[1].text == got[2].text == "café composed?"
+    assert got[1].changed and not got[2].changed
+    assert (got[1].n_chars_before, got[1].n_chars_after) == (15, 14)
+    assert not got[3].changed
+    assert got[4].text == "å ring" and got[4].changed
