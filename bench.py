@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "q278_image_dhash",
     "q279_image_near_dup",
     "q280_nfc_dedup",
+    "q281_canonical_urls",
 ]
 
 

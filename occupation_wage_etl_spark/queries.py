@@ -14673,6 +14673,62 @@ FROM documents GROUP BY doc_id % 31
 """
 
 
+# ---------------------------------------------------------------------------
+# q281 — canonical-URL extraction (html_text.canonical_distributed →
+# functions/url.py): pages DECLARE their canonical URL (rel=canonical
+# / og:url), and crawl dedup trusts it over the fetch URL.  Plant:
+# messy canonical targets (uppercase scheme/host, :80, utm params) and
+# og:url absent on a third of docs; output the canonicalized dedup key
+# next to the raw declaration.
+# ---------------------------------------------------------------------------
+
+
+def q281_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = did.cast("string")
+    page = F.concat(
+        F.lit("<html><head>"
+              "<link rel='canonical' href='HTTP://CANON"),
+        (did % 13).cast("string"),
+        F.lit(".EXAMPLE:80/p/"), d,
+        F.lit("?utm_source=crawl'>"),
+        F.when(
+            did % 3 != 0,
+            F.concat(
+                F.lit("<meta property='og:url' content='http://og"),
+                (did % 7).cast("string"),
+                F.lit(".example/"), d, F.lit("'>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    meta = html_text.canonical_distributed(pages)
+    return meta.select(
+        "doc_id",
+        "canonical",
+        U.canonicalize_url(F.col("canonical")).alias("canon_key"),
+        "og_url",
+    )
+
+
+Q281_SQL = """
+SELECT doc_id,
+       'HTTP://CANON' || (doc_id % 13) || '.EXAMPLE:80/p/' || doc_id
+         || '?utm_source=crawl' AS canonical,
+       'http://canon' || (doc_id % 13) || '.example/p/' || doc_id
+         AS canon_key,
+       CASE WHEN doc_id % 3 != 0
+            THEN 'http://og' || (doc_id % 7) || '.example/' || doc_id
+       END AS og_url
+FROM documents
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -14954,6 +15010,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q278_image_dhash": q278_image_dhash,
     "q279_image_near_dup": q279_image_near_dup,
     "q280_nfc_dedup": q280_nfc_dedup,
+    "q281_canonical_urls": q281_canonical_urls,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15237,4 +15294,5 @@ ORACLE_SQL: dict[str, str] = {
     "q278_image_dhash": Q278_SQL,
     "q279_image_near_dup": Q279_SQL,
     "q280_nfc_dedup": Q280_SQL,
+    "q281_canonical_urls": Q281_SQL,
 }

@@ -306,3 +306,71 @@ def jsonld_distributed(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)
+
+
+class _HeadMetaParser(HTMLParser):
+    """Collects the page's canonical-URL signals: <link rel="canonical"
+    href>, <meta property="og:url" content>, and <base href> — the
+    inputs of URL-level crawl dedup (the page itself declares which URL
+    is canonical; crawlers trust it over the fetch URL)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.canonical: str | None = None
+        self.og_url: str | None = None
+        self.base_href: str | None = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and self.canonical is None:
+                self.canonical = a.get("href")
+        elif tag == "meta":
+            if (
+                (a.get("property") or "").lower() == "og:url"
+                and self.og_url is None
+            ):
+                self.og_url = a.get("content")
+        elif tag == "base" and self.base_href is None:
+            self.base_href = a.get("href")
+
+
+def extract_canonical(html: str) -> dict:
+    """{'canonical', 'og_url', 'base_href'} (first occurrence each;
+    None when absent)."""
+    p = _HeadMetaParser()
+    p.feed(html or "")
+    p.close()
+    return {
+        "canonical": p.canonical,
+        "og_url": p.og_url,
+        "base_href": p.base_href,
+    }
+
+
+def canonical_distributed(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, canonical, og_url, base_href) per page — scan-side
+    ``mapInPandas``; chain through functions/url.py canonicalization
+    for the final dedup key."""
+    schema = (
+        f"{id_col} long, canonical string, og_url string, "
+        "base_href string"
+    )
+    cols = [id_col, "canonical", "og_url", "base_href"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, page in zip(batch[id_col], batch[html_col]):
+                m = extract_canonical(str(page or ""))
+                rows.append(
+                    (int(rid), m["canonical"], m["og_url"], m["base_href"])
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)

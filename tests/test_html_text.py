@@ -147,3 +147,23 @@ def test_links_spark_operator(spark):
         (1, 0): ("/d/1", "doc 1 link"),
         (2, 0): ("/d/2", "doc 2 link"),
     }
+
+
+def test_extract_canonical():
+    html = (
+        "<html><head><base href='http://b.example/'>"
+        "<link rel='stylesheet' href='/s.css'>"
+        "<link rel='canonical' href='http://c.example/page'>"
+        "<link rel='canonical' href='http://ignored.example/dup'>"
+        "<meta property='og:url' content='http://og.example/page'>"
+        "</head><body></body></html>"
+    )
+    m = html_text.extract_canonical(html)
+    assert m == {
+        "canonical": "http://c.example/page",
+        "og_url": "http://og.example/page",
+        "base_href": "http://b.example/",
+    }
+    assert html_text.extract_canonical("<p>none</p>") == {
+        "canonical": None, "og_url": None, "base_href": None,
+    }
