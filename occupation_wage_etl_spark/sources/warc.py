@@ -40,22 +40,52 @@ _CRLF = b"\r\n"
 
 # --------------------------------------------------------------- gunzip
 
+_GUNZIP_CHUNK = 1 << 20
+
+
+def _gunzip_iter(data: bytes) -> Iterator[bytes]:
+    """Decompressed chunks of a concatenation of gzip members (the
+    member-per-record WARC layout, or a single whole-archive member).
+
+    Feeds the decompressor ``_GUNZIP_CHUNK`` slices of a memoryview so
+    the per-member ``unused_data`` copy is bounded by the chunk size —
+    O(archive) total, not O(members × archive) — and, because it is a
+    generator, the record walk can stop pulling once ``max_records``
+    records' worth of bytes have materialized."""
+    view = memoryview(data)
+    pos, n = 0, len(view)
+    d = zlib.decompressobj(31)  # gzip wrapper
+    fed = False  # has the CURRENT member seen any input yet?
+    carry = b""  # unused_data of a finished member, ≤ one chunk
+    while pos < n or carry:
+        if carry:
+            feed, carry = carry, b""
+        else:
+            feed = view[pos : pos + _GUNZIP_CHUNK]
+            pos += len(feed)
+        while feed:
+            try:
+                out = d.decompress(feed)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt WARC: bad gzip member ({exc})"
+                )
+            fed = True
+            if out:
+                yield out
+            if not d.eof:
+                break
+            # member boundary — restart on the leftover bytes
+            feed = d.unused_data
+            d = zlib.decompressobj(31)
+            fed = False
+    if fed and not d.eof:
+        raise ValueError("corrupt WARC: truncated gzip member")
+
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the member-per-record
-    WARC layout, or a single whole-archive member) into one buffer."""
-    out = bytearray()
-    while data:
-        d = zlib.decompressobj(31)  # gzip wrapper
-        try:
-            out += d.decompress(data)
-            out += d.flush()
-        except zlib.error as exc:
-            raise ValueError(f"corrupt WARC: bad gzip member ({exc})")
-        if not d.eof:
-            raise ValueError("corrupt WARC: truncated gzip member")
-        data = d.unused_data
-    return bytes(out)
+    """Whole-buffer convenience wrapper over `_gunzip_iter`."""
+    return b"".join(_gunzip_iter(data))
 
 
 # ---------------------------------------------------------------- parse
@@ -73,7 +103,11 @@ def _read_line(data: bytes, pos: int) -> tuple[bytes, int]:
 
 def _parse_headers(data: bytes, pos: int) -> tuple[dict[str, str], int]:
     """Named fields up to the blank line; continuation lines (leading
-    SP/HT) fold into the previous value (ISO 28500 §4 / RFC 5322)."""
+    SP/HT) fold into the previous value (ISO 28500 §4 / RFC 5322).
+    Repeated field names accumulate comma-joined — the RFC 9110 §5.3
+    list equivalence, so legitimately-repeatable fields (e.g.
+    ``WARC-Concurrent-To``) are never silently dropped; singleton
+    fields read downstream take the first list element."""
     headers: dict[str, str] = {}
     last: str | None = None
     while pos < len(data):
@@ -87,9 +121,15 @@ def _parse_headers(data: bytes, pos: int) -> tuple[dict[str, str], int]:
         if not sep:
             raise ValueError("corrupt WARC: malformed header line")
         key = name.strip().decode("latin-1").lower()
-        headers[key] = value.strip().decode("latin-1")
+        val = value.strip().decode("latin-1")
+        headers[key] = headers[key] + ", " + val if key in headers else val
         last = key
     return headers, pos
+
+
+def _first_token(value: str) -> str:
+    """First element of a comma-joined header value (singleton reads)."""
+    return value.split(",", 1)[0].strip()
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -120,10 +160,43 @@ def _dechunk(body: bytes) -> bytes:
     return bytes(out)
 
 
+def _decode_content(payload: bytes, encoding: str | None) -> bytes:
+    """RFC 9110 §8.4 ``Content-Encoding`` decode: ``gzip``/``x-gzip``
+    (RFC 1952, multi-member tolerated), ``deflate`` (RFC 1950 zlib
+    wrapper, falling back to raw RFC 1951 — the historical server
+    quirk), ``identity`` (no-op).  Multiple codings are listed in
+    application order, so they undo in reverse.  Unknown codings
+    (br/zstd — not stdlib) or corrupt streams return the payload
+    unchanged: crawl archives carry plenty of mislabeled content and a
+    single bad page must never fail the record (the `_dechunk` rule)."""
+    toks = [t.strip().lower() for t in (encoding or "").split(",")]
+    for tok in reversed([t for t in toks if t]):
+        if tok == "identity":
+            continue
+        if tok in ("gzip", "x-gzip"):
+            try:
+                payload = _gunzip_members(payload)
+            except ValueError:
+                return payload
+        elif tok == "deflate":
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                try:
+                    payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+                except zlib.error:
+                    return payload
+        else:
+            return payload
+    return payload
+
+
 def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content-type, payload) out of an HTTP message block;
-    chunked transfer-encoding is decoded (the wire framing is not
-    content)."""
+    chunked transfer-encoding is decoded first (the wire framing is
+    outermost), then Content-Encoding (gzip/deflate) — so the payload
+    that reaches the bytes→text tiers is the representation the server
+    produced, not compressed garbage."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         sep = block.find(b"\n\n")
@@ -142,9 +215,12 @@ def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
             status = None
     hdrs, _ = _parse_headers(head + b"\n", pos)
     ctype = hdrs.get("content-type")
+    if ctype is not None:
+        ctype = _first_token(ctype) or None
     payload = block[body_at:]
     if "chunked" in hdrs.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
+    payload = _decode_content(payload, hdrs.get("content-encoding"))
     return status, ctype, payload
 
 
@@ -153,28 +229,61 @@ def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
     compressed), each a dict of the catalog fields plus the raw block
     and — for ``response`` records — the parsed HTTP payload.
     Fan-out is bounded by ``max_records`` (the 100 TB cap, same rule
-    as pdf_text's max_pages)."""
+    as pdf_text's max_pages); on compressed archives decompression is
+    lazy, so hitting the cap stops pulling gzip members — a capped
+    catalog scan over a multi-GiB archive never inflates the tail."""
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        chunks = _gunzip_iter(data)
+        buf = bytearray()
+
+        def _fill() -> bool:
+            try:
+                buf.extend(next(chunks))
+                return True
+            except StopIteration:
+                return False
+
+    else:
+        buf = data
+
+        def _fill() -> bool:
+            return False
+
+    def _ensure(n: int) -> bool:
+        while len(buf) < n:
+            if not _fill():
+                return False
+        return True
+
     records: list[dict] = []
     pos = 0
-    while pos < len(data) and len(records) < max_records:
-        # skip inter-record CRLFs
-        while pos < len(data) and data[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= len(data):
+    while len(records) < max_records:
+        # skip inter-record CRLFs (pulling more input at a boundary)
+        while True:
+            while pos < len(buf) and buf[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if pos < len(buf) or not _fill():
+                break
+        if pos >= len(buf):
             break
-        line, pos = _read_line(data, pos)
+        # materialize the whole header block (up to the blank line)
+        while True:
+            hdr_end = buf.find(b"\n\r\n", pos)
+            if hdr_end < 0:
+                hdr_end = buf.find(b"\n\n", pos)
+            if hdr_end >= 0 or not _fill():
+                break
+        line, hpos = _read_line(buf, pos)
         if not line.startswith(b"WARC/"):
             raise ValueError("corrupt WARC: missing version line")
-        headers, pos = _parse_headers(data, pos)
+        headers, pos = _parse_headers(buf, hpos)
         try:
-            length = int(headers["content-length"])
+            length = int(_first_token(headers["content-length"]))
         except (KeyError, ValueError):
             raise ValueError("corrupt WARC: missing/bad Content-Length")
-        if pos + length > len(data):
+        if not _ensure(pos + length):
             raise ValueError("corrupt WARC: truncated record block")
-        block = data[pos : pos + length]
+        block = bytes(buf[pos : pos + length])
         pos += length
         rec = {
             "warc_type": headers.get("warc-type"),
@@ -384,6 +493,18 @@ def encode_warc_fixture(
             payload = spec["payload"]
             if isinstance(payload, str):
                 payload = payload.encode("utf-8")
+            enc_hdr = b""
+            enc = spec.get("content_encoding")
+            if enc in ("gzip", "x-gzip"):
+                payload = _gzip_member(payload)
+            elif enc == "deflate":
+                payload = zlib.compress(payload)
+            elif enc == "deflate-raw":  # the historical raw-DEFLATE quirk
+                co = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+                payload = co.compress(payload) + co.flush()
+                enc = "deflate"
+            if enc:
+                enc_hdr = f"Content-Encoding: {enc}\r\n".encode("latin-1")
             if spec.get("chunked"):
                 # RFC 9112 chunked framing: split at 7 bytes to force
                 # multiple chunks through the decoder
@@ -405,6 +526,7 @@ def encode_warc_fixture(
                     f"Content-Type: "
                     f"{spec.get('http_content_type', 'text/html')}\r\n"
                 ).encode("latin-1")
+                + enc_hdr
                 + framing
                 + b"\r\n"
                 + body

@@ -221,3 +221,86 @@ def test_chunked_transfer_decoding():
     assert warc._dechunk(b"ff\r\nshort") == b"ff\r\nshort"
     # zero-terminated empty body
     assert warc._dechunk(b"0\r\n\r\n") == b""
+
+
+def test_content_encoding_decoding():
+    """RFC 9110 §8.4: gzip / zlib-deflate / raw-deflate payloads reach
+    the parsed record fully decoded; unknown or corrupt codings pass
+    the bytes through unchanged (never fail the record)."""
+    payload = b"the quick brown fox " * 16
+    for enc in ("gzip", "deflate", "deflate-raw"):
+        data = warc.encode_warc_fixture(
+            [
+                {
+                    "type": "response",
+                    "uri": "http://e.example/x",
+                    "payload": payload,
+                    "content_encoding": enc,
+                }
+            ],
+            warcinfo=False,
+        )
+        rec = warc.parse_warc(data)[0]
+        assert b"Content-Encoding:" in rec["block"]
+        assert rec["payload"] == payload, enc
+        # the raw block stays compressed (payload != block body)
+        assert payload not in rec["block"]
+    # chunked + gzip compose: Transfer-Encoding undone first
+    data = warc.encode_warc_fixture(
+        [
+            {
+                "type": "response",
+                "uri": "http://e.example/c",
+                "payload": payload,
+                "content_encoding": "gzip",
+                "chunked": True,
+            }
+        ],
+        warcinfo=False,
+    )
+    rec = warc.parse_warc(data)[0]
+    assert b"Transfer-Encoding: chunked" in rec["block"]
+    assert rec["payload"] == payload
+    # unknown coding (br) or corrupt gzip: bytes pass through as-is
+    assert warc._decode_content(b"\x00\x01", "br") == b"\x00\x01"
+    assert warc._decode_content(b"not-gzip", "gzip") == b"not-gzip"
+    assert warc._decode_content(payload, None) == payload
+    assert warc._decode_content(payload, "identity") == payload
+    # multi-coding list undoes in reverse application order
+    twice = warc._gzip_member(zlib.compress(payload))
+    assert warc._decode_content(twice, "deflate, gzip") == payload
+
+
+def test_repeated_headers_accumulate():
+    """Repeated WARC header fields comma-join (RFC 9110 §5.3 list
+    equivalence) instead of last-wins-dropping earlier values."""
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:2>\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:3>\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: 4\r\n\r\n"
+        b"body\r\n\r\n"
+    )
+    hdrs, _ = warc._parse_headers(raw, raw.find(b"\n") + 1)
+    assert hdrs["warc-concurrent-to"] == "<urn:uuid:2>, <urn:uuid:3>"
+    assert warc.parse_warc(raw)[0]["content_length"] == 4
+
+
+def test_gunzip_iter_linear_and_lazy():
+    """_gunzip_iter handles many members in O(total) and parse_warc
+    stops pulling members once max_records is hit."""
+    members = [warc._gzip_member(bytes([65 + i % 26]) * 100)
+               for i in range(300)]
+    blob = b"".join(members)
+    assert warc._gunzip_members(blob) == b"".join(
+        bytes([65 + i % 26]) * 100 for i in range(300)
+    )
+    # truncated final member raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        warc._gunzip_members(blob[:-5])
+    # empty input: no members, no output
+    assert warc._gunzip_members(b"") == b""
