@@ -1559,6 +1559,10 @@ def hash64_band_pairs(
             F.col("r.id").alias("id_b"),
             S.hamming64(F.col("l.h"), F.col("r.h")).alias("hamming"),
         )
-        .distinct()
+        # hamming is functionally determined by the pair, so filtering
+        # BEFORE the distinct is equivalent — and shrinks the dedup
+        # shuffle to surviving pairs only (multi-band collisions of
+        # far-apart fingerprints die before the exchange)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

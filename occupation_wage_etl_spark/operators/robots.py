@@ -11,14 +11,24 @@ Grammar contract (RFC 9309 subset, deterministic and documented):
   ``Disallow`` / ``Crawl-delay`` rules to those agents (cartesian
   within the group — multiple UA lines share the rules);
 - ``Sitemap`` is group-independent (emitted with NULL agent);
-- rule matching is PLAIN PREFIX match (RFC 9309 §2.2.2 without the
-  ``*``/``$`` wildcard extension — documented bound); longest match
-  wins, tie → Allow (the RFC's least-restrictive tie-break), no
-  match → allowed.
+- rule matching implements RFC 9309 §2.2.2–§2.2.3 in full: plain
+  rules match as path prefixes; ``*`` matches any octet sequence
+  (incl. empty) and a trailing ``$`` anchors the match at path end
+  (both MUST-level in the RFC; mid-pattern ``$`` is literal, the
+  de-facto crawler behavior).  "Most specific match" = most PATTERN
+  octets wins; tie → Allow (the RFC's least-restrictive tie-break);
+  no match → allowed;
+- ``User-agent`` product tokens compare case-insensitively
+  (RFC 9309 §2.2.1) and as EXACT tokens — the substring matching
+  some crawlers add ("googlebot" group matching agent
+  "googlebot-news") is a documented non-goal.
 
 Everything is codegen Column expressions: line split + posexplode,
 one per-document window (robots files are KB-sized — the window
 partitions on the doc key, never globally), one bounded join.
+Wildcard-free rules (the overwhelming majority in real files) keep
+the cheap codegen ``startswith`` path; only rules containing ``*`` or
+a trailing ``$`` take the per-row regexp branch.
 
 Reference analogue: none; LLM-training-data extension surface
 (pairs with sources/warc.py and functions/url.py).
@@ -99,31 +109,36 @@ def robots_is_allowed(
 ) -> DataFrame:
     """Evaluate each (id, path) against the id's rules for ``agent``
     (exact-agent group if one exists, else the ``*`` group —
-    RFC 9309's exclusive group selection): longest prefix match wins,
-    tie → allow, no match → allowed.  Returns (id, path, allowed,
-    matched_rule, matched_len).  One equi-join on the doc key + one
-    struct-max aggregate — no window."""
+    RFC 9309's exclusive group selection; product tokens compare
+    case-insensitively per §2.2.1): most-pattern-octets match wins,
+    tie → allow, no match → allowed.  ``*``/trailing-``$`` wildcard
+    rules (§2.2.3) match via a regex compiled FROM the rule by codegen
+    string ops; wildcard-free rules keep the cheap ``startswith``
+    path.  Returns (id, path, allowed, matched_rule, matched_len).
+    One equi-join on the doc key + one struct-max aggregate — no
+    window."""
+    agent_lc = agent.lower()
     r = rules.filter(
         F.col("rule_type").isin(["allow", "disallow"])
-        & F.col("agent").isin([agent, "*"])
+        & F.lower(F.col("agent")).isin([agent_lc, "*"])
     ).select(
         F.col(id_col).alias("__rid"),
-        F.col("agent").alias("__agent"),
+        F.lower(F.col("agent")).alias("__agent"),
         F.col("rule_type").alias("__rt"),
         F.col("value").alias("__rule"),
     )
     # exclusive group selection: keep '*' rules only for ids with no
     # exact-agent group (vacuous when agent == '*')
-    if agent != "*":
+    if agent_lc != "*":
         has_exact = (
-            r.filter(F.col("__agent") == agent)
+            r.filter(F.col("__agent") == agent_lc)
             .select("__rid").distinct()
             .withColumn("__has", F.lit(1))
         )
         r = (
             r.join(F.broadcast(has_exact), "__rid", "left")
             .filter(
-                (F.col("__agent") == agent)
+                (F.col("__agent") == agent_lc)
                 | F.col("__has").isNull()
             )
             .drop("__has")
@@ -131,11 +146,31 @@ def robots_is_allowed(
     u = urls.select(
         F.col(id_col).alias("__uid"), F.col(path_col).alias("__path")
     )
+    # RFC 9309 §2.2.3 wildcards: trailing '$' anchors, '*' spans.
+    # The regex is BUILT from the rule with codegen string ops — every
+    # other regex metachar in the rule is escaped first ('*' excluded
+    # from the class, mid-pattern '$' escaped = literal).
+    rule = F.col("__rule")
+    has_anchor = rule.endswith("$")
+    body = F.when(
+        has_anchor, F.substring(rule, F.lit(1), F.length(rule) - 1)
+    ).otherwise(rule)
+    esc = F.regexp_replace(
+        body, r"([.\^$+?(){}\[\]\\|])", r"\\$1"
+    )
+    rule_re = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(has_anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+    has_wildcard = rule.contains("*") | has_anchor
     cand = u.join(r, u["__uid"] == r["__rid"], "left").withColumn(
         "__hit",
         F.col("__rule").isNotNull()
         & (F.col("__rule") != "")
-        & F.col("__path").startswith(F.col("__rule")),
+        & F.when(
+            has_wildcard, F.regexp_like(F.col("__path"), rule_re)
+        ).otherwise(F.col("__path").startswith(F.col("__rule"))),
     )
     best = cand.groupBy("__uid", "__path").agg(
         F.max(
@@ -172,7 +207,13 @@ def sitemap_entries(
     changefreq, priority) rows.  ``max_entries`` mirrors the protocol's
     own 50k-URL cap.  Scan-side ``mapInPandas`` (stdlib etree), zero
     shuffles — the discovery companion to :func:`robots_rules`'
-    Sitemap lines."""
+    Sitemap lines.
+
+    ``xml_col`` may be a STRING or a BINARY column; binary payloads
+    starting with the gzip magic are decompressed first — ``.xml.gz``
+    is the norm at scale (the protocol's own 50 MB/50k limits push
+    every large site to compressed sitemaps)."""
+    import gzip
     import xml.etree.ElementTree as ET
     from collections.abc import Iterator
 
@@ -196,6 +237,14 @@ def sitemap_entries(
         for batch in batches:
             rows = []
             for rid, xml_text in zip(batch[id_col], batch[xml_col]):
+                if isinstance(xml_text, (bytes, bytearray, memoryview)):
+                    raw = bytes(xml_text)
+                    if raw[:2] == b"\x1f\x8b":
+                        try:
+                            raw = gzip.decompress(raw)
+                        except (OSError, EOFError):
+                            continue  # corrupt gzip: skip, never fail
+                    xml_text = raw.decode("utf-8", "replace")
                 try:
                     root = ET.fromstring(str(xml_text or ""))
                 except ET.ParseError:
@@ -225,3 +274,53 @@ def sitemap_entries(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, xml_col).mapInPandas(_run, schema=schema)
+
+
+def sitemap_index_chase(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_entries: int = 50_000,
+) -> DataFrame:
+    """Follow ``<sitemapindex>`` pointers into their child ``<urlset>``
+    sitemaps WITHIN the given corpus — the bridge between the two
+    sitemap.org layouts (a large site's robots.txt names ONE index
+    file; the actual page URLs live one hop away in its gzipped
+    children).
+
+    ``df`` is the sitemap corpus: (id, url [the sitemap's own fetch
+    URL], xml [string or binary — ``.xml.gz`` handled]).  Returns one
+    row per urlset entry reached through an index pointer:
+    (root_id [the index sitemap], child_url, ordinal [within the
+    child], loc, lastmod, changefreq, priority).
+
+    Shape: one scan-side parse (cached — it feeds both the pointer and
+    the entry branch) + two bounded equi-joins (pointer loc → corpus
+    url → child entries); no window, no cartesian."""
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    entries = cached(
+        sitemap_entries(
+            df, xml_col=xml_col, id_col=id_col, max_entries=max_entries
+        )
+    )
+    pointers = entries.filter(F.col("kind") == "sitemap").select(
+        F.col(id_col).alias("root_id"), F.col("loc").alias("__loc")
+    )
+    ids = df.select(
+        F.col(url_col).alias("__url"), F.col(id_col).alias("__child")
+    )
+    child_entries = entries.filter(F.col("kind") == "url").select(
+        F.col(id_col).alias("__child"), "ordinal", "loc", "lastmod",
+        "changefreq", "priority",
+    )
+    return (
+        pointers.join(ids, pointers["__loc"] == ids["__url"])
+        .join(child_entries, "__child")
+        .select(
+            "root_id",
+            F.col("__url").alias("child_url"),
+            "ordinal", "loc", "lastmod", "changefreq", "priority",
+        )
+    )

@@ -13236,10 +13236,16 @@ def _synth_warc(docs: DataFrame) -> DataFrame:
                             + "x" * ((did + r) % 17)
                         ).encode(),
                         # every third response rides chunked
-                        # transfer-encoding: payload_len gates the
-                        # DECODED length, so the dechunker is under
-                        # the oracle too
+                        # transfer-encoding, and Content-Encoding
+                        # rotates identity/gzip/deflate/raw-deflate on
+                        # an independent stride: payload_len gates the
+                        # fully DECODED length, so the dechunker AND
+                        # the RFC 9110 content-decoder are under the
+                        # oracle (incl. the chunked+gzip composition)
                         "chunked": (did + r) % 3 == 0,
+                        "content_encoding": (
+                            None, "gzip", "deflate", "deflate-raw"
+                        )[(did + 2 * r) % 4],
                     }
                     for r in range(1 + did % 3)
                 ]
@@ -14729,6 +14735,541 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q282 — DECLARED-charset honoring through the real crawl path: WARC
+# response records carry `Content-Type: …; charset=…`; warc_payloads
+# surfaces it; sniff_transcode(declared_col=…) runs the WHATWG
+# precedence ladder (BOM > declared > <meta> prescan > byte
+# heuristics) with strict-validation fall-through on lying labels.
+# Rotation by doc_id % 8 plants: trusted utf-8 label; declared
+# Shift_JIS; UNdeclared Shift_JIS (the new multi-byte byte-ladder
+# rung); iso-8859-1 label (HTML5: = cp1252); a LYING utf-8 label over
+# cp1252 bytes (falls through to the 0x80-0x9F rung); <meta
+# charset=windows-1251> prescan with no transfer label; declared
+# GB2312 (= gbk); declared EUC-KR.  Odd docs additionally ride
+# Content-Encoding: gzip, so the RFC 9110 decode → charset chain is
+# composed under the oracle.  `source` audits which rung decided.
+# ---------------------------------------------------------------------------
+
+
+def _synth_declared_charset_warc(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                m = did % 8
+                if m == 0:
+                    raw = f"doc {did} plain".encode("utf-8")
+                    ct = "text/html; charset=utf-8"
+                elif m == 1:
+                    raw = f"文書 {did} 日本語テスト".encode("shift_jis")
+                    ct = "text/html; charset=Shift_JIS"
+                elif m == 2:
+                    raw = f"文書 {did} 日本語テスト".encode("shift_jis")
+                    ct = "text/plain"
+                elif m == 3:
+                    raw = f"doc {did} café “quote”".encode("cp1252")
+                    ct = 'text/html; charset="iso-8859-1"'
+                elif m == 4:
+                    raw = f"doc {did} café €".encode("cp1252")
+                    ct = "text/html; charset=utf-8"  # lying label
+                elif m == 5:
+                    raw = (
+                        '<html><head><meta charset="windows-1251">'
+                        f"</head><body><p>документ {did}</p>"
+                        "</body></html>"
+                    ).encode("cp1251")
+                    ct = "text/html"
+                elif m == 6:
+                    raw = f"文档 {did} 中文内容".encode("gbk")
+                    ct = "text/html; charset=GB2312"
+                else:
+                    raw = f"문서 {did} 한국어".encode("euc_kr")
+                    ct = "text/html; charset=EUC-KR"
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        [
+                            {
+                                "type": "response",
+                                "uri": f"http://cs.example/{did}",
+                                "status": 200,
+                                "http_content_type": ct,
+                                "payload": raw,
+                                "content_encoding": (
+                                    "gzip" if did % 2 == 1 else None
+                                ),
+                            }
+                        ],
+                        gzip_records=(did % 4 == 2),
+                        warcinfo=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q282_charset_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import charset
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    pay = warcmod.warc_payloads(_synth_declared_charset_warc(docs))
+    return charset.sniff_transcode(
+        pay.select(
+            "doc_id",
+            F.col("payload").alias("content"),
+            "http_content_type",
+        ),
+        declared_col="http_content_type",
+    )
+
+
+Q282_SQL = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS m,
+         CASE doc_id % 8
+           WHEN 0 THEN 'doc ' || doc_id || ' plain'
+           WHEN 1 THEN '文書 ' || doc_id || ' 日本語テスト'
+           WHEN 2 THEN '文書 ' || doc_id || ' 日本語テスト'
+           WHEN 3 THEN 'doc ' || doc_id || ' café “quote”'
+           WHEN 4 THEN 'doc ' || doc_id || ' café €'
+           WHEN 5 THEN '<html><head><meta charset="windows-1251">'
+                       || '</head><body><p>документ ' || doc_id
+                       || '</p></body></html>'
+           WHEN 6 THEN '文档 ' || doc_id || ' 中文内容'
+           ELSE '문서 ' || doc_id || ' 한국어'
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'utf-8'
+              WHEN 1 THEN 'shift_jis' WHEN 2 THEN 'shift_jis'
+              WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'windows-1252'
+              WHEN 5 THEN 'cp1251' WHEN 6 THEN 'gbk'
+              ELSE 'euc_kr' END AS encoding,
+       CASE m WHEN 2 THEN 'shift_jis' WHEN 4 THEN 'cp1252'
+              WHEN 5 THEN 'meta' ELSE 'declared' END AS source,
+       FALSE AS had_bom,
+       CAST(CASE m
+         WHEN 0 THEN length(text)
+         WHEN 1 THEN length(text) + 8
+         WHEN 2 THEN length(text) + 8
+         WHEN 3 THEN length(text)
+         WHEN 4 THEN length(text)
+         WHEN 5 THEN length(text)
+         WHEN 6 THEN length(text) + 6
+         ELSE length(text) + 5
+       END AS BIGINT) AS n_bytes,
+       CAST(length(text) AS INT) AS n_chars,
+       text
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q283 — RELATIVE-URL resolution in the web-graph edge table
+# (html_text.links_distributed(url_col=…) → RFC 3986 §5 resolve): most
+# in-content hrefs on real pages are relative, so the q275-style edge
+# table misses the majority of edges until each href resolves against
+# the document base (<base href> over fetch URL).  Plants all four
+# reference shapes per page — path-relative, ../ climb,
+# protocol-relative //host, and absolute passthrough — and a fifth of
+# docs carry a <base href> that redirects resolution away from the
+# fetch URL; the oracle states every resolved edge closed-form.
+# ---------------------------------------------------------------------------
+
+
+def q283_links_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    links = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda k: F.concat(
+                F.lit("<a href='"),
+                F.when(
+                    k % 4 == 0,
+                    F.concat(
+                        F.lit("sub/p"),
+                        ((did * 7 + k) % 101).cast("string"),
+                        F.lit(".html"),
+                    ),
+                )
+                .when(
+                    k % 4 == 1,
+                    F.concat(
+                        F.lit("../up"),
+                        ((did * 7 + k) % 101).cast("string"),
+                    ),
+                )
+                .when(
+                    k % 4 == 2,
+                    F.concat(
+                        F.lit("//cdn"),
+                        ((did * 7 + k) % 11).cast("string"),
+                        F.lit(".example/lib"),
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("https://abs"),
+                        ((did * 7 + k) % 13).cast("string"),
+                        F.lit(".example/x"),
+                    ),
+                ),
+                F.lit("'>ref "),
+                k.cast("string"),
+                F.lit("</a> "),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("<base href='http://based"),
+                (did % 4).cast("string"),
+                F.lit(".example/root/sub/'>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><nav><a href='/chrome'>menu</a></nav>"
+              "<article><p>"),
+        links,
+        F.lit("</p></article></body></html>"),
+    )
+    fetch = F.concat(
+        F.lit("http://site"), (did % 7).cast("string"),
+        F.lit(".example/a/b/page"), did.cast("string"), F.lit(".html"),
+    )
+    pages = docs.select(
+        "doc_id", page.alias("html"), fetch.alias("fetch_url")
+    )
+    return html_text.links_distributed(pages, url_col="fetch_url")
+
+
+Q283_SQL = """
+WITH l AS (
+  SELECT doc_id, UNNEST(range(0, 4)) AS k FROM documents
+), t AS (
+  SELECT doc_id, k, (doc_id * 7 + k) % 101 AS n,
+         doc_id % 5 = 0 AS has_base,
+         'http://site' || (doc_id % 7) || '.example' AS site,
+         'http://based' || (doc_id % 4) || '.example' AS bhost
+  FROM l
+)
+SELECT doc_id, CAST(k AS INT) AS link_idx,
+       CASE k % 4
+         WHEN 0 THEN 'sub/p' || n || '.html'
+         WHEN 1 THEN '../up' || n
+         WHEN 2 THEN '//cdn' || ((doc_id * 7 + k) % 11) || '.example/lib'
+         ELSE 'https://abs' || ((doc_id * 7 + k) % 13) || '.example/x'
+       END AS href,
+       CASE k % 4
+         WHEN 0 THEN CASE WHEN has_base
+                          THEN bhost || '/root/sub/'
+                          ELSE site || '/a/b/' END
+                     || 'sub/p' || n || '.html'
+         WHEN 1 THEN CASE WHEN has_base
+                          THEN bhost || '/root/up' || n
+                          ELSE site || '/a/up' || n END
+         WHEN 2 THEN 'http://cdn' || ((doc_id * 7 + k) % 11)
+                     || '.example/lib'
+         ELSE 'https://abs' || ((doc_id * 7 + k) % 13) || '.example/x'
+       END AS url,
+       'ref ' || k AS anchor_text
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q284 — relative rel=canonical / og:url resolution chained into the
+# canonical dedup key (canonical_distributed(url_col=…) → resolve →
+# functions/url.canonicalize_url): real pages routinely declare
+# canonical as a root-relative or ../-relative reference, useless as a
+# cross-site dedup key until resolved.  Plants root-relative, ../
+# climb, and messy-absolute canonicals; a quarter of docs carry a
+# RELATIVE <base href> (itself resolved against the fetch URL first,
+# the HTML-spec two-step); og:url present on even docs only.
+# ---------------------------------------------------------------------------
+
+
+def q284_canonical_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = did.cast("string")
+    canonical = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("/p/"), d, F.lit("?utm_source=crawl")),
+        )
+        .when(did % 3 == 1, F.concat(F.lit("../c"), d))
+        .otherwise(
+            F.concat(
+                F.lit("HTTP://CANON"), (did % 13).cast("string"),
+                F.lit(".EXAMPLE:80/p/"), d,
+            )
+        )
+    )
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.when(did % 4 == 1, F.lit("<base href='/basez/'>"))
+         .otherwise(F.lit("")),
+        F.lit("<link rel='canonical' href='"), canonical, F.lit("'>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("<meta property='og:url' content='og/"),
+                     d, F.lit("'>")),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    fetch = F.concat(
+        F.lit("http://host"), (did % 9).cast("string"),
+        F.lit(".example/d1/d2/page"), d,
+    )
+    pages = docs.select(
+        "doc_id", page.alias("html"), fetch.alias("fetch_url")
+    )
+    meta = html_text.canonical_distributed(pages, url_col="fetch_url")
+    return meta.select(
+        "doc_id",
+        "canonical",
+        "canonical_abs",
+        U.canonicalize_url(F.col("canonical_abs")).alias("canon_key"),
+        "og_url_abs",
+    )
+
+
+Q284_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         'http://host' || (doc_id % 9) || '.example' AS host,
+         doc_id % 4 = 1 AS has_base
+  FROM documents
+), r AS (
+  SELECT doc_id, host, has_base,
+         CASE WHEN has_base THEN host || '/basez/'
+              ELSE host || '/d1/d2/' END AS basedir,
+         CASE doc_id % 3
+           WHEN 0 THEN '/p/' || doc_id || '?utm_source=crawl'
+           WHEN 1 THEN '../c' || doc_id
+           ELSE 'HTTP://CANON' || (doc_id % 13) || '.EXAMPLE:80/p/'
+                || doc_id
+         END AS canonical,
+         CASE doc_id % 3
+           WHEN 0 THEN host || '/p/' || doc_id || '?utm_source=crawl'
+           WHEN 1 THEN CASE WHEN has_base
+                            THEN host || '/c' || doc_id
+                            ELSE host || '/d1/c' || doc_id END
+           ELSE 'HTTP://CANON' || (doc_id % 13) || '.EXAMPLE:80/p/'
+                || doc_id
+         END AS canonical_abs
+  FROM t
+)
+SELECT doc_id, canonical, canonical_abs,
+       CASE doc_id % 3
+         WHEN 0 THEN host || '/p/' || doc_id
+         WHEN 1 THEN CASE WHEN has_base
+                          THEN host || '/c' || doc_id
+                          ELSE host || '/d1/c' || doc_id END
+         ELSE 'http://canon' || (doc_id % 13) || '.example/p/' || doc_id
+       END AS canon_key,
+       CASE WHEN doc_id % 2 = 0 THEN basedir || 'og/' || doc_id
+       END AS og_url_abs
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# q285 — gzipped sitemaps + sitemapindex→urlset chase
+# (robots.sitemap_index_chase): at scale every large site's
+# robots.txt names ONE <sitemapindex>, whose children are .xml.gz
+# urlsets — the page URLs live one hop away.  Fixture: every third doc
+# is a plain-XML index pointing at the NEXT TWO docs' sitemap URLs;
+# the children are GZIPPED urlsets (deterministic mtime-0 members), so
+# the gzip sniff, the binary-column path, and the two-bounded-equi-join
+# bridge (pointer loc → corpus url → child entries) are all under one
+# oracle; index docs at the corpus tail whose children don't exist
+# drop out via the inner join, exactly like the SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def _synth_sitemap_corpus(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources.warc import _gzip_member
+
+    def _make(batches):
+        import pandas as pd
+
+        ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+        for batch in batches:
+            urls, blobs = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                urls.append(f"http://sm.example/s{did}.xml")
+                if did % 3 == 0:
+                    xml = (
+                        f'<sitemapindex xmlns="{ns}">'
+                        + "".join(
+                            f"<sitemap><loc>http://sm.example/s{c}.xml"
+                            "</loc></sitemap>"
+                            for c in (did + 1, did + 2)
+                        )
+                        + "</sitemapindex>"
+                    )
+                    blobs.append(xml.encode("utf-8"))
+                else:
+                    xml = (
+                        f'<urlset xmlns="{ns}">'
+                        + "".join(
+                            f"<url><loc>http://h{did % 5}.example/p{k}"
+                            f"</loc><priority>0.{(did + k) % 5 + 5}"
+                            "</priority></url>"
+                            for k in range(1 + did % 4)
+                        )
+                        + "</urlset>"
+                    )
+                    blobs.append(_gzip_member(xml.encode("utf-8")))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "url": urls,
+                    "sitemap_xml": blobs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, url string, sitemap_xml binary"
+    )
+
+
+def q285_sitemap_gz_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _synth_sitemap_corpus(docs)
+    return robots.sitemap_index_chase(corpus).select(
+        "root_id", "child_url", "ordinal", "loc", "priority"
+    )
+
+
+Q285_SQL = """
+WITH kids AS (
+  SELECT d.doc_id AS root_id, d.doc_id + o.off AS child_id
+  FROM documents d, (VALUES (1), (2)) AS o(off)
+  WHERE d.doc_id % 3 = 0
+), ex AS (
+  SELECT k.root_id, k.child_id
+  FROM kids k JOIN documents c ON c.doc_id = k.child_id
+), e AS (
+  SELECT root_id, child_id,
+         UNNEST(range(0, 1 + child_id % 4)) AS k
+  FROM ex
+)
+SELECT root_id,
+       'http://sm.example/s' || child_id || '.xml' AS child_url,
+       CAST(k AS INT) AS ordinal,
+       'http://h' || (child_id % 5) || '.example/p' || k AS loc,
+       CAST('0.' || ((child_id + k) % 5 + 5) AS DOUBLE) AS priority
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# q286 — robots.txt wildcard rules + case-insensitive agent groups
+# (RFC 9309 §2.2.1/§2.2.3, the round-10 MUST closure): the fixture's
+# 'WiLdBot' group carries '*'-span and '$'-anchor rules ('/*.pdf$',
+# '/pub*.pdf$', '/tmp/*', '/exact$') and a '*' group disallows
+# EVERYTHING — so if the case-insensitive exact-group selection for
+# agent='wildbot' failed, every path would flip to disallowed.  Paths
+# plant: wildcard-pdf deny, longer-pattern allow override, directory
+# wildcard, $-anchored exact (with '/exactly' proving the anchor), and
+# a no-match default-allow.  matched_len gates most-pattern-octets
+# precedence.
+# ---------------------------------------------------------------------------
+
+
+def _synth_robots_wild(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.lit("User-agent: WiLdBot\n"),
+        F.lit("Disallow: /*.pdf$\n"),
+        F.lit("Allow: /pub*.pdf$\n"),
+        F.lit("Disallow: /tmp/*\n"),
+        F.lit("Disallow: /exact$\n\n"),
+        F.lit("User-agent: *\nDisallow: /\n"),
+        # doc-varying comment keeps the fixture per-doc like q271's
+        F.lit("# site "), did.cast("string"), F.lit("\n"),
+    )
+    return docs.select("doc_id", txt.alias("robots_txt"))
+
+
+def q286_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = robots.robots_rules(_synth_robots_wild(docs))
+    did = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("/doc"), (did % 3).cast("string"),
+                         F.lit(".pdf")),
+                F.concat(F.lit("/pub"), (did % 5).cast("string"),
+                         F.lit(".pdf")),
+                F.concat(F.lit("/tmp/x"), (did % 2).cast("string")),
+                F.lit("/exact"),
+                F.lit("/exactly"),
+                F.concat(F.lit("/ok"), (did % 7).cast("string")),
+            )
+        ).alias("path"),
+    )
+    return robots.robots_is_allowed(rules, urls, agent="wildbot")
+
+
+Q286_SQL = """
+SELECT doc_id, '/doc' || (doc_id % 3) || '.pdf' AS path,
+       FALSE AS allowed, '/*.pdf$' AS matched_rule,
+       CAST(7 AS INT) AS matched_len
+FROM documents
+UNION ALL
+SELECT doc_id, '/pub' || (doc_id % 5) || '.pdf', TRUE,
+       '/pub*.pdf$', CAST(10 AS INT)
+FROM documents
+UNION ALL
+SELECT doc_id, '/tmp/x' || (doc_id % 2), FALSE, '/tmp/*',
+       CAST(6 AS INT)
+FROM documents
+UNION ALL
+SELECT doc_id, '/exact', FALSE, '/exact$', CAST(7 AS INT)
+FROM documents
+UNION ALL
+SELECT doc_id, '/exactly', TRUE, CAST(NULL AS VARCHAR),
+       CAST(NULL AS INT)
+FROM documents
+UNION ALL
+SELECT doc_id, '/ok' || (doc_id % 7), TRUE, CAST(NULL AS VARCHAR),
+       CAST(NULL AS INT)
+FROM documents
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -15011,6 +15552,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q279_image_near_dup": q279_image_near_dup,
     "q280_nfc_dedup": q280_nfc_dedup,
     "q281_canonical_urls": q281_canonical_urls,
+    "q282_charset_declared": q282_charset_declared,
+    "q283_links_resolved": q283_links_resolved,
+    "q284_canonical_resolved": q284_canonical_resolved,
+    "q285_sitemap_gz_chase": q285_sitemap_gz_chase,
+    "q286_robots_wildcards": q286_robots_wildcards,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15295,4 +15841,9 @@ ORACLE_SQL: dict[str, str] = {
     "q279_image_near_dup": Q279_SQL,
     "q280_nfc_dedup": Q280_SQL,
     "q281_canonical_urls": Q281_SQL,
+    "q282_charset_declared": Q282_SQL,
+    "q283_links_resolved": Q283_SQL,
+    "q284_canonical_resolved": Q284_SQL,
+    "q285_sitemap_gz_chase": Q285_SQL,
+    "q286_robots_wildcards": Q286_SQL,
 }

@@ -33,11 +33,14 @@ task per file split, zero shuffles, same layout as pdf_text/wet_text.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 _SKIP_TAGS = frozenset(
     (
@@ -221,31 +224,92 @@ def extract_links(html: str) -> list[tuple[str, str]]:
     return p.links
 
 
+def resolve_url(base: str | None, ref: str | None) -> str | None:
+    """RFC 3986 §5 reference resolution (stdlib ``urllib.parse.urljoin``
+    — the spec's merge + remove_dot_segments algorithm): relative
+    paths, ``../`` climbs, protocol-relative ``//host/…``, bare-query
+    ``?q=…`` and absolute refs all resolve against ``base``.  Refs that
+    carry their own scheme (``mailto:``, ``javascript:``, absolute
+    http(s)) pass through unchanged; a missing/empty base returns the
+    ref as-is (nothing to resolve against)."""
+    if ref is None:
+        return None
+    if not base or _SCHEME_RE.match(ref):
+        # already absolute (or nothing to resolve against): the raw
+        # declaration passes through byte-identical — urljoin would
+        # re-assemble it (lowercasing the scheme), and downstream
+        # canonicalization owns normalization decisions
+        return ref
+    from urllib.parse import urljoin
+
+    try:
+        return urljoin(base, ref)
+    except ValueError:
+        return ref
+
+
+def document_base(fetch_url: str | None, base_href: str | None) -> str | None:
+    """The page's base URL per the HTML spec: ``<base href>`` resolved
+    against the fetch URL (the base element itself may be relative),
+    falling back to the fetch URL."""
+    if base_href:
+        return resolve_url(fetch_url, base_href) or base_href
+    return fetch_url
+
+
 def links_distributed(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    url_col: str | None = None,
 ) -> DataFrame:
     """(id, link_idx, href, anchor_text) per in-content link — the
     web-graph edge table, scan-side ``mapInPandas``, zero shuffles;
     join ``href`` through functions/url.py canonicalization for the
-    dedup-keyed graph."""
+    dedup-keyed graph.
+
+    With ``url_col`` (the fetch URL, e.g. ``target_uri`` from
+    ``warc_payloads``), a resolved absolute ``url`` column is added:
+    each raw ``href`` resolves RFC 3986-style against the document
+    base (``<base href>`` over fetch URL) — on real pages MOST
+    in-content hrefs are relative, so the edge table is wrong at
+    crawl scale without this."""
+    with_url = url_col is not None
     schema = (
-        f"{id_col} long, link_idx int, href string, anchor_text string"
+        f"{id_col} long, link_idx int, href string, "
+        + ("url string, " if with_url else "")
+        + "anchor_text string"
     )
-    cols = [id_col, "link_idx", "href", "anchor_text"]
+    cols = [id_col, "link_idx", "href"] + (
+        ["url"] if with_url else []
+    ) + ["anchor_text"]
+    sel = [id_col, html_col] + ([url_col] if with_url else [])
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for rid, page in zip(batch[id_col], batch[html_col]):
-                for k, (href, text) in enumerate(
-                    extract_links(str(page or ""))
-                ):
-                    rows.append((int(rid), k, href, text))
+            fetch_urls = (
+                batch[url_col] if with_url else [None] * len(batch)
+            )
+            for rid, page, furl in zip(
+                batch[id_col], batch[html_col], fetch_urls
+            ):
+                page = str(page or "")
+                base = None
+                if with_url:
+                    furl = None if furl is None or pd.isna(furl) else str(furl)
+                    base = document_base(
+                        furl, extract_canonical(page)["base_href"]
+                    )
+                for k, (href, text) in enumerate(extract_links(page)):
+                    row = [int(rid), k, href]
+                    if with_url:
+                        row.append(resolve_url(base, href))
+                    row.append(text)
+                    rows.append(tuple(row))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)
+    return df.select(*sel).mapInPandas(_extract, schema=schema)
 
 
 class _JsonLdParser(HTMLParser):
@@ -353,24 +417,46 @@ def canonical_distributed(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    url_col: str | None = None,
 ) -> DataFrame:
     """(id, canonical, og_url, base_href) per page — scan-side
     ``mapInPandas``; chain through functions/url.py canonicalization
-    for the final dedup key."""
+    for the final dedup key.
+
+    With ``url_col`` (the fetch URL), ``canonical_abs``/``og_url_abs``
+    are added: the declared URLs resolved RFC 3986-style against the
+    document base — rel=canonical is routinely relative on real pages
+    and useless as a cross-site dedup key until resolved."""
+    with_url = url_col is not None
     schema = (
         f"{id_col} long, canonical string, og_url string, "
         "base_href string"
+        + (", canonical_abs string, og_url_abs string" if with_url else "")
     )
-    cols = [id_col, "canonical", "og_url", "base_href"]
+    cols = [id_col, "canonical", "og_url", "base_href"] + (
+        ["canonical_abs", "og_url_abs"] if with_url else []
+    )
+    sel = [id_col, html_col] + ([url_col] if with_url else [])
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for rid, page in zip(batch[id_col], batch[html_col]):
+            fetch_urls = (
+                batch[url_col] if with_url else [None] * len(batch)
+            )
+            for rid, page, furl in zip(
+                batch[id_col], batch[html_col], fetch_urls
+            ):
                 m = extract_canonical(str(page or ""))
-                rows.append(
-                    (int(rid), m["canonical"], m["og_url"], m["base_href"])
-                )
+                row = [int(rid), m["canonical"], m["og_url"], m["base_href"]]
+                if with_url:
+                    furl = None if furl is None or pd.isna(furl) else str(furl)
+                    base = document_base(furl, m["base_href"])
+                    row += [
+                        resolve_url(base, m["canonical"]),
+                        resolve_url(base, m["og_url"]),
+                    ]
+                rows.append(tuple(row))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)
+    return df.select(*sel).mapInPandas(_extract, schema=schema)

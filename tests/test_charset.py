@@ -110,3 +110,86 @@ def test_nfc_normalize_table(spark):
     assert (got[1].n_chars_before, got[1].n_chars_after) == (15, 14)
     assert not got[3].changed
     assert got[4].text == "å ring" and got[4].changed
+
+
+def test_declared_charset_precedence():
+    """WHATWG precedence: BOM > transfer-layer label > meta prescan >
+    byte heuristics; lying labels fall through via strict validation."""
+    import codecs
+
+    # declared label normalizes through the WHATWG table
+    raw = "café à la".encode("cp1252")
+    assert charset.detect_charset_ex(raw, "ISO-8859-1") == (
+        "windows-1252", False, "declared"
+    )
+    # BOM beats a declared label
+    assert charset.detect_charset_ex(
+        codecs.BOM_UTF8 + b"x", "shift_jis"
+    ) == ("utf-8", True, "bom")
+    # lying utf-8 label over cp1252 bytes falls through to the ladder
+    enc, _, src = charset.detect_charset_ex(
+        "doc “smart” €".encode("cp1252"), "utf-8"
+    )
+    assert (enc, src) == ("windows-1252", "cp1252")
+    # unknown label is ignored
+    assert charset.detect_charset_ex(b"plain", "klingon")[2] == "utf8"
+    # CJK declared rungs (stdlib codecs)
+    for s, label, want in [
+        ("日本語", "Shift_JIS", "shift_jis"),
+        ("中文内容", "GB2312", "gbk"),
+        ("한국어", "EUC-KR", "euc_kr"),
+    ]:
+        got = charset.detect_charset_ex(
+            s.encode(want if want != "gbk" else "gbk"), label
+        )
+        assert got == (want, False, "declared"), (s, got)
+        text, enc, _, _ = charset.transcode_ex(
+            s.encode(want), label
+        )
+        assert text == s
+
+
+def test_meta_prescan():
+    html = (
+        '<html><head><meta charset="windows-1251"><title>д</title>'
+        "</head><body>документ</body></html>"
+    ).encode("cp1251")
+    assert charset.detect_charset_ex(html) == ("cp1251", False, "meta")
+    # http-equiv form
+    html2 = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=Shift_JIS"></head>'
+        "<body>東京テスト</body></html>"
+    ).encode("shift_jis")
+    assert charset.detect_charset_ex(html2) == (
+        "shift_jis", False, "meta"
+    )
+    # a meta label naming utf-16 means utf-8 (WHATWG prescan rule)
+    html3 = b'<meta charset="utf-16"><p>ascii only</p>'
+    assert charset.detect_charset_ex(html3) == ("utf-8", False, "meta")
+    # prescan window is 1024 bytes: a late meta is not consulted
+    late = b"<html>" + b" " * 1100 + b'<meta charset="koi8-r">\xc1'
+    assert charset.detect_charset_ex(late)[2] != "meta"
+
+
+def test_shift_jis_byte_ladder_rung():
+    jp = "日本語のテキストです。今日は良い天気。".encode("shift_jis")
+    assert charset.detect_charset_ex(jp) == (
+        "shift_jis", False, "shift_jis"
+    )
+    assert charset.transcode(jp)[0].startswith("日本語")
+    # western cp1252 text never hits the rung (strict decode or
+    # JP-ratio guard rejects)
+    for s in ["café à la carte", "naïve résumé", "10° ±5",
+              "doc “smart” price €9"]:
+        assert charset.detect_charset_ex(s.encode("cp1252"))[0] in (
+            "latin-1", "windows-1252"
+        ), s
+
+
+def test_charset_from_content_type():
+    f = charset.charset_from_content_type
+    assert f("text/html; charset=utf-8") == "utf-8"
+    assert f('text/html; charset="ISO-8859-1"') == "ISO-8859-1"
+    assert f("text/plain") is None
+    assert f(None) is None

@@ -167,3 +167,54 @@ def test_extract_canonical():
     assert html_text.extract_canonical("<p>none</p>") == {
         "canonical": None, "og_url": None, "base_href": None,
     }
+
+
+def test_resolve_url_rfc3986():
+    r = html_text.resolve_url
+    base = "http://a.example/d1/d2/page.html"
+    assert r(base, "sub/p.html") == "http://a.example/d1/d2/sub/p.html"
+    assert r(base, "../up") == "http://a.example/d1/up"
+    assert r(base, "../../../over") == "http://a.example/over"  # clamps
+    assert r(base, "/root") == "http://a.example/root"
+    assert r(base, "?q=1") == "http://a.example/d1/d2/page.html?q=1"
+    assert r(base, "//cdn.example/x") == "http://cdn.example/x"
+    assert (
+        r("https://a.example/p", "//cdn.example/x")
+        == "https://cdn.example/x"
+    )
+    # absolute refs pass through byte-identical (even messy case)
+    assert r(base, "HTTP://B.EXAMPLE:80/q") == "HTTP://B.EXAMPLE:80/q"
+    assert r(base, "mailto:x@y.example") == "mailto:x@y.example"
+    # degenerate inputs
+    assert r(None, "rel/x") == "rel/x"
+    assert r(base, None) is None
+
+
+def test_document_base():
+    d = html_text.document_base
+    fetch = "http://a.example/d1/d2/page"
+    assert d(fetch, None) == fetch
+    assert d(fetch, "http://b.example/root/") == "http://b.example/root/"
+    # a RELATIVE <base href> resolves against the fetch URL first
+    assert d(fetch, "/basez/") == "http://a.example/basez/"
+    assert d(None, "/basez/") == "/basez/"
+
+
+def test_links_distributed_resolved(spark):
+    html = (
+        "<html><head><base href='http://b.example/root/'></head>"
+        "<body><p><a href='rel/x'>one</a>"
+        "<a href='https://abs.example/y'>two</a></p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html, "http://fetch.example/a/page")],
+        "doc_id long, html string, fetch_url string",
+    )
+    rows = html_text.links_distributed(df, url_col="fetch_url").collect()
+    assert [(r.href, r.url) for r in rows] == [
+        ("rel/x", "http://b.example/root/rel/x"),
+        ("https://abs.example/y", "https://abs.example/y"),
+    ]
+    # without url_col: schema unchanged (no `url` column)
+    plain = html_text.links_distributed(df.select("doc_id", "html"))
+    assert "url" not in plain.columns

@@ -357,3 +357,30 @@ def test_dhash64_bounds_and_wrap(spark):
         ).collect()
     ]
     assert hs[0] == hs[1]
+
+
+def test_hash64_band_pairs_filters_before_distinct(spark):
+    """Band funnel: pairs verify by exact Hamming; the hamming filter
+    must sit BELOW the pair-dedup aggregate (filter-then-distinct —
+    hamming is functionally determined by the pair, so this is
+    equivalent and shrinks the distinct's shuffle)."""
+    from occupation_wage_etl_spark.operators import dedup
+
+    rows = [
+        (1, 0x1111_2222_3333_4444),
+        (2, 0x1111_2222_3333_4445),  # hamming 1 from id 1
+        (3, 0x1111_2222_3333_0000),  # shares 3 bands with 1 AND 2,
+                                     # hamming 5/6 -> must be dropped
+        (4, -0x7FFF_FFFF_FFFF_0000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    pairs = dedup.hash64_band_pairs(df, "h", max_hamming=3)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert got == {(1, 2, 1)}
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("Aggregate")
+    filt_at = plan.find("Filter")
+    assert agg_at >= 0 and filt_at >= 0
+    # deeper nodes print later: the hamming Filter is a child of the
+    # distinct Aggregate, not its parent
+    assert filt_at > agg_at, plan

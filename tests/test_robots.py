@@ -137,3 +137,123 @@ def test_sitemap_entries(spark):
         (2, "sitemap", 0, "http://h.example/s1.xml", "2024-02-01",
          None, None),
     ]
+
+
+WILD = """User-agent: WiLdBot
+Disallow: /*.pdf$
+Allow: /pub*.pdf$
+Disallow: /tmp/*
+Disallow: /exact$
+
+User-agent: *
+Disallow: /
+"""
+
+
+def test_wildcard_rules_rfc9309(spark):
+    """RFC 9309 §2.2.3: '*' spans any octets, trailing '$' anchors;
+    most-pattern-octets wins; the anchor must NOT match extensions."""
+    rules = robots.robots_rules(
+        spark.createDataFrame([(1, WILD)], "doc_id long, robots_txt string")
+    )
+    paths = [
+        "/doc1.pdf", "/pub3.pdf", "/tmp/x", "/exact", "/exactly", "/ok",
+    ]
+    urls = spark.createDataFrame(
+        [(1, p) for p in paths], "doc_id long, path string"
+    )
+    got = {
+        r.path: (r.allowed, r.matched_rule, r.matched_len)
+        for r in robots.robots_is_allowed(
+            rules, urls, agent="wildbot"
+        ).collect()
+    }
+    assert got == {
+        "/doc1.pdf": (False, "/*.pdf$", 7),
+        "/pub3.pdf": (True, "/pub*.pdf$", 10),  # longer pattern wins
+        "/tmp/x": (False, "/tmp/*", 6),
+        "/exact": (False, "/exact$", 7),
+        "/exactly": (True, None, None),  # $ anchor refuses extension
+        "/ok": (True, None, None),
+    }
+
+
+def test_agent_matching_case_insensitive(spark):
+    """RFC 9309 §2.2.1: product tokens compare case-insensitively —
+    agent='wildbot' must select the 'WiLdBot' group, NOT fall back to
+    the '*' group (which disallows everything here)."""
+    rules = robots.robots_rules(
+        spark.createDataFrame([(1, WILD)], "doc_id long, robots_txt string")
+    )
+    urls = spark.createDataFrame([(1, "/ok")], "doc_id long, path string")
+    assert robots.robots_is_allowed(
+        rules, urls, agent="WILDBOT"
+    ).collect()[0].allowed is True
+    # an unknown agent falls back to '*' → disallowed
+    assert robots.robots_is_allowed(
+        rules, urls, agent="nobody"
+    ).collect()[0].allowed is False
+    # regex metachars in plain rules stay literal under the wildcard
+    # compiler (a '.'-bearing rule must not match as regex-any)
+    r2 = robots.robots_rules(
+        spark.createDataFrame(
+            [(1, "User-agent: *\nDisallow: /a.b*\n")],
+            "doc_id long, robots_txt string",
+        )
+    )
+    u2 = spark.createDataFrame(
+        [(1, "/a.bc"), (1, "/aXbc")], "doc_id long, path string"
+    )
+    got = {
+        r.path: r.allowed
+        for r in robots.robots_is_allowed(r2, u2).collect()
+    }
+    assert got == {"/a.bc": False, "/aXbc": True}
+
+
+def test_sitemap_gzip_and_index_chase(spark):
+    import gzip as _gzip
+
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    idx = (
+        f'<sitemapindex xmlns="{ns}">'
+        "<sitemap><loc>http://s.example/a.xml</loc></sitemap>"
+        "<sitemap><loc>http://s.example/missing.xml</loc></sitemap>"
+        "</sitemapindex>"
+    ).encode()
+    child = _gzip.compress(
+        (
+            f'<urlset xmlns="{ns}">'
+            "<url><loc>http://s.example/p1</loc>"
+            "<priority>0.7</priority></url>"
+            "<url><loc>http://s.example/p2</loc></url>"
+            "</urlset>"
+        ).encode()
+    )
+    df = spark.createDataFrame(
+        [
+            (10, "http://s.example/idx.xml", bytearray(idx)),
+            (11, "http://s.example/a.xml", bytearray(child)),
+        ],
+        "doc_id long, url string, sitemap_xml binary",
+    )
+    # gzip payloads parse through sitemap_entries directly
+    ents = robots.sitemap_entries(df).collect()
+    assert {(r.doc_id, r.kind) for r in ents} == {
+        (10, "sitemap"), (11, "url"),
+    }
+    got = sorted(
+        (r.root_id, r.child_url, r.ordinal, r.loc, r.priority)
+        for r in robots.sitemap_index_chase(df).collect()
+    )
+    # the missing child drops out via the inner join
+    assert got == [
+        (10, "http://s.example/a.xml", 0, "http://s.example/p1", 0.7),
+        (10, "http://s.example/a.xml", 1, "http://s.example/p2", None),
+    ]
+    # corrupt gzip member: skipped, never fails
+    bad = spark.createDataFrame(
+        [(1, "u", bytearray(b"\x1f\x8b broken"))],
+        "doc_id long, url string, sitemap_xml binary",
+    )
+    assert robots.sitemap_entries(bad).count() == 0
