@@ -324,6 +324,12 @@ BENCH_QUERIES = [
     "q279_image_near_dup",
     "q280_nfc_dedup",
     "q281_canonical_urls",
+    "q282_charset_declared",
+    "q283_links_resolved",
+    "q284_canonical_resolved",
+    "q285_sitemap_gz_chase",
+    "q286_robots_wildcards",
+    "q287_span_dedup_fixed_point",
 ]
 
 
@@ -475,6 +481,25 @@ def main() -> None:
     runs = [(n, SPARK_QUERIES[n]) for n in BENCH_QUERIES]
     runs += sorted(EXTRA_BENCH.items())
 
+    # SPARK_GRAFT_ONLY: comma-separated query names, or @file with one
+    # name per line — the controlled-subset mode used to adjudicate
+    # cross-round drift (rerun exactly the previous round's query set
+    # on current code in a fresh JVM).  Subset runs write their record
+    # to bench_subset_out.json so the committed full-suite
+    # bench_out.json (the vs-prev baseline) is never poisoned.
+    only_spec = os.environ.get("SPARK_GRAFT_ONLY", "")
+    subset_mode = bool(only_spec)
+    if subset_mode:
+        if only_spec.startswith("@"):
+            with open(only_spec[1:]) as f:
+                only = {ln.strip() for ln in f if ln.strip()}
+        else:
+            only = {n.strip() for n in only_spec.split(",") if n.strip()}
+        missing = sorted(only - {n for n, _ in runs})
+        if missing:
+            print(f"  SPARK_GRAFT_ONLY unknown: {missing}", file=sys.stderr)
+        runs = [(n, fn) for n, fn in runs if n in only]
+
     # pass 1 (untimed): each query once, absorbing its query-specific
     # codegen compilation and Python-worker spin-up.  pass 2 (timed):
     # steady-state execution — the number that scales to a long-running
@@ -500,12 +525,34 @@ def main() -> None:
     # time.  The measured envelope lives in BENCH_SCALE.md ("Bench
     # noise envelope").
     prev: dict[str, float] = {}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        repo_dir,
+        "bench_subset_out.json" if subset_mode else "bench_out.json",
     )
     try:
-        with open(out_path) as f:
+        with open(os.path.join(repo_dir, "bench_out.json")) as f:
             prev = json.load(f).get("queries", {})
+    except Exception:
+        pass
+    # Cross-ROUND baseline: the newest committed BENCH_QUERIES_r*.json
+    # (a frozen copy of bench_out.json made at each round close).  The
+    # run-over-run suite_wall_vs_prev gate alone lets a slow ratchet
+    # hide — each round's runs only compare against the same round's
+    # previous run — so suite_wall_vs_last_round re-anchors every run
+    # to the last CLOSED round's record over the common query set.
+    last_round: dict[str, float] = {}
+    last_round_file = None
+    try:
+        import glob as _glob
+
+        snaps = sorted(
+            _glob.glob(os.path.join(repo_dir, "BENCH_QUERIES_r*.json"))
+        )
+        if snaps:
+            last_round_file = os.path.basename(snaps[-1])
+            with open(snaps[-1]) as f:
+                last_round = json.load(f).get("queries", {})
     except Exception:
         pass
     heavy = set(sorted(prev, key=lambda n: -prev[n])[:10])
@@ -569,6 +616,12 @@ def main() -> None:
     suite_wall_vs_prev = (
         round(cur_common / prev_common, 4) if prev_common else None
     )
+    lr_common = [n for n in timings if n in last_round]
+    lr_prev_sum = round(sum(last_round[n] for n in lr_common), 3)
+    lr_cur_sum = round(sum(timings[n] for n in lr_common), 3)
+    suite_wall_vs_last_round = (
+        round(lr_cur_sum / lr_prev_sum, 4) if lr_prev_sum else None
+    )
     # Full per-query record → committed file (the driver's stdout tail
     # capture truncates long lines — round 2 lost q01–q70's numbers that
     # way).  stdout carries ONE SHORT line: suite totals + the slowest
@@ -585,6 +638,11 @@ def main() -> None:
         "suite_wall_vs_prev": suite_wall_vs_prev,
         "suite_wall_common_sec": cur_common,
         "suite_wall_prev_common_sec": prev_common,
+        "suite_wall_vs_last_round": suite_wall_vs_last_round,
+        "last_round_file": last_round_file,
+        "last_round_common_sec": lr_cur_sum,
+        "last_round_prev_sec": lr_prev_sum,
+        "subset_mode": subset_mode,
         "retimed": retimed,
         "heavy_min3": sorted(heavy),
         "sample_spread": {
@@ -613,6 +671,7 @@ def main() -> None:
                 "total_with_ingest_sec": round(total + ingest_sec, 3),
                 "timing": "min_of_2_retime_gt1.5x",
                 "suite_wall_vs_prev": suite_wall_vs_prev,
+                "suite_wall_vs_last_round": suite_wall_vs_last_round,
                 "n_retimed": len(retimed),
             }
         )
