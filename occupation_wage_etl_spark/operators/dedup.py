@@ -1469,7 +1469,24 @@ def cut_longest_repeated_span(
     the actual string surgery, not just the arithmetic."""
     s = T.normalize_text(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), s.alias("__s"))
-    pick = (
+    joined = base.join(_pick_longest_span(spans), "id", "left")
+    new_text = _cut_span_expr()
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.length("__s").cast("long").alias("n_before"),
+        F.length(new_text).cast("long").alias("n_after"),
+        F.coalesce(F.col("__cut"), F.lit(0)).cast("long").alias(
+            "cut_chars"
+        ),
+        F.md5(new_text).alias("new_text_md5"),
+    )
+
+
+def _pick_longest_span(spans: DataFrame) -> DataFrame:
+    """(id, __b0, __cut): per id_b, the single longest span (ties →
+    smallest b_start, then smallest partner id — deterministic
+    struct-argmax, no window)."""
+    return (
         spans.groupBy(F.col("id_b").alias("id"))
         .agg(
             F.max(
@@ -1486,8 +1503,12 @@ def cut_longest_repeated_span(
             F.col("__w.len").alias("__cut"),
         )
     )
-    joined = base.join(pick, "id", "left")
-    new_text = F.when(
+
+
+def _cut_span_expr() -> F.Column:
+    """New-text expression over (__s, __b0, __cut) columns: splice the
+    picked span out; identity when no span was picked."""
+    return F.when(
         F.col("__cut").isNotNull(),
         F.concat(
             F.substring(F.col("__s"), 1, F.col("__b0").cast("int")),
@@ -1498,14 +1519,76 @@ def cut_longest_repeated_span(
             ),
         ),
     ).otherwise(F.col("__s"))
-    return joined.select(
+
+
+def span_dedup_passes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passes: int = 2,
+    tile: int = 16,
+    min_tiles: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """BOUNDED fixed-point span dedup: ``passes`` rounds of
+    (:func:`repeated_tile_spans` → cut each doc's longest span), as one
+    lazy oracle-replayable DAG — the loop knob
+    :func:`cut_longest_repeated_span` documents, made concrete.
+
+    One pass removes each document's dominant repeated span; the
+    SECOND pass catches the next-longest span that the first pass
+    shadowed (a doc cuts ONE span per pass) and any pair whose only
+    shared span survived because its partner cut a different copy.  A
+    bounded pass count (2 by default — the Lee-et-al. duplication mass
+    is head-heavy) keeps the computation a DAG rather than a
+    driver-side convergence loop; each intermediate text is persisted
+    via the operator cache so pass N+1's self-join does not recompute
+    pass N twice.
+
+    Returns (id, n_before, n_after, cut_chars_total, n_cuts,
+    new_text_md5) for EVERY input document — n_before/n_after over the
+    NORMALIZED text, the md5 gating the actual string surgery."""
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    cur = df.select(
+        F.col(id_col).alias("id"),
+        T.normalize_text(F.col(text_col)).alias("__s"),
+        F.lit(0).cast("long").alias("__cut_total"),
+        F.lit(0).cast("int").alias("__n_cuts"),
+    ).withColumn("__n0", F.length("__s").cast("long"))
+    for _ in range(max(passes, 0)):
+        cur = cached(cur)
+        spans = repeated_tile_spans(
+            cur,
+            text_col="__s",
+            id_col="id",
+            tile=tile,
+            min_tiles=min_tiles,
+            max_df=max_df,
+        )
+        cur = (
+            cur.join(_pick_longest_span(spans), "id", "left")
+            .select(
+                "id",
+                "__n0",
+                _cut_span_expr().alias("__s"),
+                (
+                    F.col("__cut_total")
+                    + F.coalesce(F.col("__cut"), F.lit(0))
+                ).cast("long").alias("__cut_total"),
+                (
+                    F.col("__n_cuts")
+                    + F.when(F.col("__cut").isNotNull(), 1).otherwise(0)
+                ).cast("int").alias("__n_cuts"),
+            )
+        )
+    return cur.select(
         F.col("id").alias(id_col),
-        F.length("__s").cast("long").alias("n_before"),
-        F.length(new_text).cast("long").alias("n_after"),
-        F.coalesce(F.col("__cut"), F.lit(0)).cast("long").alias(
-            "cut_chars"
-        ),
-        F.md5(new_text).alias("new_text_md5"),
+        F.col("__n0").alias("n_before"),
+        F.length("__s").cast("long").alias("n_after"),
+        F.col("__cut_total").alias("cut_chars_total"),
+        F.col("__n_cuts").alias("n_cuts"),
+        F.md5("__s").alias("new_text_md5"),
     )
 
 

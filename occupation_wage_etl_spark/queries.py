@@ -15270,6 +15270,106 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q287 — the span-dedup FIXED POINT (dedup.span_dedup_passes): two
+# bounded (repeated_tile_spans → cut-longest) rounds as ONE lazy DAG —
+# q273's documented loop knob made concrete.  Plant: each doc is
+# unique(u1) ‖ R1 (3 tiles, shared by g1=id%199) ‖ unique(u2) ‖ R2
+# (2 tiles, shared by g2=id%151) ‖ unique(1 tile).  Pass 1 cuts each
+# non-g1-min doc's R1 (the longest span) — and, for g1-min docs that
+# are not g2-min, R2 (their only span); pass 2 then catches R2 on the
+# docs whose pass-1 cut shadowed it.  Closed form: (g1min,g2min) →
+# cut 0/1×32/1×48/2-pass 80 chars; the oracle reconstructs the FINAL
+# post-surgery text per class and gates its md5, not just the
+# arithmetic.  Group sizes stay ≪ the df-cap at bench scale (25/33 at
+# sf0.1), so the funnel keeps q270's 100 TB linearity guard.
+# ---------------------------------------------------------------------------
+
+
+def q287_span_dedup_fixed_point(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+
+    def tiles_of(prefix_expr, n_expr):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_expr - F.lit(1)),
+                lambda j: F.substring(
+                    F.md5(F.concat(prefix_expr, j.cast("string"))), 1, 16
+                ),
+            ),
+            "",
+        )
+
+    text = F.concat(
+        tiles_of(F.concat(ds, F.lit("p")), (did % 3).cast("int") + F.lit(1)),
+        tiles_of(
+            F.concat(F.lit("g"), (did % 199).cast("string"), F.lit("m")),
+            F.lit(3),
+        ),
+        tiles_of(F.concat(ds, F.lit("u")), (did % 2).cast("int") + F.lit(1)),
+        tiles_of(
+            F.concat(F.lit("h"), (did % 151).cast("string"), F.lit("m")),
+            F.lit(2),
+        ),
+        tiles_of(F.concat(ds, F.lit("s")), F.lit(1)),
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return dedup.span_dedup_passes(planted, passes=2)
+
+
+Q287_SQL = """
+WITH seg AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, 1 + doc_id % 3),
+      j -> substr(md5(doc_id || 'p' || j), 1, 16)), '') AS u1,
+    array_to_string(list_transform(range(0, 3),
+      j -> substr(md5('g' || (doc_id % 199) || 'm' || j), 1, 16)), '')
+      AS r1,
+    array_to_string(list_transform(range(0, 1 + doc_id % 2),
+      j -> substr(md5(doc_id || 'u' || j), 1, 16)), '') AS u2,
+    array_to_string(list_transform(range(0, 2),
+      j -> substr(md5('h' || (doc_id % 151) || 'm' || j), 1, 16)), '')
+      AS r2,
+    substr(md5(doc_id || 's' || 0), 1, 16) AS u3,
+    doc_id = min(doc_id) OVER (PARTITION BY doc_id % 199) AS g1min,
+    doc_id = min(doc_id) OVER (PARTITION BY doc_id % 151) AS g2min
+  FROM documents
+), fin AS (
+  SELECT doc_id,
+    u1 || r1 || u2 || r2 || u3 AS orig,
+    CASE
+      WHEN g1min AND g2min THEN u1 || r1 || u2 || r2 || u3
+      WHEN g1min AND NOT g2min THEN u1 || r1 || u2 || u3
+      WHEN NOT g1min AND g2min THEN u1 || u2 || r2 || u3
+      ELSE u1 || u2 || u3
+    END AS final,
+    CASE
+      WHEN g1min AND g2min THEN 0
+      WHEN g1min AND NOT g2min THEN 32
+      WHEN NOT g1min AND g2min THEN 48
+      ELSE 80
+    END AS cut_total,
+    CASE
+      WHEN g1min AND g2min THEN 0
+      WHEN NOT g1min AND NOT g2min THEN 2
+      ELSE 1
+    END AS n_cuts
+  FROM seg
+)
+SELECT doc_id,
+       CAST(length(orig) AS BIGINT) AS n_before,
+       CAST(length(final) AS BIGINT) AS n_after,
+       CAST(cut_total AS BIGINT) AS cut_chars_total,
+       CAST(n_cuts AS INT) AS n_cuts,
+       md5(final) AS new_text_md5
+FROM fin
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -15557,6 +15657,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q284_canonical_resolved": q284_canonical_resolved,
     "q285_sitemap_gz_chase": q285_sitemap_gz_chase,
     "q286_robots_wildcards": q286_robots_wildcards,
+    "q287_span_dedup_fixed_point": q287_span_dedup_fixed_point,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15846,4 +15947,5 @@ ORACLE_SQL: dict[str, str] = {
     "q284_canonical_resolved": Q284_SQL,
     "q285_sitemap_gz_chase": Q285_SQL,
     "q286_robots_wildcards": Q286_SQL,
+    "q287_span_dedup_fixed_point": Q287_SQL,
 }

@@ -606,3 +606,44 @@ def test_cut_longest_repeated_span(spark):
     assert got[3].new_text_md5 == hashlib.md5(
         rows[2][1].encode()
     ).hexdigest()
+
+
+def test_span_dedup_passes_fixed_point(spark):
+    """Two bounded find→cut rounds: pass 1 removes each doc's longest
+    repeated span, pass 2 catches the shadowed next-longest; the
+    min-id copy of every span stays canonical and a third pass would
+    be a no-op on this plant (fixed point reached)."""
+    import hashlib
+
+    from occupation_wage_etl_spark.operators import dedup
+
+    def t(seed, n=1):
+        return "".join(
+            hashlib.md5(f"{seed}{j}".encode()).hexdigest()[:16]
+            for j in range(n)
+        )
+
+    docs = [
+        (d, t(f"{d}p", 1 + d % 3) + t("gxm", 3) + t(f"{d}u", 1)
+            + t("hym", 2) + t(f"{d}s", 1))
+        for d in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_before, r.n_after, r.cut_chars_total, r.n_cuts)
+        for r in dedup.span_dedup_passes(df, passes=2).collect()
+    }
+    # doc 0 is min of both groups: untouched
+    for d in range(4):
+        n0 = 16 * (8 + d % 3)
+        want = (n0, n0, 0, 0) if d == 0 else (n0, n0 - 80, 80, 2)
+        assert got[d] == want, (d, got[d])
+    # a third pass changes nothing (fixed point)
+    got3 = {
+        r.doc_id: (r.cut_chars_total, r.n_cuts)
+        for r in dedup.span_dedup_passes(df, passes=3).collect()
+    }
+    assert got3 == {0: (0, 0), 1: (80, 2), 2: (80, 2), 3: (80, 2)}
+    # passes=0 is the identity audit
+    got0 = dedup.span_dedup_passes(df, passes=0).collect()
+    assert all(r.n_cuts == 0 and r.n_before == r.n_after for r in got0)
