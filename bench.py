@@ -330,6 +330,12 @@ BENCH_QUERIES = [
     "q285_sitemap_gz_chase",
     "q286_robots_wildcards",
     "q287_span_dedup_fixed_point",
+    "q288_revisit_resolve",
+    "q289_redirect_chains",
+    "q290_digest_check",
+    "q291_domain_rollup",
+    "q292_page_meta",
+    "q293_anchor_rollup",
 ]
 
 

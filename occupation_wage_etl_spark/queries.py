@@ -15370,6 +15370,440 @@ FROM fin
 """
 
 
+# ---------------------------------------------------------------------------
+# q288 — WARC revisit-record resolution (warc.revisit_resolve): the
+# Common Crawl dedup contract — a recrawled unchanged page is stored
+# as a `revisit` record carrying only the payload digest; consumers
+# must join back to the response record that holds the bytes.  Every
+# doc's archive has a revisit keyed by its group digest (g=id%19);
+# only docs ≡0 (mod 3) also store the original response — so the
+# resolver's global digest join + min-(id,rec_idx) pick is fully
+# closed-form, and revisits whose group never stored an original drop
+# out of BOTH engines via the same inner join.
+# ---------------------------------------------------------------------------
+
+
+def _synth_revisit_warc(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                g = did % 19
+                digest = f"sha1:G{g}DIGESTVALUE"
+                recs = []
+                if did % 3 == 0:
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"http://o.example/{did}",
+                            "status": 200,
+                            "payload": f"content g{g}".encode(),
+                            "payload_digest": digest,
+                        }
+                    )
+                recs.append(
+                    {
+                        "type": "revisit",
+                        "uri": f"http://r.example/{did}",
+                        "payload_digest": digest,
+                        "warc_headers": {
+                            "WARC-Refers-To": "<urn:uuid:prior>",
+                            "WARC-Profile": (
+                                "http://netpreserve.org/warc/1.1/"
+                                "revisit/identical-payload-digest"
+                            ),
+                        },
+                        "body": b"",
+                    }
+                )
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        recs,
+                        gzip_records=(did % 2 == 0),
+                        warcinfo=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q288_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    rec = warcmod.warc_records(_synth_revisit_warc(docs))
+    return warcmod.revisit_resolve(rec)
+
+
+Q288_SQL = """
+WITH orig AS (
+  SELECT doc_id % 19 AS g, min(doc_id) AS oid
+  FROM documents WHERE doc_id % 3 = 0 GROUP BY doc_id % 19
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         AS rec_idx,
+       'http://r.example/' || d.doc_id AS target_uri,
+       'sha1:G' || (d.doc_id % 19) || 'DIGESTVALUE' AS payload_digest,
+       o.oid AS orig_id,
+       CAST(0 AS INT) AS orig_rec_idx,
+       'http://o.example/' || o.oid AS orig_uri
+FROM documents d JOIN orig o ON o.g = d.doc_id % 19
+"""
+
+
+# ---------------------------------------------------------------------------
+# q289 — HTTP redirect chains (warc.warc_redirects →
+# redirect_final_url): 3xx Location headers (planted ROOT-RELATIVE,
+# resolved RFC 3986-style against each record's WARC-Target-URI) form
+# edges p/{id} → p/{id-1} within each 4-doc group; the bounded k-hop
+# chase (max_hops joins, a DAG — no driver iteration) resolves every
+# source to the group head p/{id - id%4} in exactly id%4 hops, and the
+# head has no outgoing edge so every chain reads resolved.
+# ---------------------------------------------------------------------------
+
+
+def _synth_redirect_warc(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                host = f"c{(did - did % 4) % 7}"
+                if did % 4 != 0:
+                    spec = {
+                        "type": "response",
+                        "uri": f"http://{host}.example/p/{did}",
+                        "status": 301,
+                        "location": f"/p/{did - 1}",
+                        "payload": b"",
+                    }
+                else:
+                    spec = {
+                        "type": "response",
+                        "uri": f"http://{host}.example/p/{did}",
+                        "status": 200,
+                        "payload": b"final",
+                    }
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        [spec], gzip_records=(did % 2 == 1),
+                        warcinfo=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q289_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = warcmod.warc_redirects(_synth_redirect_warc(docs))
+    return warcmod.redirect_final_url(
+        edges, src_col="from_uri", dst_col="location_abs", max_hops=4
+    )
+
+
+Q289_SQL = """
+WITH t AS (
+  SELECT doc_id AS d, doc_id - doc_id % 4 AS h,
+         (doc_id - doc_id % 4) % 7 AS c
+  FROM documents WHERE doc_id % 4 != 0
+)
+SELECT 'http://c' || c || '.example/p/' || d AS src,
+       'http://c' || c || '.example/p/' || h AS final_url,
+       CAST(d % 4 AS INT) AS n_hops,
+       TRUE AS resolved
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q290 — WARC payload-digest verification (warc.warc_digest_check):
+# archive integrity audit — recompute sha1-base32 over the DECODED
+# payload (the module's digest contract) and compare against the
+# declared WARC-Payload-Digest.  Plants: record 0 rides
+# Content-Encoding: gzip with a REAL digest of the pre-encoding bytes
+# (so the decode→digest composition is what passes), record 1 rotates
+# real/corrupted digests by (id+1)%2, and every fifth doc adds an
+# md5-labelled digest the checker must report as NULL (unsupported
+# algo), not false.
+# ---------------------------------------------------------------------------
+
+
+def _synth_digest_warc(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": f"http://d.example/{did}/0",
+                        "payload": f"body {did} zero".encode(),
+                        "payload_digest": True,
+                        "content_encoding": "gzip",
+                    },
+                    {
+                        "type": "response",
+                        "uri": f"http://d.example/{did}/1",
+                        "payload": f"body {did} one".encode(),
+                        "payload_digest": (
+                            True
+                            if (did + 1) % 2 == 0
+                            else "sha1:" + "A" * 32
+                        ),
+                    },
+                ]
+                if did % 5 == 0:
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"http://d.example/{did}/2",
+                            "payload": b"legacy",
+                            "payload_digest": "md5:ffffffffffffffff",
+                        }
+                    )
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        recs, gzip_records=(did % 3 == 0),
+                        warcinfo=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q290_digest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return warcmod.warc_digest_check(_synth_digest_warc(docs))
+
+
+Q290_SQL = """
+SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+       'http://d.example/' || doc_id || '/0' AS target_uri,
+       'sha1' AS digest_algo, TRUE AS digest_ok
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       'http://d.example/' || doc_id || '/1',
+       'sha1', (doc_id + 1) % 2 = 0
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(2 AS INT),
+       'http://d.example/' || doc_id || '/2',
+       'md5', CAST(NULL AS BOOLEAN)
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q291 — registrable-domain (eTLD+1) rollup (functions/url.py:
+# registrable_domain): domain caps and politeness budgets at corpus
+# scale group by the REGISTRABLE domain, not the raw host (www/m/cdn
+# subdomains of one site must share a budget).  Pure codegen: host
+# extraction + the embedded second-level-suffix table (co.uk/com.au/…
+# keep three labels), then one hash-aggregate.  URLs rotate tlds
+# through both suffix classes plus subdomain variety so the grouping
+# is the thing under test.
+# ---------------------------------------------------------------------------
+
+
+def q291_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = lambda k: F.concat(  # noqa: E731
+        F.lit("http://sub"), ((did + k) % 5).cast("string"),
+        F.lit(".site"), ((did * 3 + k) % 37).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"),
+                    F.lit("com.au")),
+            ((did + k) % 4).cast("int") + 1,
+        ),
+        F.lit("/p/"), did.cast("string"), F.lit("/"), k.cast("string"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(F.array(url(F.lit(0)), url(F.lit(1)), url(F.lit(2))))
+        .alias("url"),
+    )
+    return (
+        urls.select(
+            U.registrable_domain(F.col("url")).alias("domain"),
+            U.url_host(F.col("url")).alias("host"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+Q291_SQL = """
+WITH l AS (
+  SELECT doc_id, UNNEST(range(0, 3)) AS k FROM documents
+), u AS (
+  SELECT 'site' || ((doc_id * 3 + k) % 37) || '.' ||
+           (['com', 'co.uk', 'org', 'com.au'])[((doc_id + k) % 4) + 1]
+           AS domain,
+         'sub' || ((doc_id + k) % 5) || '.site' ||
+           ((doc_id * 3 + k) % 37) || '.' ||
+           (['com', 'co.uk', 'org', 'com.au'])[((doc_id + k) % 4) + 1]
+           AS host
+  FROM l
+)
+SELECT domain, count(*) AS n_urls, count(DISTINCT host) AS n_hosts
+FROM u GROUP BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# q292 — page head metadata (html_text.page_meta_distributed): title
+# (whitespace-collapsed, FIRST title wins) + meta description + the
+# canonical declaration in one scan-side pass — the display/snippet
+# fields every search & curation pipeline keeps per page.  Plants
+# multi-whitespace titles, a decoy second title, and description on
+# two-thirds of docs.
+# ---------------------------------------------------------------------------
+
+
+def q292_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = did.cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>  Page\t"), d,
+        F.lit("\n of  site "), (did % 13).cast("string"),
+        F.lit(" </title><title>decoy</title>"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit("<meta name='description' content='Doc "),
+                     d, F.lit(" summary'>")),
+        ).otherwise(F.lit("")),
+        F.lit("<link rel='canonical' href='http://c"),
+        (did % 7).cast("string"), F.lit(".example/"), d,
+        F.lit("'></head><body><p>x</p></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return html_text.page_meta_distributed(pages).select(
+        "doc_id", "title", "description", "canonical"
+    )
+
+
+Q292_SQL = """
+SELECT doc_id,
+       'Page ' || doc_id || ' of site ' || (doc_id % 13) AS title,
+       CASE WHEN doc_id % 3 != 0
+            THEN 'Doc ' || doc_id || ' summary' END AS description,
+       'http://c' || (doc_id % 7) || '.example/' || doc_id AS canonical
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q293 — anchor-text rollup per canonical link target: the classic
+# web-graph relevance signal (what OTHER pages call a URL).  Chains
+# the q275 edge extractor → URL canonicalization → one hash-aggregate
+# keyed by the canonical target: in-link count, distinct source docs,
+# lexicographically-first anchor (deterministic representative).
+# ---------------------------------------------------------------------------
+
+
+def q293_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+    from occupation_wage_etl_spark.sources import html_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    links = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (did % 3).cast("int") + F.lit(1)),
+            lambda k: F.concat(
+                F.lit("<a href='HTTP://T"),
+                ((did * 7 + k) % 101).cast("string"),
+                F.lit(".EXAMPLE:80/p?utm_source=x'>anchor "),
+                ((did + k) % 6).cast("string"),
+                F.lit("</a> "),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit("<html><body><article><p>"), links,
+        F.lit("</p></article></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    edges = html_text.links_distributed(pages)
+    return (
+        edges.select(
+            "doc_id",
+            U.canonicalize_url(F.col("href")).alias("target"),
+            "anchor_text",
+        )
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("anchor_text").alias("top_anchor"),
+        )
+    )
+
+
+Q293_SQL = """
+WITH l AS (
+  SELECT doc_id, UNNEST(range(0, 2 + doc_id % 3)) AS k FROM documents
+), e AS (
+  SELECT doc_id,
+         'http://t' || ((doc_id * 7 + k) % 101) || '.example/p'
+           AS target,
+         'anchor ' || ((doc_id + k) % 6) AS anchor_text
+  FROM l
+)
+SELECT target, count(*) AS n_inlinks,
+       count(DISTINCT doc_id) AS n_docs,
+       min(anchor_text) AS top_anchor
+FROM e GROUP BY target
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -15658,6 +16092,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q285_sitemap_gz_chase": q285_sitemap_gz_chase,
     "q286_robots_wildcards": q286_robots_wildcards,
     "q287_span_dedup_fixed_point": q287_span_dedup_fixed_point,
+    "q288_revisit_resolve": q288_revisit_resolve,
+    "q289_redirect_chains": q289_redirect_chains,
+    "q290_digest_check": q290_digest_check,
+    "q291_domain_rollup": q291_domain_rollup,
+    "q292_page_meta": q292_page_meta,
+    "q293_anchor_rollup": q293_anchor_rollup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -15948,4 +16388,10 @@ ORACLE_SQL: dict[str, str] = {
     "q285_sitemap_gz_chase": Q285_SQL,
     "q286_robots_wildcards": Q286_SQL,
     "q287_span_dedup_fixed_point": Q287_SQL,
+    "q288_revisit_resolve": Q288_SQL,
+    "q289_redirect_chains": Q289_SQL,
+    "q290_digest_check": Q290_SQL,
+    "q291_domain_rollup": Q291_SQL,
+    "q292_page_meta": Q292_SQL,
+    "q293_anchor_rollup": Q293_SQL,
 }

@@ -373,16 +373,22 @@ def jsonld_distributed(
 
 
 class _HeadMetaParser(HTMLParser):
-    """Collects the page's canonical-URL signals: <link rel="canonical"
-    href>, <meta property="og:url" content>, and <base href> — the
-    inputs of URL-level crawl dedup (the page itself declares which URL
-    is canonical; crawlers trust it over the fetch URL)."""
+    """Collects the page's head metadata: <link rel="canonical" href>,
+    <meta property="og:url" content>, <base href> — the inputs of
+    URL-level crawl dedup (the page itself declares which URL is
+    canonical; crawlers trust it over the fetch URL) — plus <title>
+    text and <meta name="description" content>, the display/quality
+    signals every search & curation pipeline keeps per page."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.canonical: str | None = None
         self.og_url: str | None = None
         self.base_href: str | None = None
+        self.description: str | None = None
+        self.title: str | None = None
+        self._in_title = False
+        self._title_parts: list[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         a = dict(attrs)
@@ -396,13 +402,34 @@ class _HeadMetaParser(HTMLParser):
                 and self.og_url is None
             ):
                 self.og_url = a.get("content")
+            if (
+                (a.get("name") or "").lower() == "description"
+                and self.description is None
+            ):
+                self.description = a.get("content")
         elif tag == "base" and self.base_href is None:
             self.base_href = a.get("href")
+        elif tag == "title" and self.title is None:
+            self._in_title = True
+            self._title_parts = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            if self.title is None:
+                # whitespace collapses like any block text
+                self.title = " ".join(
+                    "".join(self._title_parts).split()
+                )
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
 
 
 def extract_canonical(html: str) -> dict:
-    """{'canonical', 'og_url', 'base_href'} (first occurrence each;
-    None when absent)."""
+    """{'canonical', 'og_url', 'base_href', 'title', 'description'}
+    (first occurrence each; None when absent)."""
     p = _HeadMetaParser()
     p.feed(html or "")
     p.close()
@@ -410,6 +437,8 @@ def extract_canonical(html: str) -> dict:
         "canonical": p.canonical,
         "og_url": p.og_url,
         "base_href": p.base_href,
+        "title": p.title,
+        "description": p.description,
     }
 
 
@@ -460,3 +489,36 @@ def canonical_distributed(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(*sel).mapInPandas(_extract, schema=schema)
+
+
+def page_meta_distributed(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, title, description, canonical, og_url, base_href) per page
+    — the head-metadata table (display title, search snippet,
+    dedup-canonical) in one scan-side pass, zero shuffles."""
+    schema = (
+        f"{id_col} long, title string, description string, "
+        "canonical string, og_url string, base_href string"
+    )
+    cols = [
+        id_col, "title", "description", "canonical", "og_url",
+        "base_href",
+    ]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, page in zip(batch[id_col], batch[html_col]):
+                m = extract_canonical(str(page or ""))
+                rows.append(
+                    (
+                        int(rid), m["title"], m["description"],
+                        m["canonical"], m["og_url"], m["base_href"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, html_col).mapInPandas(_extract, schema=schema)

@@ -191,12 +191,16 @@ def _decode_content(payload: bytes, encoding: str | None) -> bytes:
     return payload
 
 
-def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content-type, payload) out of an HTTP message block;
-    chunked transfer-encoding is decoded first (the wire framing is
-    outermost), then Content-Encoding (gzip/deflate) — so the payload
-    that reaches the bytes→text tiers is the representation the server
-    produced, not compressed garbage."""
+def _parse_http_block(
+    block: bytes,
+) -> tuple[int | None, str | None, bytes, str | None]:
+    """(status, content-type, payload, location) out of an HTTP message
+    block; chunked transfer-encoding is decoded first (the wire framing
+    is outermost), then Content-Encoding (gzip/deflate) — so the
+    payload that reaches the bytes→text tiers is the representation the
+    server produced, not compressed garbage.  ``location`` is the raw
+    Location header (redirect target, RFC 9110 §10.2.2 — routinely a
+    RELATIVE reference; resolve downstream)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         sep = block.find(b"\n\n")
@@ -217,11 +221,14 @@ def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
     ctype = hdrs.get("content-type")
     if ctype is not None:
         ctype = _first_token(ctype) or None
+    location = hdrs.get("location")
+    if location is not None:
+        location = _first_token(location) or None
     payload = block[body_at:]
     if "chunked" in hdrs.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
     payload = _decode_content(payload, hdrs.get("content-encoding"))
-    return status, ctype, payload
+    return status, ctype, payload, location
 
 
 def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
@@ -292,19 +299,37 @@ def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
             "warc_date": headers.get("warc-date"),
             "content_type": headers.get("content-type"),
             "content_length": length,
+            "payload_digest": headers.get("warc-payload-digest"),
+            "refers_to": headers.get("warc-refers-to"),
             "block": block,
             "http_status": None,
             "http_content_type": None,
+            "http_location": None,
             "payload": block,
         }
         ctype = (rec["content_type"] or "").lower()
         if ctype.startswith("application/http"):
-            status, hct, payload = _parse_http_block(block)
+            status, hct, payload, loc = _parse_http_block(block)
             rec["http_status"] = status
             rec["http_content_type"] = hct
+            rec["http_location"] = loc
             rec["payload"] = payload
         records.append(rec)
     return records
+
+
+def payload_digest_sha1(payload: bytes) -> str:
+    """The WARC payload-digest labelled form over the DECODED payload:
+    ``sha1:`` + RFC 4648 base32 of the SHA-1 — the Common Crawl
+    convention (``WARC-Payload-Digest: sha1:BASE32…``; 20 digest bytes
+    → exactly 32 base32 chars, no padding).  This module's documented
+    digest contract is the payload as :func:`parse_warc` returns it —
+    transfer- and content-decoding already undone."""
+    import base64
+    import hashlib
+
+    h = hashlib.sha1(payload).digest()
+    return "sha1:" + base64.b32encode(h).decode("ascii")
 
 
 def extract_wet_text(data: bytes, max_records: int = 4096) -> list[dict]:
@@ -335,18 +360,22 @@ def warc_records(
     max_records: int = 4096,
 ) -> DataFrame:
     """One row per record of each archive payload: the catalog fields
-    plus HTTP status/content-type and payload size for response
+    (incl. payload digest / refers-to, the revisit-dedup keys) plus
+    HTTP status/content-type/Location and payload size for response
     records.  Scan-side ``mapInPandas``, zero shuffles."""
     schema = (
         f"{id_col} long, rec_idx int, warc_type string, "
         "target_uri string, warc_date string, content_type string, "
-        "content_length long, http_status int, "
-        "http_content_type string, payload_len long"
+        "content_length long, payload_digest string, "
+        "refers_to string, http_status int, "
+        "http_content_type string, http_location string, "
+        "payload_len long"
     )
     cols = [
         id_col, "rec_idx", "warc_type", "target_uri", "warc_date",
-        "content_type", "content_length", "http_status",
-        "http_content_type", "payload_len",
+        "content_type", "content_length", "payload_digest",
+        "refers_to", "http_status", "http_content_type",
+        "http_location", "payload_len",
     ]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,8 +391,9 @@ def warc_records(
                             int(rid), k, rec["warc_type"],
                             rec["target_uri"], rec["warc_date"],
                             rec["content_type"], rec["content_length"],
+                            rec["payload_digest"], rec["refers_to"],
                             rec["http_status"], rec["http_content_type"],
-                            len(rec["payload"]),
+                            rec["http_location"], len(rec["payload"]),
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -474,6 +504,14 @@ def encode_warc_fixture(
       wrapping a full HTTP/1.1 message), or
     - ``{"type": <other>, "body": bytes}`` for anything else.
 
+    Response specs may add ``location`` (a Location header — redirect
+    fixtures), ``payload_digest`` (True → the real
+    :func:`payload_digest_sha1` of the pre-encoding payload, or an
+    explicit string → planted as-is, e.g. a deliberately wrong
+    digest), ``content_encoding`` and ``chunked`` (wire encodings).
+    Any spec may add ``warc_headers`` (extra WARC header fields —
+    revisit records' ``WARC-Refers-To``/``WARC-Profile``).
+
     ``gzip_records`` emits the Common Crawl member-per-record layout;
     ``warcinfo`` prepends the customary archive-metadata record."""
     out = bytearray()
@@ -489,10 +527,13 @@ def encode_warc_fixture(
         )
     for idx, spec in enumerate(items):
         rtype = spec["type"]
+        digest = spec.get("payload_digest")
         if rtype == "response":
             payload = spec["payload"]
             if isinstance(payload, str):
                 payload = payload.encode("utf-8")
+            if digest is True:
+                digest = payload_digest_sha1(payload)
             enc_hdr = b""
             enc = spec.get("content_encoding")
             if enc in ("gzip", "x-gzip"):
@@ -526,6 +567,11 @@ def encode_warc_fixture(
                     f"Content-Type: "
                     f"{spec.get('http_content_type', 'text/html')}\r\n"
                 ).encode("latin-1")
+                + (
+                    f"Location: {spec['location']}\r\n".encode("latin-1")
+                    if spec.get("location")
+                    else b""
+                )
                 + enc_hdr
                 + framing
                 + b"\r\n"
@@ -552,6 +598,12 @@ def encode_warc_fixture(
         )
         if spec.get("uri"):
             head.append(f"WARC-Target-URI: {spec['uri']}")
+        if digest is True:  # non-response records: digest of the block
+            digest = payload_digest_sha1(block)
+        if digest:
+            head.append(f"WARC-Payload-Digest: {digest}")
+        for k, v in (spec.get("warc_headers") or {}).items():
+            head.append(f"{k}: {v}")
         head.append(f"Content-Type: {ctype}")
         head.append(f"Content-Length: {len(block)}")
         rec = (
@@ -561,3 +613,207 @@ def encode_warc_fixture(
         )
         out += _gzip_member(rec) if gzip_records else rec
     return bytes(out)
+
+
+def warc_redirects(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    max_records: int = 4096,
+) -> DataFrame:
+    """(id, rec_idx [ordinal among redirect records], from_uri,
+    http_status, location, location_abs) per 3xx response record with
+    a Location header — the crawl-graph redirect edge table.  The raw
+    Location is routinely a RELATIVE reference (RFC 9110 §10.2.2
+    allows it), so ``location_abs`` resolves it RFC 3986-style against
+    the record's own WARC-Target-URI.  Scan-side ``mapInPandas``, zero
+    shuffles; chase chains with :func:`redirect_final_url`."""
+    from occupation_wage_etl_spark.sources.html_text import resolve_url
+
+    schema = (
+        f"{id_col} long, rec_idx int, from_uri string, "
+        "http_status int, location string, location_abs string"
+    )
+    cols = [
+        id_col, "rec_idx", "from_uri", "http_status", "location",
+        "location_abs",
+    ]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, payload in zip(batch[id_col], batch[bin_col]):
+                recs = parse_warc(
+                    bytes(payload or b""), max_records=max_records
+                )
+                k = 0
+                for rec in recs:
+                    status = rec["http_status"]
+                    loc = rec["http_location"]
+                    if (
+                        rec["warc_type"] != "response"
+                        or status is None
+                        or not 300 <= status < 400
+                        or loc is None
+                    ):
+                        continue
+                    rows.append(
+                        (
+                            int(rid), k, rec["target_uri"], status, loc,
+                            resolve_url(rec["target_uri"], loc),
+                        )
+                    )
+                    k += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+def redirect_final_url(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Resolve each redirect SOURCE to its final destination by
+    following (src → dst) edges up to ``max_hops`` times — the bounded
+    chain chase every crawler needs before fetching (and before URL
+    dedup: the canonical page is the chain's END).  Returns (src,
+    final_url, n_hops, resolved) — ``resolved`` False when the chain
+    is still open after ``max_hops`` (longer chain or a loop; RFC 9110
+    advises a small hop cap, historically 5).
+
+    Shape: ``max_hops`` bounded left equi-joins (a DAG, no driver-side
+    iteration); each hop joins on the current frontier URL.  A src
+    with several Location edges follows the lexicographically smallest
+    (deterministic; real archives occasionally carry duplicate fetches
+    of one URL)."""
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.groupBy(F.col(src_col).alias("__s"))
+        .agg(F.min(F.col(dst_col)).alias("__d"))
+    )
+    cur = e.select(
+        F.col("__s").alias("src"),
+        F.col("__d").alias("__cur"),
+        F.lit(1).cast("int").alias("n_hops"),
+    )
+    for _ in range(max(max_hops, 1) - 1):
+        step = e.select(
+            F.col("__s").alias("__s2"), F.col("__d").alias("__d2")
+        )
+        cur = cur.join(
+            step, cur["__cur"] == step["__s2"], "left"
+        ).select(
+            "src",
+            F.coalesce(F.col("__d2"), F.col("__cur")).alias("__cur"),
+            (
+                F.col("n_hops")
+                + F.when(F.col("__d2").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("n_hops"),
+        )
+    more = e.select(
+        F.col("__s").alias("__s3"), F.lit(1).alias("__open")
+    )
+    return (
+        cur.join(more, cur["__cur"] == more["__s3"], "left")
+        .select(
+            "src",
+            F.col("__cur").alias("final_url"),
+            "n_hops",
+            F.col("__open").isNull().alias("resolved"),
+        )
+    )
+
+
+def warc_digest_check(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    max_records: int = 4096,
+) -> DataFrame:
+    """(id, rec_idx, target_uri, digest_algo, digest_ok) per record
+    carrying a WARC-Payload-Digest — archive integrity audit: recompute
+    the digest over the DECODED payload (this module's digest
+    contract) and compare.  Only ``sha1`` labelled digests are
+    recomputed (the Common Crawl form); other algorithms report
+    digest_ok NULL.  Scan-side, zero shuffles."""
+    schema = (
+        f"{id_col} long, rec_idx int, target_uri string, "
+        "digest_algo string, digest_ok boolean"
+    )
+    cols = [id_col, "rec_idx", "target_uri", "digest_algo", "digest_ok"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, payload in zip(batch[id_col], batch[bin_col]):
+                recs = parse_warc(
+                    bytes(payload or b""), max_records=max_records
+                )
+                k = 0
+                for rec in recs:
+                    declared = rec["payload_digest"]
+                    if declared is None:
+                        continue
+                    algo = declared.split(":", 1)[0].lower()
+                    ok = (
+                        payload_digest_sha1(rec["payload"]) == declared
+                        if algo == "sha1"
+                        else None
+                    )
+                    rows.append(
+                        (int(rid), k, rec["target_uri"], algo, ok)
+                    )
+                    k += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+def revisit_resolve(records: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve ``revisit`` records to their stored original by payload
+    digest — the Common Crawl dedup contract (a recrawled, unchanged
+    page is stored as a revisit record pointing at content kept
+    elsewhere; consumers must join back to the bytes).  Input is the
+    :func:`warc_records` catalog (any corpus slice); originals are the
+    ``response`` records, keyed GLOBALLY by digest, the smallest
+    (id, rec_idx) winning (the q12 min-id convention).  Returns
+    (id, rec_idx, target_uri, payload_digest, orig_id, orig_rec_idx,
+    orig_uri) — one row per revisit record whose digest has a stored
+    original; one equi-join on the digest + a struct-min aggregate."""
+    from pyspark.sql import functions as F
+
+    revisits = records.filter(
+        (F.col("warc_type") == "revisit")
+        & F.col("payload_digest").isNotNull()
+    ).select(
+        F.col(id_col).alias("id"), "rec_idx", "target_uri",
+        "payload_digest",
+    )
+    originals = (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & F.col("payload_digest").isNotNull()
+        )
+        .groupBy("payload_digest")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("oid"),
+                    F.col("rec_idx").alias("oidx"),
+                    F.col("target_uri").alias("ouri"),
+                )
+            ).alias("__o")
+        )
+    )
+    return revisits.join(originals, "payload_digest").select(
+        F.col("id").alias(id_col),
+        "rec_idx",
+        "target_uri",
+        "payload_digest",
+        F.col("__o.oid").alias("orig_id"),
+        F.col("__o.oidx").alias("orig_rec_idx"),
+        F.col("__o.ouri").alias("orig_uri"),
+    )

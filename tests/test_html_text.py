@@ -163,10 +163,24 @@ def test_extract_canonical():
         "canonical": "http://c.example/page",
         "og_url": "http://og.example/page",
         "base_href": "http://b.example/",
+        "title": None,
+        "description": None,
     }
     assert html_text.extract_canonical("<p>none</p>") == {
         "canonical": None, "og_url": None, "base_href": None,
+        "title": None, "description": None,
     }
+    # title text collapses whitespace; first title and first
+    # description win; meta name matching is case-insensitive
+    m2 = html_text.extract_canonical(
+        "<html><head><title>  A   Page\nTitle </title>"
+        "<title>second ignored</title>"
+        "<meta NAME='Description' content='the snippet'>"
+        "<meta name='description' content='ignored dup'>"
+        "</head><body><p>x</p></body></html>"
+    )
+    assert m2["title"] == "A Page Title"
+    assert m2["description"] == "the snippet"
 
 
 def test_resolve_url_rfc3986():

@@ -77,3 +77,26 @@ def test_parts(spark):
         .collect()[0]
     )
     assert r2["h"] == "x.example" and r2["p"] == "" and r2["q"] == ""
+
+
+def test_registrable_domain(spark):
+    """eTLD+1: last two labels, except the embedded second-level
+    public suffixes (co.uk, com.au, …) which keep three; IP literals
+    and single-label hosts pass through; accepts URLs or bare hosts."""
+    cases = [
+        ("http://www.example.co.uk/p?x=1", "example.co.uk"),
+        ("https://a.b.news.example.com/", "example.com"),
+        ("cdn.site.com.au", "site.com.au"),
+        ("http://deep.sub.host.ne.jp/x", "host.ne.jp"),
+        ("http://192.168.0.1:8080/x", "192.168.0.1"),
+        ("localhost", "localhost"),
+        ("http://EXample.COM/Q", "example.com"),
+        ("sub.example.io", "example.io"),
+        ("http://user@www.shop.org.uk:8443/a#f", "shop.org.uk"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    rows = df.select(
+        "u", "want", U.registrable_domain(F.col("u")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.u, r.got, r.want)

@@ -304,3 +304,134 @@ def test_gunzip_iter_linear_and_lazy():
         warc._gunzip_members(blob[:-5])
     # empty input: no members, no output
     assert warc._gunzip_members(b"") == b""
+
+
+def test_payload_digest_sha1_vector():
+    """Pinned NIST vector: sha1('abc') in the WARC labelled-base32
+    form (20 digest bytes -> exactly 32 base32 chars, no padding)."""
+    assert (
+        warc.payload_digest_sha1(b"abc")
+        == "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5"
+    )
+    assert len(warc.payload_digest_sha1(b"")) == len("sha1:") + 32
+
+
+def test_digest_check_over_decoded_payload(spark):
+    """The digest contract is the DECODED payload: a gzip
+    Content-Encoded response with a digest of the original bytes must
+    verify; a corrupted digest must not; non-sha1 algos report NULL."""
+    payload = b"the decoded body"
+    data = warc.encode_warc_fixture(
+        [
+            {
+                "type": "response",
+                "uri": "http://a/ok",
+                "payload": payload,
+                "payload_digest": True,
+                "content_encoding": "gzip",
+                "chunked": True,
+            },
+            {
+                "type": "response",
+                "uri": "http://a/bad",
+                "payload": payload,
+                "payload_digest": "sha1:" + "A" * 32,
+            },
+            {
+                "type": "response",
+                "uri": "http://a/md5",
+                "payload": payload,
+                "payload_digest": "md5:0123456789abcdef",
+            },
+        ],
+        warcinfo=False,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "doc_id long, content binary"
+    )
+    got = {
+        r.target_uri: (r.digest_algo, r.digest_ok)
+        for r in warc.warc_digest_check(df).collect()
+    }
+    assert got == {
+        "http://a/ok": ("sha1", True),
+        "http://a/bad": ("sha1", False),
+        "http://a/md5": ("md5", None),
+    }
+
+
+def test_redirects_and_chain_chase(spark):
+    """3xx Location edges (relative -> resolved against the record's
+    own target URI) chase to the chain end; loops cap at max_hops with
+    resolved=False."""
+    specs = [
+        {"type": "response", "uri": "http://h.example/a", "status": 301,
+         "location": "/b", "payload": b""},
+        {"type": "response", "uri": "http://h.example/b", "status": 302,
+         "location": "c", "payload": b""},  # path-relative
+        {"type": "response", "uri": "http://h.example/c", "status": 200,
+         "payload": b"final"},
+        # a 2-cycle loop
+        {"type": "response", "uri": "http://h.example/x", "status": 301,
+         "location": "/y", "payload": b""},
+        {"type": "response", "uri": "http://h.example/y", "status": 301,
+         "location": "/x", "payload": b""},
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc.encode_warc_fixture(specs, warcinfo=False)))],
+        "doc_id long, content binary",
+    )
+    edges = warc.warc_redirects(df)
+    got_edges = {
+        (r.from_uri, r.location, r.location_abs)
+        for r in edges.collect()
+    }
+    assert ("http://h.example/a", "/b", "http://h.example/b") in got_edges
+    assert ("http://h.example/b", "c", "http://h.example/c") in got_edges
+    assert len(got_edges) == 4  # the 200 record emits no edge
+    final = {
+        r.src: (r.final_url, r.n_hops, r.resolved)
+        for r in warc.redirect_final_url(
+            edges, src_col="from_uri", dst_col="location_abs",
+            max_hops=4,
+        ).collect()
+    }
+    assert final["http://h.example/a"] == ("http://h.example/c", 2, True)
+    assert final["http://h.example/b"] == ("http://h.example/c", 1, True)
+    # the loop never resolves: n_hops caps at max_hops
+    assert final["http://h.example/x"][2] is False
+    assert final["http://h.example/x"][1] == 4
+
+
+def test_revisit_resolve(spark):
+    digest = "sha1:SHAREDDIGESTVALUE"
+    a1 = warc.encode_warc_fixture(
+        [
+            {"type": "response", "uri": "http://o/1", "payload": b"body",
+             "payload_digest": digest},
+        ],
+        warcinfo=False,
+    )
+    a2 = warc.encode_warc_fixture(
+        [
+            {"type": "revisit", "uri": "http://r/2",
+             "payload_digest": digest,
+             "warc_headers": {"WARC-Refers-To": "<urn:uuid:1>"},
+             "body": b""},
+            {"type": "revisit", "uri": "http://r/orphan",
+             "payload_digest": "sha1:NOSUCHORIGINAL", "body": b""},
+        ],
+        warcinfo=False,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(a1)), (2, bytearray(a2))],
+        "doc_id long, content binary",
+    )
+    rec = warc.warc_records(df)
+    got = warc.revisit_resolve(rec).collect()
+    # the orphan digest drops out; the shared one resolves cross-archive
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_id, r.target_uri, r.orig_id, r.orig_uri) == (
+        2, "http://r/2", 1, "http://o/1"
+    )
