@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -552,8 +553,13 @@ def main() -> None:
     try:
         import glob as _glob
 
+        # sort by the NUMERIC round index — lexicographic glob order
+        # would re-anchor to r99 forever once r100 exists
         snaps = sorted(
-            _glob.glob(os.path.join(repo_dir, "BENCH_QUERIES_r*.json"))
+            _glob.glob(os.path.join(repo_dir, "BENCH_QUERIES_r*.json")),
+            key=lambda p: int(
+                re.search(r"r(\d+)\.json$", os.path.basename(p)).group(1)
+            ),
         )
         if snaps:
             last_round_file = os.path.basename(snaps[-1])

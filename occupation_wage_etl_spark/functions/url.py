@@ -11,7 +11,22 @@ Canonical form (deterministic subset of the common rules):
    semantically significant and preserved,
 3. default ports stripped (``http://…:80``, ``https://…:443``),
 4. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``) with
-   delimiter artifacts cleaned, trailing ``?``/``&`` dropped.
+   delimiter artifacts cleaned, trailing ``?``/``&`` dropped,
+5. percent-escapes normalized (RFC 3986 §6.2.2.1–2): escapes of
+   UNRESERVED characters are decoded (``%7Euser`` → ``~user``) and the
+   hex of every remaining escape is uppercased (``%3a`` → ``%3A``) —
+   without this rung the dedup/graph key silently splits on encoding
+   variants of the same URL.  Implemented as ``split('%')`` +
+   ``transform`` + ``array_join``: higher-order functions stay
+   JVM-side (no Python, no shuffle) even though they sit outside
+   whole-stage codegen.
+
+IDN hosts are a separate, gated rung (:func:`with_idn_canonical_url`):
+the canonical host form is the ASCII/punycode form (``münchen.de`` →
+``xn--mnchen-3ya.de``), which needs the RFC 3492 algorithm — an
+Arrow-batched pass with an ASCII fast path, applied after the codegen
+rungs.  Almost every host on a real crawl is already ASCII, so the
+Python cost is paid only on the IDN tail.
 
 ``www.`` is NOT stripped and trailing path slashes are preserved —
 both change server-side semantics often enough that aggressive
@@ -25,21 +40,62 @@ operator that feeds q54-style domain caps and URL-level dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import unicodedata
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _AUTH_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 _TRACK_RE = "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
 
 
+def normalize_percent_escapes(c: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, JVM-side:
+    escapes of unreserved characters (ALPHA / DIGIT / ``-._~``) decode
+    to the character; every other escape keeps ``%`` with UPPERCASED
+    hex; malformed ``%`` sequences pass through untouched.  ``%25``
+    (the escaped percent itself) is reserved, so decoding introduces no
+    re-join ambiguity."""
+    parts = F.split(c, "%")
+
+    def _fix(frag: Column) -> Column:
+        hexpair = F.upper(F.substring(frag, 1, 2))
+        is_hex = hexpair.rlike("^[0-9A-F]{2}$")
+        code = F.conv(hexpair, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | ((code >= 48) & (code <= 57))
+            | code.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        rest = F.substring(frag, 3, 2147483647)
+        return (
+            F.when(is_hex & unreserved, F.concat(F.char(code), rest))
+            .when(is_hex, F.concat(F.lit("%"), hexpair, rest))
+            .otherwise(F.concat(F.lit("%"), frag))
+        )
+
+    fixed = F.transform(
+        parts, lambda x, i: F.when(i == F.lit(0), x).otherwise(_fix(x))
+    )
+    return F.when(c.isNull(), F.lit(None)).otherwise(
+        F.array_join(fixed, "")
+    )
+
+
 def canonicalize_url(c: Column) -> Column:
-    """The canonical form per the module rules — one codegen expression
-    tree (regexp_replace/extract chain, whole-stage-codegen friendly)."""
+    """The canonical form per the module rules — one JVM expression
+    tree (regexp_replace/extract chain + the higher-order percent
+    rung; zero Python)."""
     u = F.regexp_replace(c, "#.*$", "")
-    # lowercase ONLY scheme://host[:port]; keep path/query case
+    # lowercase ONLY scheme://host[:port]; keep path/query case.  The
+    # percent rung runs on the post-authority part only — pct-escapes
+    # in a reg-name are rare enough that conservative pass-through
+    # (never a wrong merge) beats case-interaction subtleties with the
+    # authority lowercasing; IDN hosts have their own rung.
     u = F.concat(
         F.lower(F.regexp_extract(u, _AUTH_RE, 1)),
-        F.regexp_replace(u, _AUTH_RE, ""),
+        normalize_percent_escapes(F.regexp_replace(u, _AUTH_RE, "")),
     )
     u = F.regexp_replace(u, "^(http://[^/:?#]+):80(?=[/?#]|$)", "$1")
     u = F.regexp_replace(u, "^(https://[^/:?#]+):443(?=[/?#]|$)", "$1")
@@ -48,6 +104,73 @@ def canonicalize_url(c: Column) -> Column:
     u = F.regexp_replace(u, "&&+", "&")
     u = F.regexp_replace(u, "[?&]+$", "")
     return u
+
+
+def idn_encode_host(host: str) -> str:
+    """The ASCII/punycode canonical form of one host (pure Python,
+    deterministic): ASCII labels pass through; a non-ASCII label is
+    NFC-normalized, lowercased, and RFC 3492-encoded as ``xn--…``
+    (stdlib ``punycode`` codec — the same transform as IDNA minus
+    nameprep's prohibited-codepoint table, so hostnames with
+    underscores or other IDNA-invalid-but-real characters never
+    raise).  A label that fails to encode passes through unchanged
+    (conservative: never a wrong merge)."""
+    labels = host.split(".")
+    out = []
+    for lab in labels:
+        if lab.isascii():
+            out.append(lab)
+            continue
+        norm = unicodedata.normalize("NFC", lab.lower())
+        try:
+            out.append("xn--" + norm.encode("punycode").decode("ascii"))
+        except UnicodeError:
+            out.append(lab)
+    return ".".join(out)
+
+
+def with_idn_canonical_url(
+    df: DataFrame, url_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Rewrite the authority of ``url_col`` to its IDN/punycode ASCII
+    canonical form (``münchen.de`` → ``xn--mnchen-3ya.de``), in place
+    or into ``out_col`` — the rung that makes the Unicode and xn--
+    spellings of one host collapse to one dedup/graph key.
+
+    Arrow-batched ``pandas_udf`` with an ASCII fast path: an
+    all-ASCII URL (the overwhelming crawl majority) is returned by
+    reference without parsing, so the Python cost is paid only on the
+    IDN tail.  Apply AFTER :func:`canonicalize_url` (which lowercases
+    the authority, including Unicode case)."""
+    def _idn_series(urls):
+        def one(u):
+            if u is None or u.isascii():
+                return u
+            # scheme://authority/rest — rewrite host labels only
+            i = u.find("://")
+            if i < 0:
+                return idn_encode_host(u)
+            j = len(u)
+            for stop in "/?#":
+                k = u.find(stop, i + 3)
+                if k >= 0:
+                    j = min(j, k)
+            auth = u[i + 3 : j]
+            if auth.isascii():
+                return u
+            userinfo, _, hostport = auth.rpartition("@")
+            host, colon, port = hostport.partition(":")
+            new_auth = (
+                (userinfo + "@" if userinfo else "")
+                + idn_encode_host(host)
+                + (colon + port if colon else "")
+            )
+            return u[: i + 3] + new_auth + u[j:]
+
+        return urls.map(one)
+
+    _idn = F.pandas_udf(_idn_series, "string")
+    return df.withColumn(out_col or url_col, _idn(F.col(url_col)))
 
 
 def url_host(c: Column) -> Column:
@@ -101,11 +224,6 @@ _SECOND_LEVEL_SUFFIXES = (
 )
 
 _SLS_ALT = "|".join(s.replace(".", r"\.") for s in _SECOND_LEVEL_SUFFIXES)
-# host tail: label '.' (known 2-level suffix)  |  label '.' tld
-_REG_DOMAIN_RE = (
-    r"([^.]+\.(?:" + _SLS_ALT + r"))$"
-    r"|([^.]+\.[^.]+)$"
-)
 
 
 def registrable_domain(c: Column) -> Column:
@@ -118,16 +236,23 @@ def registrable_domain(c: Column) -> Column:
     hosts ending in a known second-level public suffix (co.uk,
     com.au, …, the embedded `_SECOND_LEVEL_SUFFIXES` subset of the
     public-suffix concept) which keep THREE.  IP-literal hosts and
-    single-label hosts pass through unchanged.  Accepts either a full
-    URL (host extracted first) or a bare host column."""
+    single-label hosts pass through unchanged; a trailing FQDN root
+    dot is stripped first (``example.com.`` groups with
+    ``example.com``); a host that IS a bare public suffix (``co.uk``)
+    has no registrant and passes through as its own group — explicit,
+    so rollups keep those rows rather than dropping them on NULL.
+    Accepts either a full URL (host extracted first) or a bare host
+    column."""
     host = F.when(
         c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), url_host(c)
     ).otherwise(F.lower(F.trim(c)))
+    host = F.regexp_replace(host, r"\.$", "")
     # IPv4 literals are not registrable domains: pass through
     is_ip = host.rlike(r"^[0-9.]+$")
+    is_bare_suffix = host.isin(*_SECOND_LEVEL_SUFFIXES)
     three = F.regexp_extract(host, r"([^.]+\.(?:" + _SLS_ALT + r"))$", 1)
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(is_ip, host).otherwise(
+    return F.when(is_ip | is_bare_suffix, host).otherwise(
         F.when(three != "", three).otherwise(
             F.when(two != "", two).otherwise(host)
         )

@@ -17,7 +17,13 @@ HTML5 "determine the character encoding" precedence order:
    documented: the declared decode must validate STRICTLY on the
    payload, else the ladder falls through — real crawls are full of
    wrong labels, and a deterministic conflict rule (declared-unless-
-   invalid) is both safer and oracle-replayable.
+   invalid) is both safer and oracle-replayable.  Two labels need
+   stronger rules because their strict decode is vacuous: a
+   cp1252-family label (every byte string decodes) is DISPROVED when
+   the payload is strictly-valid NUL-free UTF-8 with non-ASCII bytes
+   (→ ``utf-8``, source ``declared-utf8``); a UTF-16 label (strict
+   decode accepts almost any even-length string) is honored only when
+   the zero-byte pattern corroborates the same endianness.
 3. **HTML5 ``<meta charset>`` prescan** over the first 1024 bytes
    (covers both ``<meta charset=X>`` and the ``http-equiv`` +
    ``content="…; charset=X"`` form), same label table and same
@@ -120,6 +126,7 @@ _META_CHARSET_RE = re.compile(
 )
 _C1_RANGE_RE = re.compile(rb"[\x80-\x9f]")
 _NON_ASCII_RE = re.compile(r"[^\x00-\x7f]")
+_NON_ASCII_BYTE_RE = re.compile(rb"[\x80-\xff]")
 _JP_RE = re.compile(r"[　-ヿ一-鿿]")
 
 
@@ -154,6 +161,37 @@ def _strict_ok(data: bytes, enc: str) -> bool:
         return False
 
 
+def _utf16_nul_pattern(data: bytes) -> str | None:
+    """``utf-16-le`` / ``utf-16-be`` when the BOM-less zero-byte pattern
+    of UTF-16-encoded mostly-ASCII text is present (>= 30% NULs on the
+    odd / even offsets respectively, even length), else None.  Shared by
+    the pattern rung and the declared-UTF-16 corroboration check."""
+    n = len(data)
+    if n < 2 or n % 2 != 0:
+        return None
+    odd_nul = data[1::2].count(0)
+    even_nul = data[0::2].count(0)
+    half = n // 2
+    if odd_nul * 10 >= half * 3 and odd_nul > even_nul:
+        return "utf-16-le"
+    if even_nul * 10 >= half * 3 and even_nul > odd_nul:
+        return "utf-16-be"
+    return None
+
+
+def _utf8_disproves_cp1252_label(data: bytes) -> bool:
+    """True when a windows-1252-family label is DISPROVED by the bytes:
+    the payload is strictly-valid UTF-8, NUL-free, and contains
+    non-ASCII bytes (multi-byte UTF-8 sequences are valid cp1252 too,
+    but real cp1252 text virtually never forms them — the classic lying
+    label on crawls is UTF-8 served as ``charset=iso-8859-1``)."""
+    return (
+        _NON_ASCII_BYTE_RE.search(data) is not None
+        and data.count(b"\x00") == 0
+        and _strict_ok(data, "utf-8")
+    )
+
+
 def _looks_japanese(text: str) -> bool:
     jp = len(_JP_RE.findall(text))
     if jp == 0:
@@ -167,22 +205,45 @@ def detect_charset_ex(
 ) -> tuple[str, bool, str]:
     """(encoding, had_bom, source) for a byte payload, by the module
     ladder; ``source`` names the rung that decided: ``bom`` /
-    ``declared`` / ``meta`` / ``utf8`` / ``utf16-pattern`` /
-    ``shift_jis`` / ``cp1252`` / ``latin-1``.  ``declared`` is a raw
-    transfer-layer label (e.g. the Content-Type charset parameter)."""
+    ``declared`` / ``declared-utf8`` (cp1252-family label disproved by
+    strictly-valid non-ASCII UTF-8) / ``meta`` / ``meta-utf8`` /
+    ``utf8`` / ``utf16-pattern`` / ``shift_jis`` / ``cp1252`` /
+    ``latin-1``.  ``declared`` is a raw transfer-layer label (e.g. the
+    Content-Type charset parameter)."""
     for bom, enc in _BOMS:
         if data.startswith(bom):
             return enc, True, "bom"
     dec = _canon_label(declared)
-    if dec is not None and (
-        dec == "windows-1252" or _strict_ok(data, dec)
-    ):
-        return dec, False, "declared"
+    if dec is not None:
+        if dec == "windows-1252":
+            # cp1252-family labels always "validate" (every byte string
+            # decodes), so validation can't catch the most common lying
+            # label — UTF-8 bytes served as charset=iso-8859-1.  Disprove
+            # by content instead: strictly-valid non-ASCII UTF-8 wins,
+            # under a distinct source so the deviation stays auditable.
+            if _utf8_disproves_cp1252_label(data):
+                return "utf-8", False, "declared-utf8"
+            return dec, False, "declared"
+        if dec in ("utf-16-le", "utf-16-be"):
+            # strict UTF-16 accepts almost any even-length byte string
+            # (only unpaired surrogates fail), so the validation guard is
+            # vacuous — honor the label only when the zero-byte pattern
+            # corroborates the SAME endianness (a BOM was handled above);
+            # otherwise fall through the ladder.
+            if _utf16_nul_pattern(data) == dec:
+                return dec, False, "declared"
+        elif _strict_ok(data, dec):
+            return dec, False, "declared"
     meta = _canon_label(prescan_meta_charset(data))
     if meta is not None:
         if meta in ("utf-16-le", "utf-16-be"):
             meta = "utf-8"  # WHATWG prescan rule
-        if meta == "windows-1252" or _strict_ok(data, meta):
+        if meta == "windows-1252":
+            # same content-disproof as the declared rung
+            if _utf8_disproves_cp1252_label(data):
+                return "utf-8", False, "meta-utf8"
+            return meta, False, "meta"
+        if _strict_ok(data, meta):
             return meta, False, "meta"
     has_nul = data.count(b"\x00") > 0
     if not has_nul:
@@ -190,15 +251,9 @@ def detect_charset_ex(
         # "validates" as UTF-8 is BOM-less UTF-16/32, not UTF-8
         if _strict_ok(data, "utf-8"):
             return "utf-8", False, "utf8"
-    n = len(data)
-    if n >= 2 and n % 2 == 0:
-        odd_nul = data[1::2].count(0)
-        even_nul = data[0::2].count(0)
-        half = n // 2
-        if odd_nul * 10 >= half * 3 and odd_nul > even_nul:
-            return "utf-16-le", False, "utf16-pattern"
-        if even_nul * 10 >= half * 3 and even_nul > odd_nul:
-            return "utf-16-be", False, "utf16-pattern"
+    utf16 = _utf16_nul_pattern(data)
+    if utf16 is not None:
+        return utf16, False, "utf16-pattern"
     if not has_nul:
         try:
             text = data.decode("shift_jis", "strict")

@@ -14741,12 +14741,15 @@ FROM documents
 # surfaces it; sniff_transcode(declared_col=…) runs the WHATWG
 # precedence ladder (BOM > declared > <meta> prescan > byte
 # heuristics) with strict-validation fall-through on lying labels.
-# Rotation by doc_id % 8 plants: trusted utf-8 label; declared
+# Rotation by doc_id % 10 plants: trusted utf-8 label; declared
 # Shift_JIS; UNdeclared Shift_JIS (the new multi-byte byte-ladder
 # rung); iso-8859-1 label (HTML5: = cp1252); a LYING utf-8 label over
 # cp1252 bytes (falls through to the 0x80-0x9F rung); <meta
 # charset=windows-1251> prescan with no transfer label; declared
-# GB2312 (= gbk); declared EUC-KR.  Odd docs additionally ride
+# GB2312 (= gbk); declared EUC-KR; a LYING iso-8859-1 label over
+# UTF-8 bytes (content-disproof rung, source declared-utf8); a
+# vacuous utf-16 label over ASCII bytes (uncorroborated by the
+# zero-byte pattern, falls through).  Odd docs additionally ride
 # Content-Encoding: gzip, so the RFC 9110 decode → charset chain is
 # composed under the oracle.  `source` audits which rung decided.
 # ---------------------------------------------------------------------------
@@ -14762,7 +14765,7 @@ def _synth_declared_charset_warc(docs: DataFrame) -> DataFrame:
             out = []
             for did in batch["doc_id"]:
                 did = int(did)
-                m = did % 8
+                m = did % 10
                 if m == 0:
                     raw = f"doc {did} plain".encode("utf-8")
                     ct = "text/html; charset=utf-8"
@@ -14788,9 +14791,19 @@ def _synth_declared_charset_warc(docs: DataFrame) -> DataFrame:
                 elif m == 6:
                     raw = f"文档 {did} 中文内容".encode("gbk")
                     ct = "text/html; charset=GB2312"
-                else:
+                elif m == 7:
                     raw = f"문서 {did} 한국어".encode("euc_kr")
                     ct = "text/html; charset=EUC-KR"
+                elif m == 8:
+                    # the classic lying crawl label: UTF-8 bytes served
+                    # as iso-8859-1 — content-disproof must win
+                    raw = f"doc {did} café “q”".encode("utf-8")
+                    ct = "text/html; charset=iso-8859-1"
+                else:
+                    # vacuous utf-16 label over ASCII bytes — no NUL
+                    # pattern corroborates, so the ladder falls through
+                    raw = f"doc {did} utf16 lie".encode("utf-8")
+                    ct = "text/html; charset=utf-16"
                 out.append(
                     warcmod.encode_warc_fixture(
                         [
@@ -14836,8 +14849,8 @@ def q282_charset_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q282_SQL = """
 WITH t AS (
-  SELECT doc_id, doc_id % 8 AS m,
-         CASE doc_id % 8
+  SELECT doc_id, doc_id % 10 AS m,
+         CASE doc_id % 10
            WHEN 0 THEN 'doc ' || doc_id || ' plain'
            WHEN 1 THEN '文書 ' || doc_id || ' 日本語テスト'
            WHEN 2 THEN '文書 ' || doc_id || ' 日本語テスト'
@@ -14847,7 +14860,9 @@ WITH t AS (
                        || '</head><body><p>документ ' || doc_id
                        || '</p></body></html>'
            WHEN 6 THEN '文档 ' || doc_id || ' 中文内容'
-           ELSE '문서 ' || doc_id || ' 한국어'
+           WHEN 7 THEN '문서 ' || doc_id || ' 한국어'
+           WHEN 8 THEN 'doc ' || doc_id || ' café “q”'
+           ELSE 'doc ' || doc_id || ' utf16 lie'
          END AS text
   FROM documents
 )
@@ -14856,9 +14871,13 @@ SELECT doc_id,
               WHEN 1 THEN 'shift_jis' WHEN 2 THEN 'shift_jis'
               WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'windows-1252'
               WHEN 5 THEN 'cp1251' WHEN 6 THEN 'gbk'
-              ELSE 'euc_kr' END AS encoding,
+              WHEN 7 THEN 'euc_kr'
+              ELSE 'utf-8' END AS encoding,
        CASE m WHEN 2 THEN 'shift_jis' WHEN 4 THEN 'cp1252'
-              WHEN 5 THEN 'meta' ELSE 'declared' END AS source,
+              WHEN 5 THEN 'meta'
+              WHEN 8 THEN 'declared-utf8'
+              WHEN 9 THEN 'utf8'
+              ELSE 'declared' END AS source,
        FALSE AS had_bom,
        CAST(CASE m
          WHEN 0 THEN length(text)
@@ -14868,7 +14887,9 @@ SELECT doc_id,
          WHEN 4 THEN length(text)
          WHEN 5 THEN length(text)
          WHEN 6 THEN length(text) + 6
-         ELSE length(text) + 5
+         WHEN 7 THEN length(text) + 5
+         WHEN 8 THEN length(text) + 5
+         ELSE length(text)
        END AS BIGINT) AS n_bytes,
        CAST(length(text) AS INT) AS n_chars,
        text
@@ -15281,8 +15302,11 @@ FROM documents
 # docs whose pass-1 cut shadowed it.  Closed form: (g1min,g2min) →
 # cut 0/1×32/1×48/2-pass 80 chars; the oracle reconstructs the FINAL
 # post-surgery text per class and gates its md5, not just the
-# arithmetic.  Group sizes stay ≪ the df-cap at bench scale (25/33 at
-# sf0.1), so the funnel keeps q270's 100 TB linearity guard.
+# arithmetic.  The group moduli SCALE with the corpus (ADVICE r10):
+# m1 = max(199, ceil(n/25)), m2 = max(151, ceil(n/33)) — identical
+# integer arithmetic on both engines — so plant-group sizes stay ≤25/33
+# ≪ the df-cap 64 at EVERY sf and the oracle gate remains valid beyond
+# sf0.1, keeping q270's 100 TB linearity guard.
 # ---------------------------------------------------------------------------
 
 
@@ -15290,6 +15314,9 @@ def q287_span_dedup_fixed_point(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet-metadata count, no scan
+    m1 = max(199, (n_docs + 24) // 25)
+    m2 = max(151, (n_docs + 32) // 33)
     did = F.col("doc_id")
     ds = did.cast("string")
 
@@ -15307,12 +15334,12 @@ def q287_span_dedup_fixed_point(
     text = F.concat(
         tiles_of(F.concat(ds, F.lit("p")), (did % 3).cast("int") + F.lit(1)),
         tiles_of(
-            F.concat(F.lit("g"), (did % 199).cast("string"), F.lit("m")),
+            F.concat(F.lit("g"), (did % m1).cast("string"), F.lit("m")),
             F.lit(3),
         ),
         tiles_of(F.concat(ds, F.lit("u")), (did % 2).cast("int") + F.lit(1)),
         tiles_of(
-            F.concat(F.lit("h"), (did % 151).cast("string"), F.lit("m")),
+            F.concat(F.lit("h"), (did % m2).cast("string"), F.lit("m")),
             F.lit(2),
         ),
         tiles_of(F.concat(ds, F.lit("s")), F.lit(1)),
@@ -15322,22 +15349,26 @@ def q287_span_dedup_fixed_point(
 
 
 Q287_SQL = """
-WITH seg AS (
+WITH params AS (
+  SELECT greatest(199, (count(*) + 24) // 25) AS m1,
+         greatest(151, (count(*) + 32) // 33) AS m2
+  FROM documents
+), seg AS (
   SELECT doc_id,
     array_to_string(list_transform(range(0, 1 + doc_id % 3),
       j -> substr(md5(doc_id || 'p' || j), 1, 16)), '') AS u1,
     array_to_string(list_transform(range(0, 3),
-      j -> substr(md5('g' || (doc_id % 199) || 'm' || j), 1, 16)), '')
+      j -> substr(md5('g' || (doc_id % m1) || 'm' || j), 1, 16)), '')
       AS r1,
     array_to_string(list_transform(range(0, 1 + doc_id % 2),
       j -> substr(md5(doc_id || 'u' || j), 1, 16)), '') AS u2,
     array_to_string(list_transform(range(0, 2),
-      j -> substr(md5('h' || (doc_id % 151) || 'm' || j), 1, 16)), '')
+      j -> substr(md5('h' || (doc_id % m2) || 'm' || j), 1, 16)), '')
       AS r2,
     substr(md5(doc_id || 's' || 0), 1, 16) AS u3,
-    doc_id = min(doc_id) OVER (PARTITION BY doc_id % 199) AS g1min,
-    doc_id = min(doc_id) OVER (PARTITION BY doc_id % 151) AS g2min
-  FROM documents
+    doc_id = min(doc_id) OVER (PARTITION BY doc_id % m1) AS g1min,
+    doc_id = min(doc_id) OVER (PARTITION BY doc_id % m2) AS g2min
+  FROM documents CROSS JOIN params
 ), fin AS (
   SELECT doc_id,
     u1 || r1 || u2 || r2 || u3 AS orig,

@@ -1,0 +1,231 @@
+"""CDX/CDXJ URL-index source — the lookup side of the WARC tier.
+
+A web archive at 100 TB is unreadable without its index: the
+Common Crawl / pywb contract (the cc-index "CDXJ" flavor) is a plain
+text file of sorted lines
+
+    <SURT key> <timestamp> <JSON>
+
+where the JSON payload carries ``url, mime, status, digest, length,
+offset, filename`` — ``(filename, offset, length)`` being the byte
+extent of ONE WARC record, so a consumer does a ranged fetch and
+parses exactly one record, never the whole archive.  This module
+re-expresses that contract Spark-first:
+
+- :func:`surt_key` — the Sort-friendly URI Reordering Transform
+  (deterministic, documented subset: lowercase; scheme dropped;
+  leading ``www.`` dropped; default port dropped; host labels
+  REVERSED and comma-joined; ``)`` then path?query).  Pure codegen
+  Column — the sort/range key is what makes host/prefix queries
+  partition-prunable on a key-sorted parquet layout.
+- :func:`cdx_records` — parse CDXJ lines into typed columns, all
+  JVM-side (``split`` limit-3 + ``from_json``): zero Python in the
+  scan path.
+- :func:`cdx_prefix_lookup` — the host/prefix range query:
+  ``startswith`` on the key column, a pushable ``StartsWith`` filter
+  (``PushedFilters: [StringStartsWith(surt_key, …)]`` on parquet), so
+  a sorted+partitioned index only reads the matching range.
+- :func:`cdx_fetch` — the join-back: index rows → archive payloads by
+  ``filename`` (equi-join, broadcastable when the archive catalog is
+  small), then an offset-addressed SINGLE-record parse per row
+  (``parse_warc`` on ``content[offset : offset+length]``) in
+  scan-side ``mapInPandas`` — the Spark analogue of the ranged GET:
+  work scales with matched index rows, never with archive bytes.
+- :func:`format_cdxj_line` — the fixture-side encoder (pure Python),
+  paired with ``warc.encode_warc_fixture_indexed`` which yields the
+  ground-truth per-record byte extents.
+
+Reference analogue: none (the reference reads one live HTML page);
+LLM-training-data extension surface (SURVEY.md §2 extensions) — the
+natural next source after the q288–q290 revisit/digest/redirect tier.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from occupation_wage_etl_spark.functions.url import (
+    url_host,
+    url_path,
+    url_query,
+)
+
+_CDX_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+
+def surt_key(c: Column) -> Column:
+    """The SURT key of a URL column, pure codegen.  Subset rules
+    (documented; the full pywb massage table is external data):
+    lowercase; scheme dropped; leading ``www.`` dropped; default/any
+    port dropped; host labels reversed and comma-joined; then ``)``
+    and the path (with ``?query`` when present):
+    ``http://www.Example.COM/A/b?x=1`` → ``com,example)/a/b?x=1``."""
+    host = F.regexp_replace(url_host(c), "^www\\.", "")
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    path = F.lower(url_path(c))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.lower(url_query(c))
+    tail = F.when(q != "", F.concat(path, F.lit("?"), q)).otherwise(path)
+    return F.concat(rev, F.lit(")"), tail)
+
+
+def format_cdxj_line(
+    url: str,
+    timestamp: str,
+    *,
+    mime: str = "text/html",
+    status: int = 200,
+    digest: str | None = None,
+    length: int = 0,
+    offset: int = 0,
+    filename: str = "",
+    surt: str | None = None,
+) -> str:
+    """One CDXJ line (fixture-side pure-Python encoder).  ``surt``
+    defaults to the documented subset transform of ``url`` computed in
+    Python with the same rules as :func:`surt_key`."""
+    if surt is None:
+        u = url.lower()
+        rest = u.split("://", 1)[1] if "://" in u else u
+        hostport, slash, tail = rest.partition("/")
+        host = hostport.split("@")[-1].split(":")[0]
+        if host.startswith("www."):
+            host = host[4:]
+        surt = (
+            ",".join(reversed(host.split(".")))
+            + ")"
+            + (slash + tail if slash else "/")
+        )
+    payload = {
+        "url": url,
+        "mime": mime,
+        "status": status,
+        "digest": digest,
+        "length": length,
+        "offset": offset,
+        "filename": filename,
+    }
+    return f"{surt} {timestamp} {json.dumps(payload, sort_keys=True)}"
+
+
+def cdx_records(
+    df: DataFrame, line_col: str = "line"
+) -> DataFrame:
+    """Typed index rows from CDXJ text lines — all JVM-side: the line
+    splits into (key, timestamp, json) with a limit-3 split, the JSON
+    block parses with ``from_json``.  Malformed JSON yields NULL
+    fields, never a failed task (the same null-on-error contract as
+    the cleaning grammar's casts)."""
+    parts = F.split(F.col(line_col), " ", 3)
+    j = F.from_json(parts.getItem(2), _CDX_JSON_SCHEMA)
+    out = df.select(
+        parts.getItem(0).alias("surt_key"),
+        parts.getItem(1).alias("cdx_timestamp"),
+        j.alias("_j"),
+    )
+    return out.select(
+        "surt_key",
+        "cdx_timestamp",
+        F.col("_j.url").alias("url"),
+        F.col("_j.mime").alias("mime"),
+        F.col("_j.status").alias("status"),
+        F.col("_j.digest").alias("digest"),
+        F.col("_j.length").alias("length"),
+        F.col("_j.offset").alias("offset"),
+        F.col("_j.filename").alias("filename"),
+    )
+
+
+def cdx_prefix_lookup(cdx: DataFrame, prefix: str) -> DataFrame:
+    """Index rows whose SURT key starts with ``prefix`` — the
+    host / host-path range query (``com,example)`` matches every page
+    of example.com and its subdomains sort adjacent to it).  A plain
+    ``StartsWith`` predicate: pushable to the parquet scan, and on a
+    key-sorted layout equivalent to one contiguous range read."""
+    return cdx.where(F.col("surt_key").startswith(prefix))
+
+
+def cdx_fetch(
+    cdx: DataFrame,
+    archives: DataFrame,
+    bin_col: str = "content",
+    filename_col: str = "filename",
+    broadcast_archives: bool = False,
+) -> DataFrame:
+    """The ranged-GET analogue: each index row joins to its archive by
+    filename, then ``content[offset : offset+length]`` parses as ONE
+    WARC record (scan-side ``mapInPandas``).  Output: the index key
+    columns plus the fetched record's type/URI/status/digest and
+    payload text (UTF-8, replace).  Work is O(matched index rows) —
+    never a full-archive scan; set ``broadcast_archives`` when the
+    archive catalog is a small dimension."""
+    from occupation_wage_etl_spark.sources.warc import parse_warc
+
+    arc = archives.select(
+        F.col(filename_col).alias("__arc_filename"),
+        F.col(bin_col).alias("__arc_bytes"),
+    )
+    if broadcast_archives:
+        arc = F.broadcast(arc)
+    joined = cdx.join(
+        arc, cdx[filename_col] == arc["__arc_filename"], "inner"
+    ).drop("__arc_filename")
+
+    schema = (
+        "surt_key string, cdx_timestamp string, url string, "
+        "status int, digest string, offset long, length long, "
+        "filename string, rec_type string, rec_uri string, "
+        "rec_status int, rec_digest string, payload_text string"
+    )
+    cols = [
+        "surt_key", "cdx_timestamp", "url", "status", "digest",
+        "offset", "length", "filename", "rec_type", "rec_uri",
+        "rec_status", "rec_digest", "payload_text",
+    ]
+
+    def _fetch(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                data = bytes(r["__arc_bytes"] or b"")
+                off = int(r["offset"] or 0)
+                ln = int(r["length"] or 0)
+                recs = parse_warc(data[off : off + ln], max_records=1)
+                rec = recs[0] if recs else None
+                rows.append(
+                    (
+                        r["surt_key"], r["cdx_timestamp"], r["url"],
+                        None if pd.isna(r["status"]) else int(r["status"]),
+                        r["digest"], off, ln, r["filename"],
+                        rec["warc_type"] if rec else None,
+                        rec["target_uri"] if rec else None,
+                        rec["http_status"] if rec else None,
+                        rec["payload_digest"] if rec else None,
+                        rec["payload"].decode("utf-8", "replace")
+                        if rec
+                        else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    keep = [
+        "surt_key", "cdx_timestamp", "url", "status", "digest",
+        "offset", "length", "filename", "__arc_bytes",
+    ]
+    return joined.select(*keep).mapInPandas(_fetch, schema=schema)

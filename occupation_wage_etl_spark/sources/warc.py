@@ -514,7 +514,31 @@ def encode_warc_fixture(
 
     ``gzip_records`` emits the Common Crawl member-per-record layout;
     ``warcinfo`` prepends the customary archive-metadata record."""
-    out = bytearray()
+    return b"".join(_encode_record_bytes(records, gzip_records, warcinfo))
+
+
+def encode_warc_fixture_indexed(
+    records: list[dict],
+    gzip_records: bool = False,
+    warcinfo: bool = True,
+) -> tuple[bytes, list[tuple[int, int]]]:
+    """:func:`encode_warc_fixture` plus the per-record ``(offset,
+    length)`` byte extents — the ground truth a CDX index fixture
+    needs (``sources/cdx.py``); extents cover the warcinfo record too
+    when present, in record order."""
+    chunks = _encode_record_bytes(records, gzip_records, warcinfo)
+    extents: list[tuple[int, int]] = []
+    pos = 0
+    for c in chunks:
+        extents.append((pos, len(c)))
+        pos += len(c)
+    return b"".join(chunks), extents
+
+
+def _encode_record_bytes(
+    records: list[dict], gzip_records: bool, warcinfo: bool
+) -> list[bytes]:
+    out: list[bytes] = []
     items = list(records)
     if warcinfo:
         items.insert(
@@ -611,8 +635,8 @@ def encode_warc_fixture(
             + block
             + b"\r\n\r\n"
         )
-        out += _gzip_member(rec) if gzip_records else rec
-    return bytes(out)
+        out.append(_gzip_member(rec) if gzip_records else rec)
+    return out
 
 
 def warc_redirects(

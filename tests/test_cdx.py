@@ -1,0 +1,102 @@
+"""CDX/CDXJ URL-index source (sources/cdx.py): SURT keys, CDXJ line
+parsing (codegen from_json), prefix lookup pushdown, and the
+offset-addressed record fetch against indexed WARC fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from occupation_wage_etl_spark.sources import cdx as C
+from occupation_wage_etl_spark.sources import warc as W
+
+
+def test_surt_key(spark):
+    cases = [
+        ("http://www.Example.COM/A/b?X=1", "com,example)/a/b?x=1"),
+        ("https://sub.site.org:8443/p", "org,site,sub)/p"),
+        ("http://example.com", "com,example)/"),
+        ("http://h.example/path", "example,h)/path"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    for r in df.select(
+        "want", C.surt_key(F.col("u")).alias("got")
+    ).collect():
+        assert r.got == r.want, (r.got, r.want)
+    # python fixture encoder agrees with the codegen key
+    line = C.format_cdxj_line("http://www.Example.COM/A/b?X=1", "2024")
+    assert line.split(" ", 1)[0] == "com,example)/a/b?x=1"
+
+
+def test_cdx_records_parse_and_prefix(spark):
+    lines = [
+        C.format_cdxj_line(
+            "http://a.example/p1", "20240101000000",
+            digest="sha1:AAA", length=10, offset=0, filename="f0",
+        ),
+        C.format_cdxj_line(
+            "http://b.example/p2", "20240102000000",
+            status=404, mime="text/plain",
+            digest="sha1:BBB", length=20, offset=10, filename="f1",
+        ),
+        "garbage line notjson",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    rec = C.cdx_records(df)
+    got = {r.surt_key: r for r in rec.collect()}
+    a = got["example,a)/p1"]
+    assert (a.url, a.status, a.digest, a.length, a.offset, a.filename) == (
+        "http://a.example/p1", 200, "sha1:AAA", 10, 0, "f0"
+    )
+    assert got["example,b)/p2"].status == 404
+    # malformed json -> NULL fields, row preserved (null-on-error)
+    bad = got["garbage"]
+    assert bad.url is None and bad.status is None
+    # prefix lookup
+    assert C.cdx_prefix_lookup(rec, "example,a)").count() == 1
+    assert C.cdx_prefix_lookup(rec, "example,").count() == 2
+    # the predicate stays a pushable StartsWith
+    plan = C.cdx_prefix_lookup(rec, "example,")._jdf.queryExecution().toString()
+    assert "StartsWith" in plan
+
+
+def test_cdx_fetch_offset_addressed(spark):
+    # two archives, two records each; the index points at record 1 of
+    # each by byte extent — fetch must parse exactly that record
+    archives, index_lines = [], []
+    for a in range(2):
+        recs = [
+            {
+                "type": "response",
+                "uri": f"http://s{a}.example/r{k}",
+                "status": 200,
+                "payload": f"payload a{a} r{k}".encode(),
+                "payload_digest": True,
+            }
+            for k in range(2)
+        ]
+        data, extents = W.encode_warc_fixture_indexed(
+            recs, gzip_records=(a == 1), warcinfo=False
+        )
+        archives.append((f"arc{a}.warc.gz", bytearray(data)))
+        off, ln = extents[1]
+        index_lines.append(
+            C.format_cdxj_line(
+                f"http://s{a}.example/r1", "20240101000000",
+                digest=W.payload_digest_sha1(f"payload a{a} r1".encode()),
+                length=ln, offset=off, filename=f"arc{a}.warc.gz",
+            )
+        )
+    arc_df = spark.createDataFrame(archives, "filename string, content binary")
+    idx = C.cdx_records(
+        spark.createDataFrame([(l,) for l in index_lines], "line string")
+    )
+    out = {
+        r.rec_uri: r
+        for r in C.cdx_fetch(idx, arc_df, broadcast_archives=True).collect()
+    }
+    assert len(out) == 2
+    for a in range(2):
+        r = out[f"http://s{a}.example/r1"]
+        assert r.payload_text == f"payload a{a} r1"
+        assert r.rec_status == 200
+        assert r.rec_digest == r.digest  # index digest == record digest

@@ -193,3 +193,63 @@ def test_charset_from_content_type():
     assert f('text/html; charset="ISO-8859-1"') == "ISO-8859-1"
     assert f("text/plain") is None
     assert f(None) is None
+
+
+def test_declared_cp1252_label_disproved_by_utf8():
+    """ADVICE r10: a cp1252-family label over strictly-valid non-ASCII
+    UTF-8 bytes is disproved by content (distinct auditable source)."""
+    raw = "doc café “q” — naïve".encode("utf-8")
+    assert charset.detect_charset_ex(raw, "iso-8859-1") == (
+        "utf-8", False, "declared-utf8"
+    )
+    # same rule on the meta rung
+    html = '<meta charset="iso-8859-1"><p>café €</p>'.encode("utf-8")
+    assert charset.detect_charset_ex(html) == (
+        "utf-8", False, "meta-utf8"
+    )
+    # pure-ASCII payload: the label is NOT disproved (cp1252 == ascii
+    # on that range, honoring it is harmless and HTML5-faithful)
+    assert charset.detect_charset_ex(b"plain ascii", "latin-1") == (
+        "windows-1252", False, "declared"
+    )
+    # genuine cp1252 bytes keep the declared rung
+    raw2 = "café à la".encode("cp1252")
+    assert charset.detect_charset_ex(raw2, "ISO-8859-1") == (
+        "windows-1252", False, "declared"
+    )
+    # transcode path: the disproved label decodes as utf-8, not mojibake
+    text, enc, _, src = charset.transcode_ex(raw, "iso-8859-1")
+    assert (text, enc, src) == (
+        "doc café “q” — naïve", "utf-8", "declared-utf8"
+    )
+
+
+def test_declared_utf16_label_needs_corroboration():
+    """ADVICE r10: strict UTF-16 decode is vacuous, so a utf-16 label is
+    honored only when the zero-byte pattern corroborates it."""
+    # mislabeled: ASCII/UTF-8 bytes under charset=utf-16 fall through
+    assert charset.detect_charset_ex(b"hello world!", "utf-16") == (
+        "utf-8", False, "utf8"
+    )
+    assert charset.detect_charset_ex(
+        "café “q”".encode("utf-8"), "utf-16le"
+    ) == ("utf-8", False, "utf8")
+    # genuine BOM-less UTF-16-LE: pattern corroborates the label
+    le = "ascii heavy text".encode("utf-16-le")
+    assert charset.detect_charset_ex(le, "utf-16") == (
+        "utf-16-le", False, "declared"
+    )
+    be = "ascii heavy text".encode("utf-16-be")
+    assert charset.detect_charset_ex(be, "utf-16be") == (
+        "utf-16-be", False, "declared"
+    )
+    # label endianness contradicted by the pattern: fall through to the
+    # pattern rung, which decides by the bytes
+    assert charset.detect_charset_ex(be, "utf-16le") == (
+        "utf-16-be", False, "utf16-pattern"
+    )
+    # BOM still beats everything
+    import codecs as _codecs
+    assert charset.detect_charset_ex(
+        _codecs.BOM_UTF16_LE + "hi".encode("utf-16-le"), "utf-16be"
+    ) == ("utf-16-le", True, "bom")

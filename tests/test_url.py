@@ -100,3 +100,82 @@ def test_registrable_domain(spark):
     ).collect()
     for r in rows:
         assert r.got == r.want, (r.u, r.got, r.want)
+
+
+def test_percent_escape_normalization(spark):
+    """RFC 3986 §6.2.2: unreserved escapes decode, reserved escapes
+    keep uppercased hex, malformed sequences pass through."""
+    got = _canon(spark, [
+        "http://h.example/%7Euser/page",     # ~ decodes
+        "http://h.example/%7euser/page",     # lowercase hex too
+        "http://h.example/p?q=%3a%2F",       # reserved: hex uppercased
+        "http://h.example/%41%62%30%2D%2e%5F",  # A b 0 - . _
+        "http://h.example/100%25sure",       # %25 stays (reserved)
+        "http://h.example/bad%zzescape%2",   # malformed: untouched
+        "http://h.example/a%",               # trailing % untouched
+    ])
+    assert got == [
+        "http://h.example/~user/page",
+        "http://h.example/~user/page",
+        "http://h.example/p?q=%3A%2F",
+        "http://h.example/Ab0-._",
+        "http://h.example/100%25sure",
+        "http://h.example/bad%zzescape%2",
+        "http://h.example/a%",
+    ]
+    # the whole point: encoding variants collapse to ONE key
+    assert len(set(_canon(spark, [
+        "http://h.example/%7Euser?x=%3A",
+        "http://h.example/%7euser?x=%3a",
+        "http://h.example/~user?x=%3A",
+    ]))) == 1
+
+
+def test_idn_canonical_host(spark):
+    """Unicode and xn-- spellings of one host collapse; ASCII URLs
+    ride the fast path unchanged; userinfo/port survive the rewrite."""
+    rows = [
+        (0, "http://münchen.de/pfad?x=1"),
+        (1, "http://xn--mnchen-3ya.de/pfad?x=1"),
+        (2, "http://MÜNCHEN.DE:8080/pfad"),
+        (3, "https://u@bücher.example.co.uk:8443/b"),
+        (4, "http://plain.example/ascii"),
+        (5, "bücher.de"),  # bare host, no scheme
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    df = df.select(
+        "i", U.canonicalize_url(F.col("u")).alias("u")
+    )
+    got = {
+        r.i: r.u
+        for r in U.with_idn_canonical_url(df, "u").collect()
+    }
+    assert got[0] == got[1] == "http://xn--mnchen-3ya.de/pfad?x=1"
+    assert got[2] == "http://xn--mnchen-3ya.de:8080/pfad"
+    assert got[3] == "https://u@xn--bcher-kva.example.co.uk:8443/b"
+    assert got[4] == "http://plain.example/ascii"
+    assert got[5] == "xn--bcher-kva.de"
+    # registrable_domain composes with the IDN canonical form
+    rd = (
+        U.with_idn_canonical_url(df, "u")
+        .select(U.registrable_domain(F.col("u")).alias("d"))
+        .collect()
+    )
+    assert {r.d for r in rd} >= {"xn--mnchen-3ya.de", "plain.example"}
+
+
+def test_registrable_domain_edges(spark):
+    """ADVICE r10: trailing FQDN dot strips; a bare public suffix is
+    its own explicit group."""
+    cases = [
+        ("example.com.", "example.com"),
+        ("http://www.example.co.uk./p", "example.co.uk"),
+        ("co.uk", "co.uk"),
+        ("com.au", "com.au"),
+        ("sub.co.uk", "sub.co.uk"),  # registrant directly under suffix
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    for r in df.select(
+        "u", "want", U.registrable_domain(F.col("u")).alias("got")
+    ).collect():
+        assert r.got == r.want, (r.u, r.got, r.want)
