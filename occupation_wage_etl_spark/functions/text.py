@@ -123,6 +123,49 @@ def quality_score(col: Column) -> Column:
     )
 
 
+# Unicode script blocks → language, for the script rung of language-ID:
+# non-Latin scripts identify their language far more reliably than any
+# stopword list (a page of Hangul IS Korean), and the check is one
+# codegen regexp count per script.  zh is CJK ideographs WITHOUT kana
+# (Japanese mixes kanji + kana, so any kana presence reclassifies).
+SCRIPT_RANGES: dict[str, str] = {
+    "zh": "[一-鿿]",
+    "ja": "[぀-ヿ]",          # hiragana + katakana
+    "ko": "[가-힯]",
+    "ru": "[Ѐ-ӿ]",
+    "el": "[Ͱ-Ͽ]",
+    "ar": "[؀-ۿ]",
+    "he": "[֐-׿]",
+    "hi": "[ऀ-ॿ]",
+    "th": "[฀-๿]",
+}
+
+
+def script_lang(col: Column) -> Column:
+    """The script rung of language-ID: the language whose Unicode block
+    covers ≥30% of the non-whitespace characters (argmax across
+    :data:`SCRIPT_RANGES`; any kana presence turns a CJK verdict into
+    ``ja``); NULL when no block dominates — Latin-script text falls
+    through to the stopword rung.  Pure codegen (one
+    ``regexp_replace``-count per script, a ``greatest`` reduction)."""
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    counts = {
+        # strip everything OUTSIDE the block; what remains is the count
+        lang: F.length(F.regexp_replace(col, "[^" + rx[1:], ""))
+        for lang, rx in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*counts.values())
+    pick = F.lit(None).cast("string")
+    for lang in reversed(sorted(SCRIPT_RANGES)):
+        pick = F.when(counts[lang] == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(
+        (pick == "zh") & (counts["ja"] > 0), F.lit("ja")
+    ).otherwise(pick)
+    return F.when(
+        (nonspace > 0) & (best * 10 >= nonspace * 3), pick
+    ).otherwise(F.lit(None).cast("string"))
+
+
 def lang_id(col: Column) -> Column:
     """Heuristic language-ID: the language whose stopword list hits the most
     tokens; ties and zero-hit docs → 'und' (undetermined).

@@ -195,6 +195,113 @@ def robots_is_allowed(
     )
 
 
+def crawl_delay(
+    rules: DataFrame,
+    agent: str = "*",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, crawl_delay) — the agent's effective ``Crawl-delay`` per
+    robots host, with RFC 9309 exclusive group selection mirrored from
+    :func:`robots_is_allowed`: when an exact-agent group EXISTS (any
+    rule row, delay or not), only ITS delay applies — a ``*`` delay
+    never leaks into a host that addressed the agent directly.  Within
+    the selected group multiple delay lines take the MAX
+    (conservative); non-numeric values are ignored (null-on-error
+    cast); hosts whose selected group has no delay return NULL (the
+    caller supplies the fleet default).  ONE hash-aggregate over the
+    rules table — no join, no window."""
+    agent_lc = agent.lower()
+    a = F.lower(F.col("agent"))
+    delay = F.when(
+        F.col("rule_type") == "crawl-delay",
+        F.col("value").try_cast("double"),
+    )
+    agg = rules.groupBy(F.col(id_col)).agg(
+        F.max(F.when(a == agent_lc, delay)).alias("__exact"),
+        F.max(F.when(a == "*", delay)).alias("__star"),
+        F.max((a == agent_lc).cast("int")).alias("__has_exact"),
+    )
+    eff = F.when(
+        (F.col("__has_exact") == 1) & F.lit(agent_lc != "*"),
+        F.col("__exact"),
+    ).otherwise(F.col("__star"))
+    return agg.select(F.col(id_col), eff.alias("crawl_delay"))
+
+
+def crawl_budget(
+    rules: DataFrame,
+    frontier: DataFrame,
+    agent: str = "*",
+    window_seconds: int = 3600,
+    default_delay: float = 1.0,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """The frontier-scheduling aggregate a 100 TB crawl needs: combine
+    robots allow/deny evaluation, per-host ``Crawl-delay``, and the
+    eTLD+1 rollup into one per-domain politeness budget.
+
+    ``rules`` is :func:`robots_rules` output keyed by host id;
+    ``frontier`` carries candidate fetches (``id_col`` joining to the
+    host's rules, ``url_col`` the full URL).  Per registrable domain
+    (``functions/url.registrable_domain`` — subdomains of one site
+    share one budget): candidate/allowed counts, the effective delay
+    (MAX over the domain's hosts, ``default_delay`` when robots are
+    silent — conservative both ways), the fetch cap
+    ``floor(window_seconds / delay)``, and the scheduled/deferred
+    split ``least(allowed, cap)`` / remainder.
+
+    Shape: the allow evaluation's bounded equi-join + struct-max, one
+    hash-agg for delays, one equi-join back to the frontier, one final
+    hash-agg keyed by eTLD+1 — no window, no cartesian, every shuffle
+    on a bounded key."""
+    from occupation_wage_etl_spark.functions.url import (
+        registrable_domain,
+        url_path,
+    )
+
+    cand = frontier.select(
+        F.col(id_col),
+        F.col(url_col).alias("__url"),
+        url_path(F.col(url_col)).alias("path"),
+        registrable_domain(F.col(url_col)).alias("__domain"),
+    )
+    verdicts = robots_is_allowed(
+        rules, cand.select(id_col, "path"), agent=agent, id_col=id_col
+    ).select(F.col(id_col), "path", "allowed")
+    delays = crawl_delay(rules, agent=agent, id_col=id_col)
+    joined = (
+        cand.join(verdicts, [id_col, "path"], "left")
+        .join(delays, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.col("__domain"),
+            F.coalesce(F.col("allowed"), F.lit(True)).alias("__ok"),
+            F.coalesce(
+                F.col("crawl_delay"), F.lit(float(default_delay))
+            ).alias("__delay"),
+        )
+    )
+    agg = joined.groupBy(F.col("__domain").alias("domain")).agg(
+        F.countDistinct(id_col).alias("n_hosts"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("__ok").cast("long")).alias("n_allowed"),
+        F.max("__delay").alias("delay_s"),
+    )
+    cap = F.floor(F.lit(float(window_seconds)) / F.col("delay_s"))
+    sched = F.least(F.col("n_allowed"), cap)
+    return agg.select(
+        "domain",
+        "n_hosts",
+        "n_urls",
+        "n_allowed",
+        "delay_s",
+        cap.alias("window_cap"),
+        sched.alias("n_scheduled"),
+        (F.col("n_allowed") - sched).alias("n_deferred"),
+    )
+
+
 def sitemap_entries(
     df: DataFrame,
     xml_col: str = "sitemap_xml",
@@ -271,6 +378,103 @@ def sitemap_entries(
                             float(pr) if pr is not None else None,
                         )
                     )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, xml_col).mapInPandas(_run, schema=schema)
+
+
+def sitemap_extension_entries(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    id_col: str = "doc_id",
+    max_entries: int = 50_000,
+) -> DataFrame:
+    """Sitemap EXTENSION namespaces — the ``<image:image>`` and
+    ``<news:news>`` children that real sitemaps attach to ``<url>``
+    entries (Google sitemap-image 1.1 / sitemap-news 0.9 schemas) —
+    as typed rows: (id, ordinal [the parent ``<url>``'s index],
+    page_loc, ext_kind 'image'|'news', ext_ordinal, loc [image URL],
+    title, caption, publication_name, publication_language,
+    publication_date).  Image rows leave the news columns NULL and
+    vice versa — one long-form table, not two, so the downstream
+    multimodal/caption joins stay single-source.  Same scan-side
+    ``mapInPandas`` + gzip handling as :func:`sitemap_entries`; zero
+    shuffles."""
+    import gzip
+    import xml.etree.ElementTree as ET
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    img = "{http://www.google.com/schemas/sitemap-image/1.1}"
+    news = "{http://www.google.com/schemas/sitemap-news/0.9}"
+    schema = (
+        f"{id_col} long, ordinal int, page_loc string, "
+        "ext_kind string, ext_ordinal int, loc string, title string, "
+        "caption string, publication_name string, "
+        "publication_language string, publication_date string"
+    )
+    cols = [
+        id_col, "ordinal", "page_loc", "ext_kind", "ext_ordinal",
+        "loc", "title", "caption", "publication_name",
+        "publication_language", "publication_date",
+    ]
+
+    def _txt(el, tag):
+        c = el.find(tag)
+        return None if c is None or c.text is None else c.text.strip()
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, xml_text in zip(batch[id_col], batch[xml_col]):
+                if isinstance(xml_text, (bytes, bytearray, memoryview)):
+                    raw = bytes(xml_text)
+                    if raw[:2] == b"\x1f\x8b":
+                        try:
+                            raw = gzip.decompress(raw)
+                        except (OSError, EOFError):
+                            continue
+                    xml_text = raw.decode("utf-8", "replace")
+                try:
+                    root = ET.fromstring(str(xml_text or ""))
+                except ET.ParseError:
+                    continue
+                if root.tag != ns + "urlset":
+                    continue
+                for k, el in enumerate(root.findall(ns + "url")):
+                    if k >= max_entries:
+                        break
+                    page_loc = _txt(el, ns + "loc")
+                    e = 0
+                    for im in el.findall(img + "image"):
+                        rows.append(
+                            (
+                                int(rid), k, page_loc, "image", e,
+                                _txt(im, img + "loc"),
+                                _txt(im, img + "title"),
+                                _txt(im, img + "caption"),
+                                None, None, None,
+                            )
+                        )
+                        e += 1
+                    for nw in el.findall(news + "news"):
+                        pub = nw.find(news + "publication")
+                        rows.append(
+                            (
+                                int(rid), k, page_loc, "news", e,
+                                None,
+                                _txt(nw, news + "title"),
+                                None,
+                                _txt(pub, news + "name")
+                                if pub is not None else None,
+                                _txt(pub, news + "language")
+                                if pub is not None else None,
+                                _txt(nw, news + "publication_date"),
+                            )
+                        )
+                        e += 1
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, xml_col).mapInPandas(_run, schema=schema)

@@ -20,7 +20,10 @@ from occupation_wage_etl_spark.operators._cache import cached
 
 
 def lang_id_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    script_rung: bool = False,
 ) -> DataFrame:
     """(id, pred_lang) for every row — same semantics as
     ``functions.text.lang_id`` (stopword-hit argmax; zero hits or ties →
@@ -30,11 +33,26 @@ def lang_id_table(
     codegen aggregate with ``IN <10 literals>`` predicates) → argmax.
     ``tokens`` never yields an empty array (blank text → [""]), so no doc
     drops out of the aggregate.
-    """
+
+    ``script_rung=True`` prepends ``functions.text.script_lang`` — a
+    non-Latin Unicode-block verdict (zh/ja/ko/ru/el/ar/he/hi/th) beats
+    the Latin stopword argmax; the codegen expression rides the same
+    explode rows and folds through the SAME single aggregate
+    (``first`` over a per-row constant), so the plan shape is
+    unchanged: one shuffle either way.  Measured operating point: see
+    the q299 audit (COVERAGE.md) — long in-table Latin text and pure
+    non-Latin scripts are exact; SHORT Latin text degrades to 'und'
+    (ties) or a wrong same-family pick ('de la' → es), which is the
+    documented cost of a deterministic stopword heuristic."""
     codes = sorted(T.LANG_STOPWORDS)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(T.tokens(F.col(text_col))).alias("t"),
+        *(
+            [T.script_lang(F.col(text_col)).alias("__script")]
+            if script_rung
+            else []
+        ),
     )
     counts = toks.groupBy("id").agg(
         *[
@@ -42,7 +60,12 @@ def lang_id_table(
                 F.when(F.col("t").isin(T.LANG_STOPWORDS[c]), 1).otherwise(0)
             ).alias(f"h_{c}")
             for c in codes
-        ]
+        ],
+        *(
+            [F.first("__script").alias("__script")]
+            if script_rung
+            else []
+        ),
     )
     best = F.greatest(*[F.col(f"h_{c}") for c in codes])
     n_best = sum(
@@ -53,12 +76,18 @@ def lang_id_table(
     # first match in sorted code order — only reached when the max is unique
     for c in reversed(codes):
         argmax = F.when(F.col(f"h_{c}") == best, F.lit(c)).otherwise(argmax)
-    return counts.select(
-        F.col("id").alias(id_col),
+    stop_pred = (
         F.when(best == 0, F.lit("und"))
         .when(n_best > 1, F.lit("und"))
         .otherwise(argmax)
-        .alias("pred_lang"),
+    )
+    pred = (
+        F.coalesce(F.col("__script"), stop_pred)
+        if script_rung
+        else stop_pred
+    )
+    return counts.select(
+        F.col("id").alias(id_col), pred.alias("pred_lang")
     )
 
 

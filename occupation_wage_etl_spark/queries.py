@@ -15835,6 +15835,643 @@ FROM e GROUP BY target
 """
 
 
+# ---------------------------------------------------------------------------
+# q294 — mixed-encoding URL collapse (functions/url.canonicalize_url
+# percent rung + with_idn_canonical_url): the round-10 verdict's top
+# ask made concrete.  Each doc emits THREE spellings of one logical
+# URL — Unicode host + %7E/%3a escapes + utm decoration; uppercase
+# Unicode host + default port + fragment; punycode host + lowercase
+# hex — which must collapse to ONE canonical key
+# (http://xn--…example/~u<id>/p?x=%3A&id=<id>).  Without the percent
+# and IDN rungs the dedup/graph key silently splits 3-ways, exactly
+# as q280's NFC case did for text.  The oracle states the collapsed
+# key and the collapse arithmetic closed-form.
+# ---------------------------------------------------------------------------
+
+
+def q294_url_mixed_encoding_collapse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m = (did % 3).cast("int")
+    uni = F.element_at(
+        F.array(F.lit("münchen"), F.lit("bücher"), F.lit("café")), m + 1
+    )
+    uni_up = F.element_at(
+        F.array(F.lit("MÜNCHEN"), F.lit("BÜCHER"), F.lit("CAFÉ")), m + 1
+    )
+    puny = F.element_at(
+        F.array(
+            F.lit("xn--mnchen-3ya"),
+            F.lit("xn--bcher-kva"),
+            F.lit("xn--caf-dma"),
+        ),
+        m + 1,
+    )
+    tail_lo = F.concat(F.lit("/%7eu"), ds, F.lit("/p?x=%3a&id="), ds)
+    v0 = F.concat(
+        F.lit("http://"), uni, F.lit(".example"), tail_lo,
+        F.lit("&utm_source=t"),
+    )
+    v1 = F.concat(
+        F.lit("HTTP://"), uni_up, F.lit(".example:80/~u"), ds,
+        F.lit("/p?x=%3A&id="), ds, F.lit("#frag"),
+    )
+    v2 = F.concat(F.lit("http://"), puny, F.lit(".example"), tail_lo)
+    raw = docs.select(
+        "doc_id", F.explode(F.array(v0, v1, v2)).alias("raw_url")
+    )
+    canon = raw.select(
+        "doc_id", U.canonicalize_url(F.col("raw_url")).alias("u")
+    )
+    canon = U.with_idn_canonical_url(canon, "u")
+    return canon.groupBy("doc_id").agg(
+        F.min("u").alias("canon_url"),
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("u").alias("n_canon"),
+    )
+
+
+Q294_SQL = """
+SELECT doc_id,
+       'http://' ||
+       CASE doc_id % 3
+         WHEN 0 THEN 'xn--mnchen-3ya'
+         WHEN 1 THEN 'xn--bcher-kva'
+         ELSE 'xn--caf-dma'
+       END || '.example/~u' || doc_id || '/p?x=%3A&id=' || doc_id
+         AS canon_url,
+       CAST(3 AS BIGINT) AS n_variants,
+       CAST(1 AS BIGINT) AS n_canon
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q295 — CDX URL-index lookup + offset-addressed fetch (sources/
+# cdx.py): the cc-index contract end-to-end.  Each doc's archive
+# (member-per-record gzip, the Common Crawl layout) holds 3 response
+# records on host h(id%23).example with PLANTED digests; the CDXJ
+# index — built from encode_warc_fixture_indexed's ground-truth byte
+# extents — carries one line per record.  The query runs the real
+# consumer path: parse CDXJ (codegen from_json) → SURT host-prefix
+# lookup (pushable StartsWith, 'example,h7)') → join back to the
+# archive catalog by filename → parse ONE record at
+# content[offset:offset+length].  Work is O(matched rows), never a
+# full-archive scan; the oracle states every fetched field
+# closed-form, proving the offsets addressed the right records.
+# ---------------------------------------------------------------------------
+
+
+def _synth_cdx_archives(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                g = did % 23
+                fname = f"arc{did}.warc.gz"
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": f"http://h{g}.example/d{did}/r{k}",
+                        "status": 200,
+                        "payload": f"payload {did} r{k}".encode(),
+                        "payload_digest": f"sha1:D{did}R{k}",
+                    }
+                    for k in range(3)
+                ]
+                data, extents = warcmod.encode_warc_fixture_indexed(
+                    recs, gzip_records=True, warcinfo=False
+                )
+                lines = [
+                    cdxmod.format_cdxj_line(
+                        f"http://h{g}.example/d{did}/r{k}",
+                        "20240101000000",
+                        digest=f"sha1:D{did}R{k}",
+                        length=extents[k][1],
+                        offset=extents[k][0],
+                        filename=fname,
+                    )
+                    for k in range(3)
+                ]
+                rows.append((did, fname, data, lines))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "filename", "content", "lines"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make,
+        schema=(
+            "doc_id long, filename string, content binary, "
+            "lines array<string>"
+        ),
+    )
+
+
+def q295_cdx_lookup_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = _synth_cdx_archives(docs)
+    idx = cdxmod.cdx_records(
+        synth.select(F.explode("lines").alias("line")), "line"
+    )
+    hits = cdxmod.cdx_prefix_lookup(idx, "example,h7)")
+    fetched = cdxmod.cdx_fetch(
+        hits, synth.select("filename", "content")
+    )
+    return fetched.select(
+        F.regexp_extract("filename", r"arc(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "surt_key",
+        "cdx_timestamp",
+        "url",
+        "status",
+        "digest",
+        "rec_type",
+        "rec_uri",
+        "rec_status",
+        "rec_digest",
+        "payload_text",
+    )
+
+
+Q295_SQL = """
+WITH sel AS (
+  SELECT doc_id, UNNEST(range(0, 3)) AS k
+  FROM documents WHERE doc_id % 23 = 7
+)
+SELECT doc_id,
+       'example,h7)/d' || doc_id || '/r' || k AS surt_key,
+       '20240101000000' AS cdx_timestamp,
+       'http://h7.example/d' || doc_id || '/r' || k AS url,
+       CAST(200 AS INT) AS status,
+       'sha1:D' || doc_id || 'R' || k AS digest,
+       'response' AS rec_type,
+       'http://h7.example/d' || doc_id || '/r' || k AS rec_uri,
+       CAST(200 AS INT) AS rec_status,
+       'sha1:D' || doc_id || 'R' || k AS rec_digest,
+       'payload ' || doc_id || ' r' || k AS payload_text
+FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
+# q296 — per-domain politeness budget (robots.crawl_delay +
+# robots.crawl_budget): the frontier-scheduling aggregate — robots
+# allow eval (q272/q286) × Crawl-delay × eTLD+1 rollup (q291) in one
+# hash-agg.  Hosts rotate 4 robots shapes: exact-agent group WITH
+# delay 2 (beats the * group's 9 — exclusive selection); * group
+# delay 5; no delay line (fleet default 1.0); exact-agent group
+# WITHOUT delay + * delay 7 (exclusive selection: * must NOT leak →
+# default 1.0).  Each host contributes 3 frontier URLs with 2 or 3
+# allowed by the same group selection; domains (site<id%11>.example)
+# mix all 4 shapes, so delay_s = max = 5.0 once a domain has an m=1
+# host, and the 60 s window cap forces real deferrals at sf0.01+.
+# ---------------------------------------------------------------------------
+
+
+def q296_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m = (did % 4).cast("int")
+    robots_txt = (
+        F.when(
+            m == 0,
+            F.lit(
+                "User-agent: wildbot\nCrawl-delay: 2\n"
+                "Disallow: /private\n\n"
+                "User-agent: *\nCrawl-delay: 9\nDisallow: /tmp\n"
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit("User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"),
+        )
+        .when(m == 2, F.lit("User-agent: *\nDisallow: /x\n"))
+        .otherwise(
+            F.lit(
+                "User-agent: wildbot\nDisallow: /private\n\n"
+                "User-agent: *\nCrawl-delay: 7\nDisallow: /tmp\n"
+            )
+        )
+    )
+    rules = robots.robots_rules(
+        docs.select("doc_id", robots_txt.alias("robots_txt"))
+    )
+    host = F.concat(
+        F.lit("h"), ds, F.lit(".site"), (did % 11).cast("string"),
+        F.lit(".example"),
+    )
+    frontier = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("http://"), host, F.lit("/private/a")),
+                F.concat(F.lit("http://"), host, F.lit("/public/b")),
+                F.concat(F.lit("http://"), host, F.lit("/tmp/c")),
+            )
+        ).alias("url"),
+    )
+    return robots.crawl_budget(
+        rules, frontier, agent="wildbot", window_seconds=60,
+        default_delay=1.0,
+    )
+
+
+Q296_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         'site' || (doc_id % 11) || '.example' AS domain,
+         CAST(CASE doc_id % 4
+           WHEN 0 THEN 2.0 WHEN 1 THEN 5.0 ELSE 1.0
+         END AS DOUBLE) AS delay,
+         -- m0: exact group disallows /private -> 2 of 3 allowed
+         -- m1: * group disallows /tmp -> 2; m2: /x matches none -> 3
+         -- m3: exact group disallows /private -> 2
+         CASE doc_id % 4 WHEN 2 THEN 3 ELSE 2 END AS n_allow
+  FROM documents
+)
+SELECT domain,
+       count(*) AS n_hosts,
+       3 * count(*) AS n_urls,
+       CAST(sum(n_allow) AS BIGINT) AS n_allowed,
+       max(delay) AS delay_s,
+       CAST(floor(60.0 / max(delay)) AS BIGINT) AS window_cap,
+       least(CAST(sum(n_allow) AS BIGINT),
+             CAST(floor(60.0 / max(delay)) AS BIGINT)) AS n_scheduled,
+       CAST(sum(n_allow) AS BIGINT)
+         - least(CAST(sum(n_allow) AS BIGINT),
+                 CAST(floor(60.0 / max(delay)) AS BIGINT))
+         AS n_deferred
+FROM h GROUP BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# q297 — sitemap extension namespaces (robots.
+# sitemap_extension_entries): the <image:image>/<news:news> children
+# real sitemaps attach to <url> entries (Google sitemap-image 1.1 /
+# sitemap-news 0.9), parsed into one typed long-form table.  Each
+# doc's urlset has a page with TWO image entries (loc/title/caption)
+# and a page with ONE news entry (publication name/language/date +
+# title); the oracle states all three rows closed-form.
+# ---------------------------------------------------------------------------
+
+
+def q297_sitemap_extensions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from occupation_wage_etl_spark.operators import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    img_entry = lambda j: F.concat(  # noqa: E731
+        F.lit("<image:image><image:loc>http://img.example/"),
+        ds, F.lit(f"/i{j}.png</image:loc>"),
+        F.lit(f"<image:title>img "), ds, F.lit(f" {j}</image:title>"),
+        F.lit(f"<image:caption>cap {j}</image:caption></image:image>"),
+    )
+    news_entry = F.concat(
+        F.lit("<news:news><news:publication><news:name>pub"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</news:name><news:language>en</news:language>"),
+        F.lit("</news:publication><news:publication_date>"),
+        F.lit("2024-02-0"), ((F.col("doc_id") % 7) + 1).cast("string"),
+        F.lit("</news:publication_date><news:title>news "),
+        ds, F.lit("</news:title></news:news>"),
+    )
+    xml = F.concat(
+        F.lit(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+            'xmlns:image="http://www.google.com/schemas/sitemap-image/1.1" '
+            'xmlns:news="http://www.google.com/schemas/sitemap-news/0.9">'
+        ),
+        F.lit("<url><loc>http://s"), ds, F.lit(".example/p0</loc>"),
+        img_entry(0), img_entry(1), F.lit("</url>"),
+        F.lit("<url><loc>http://s"), ds, F.lit(".example/p1</loc>"),
+        news_entry, F.lit("</url></urlset>"),
+    )
+    return robots.sitemap_extension_entries(
+        docs.select("doc_id", xml.alias("sitemap_xml"))
+    )
+
+
+Q297_SQL = """
+WITH im AS (
+  SELECT doc_id, UNNEST(range(0, 2)) AS j FROM documents
+)
+SELECT doc_id, CAST(0 AS INT) AS ordinal,
+       'http://s' || doc_id || '.example/p0' AS page_loc,
+       'image' AS ext_kind, CAST(j AS INT) AS ext_ordinal,
+       'http://img.example/' || doc_id || '/i' || j || '.png' AS loc,
+       'img ' || doc_id || ' ' || j AS title,
+       'cap ' || j AS caption,
+       CAST(NULL AS VARCHAR) AS publication_name,
+       CAST(NULL AS VARCHAR) AS publication_language,
+       CAST(NULL AS VARCHAR) AS publication_date
+FROM im
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'http://s' || doc_id || '.example/p1',
+       'news', CAST(0 AS INT), CAST(NULL AS VARCHAR),
+       'news ' || doc_id, CAST(NULL AS VARCHAR),
+       'pub' || (doc_id % 5), 'en',
+       '2024-02-0' || (doc_id % 7 + 1)
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q298 — PDF simple-font ENCODINGS (sources/pdf._simple_font_map):
+# the non-ToUnicode half of real PDFs.  Rotation by doc_id % 3 plants
+# /WinAnsiEncoding (cp1252 bytes incl. the 0x80–0x9F smart-quote/€
+# range), /MacRomanEncoding (a genuinely different byte table for the
+# same chars), and an encoding DICT with /BaseEncoding /WinAnsi +
+# /Differences remapping codes 200–203 to Euro/eacute/endash/uni0142
+# glyph names (é and ł ride the remapped codes; the AGL-subset and
+# uniXXXX rules both fire).  extract_pdf_text must return
+# byte-identical text for all three — the oracle states it
+# closed-form.  Decode stays scan-side mapInPandas, zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _synth_pdf_encodings(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = []
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                m = did % 3
+                lines = [f"doc {did} café price"]
+                if m == 0:
+                    lines.append(f"win — “q” €{did % 9}")
+                    out.append(
+                        pdfmod.encode_pdf_fixture(
+                            [lines], simple_encoding="WinAnsiEncoding"
+                        )
+                    )
+                elif m == 1:
+                    lines.append(f"mac — “q” €{did % 9}")
+                    out.append(
+                        pdfmod.encode_pdf_fixture(
+                            [lines], simple_encoding="MacRomanEncoding"
+                        )
+                    )
+                else:
+                    lines.append("diff é€ł –")
+                    out.append(
+                        pdfmod.encode_pdf_fixture(
+                            [lines],
+                            simple_encoding="WinAnsiEncoding",
+                            differences={
+                                200: "Euro",
+                                201: "eacute",
+                                202: "endash",
+                                203: "uni0142",
+                            },
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q298_pdf_font_encodings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return pdfmod.pdf_text(_synth_pdf_encodings(docs))
+
+
+Q298_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         'doc ' || doc_id || ' café price' || chr(10) ||
+         CASE doc_id % 3
+           WHEN 0 THEN 'win — “q” €' || (doc_id % 9)
+           WHEN 1 THEN 'mac — “q” €' || (doc_id % 9)
+           ELSE 'diff é€ł –'
+         END AS text
+  FROM documents
+)
+SELECT doc_id, CAST(1 AS INT) AS page,
+       CAST(length(text) AS INT) AS n_chars, text
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q299 — language-ID accuracy AUDIT (text_analysis.lang_id_table with
+# the new script rung): the audited-vs-truth pattern of q235/q242
+# applied to lang-ID.  A 12-class multilingual plant with KNOWN labels
+# — long Latin text per stopword language, romanized + ideographic zh,
+# kana ja, hangul ko, cyrillic ru, arabic ar (the script rung's new
+# coverage), plus two DELIBERATE short-text failure classes ('le
+# monde' → und tie, 'de la' → es family confusion) — and the output is
+# the full confusion matrix (true_lang, pred_lang, n_docs), stated
+# closed-form by the oracle.  Measured operating point: 10/12 classes
+# exact; short Latin text degrades exactly as documented (COVERAGE.md).
+# ---------------------------------------------------------------------------
+
+_LANGID_PLANT = [
+    # (true_lang, expected_pred, text)
+    ("en", "en", "the cat and the dog of the house to go in time is "
+                 "that good for all with a plan"),
+    ("es", "es", "el perro la casa de que y en los se por un dia"),
+    ("de", "de", "der hund die katze und das haus ist von mit den "
+                 "nicht ein"),
+    ("fr", "fr", "le chat et les chiens des maisons en un jour du "
+                 "pays que la vie est belle"),
+    ("zh", "zh", "de shi bu le zai ren you wo ta zhe"),
+    ("zh", "zh", "的是不了在人有我他这 中文文本"),
+    ("ja", "ja", "これは日本語のテキストです かな"),
+    ("ko", "ko", "안녕하세요 세계 한국어 텍스트"),
+    ("ru", "ru", "привет мир это русский текст"),
+    ("ar", "ar", "مرحبا بالعالم هذا نص عربي"),
+    ("fr", "und", "le monde"),   # tie fr/zh -> und (short-text bound)
+    ("fr", "es", "de la"),       # es family confusion (short-text bound)
+]
+
+
+def q299_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import text_analysis
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 12).cast("int")
+    text = F.element_at(
+        F.array(*[F.lit(t) for _, _, t in _LANGID_PLANT]), m + 1
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    preds = text_analysis.lang_id_table(planted, script_rung=True)
+    truth = F.element_at(
+        F.array(*[F.lit(tl) for tl, _, _ in _LANGID_PLANT]),
+        ((F.col("doc_id") % 12) + 1).cast("int"),
+    )
+    return (
+        preds.select(truth.alias("true_lang"), "pred_lang")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+Q299_SQL = """
+WITH c AS (
+  SELECT doc_id % 12 AS m, count(*) AS n FROM documents GROUP BY 1
+), map AS (
+  SELECT * FROM (VALUES
+    (0,'en','en'),(1,'es','es'),(2,'de','de'),(3,'fr','fr'),
+    (4,'zh','zh'),(5,'zh','zh'),(6,'ja','ja'),(7,'ko','ko'),
+    (8,'ru','ru'),(9,'ar','ar'),(10,'fr','und'),(11,'fr','es')
+  ) AS t(m, true_lang, pred_lang)
+)
+SELECT true_lang, pred_lang, CAST(sum(n) AS BIGINT) AS n_docs
+FROM map JOIN c USING (m)
+GROUP BY true_lang, pred_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q300 — CDX index BUILD → fetch roundtrip (cdx.cdx_build): the writer
+# side of the cc-index contract.  The index is built from the q295
+# archives themselves — gzip member boundaries tracked in STORED space
+# give each record's (offset, length) — then the SAME host-prefix
+# lookup + offset-addressed fetch must reproduce q295's closed-form
+# output exactly.  Wrong extents cannot pass: a mis-addressed slice
+# either fails the record parse or fetches the wrong payload text.
+# ---------------------------------------------------------------------------
+
+
+def q300_cdx_build_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = _synth_cdx_archives(docs)
+    archives = synth.select("filename", "content")
+    idx = cdxmod.cdx_build(archives)
+    hits = cdxmod.cdx_prefix_lookup(idx, "example,h7)")
+    fetched = cdxmod.cdx_fetch(hits, archives)
+    return fetched.select(
+        F.regexp_extract("filename", r"arc(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "surt_key",
+        "cdx_timestamp",
+        "url",
+        "status",
+        "digest",
+        "rec_type",
+        "rec_uri",
+        "rec_status",
+        "rec_digest",
+        "payload_text",
+    )
+
+
+Q300_SQL = Q295_SQL
+
+
+# ---------------------------------------------------------------------------
+# q301 — latest-capture dedup over a CDX index (struct-max per SURT
+# key): the standard "one snapshot per URL" consumer query — a
+# recrawled page appears once per capture in the index, and training
+# corpora keep the newest.  Each doc's URL is planted with THREE
+# captures (out of timestamp order in the input); ONE hash-agg keyed
+# by surt_key picks the max-(timestamp,digest) struct.
+# ---------------------------------------------------------------------------
+
+
+def q301_cdx_latest_capture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _make(batches):
+        import pandas as pd
+
+        ts = ["20240101000000", "20240215103000", "20241231235959"]
+        for batch in batches:
+            rows = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                url = f"http://c{did % 17}.example/page{did}"
+                lines = [
+                    cdxmod.format_cdxj_line(
+                        url, ts[k],
+                        digest=f"sha1:C{did}T{k}",
+                        length=100 + k, offset=1000 * k,
+                        filename=f"arc{did}.warc.gz",
+                    )
+                    for k in (2, 0, 1)  # out of order on purpose
+                ]
+                rows.append((did, lines))
+            yield pd.DataFrame(rows, columns=["doc_id", "lines"])
+
+    synth = docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, lines array<string>"
+    )
+    idx = cdxmod.cdx_records(
+        synth.select(F.explode("lines").alias("line")), "line"
+    )
+    best = idx.groupBy("surt_key").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.min("url").alias("url"),
+        F.max(
+            F.struct(
+                F.col("cdx_timestamp").alias("ts"),
+                F.col("digest").alias("digest"),
+                F.col("offset").alias("offset"),
+            )
+        ).alias("__best"),
+    )
+    return best.select(
+        "surt_key",
+        "url",
+        "n_captures",
+        F.col("__best.ts").alias("latest_ts"),
+        F.col("__best.digest").alias("latest_digest"),
+        F.col("__best.offset").alias("latest_offset"),
+    )
+
+
+Q301_SQL = """
+SELECT 'example,c' || (doc_id % 17) || ')/page' || doc_id AS surt_key,
+       'http://c' || (doc_id % 17) || '.example/page' || doc_id AS url,
+       CAST(3 AS BIGINT) AS n_captures,
+       '20241231235959' AS latest_ts,
+       'sha1:C' || doc_id || 'T2' AS latest_digest,
+       CAST(2000 AS BIGINT) AS latest_offset
+FROM documents
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -16129,6 +16766,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q291_domain_rollup": q291_domain_rollup,
     "q292_page_meta": q292_page_meta,
     "q293_anchor_rollup": q293_anchor_rollup,
+    "q294_url_mixed_encoding_collapse": q294_url_mixed_encoding_collapse,
+    "q295_cdx_lookup_fetch": q295_cdx_lookup_fetch,
+    "q296_crawl_budget": q296_crawl_budget,
+    "q297_sitemap_extensions": q297_sitemap_extensions,
+    "q298_pdf_font_encodings": q298_pdf_font_encodings,
+    "q299_langid_audit": q299_langid_audit,
+    "q300_cdx_build_roundtrip": q300_cdx_build_roundtrip,
+    "q301_cdx_latest_capture": q301_cdx_latest_capture,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -16425,4 +17070,12 @@ ORACLE_SQL: dict[str, str] = {
     "q291_domain_rollup": Q291_SQL,
     "q292_page_meta": Q292_SQL,
     "q293_anchor_rollup": Q293_SQL,
+    "q294_url_mixed_encoding_collapse": Q294_SQL,
+    "q295_cdx_lookup_fetch": Q295_SQL,
+    "q296_crawl_budget": Q296_SQL,
+    "q297_sitemap_extensions": Q297_SQL,
+    "q298_pdf_font_encodings": Q298_SQL,
+    "q299_langid_audit": Q299_SQL,
+    "q300_cdx_build_roundtrip": Q300_SQL,
+    "q301_cdx_latest_capture": Q301_SQL,
 }

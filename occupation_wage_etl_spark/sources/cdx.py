@@ -99,17 +99,7 @@ def format_cdxj_line(
     defaults to the documented subset transform of ``url`` computed in
     Python with the same rules as :func:`surt_key`."""
     if surt is None:
-        u = url.lower()
-        rest = u.split("://", 1)[1] if "://" in u else u
-        hostport, slash, tail = rest.partition("/")
-        host = hostport.split("@")[-1].split(":")[0]
-        if host.startswith("www."):
-            host = host[4:]
-        surt = (
-            ",".join(reversed(host.split(".")))
-            + ")"
-            + (slash + tail if slash else "/")
-        )
+        surt = surt_key_py(url)
     payload = {
         "url": url,
         "mime": mime,
@@ -157,6 +147,162 @@ def cdx_prefix_lookup(cdx: DataFrame, prefix: str) -> DataFrame:
     ``StartsWith`` predicate: pushable to the parquet scan, and on a
     key-sorted layout equivalent to one contiguous range read."""
     return cdx.where(F.col("surt_key").startswith(prefix))
+
+
+def surt_key_py(url: str) -> str:
+    """The SURT key of one URL, pure Python — the same documented
+    subset rules as :func:`surt_key` (shared by the fixture encoder
+    and the index builder)."""
+    u = url.lower()
+    rest = u.split("://", 1)[1] if "://" in u else u
+    hostport, slash, tail = rest.partition("/")
+    host = hostport.split("@")[-1].split(":")[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return (
+        ",".join(reversed(host.split(".")))
+        + ")"
+        + (slash + tail if slash else "/")
+    )
+
+
+def _record_extents(data: bytes, max_records: int):
+    """(offset, length) stored-byte extents of each record of a WARC
+    archive — gzip member boundaries for the member-per-record layout
+    (tracked in COMPRESSED space, the addresses a ranged GET needs),
+    or framing-walk extents (version line → headers → Content-Length
+    block) for plain archives."""
+    import zlib
+
+    extents: list[tuple[int, int]] = []
+    if data[:2] == b"\x1f\x8b":
+        pos, n = 0, len(data)
+        while pos < n and len(extents) < max_records:
+            d = zlib.decompressobj(31)
+            fed = 0
+            start = pos
+            while pos < n and not d.eof:
+                chunk = data[pos : pos + 65536]
+                pos += len(chunk)
+                fed += len(chunk)
+                try:
+                    d.decompress(chunk)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"corrupt WARC: bad gzip member ({exc})"
+                    )
+            if not d.eof:
+                raise ValueError("corrupt WARC: truncated gzip member")
+            comp_len = fed - len(d.unused_data)
+            extents.append((start, comp_len))
+            pos = start + comp_len
+        return extents
+    pos, n = 0, len(data)
+    while pos < n and len(extents) < max_records:
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        start = pos
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        sep = 4
+        alt = data.find(b"\n\n", pos)
+        if hdr_end < 0 or (0 <= alt < hdr_end):
+            hdr_end, sep = alt, 2
+        if hdr_end < 0:
+            raise ValueError("corrupt WARC: unterminated header block")
+        header = data[pos : hdr_end + sep].decode("latin-1", "replace")
+        m = None
+        for ln in header.split("\n"):
+            k, _, v = ln.partition(":")
+            if k.strip().lower() == "content-length":
+                m = v.split()[0] if v.split() else None
+        if m is None:
+            raise ValueError("corrupt WARC: missing Content-Length")
+        end = hdr_end + sep + int(m)
+        # trailing record CRLFCRLF belongs to the record's extent
+        tail = end
+        while tail < n and data[tail : tail + 1] in (b"\r", b"\n"):
+            tail += 1
+        extents.append((start, tail - start))
+        pos = tail
+    return extents
+
+
+def cdx_build(
+    archives: DataFrame,
+    bin_col: str = "content",
+    filename_col: str = "filename",
+    max_records: int = 4096,
+) -> DataFrame:
+    """BUILD the CDX index from archives — the writer side of the
+    cc-index contract (:func:`cdx_records` parses one; this emits
+    one).  Per archive: record byte extents in STORED space (gzip
+    member boundaries for the Common Crawl member-per-record layout —
+    the addresses a ranged GET actually seeks to), each record parsed
+    at its extent, one typed index row per ``response`` record:
+    (surt_key, cdx_timestamp [14-digit, from WARC-Date], url, mime
+    [Content-Type first token], status, digest, length, offset,
+    filename).  Output schema matches :func:`cdx_records`, so a built
+    index drives :func:`cdx_prefix_lookup` / :func:`cdx_fetch`
+    unchanged.  Scan-side ``mapInPandas``, zero shuffles; sort by
+    (surt_key, cdx_timestamp) downstream when writing a range-readable
+    layout."""
+    from occupation_wage_etl_spark.sources.warc import parse_warc
+
+    schema = (
+        "surt_key string, cdx_timestamp string, url string, "
+        "mime string, status int, digest string, length long, "
+        "offset long, filename string"
+    )
+    cols = [
+        "surt_key", "cdx_timestamp", "url", "mime", "status",
+        "digest", "length", "offset", "filename",
+    ]
+
+    def _build(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for fname, payload in zip(
+                batch[filename_col], batch[bin_col]
+            ):
+                data = bytes(payload or b"")
+                for off, ln in _record_extents(data, max_records):
+                    recs = parse_warc(
+                        data[off : off + ln], max_records=1
+                    )
+                    if not recs:
+                        continue
+                    rec = recs[0]
+                    if rec["warc_type"] != "response":
+                        continue
+                    uri = rec["target_uri"] or ""
+                    ts = "".join(
+                        c for c in (rec["warc_date"] or "") if c.isdigit()
+                    )[:14]
+                    mime = (rec["http_content_type"] or "").split(";")[
+                        0
+                    ].strip() or None
+                    rows.append(
+                        (
+                            surt_key_py(uri) if uri else None,
+                            ts or None,
+                            uri or None,
+                            mime,
+                            rec["http_status"],
+                            rec["payload_digest"],
+                            ln,
+                            off,
+                            fname,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return archives.select(filename_col, bin_col).mapInPandas(
+        _build, schema=schema
+    )
 
 
 def cdx_fetch(

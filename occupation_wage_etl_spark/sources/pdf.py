@@ -32,12 +32,16 @@ Documented scope bounds (explicit, not silent): ``/FlateDecode``,
 ``/ASCII85Decode``, ``/ASCIIHexDecode`` (chains too) and plain streams
 are decoded; PDF 1.5 object streams (``/ObjStm``) are exploded, so
 modern xref-stream files parse (``DCTDecode``/``CCITT``/JBIG2 raise —
-image filters, not text; LZW predictors raise); simple fonts with byte-oriented strings are
-decoded as Latin-1 — composite (``/Type0``) fonts with CID/ToUnicode
-CMaps are out of scope, so text shown through them comes out garbled
-exactly as with every CMap-less extractor (documented, not detected:
-cheap detection would require parsing page font resources); encrypted
-documents (``/Encrypt`` in the trailer) raise.
+image filters, not text; LZW predictors raise); simple fonts decode
+through their declared /Encoding — /WinAnsiEncoding,
+/MacRomanEncoding, and encoding dicts with /BaseEncoding +
+/Differences arrays (glyph names via an Adobe-Glyph-List subset plus
+the algorithmic uniXXXX/uXXXXXX rules) — falling back to Latin-1 when
+no /Encoding is present; composite (``/Type0``) fonts decode via
+their embedded /ToUnicode CMap (see ``_parse_tounicode_cmap``), and
+without one come out garbled exactly as with every CMap-less
+extractor; encrypted documents (``/Encrypt`` in the trailer) raise;
+predefined CMap names (ordering-based, external data) raise.
 
 Reference analogue: none — the reference ETL ingests XLSX/HTML only
 (``pipeline/load_data.py``); this extends the engine's edge-ingestion
@@ -561,8 +565,137 @@ def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
     return width, mapping
 
 
+# --- simple-font encodings (§9.6.5 + Annex D) -----------------------------
+# WinAnsiEncoding is cp1252 (the five undefined cp1252 slots keep the
+# Latin-1 identity, matching the charset module's HTML5 rule);
+# MacRomanEncoding is the stdlib mac_roman table.  Built once, 256
+# entries each.
+
+
+def _byte_table(codec: str) -> dict[int, str]:
+    out = {}
+    for b in range(256):
+        try:
+            out[b] = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            out[b] = chr(b)  # undefined slot: Latin-1 identity
+    return out
+
+
+_ENC_TABLES = {
+    "/WinAnsiEncoding": _byte_table("cp1252"),
+    "/MacRomanEncoding": _byte_table("mac_roman"),
+}
+
+# Adobe Glyph List subset for /Differences names: the ASCII names, the
+# Latin-1/WinAnsi repertoire, and the algorithmic uniXXXX / uXXXX[XX]
+# rules (AGL specification §3) — names outside both map to U+FFFD,
+# never raising on one odd glyph.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦", "section": "§",
+    "dieresis": "¨", "copyright": "©", "ordfeminine": "ª",
+    "guillemotleft": "«", "logicalnot": "¬", "registered": "®",
+    "macron": "¯", "degree": "°", "plusminus": "±",
+    "acute": "´", "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê",
+    "Edieresis": "Ë", "Igrave": "Ì", "Iacute": "Í",
+    "Icircumflex": "Î", "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô", "Otilde": "Õ",
+    "Odieresis": "Ö", "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+    "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+    "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô", "otilde": "õ",
+    "odieresis": "ö", "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    "Euro": "€", "bullet": "•", "dagger": "†", "daggerdbl": "‡",
+    "ellipsis": "…", "emdash": "—", "endash": "–", "florin": "ƒ",
+    "fraction": "⁄", "guilsinglleft": "‹", "guilsinglright": "›",
+    "minus": "−", "perthousand": "‰", "quotedblbase": "„",
+    "quotedblleft": "“", "quotedblright": "”", "quoteleft": "‘",
+    "quoteright": "’", "quotesinglbase": "‚", "trademark": "™",
+    "fi": "ﬁ", "fl": "ﬂ", "OE": "Œ", "oe": "œ", "Scaron": "Š",
+    "scaron": "š", "Ydieresis": "Ÿ", "Zcaron": "Ž", "zcaron": "ž",
+    "circumflex": "ˆ", "tilde": "˜", "dotlessi": "ı",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+    "hungarumlaut": "˝", "caron": "ˇ",
+}
+_UNI_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$")
+_U_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_char(name: str) -> str:
+    """One glyph name (leading '/' stripped) → its character, via the
+    AGL subset then the algorithmic uniXXXX/uXXXXXX rules."""
+    if name in _AGL:
+        return _AGL[name]
+    m = _UNI_RE.match(name) or _U_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            return "�"
+    return "�"
+
+
+def _simple_font_map(objs, fobj: dict) -> dict[int, str] | None:
+    """The 256-entry code→char table of a simple font's /Encoding —
+    a base-encoding NAME (/WinAnsiEncoding, /MacRomanEncoding) or an
+    encoding DICT with /BaseEncoding + /Differences (§9.6.5.3: an int
+    sets the next code, each following name assigns and increments).
+    None when the font has no /Encoding (the Latin-1 default path);
+    an unknown base name also falls back to Latin-1 (conservative)."""
+    enc = _resolve(objs, fobj.get("/Encoding"))
+    if enc is None:
+        return None
+    if isinstance(enc, str):
+        return _ENC_TABLES.get(enc)
+    if not isinstance(enc, dict):
+        return None
+    base = enc.get("/BaseEncoding")
+    table = dict(
+        _ENC_TABLES.get(base) or {b: chr(b) for b in range(256)}
+    )
+    diffs = _resolve(objs, enc.get("/Differences"))
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str) and item.startswith("/"):
+                if 0 <= code <= 255:
+                    table[code] = _glyph_char(item[1:])
+                code += 1
+    return table
+
+
 def _page_fonts(objs, pval: dict) -> dict[str, tuple[int, dict[int, str]]]:
-    """Font-name → ToUnicode map for a page; /Resources may be
+    """Font-name → decode map for a page — a /ToUnicode CMap when the
+    font embeds one, else the simple-font /Encoding table
+    (WinAnsi / MacRoman / Differences); /Resources may be
     inherited from an ancestor Pages node (§7.7.3.4)."""
     res = None
     node: dict | None = pval
@@ -591,6 +724,10 @@ def _page_fonts(objs, pval: dict) -> dict[str, tuple[int, dict[int, str]]]:
                 fonts[name] = _parse_tounicode_cmap(
                     _decode_stream(cval, craw)
                 )
+                continue
+        simple = _simple_font_map(objs, fobj)
+        if simple is not None:
+            fonts[name] = (1, simple)
     return fonts
 
 
@@ -760,11 +897,11 @@ def pdf_text(
 # ------------------------------------------------------ fixture writer
 
 
-def _escape_literal(s: str) -> bytes:
-    """Literal-string encoder: backslash-escapes the specials, octal-
-    escapes non-Latin-1-printables — exercises both decode paths."""
+def _escape_literal_bytes(bs: bytes) -> bytes:
+    """Literal-string encoder over raw string bytes: backslash-escapes
+    the specials, octal-escapes non-printables."""
     out = bytearray()
-    for ch in s.encode("latin-1"):
+    for ch in bs:
         if ch in (0x28, 0x29, 0x5C):  # ( ) \
             out += b"\\" + bytes([ch])
         elif ch < 32 or ch > 126:
@@ -772,6 +909,12 @@ def _escape_literal(s: str) -> bytes:
         else:
             out.append(ch)
     return bytes(out)
+
+
+def _escape_literal(s: str) -> bytes:
+    """Literal-string encoder: backslash-escapes the specials, octal-
+    escapes non-Latin-1-printables — exercises both decode paths."""
+    return _escape_literal_bytes(s.encode("latin-1"))
 
 
 def encode_pdf_fixture(
@@ -783,6 +926,8 @@ def encode_pdf_fixture(
     indirect_length: bool = False,
     indirect_kids: bool = False,
     cid_font: bool = False,
+    simple_encoding: str | None = None,
+    differences: dict[int, str] | None = None,
 ) -> bytes:
     """A VALID minimal PDF: catalog → pages tree → per-page content
     streams (Helvetica, one ``Td`` line advance per line), correct
@@ -806,8 +951,38 @@ def encode_pdf_fixture(
     2-byte CID hex strings decodable ONLY via the embedded /ToUnicode
     CMap (codes 0x0100+, deliberately ≠ Unicode values; half the
     charset mapped via bfchar pairs, half via a bfrange array) — the
-    dominant real-world PDF text encoding."""
+    dominant real-world PDF text encoding.  ``simple_encoding``
+    ('WinAnsiEncoding' or 'MacRomanEncoding') declares the Type1
+    font's /Encoding and encodes the content strings through that
+    byte table — the non-ToUnicode half of real PDFs; ``differences``
+    (code → glyph name) additionally wraps it in an encoding DICT with
+    a /Differences array (§9.6.5.3) and routes those chars through the
+    remapped codes."""
     objects: list[bytes] = []  # bodies, object number = index+1
+
+    char2code: dict[str, int] | None = None
+    if simple_encoding is not None:
+        if cid_font:
+            raise ValueError("fixture: simple_encoding + cid_font")
+        table = dict(_ENC_TABLES["/" + simple_encoding])
+        if differences:
+            for code, gname in differences.items():
+                table[code] = _glyph_char(gname)
+        char2code = {}
+        for code, ch in table.items():
+            # lowest code wins when a char appears twice
+            if ch not in char2code or code < char2code[ch]:
+                char2code[ch] = code
+
+    def _enc_line(s: str) -> bytes:
+        if char2code is None:
+            return s.encode("latin-1")
+        try:
+            return bytes(char2code[c] for c in s)
+        except KeyError as e:
+            raise ValueError(
+                f"fixture: char {e} not in {simple_encoding}"
+            ) from None
 
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -864,19 +1039,19 @@ def encode_pdf_fixture(
                     body += b"<" + _cid_hex(line) + b"> Tj\n"
             elif hex_lines and k % 2 == 1:
                 body += (
-                    b"<" + line.encode("latin-1").hex().encode() + b"> Tj\n"
+                    b"<" + _enc_line(line).hex().encode() + b"> Tj\n"
                 )
             elif use_tj_array_every and k % use_tj_array_every == 0 and len(line) > 2:
                 mid = len(line) // 2
                 body += (
                     b"[ ("
-                    + _escape_literal(line[:mid])
+                    + _escape_literal_bytes(_enc_line(line[:mid]))
                     + b") -120 ("
-                    + _escape_literal(line[mid:])
+                    + _escape_literal_bytes(_enc_line(line[mid:]))
                     + b") ] TJ\n"
                 )
             else:
-                body += b"(" + _escape_literal(line) + b") Tj\n"
+                body += b"(" + _escape_literal_bytes(_enc_line(line)) + b") Tj\n"
         body += b"ET"
         data = bytes(body)
         mode = compress_page(i)
@@ -927,6 +1102,30 @@ def encode_pdf_fixture(
                 f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
                 f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R "
                 f"/DescendantFonts [{desc_num} 0 R] >>"
+            ).encode()
+        )
+    elif simple_encoding is not None:
+        if differences:
+            items = sorted(differences.items())
+            # group runs of consecutive codes per §9.6.5.3
+            parts: list[str] = []
+            prev = None
+            for code, gname in items:
+                if prev is None or code != prev + 1:
+                    parts.append(str(code))
+                parts.append("/" + gname)
+                prev = code
+            enc_val = (
+                "<< /Type /Encoding /BaseEncoding "
+                f"/{simple_encoding} /Differences "
+                f"[ {' '.join(parts)} ] >>"
+            )
+        else:
+            enc_val = "/" + simple_encoding
+        objects.append(
+            (
+                "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                f"/Encoding {enc_val} >>"
             ).encode()
         )
     else:

@@ -100,3 +100,73 @@ def test_cdx_fetch_offset_addressed(spark):
         assert r.payload_text == f"payload a{a} r1"
         assert r.rec_status == 200
         assert r.rec_digest == r.digest  # index digest == record digest
+
+
+def test_record_extents_ground_truth():
+    """_record_extents matches encode_warc_fixture_indexed's extents
+    bit-exactly for BOTH storage layouts."""
+    recs = [
+        {"type": "warcinfo", "body": b"k: v\r\n"},
+        {
+            "type": "response", "uri": "http://www.A.example/P1",
+            "status": 200, "payload": b"hello one",
+            "payload_digest": True,
+            "date": "2024-03-05T06:07:08Z",
+            "http_content_type": "text/html; charset=utf-8",
+        },
+        {
+            "type": "response", "uri": "http://b.example/p2",
+            "status": 404, "payload": b"hello two",
+            "payload_digest": True,
+        },
+    ]
+    for gz in (True, False):
+        data, extents = W.encode_warc_fixture_indexed(
+            recs, gzip_records=gz, warcinfo=False
+        )
+        assert C._record_extents(data, 100) == extents, gz
+        for off, ln in extents:
+            assert len(W.parse_warc(data[off:off + ln], max_records=2)) == 1
+
+
+def test_cdx_build_and_roundtrip(spark):
+    """cdx_build emits cdx_records-compatible typed rows (response
+    records only; SURT/timestamp/mime normalized) whose offsets drive
+    cdx_fetch back to the right payloads."""
+    recs = [
+        {"type": "warcinfo", "body": b"k: v\r\n"},
+        {
+            "type": "response", "uri": "http://www.A.example/P1",
+            "status": 200, "payload": b"payload one",
+            "payload_digest": True,
+            "date": "2024-03-05T06:07:08Z",
+            "http_content_type": "text/html; charset=utf-8",
+        },
+        {
+            "type": "response", "uri": "http://b.example/p2",
+            "status": 404, "payload": b"payload two",
+            "payload_digest": True,
+        },
+    ]
+    data, _ = W.encode_warc_fixture_indexed(
+        recs, gzip_records=True, warcinfo=False
+    )
+    arc = spark.createDataFrame(
+        [("f0.warc.gz", bytearray(data))],
+        "filename string, content binary",
+    )
+    idx = C.cdx_build(arc)
+    rows = {r.surt_key: r for r in idx.collect()}
+    assert set(rows) == {"example,a)/p1", "example,b)/p2"}  # no warcinfo
+    a = rows["example,a)/p1"]
+    assert (a.cdx_timestamp, a.mime, a.status) == (
+        "20240305060708", "text/html", 200
+    )
+    assert a.digest == W.payload_digest_sha1(b"payload one")
+    fetched = {
+        r.rec_uri: r.payload_text for r in C.cdx_fetch(idx, arc).collect()
+    }
+    assert fetched == {
+        "http://www.A.example/P1": "payload one",
+        "http://b.example/p2": "payload two",
+    }

@@ -321,3 +321,40 @@ def test_objstm_xref_stream_layout():
         pages, compress_page=lambda p: ["flate", "lzw"][p], use_objstm=True
     )
     assert pdf.extract_pdf_text(d2) == ["obj stream page", "second"]
+
+
+def test_simple_font_encodings():
+    """/WinAnsiEncoding, /MacRomanEncoding, and /BaseEncoding +
+    /Differences dicts decode byte-identically to the planted text
+    (the non-ToUnicode half of real PDFs)."""
+    pages = [["café — “smart” €9", "naïve résumé"]]
+    for enc in ("WinAnsiEncoding", "MacRomanEncoding"):
+        d = pdf.encode_pdf_fixture(pages, simple_encoding=enc)
+        assert pdf.extract_pdf_text(d) == [
+            "café — “smart” €9\nnaïve résumé"
+        ], enc
+    # Differences remap: AGL names + the algorithmic uniXXXX rule
+    d3 = pdf.encode_pdf_fixture(
+        [["price €5 café ł"]],
+        simple_encoding="WinAnsiEncoding",
+        differences={128: "Euro", 129: "eacute", 130: "uni0142"},
+    )
+    assert pdf.extract_pdf_text(d3) == ["price €5 café ł"]
+    # encoding survives hex strings and kerned TJ arrays
+    d4 = pdf.encode_pdf_fixture(
+        [["über A", "öl B", "çi C"]],
+        simple_encoding="WinAnsiEncoding",
+        hex_lines=True,
+        use_tj_array_every=3,
+    )
+    assert pdf.extract_pdf_text(d4) == ["über A\nöl B\nçi C"]
+    # unknown glyph name -> U+FFFD, never a raise
+    d5 = pdf.encode_pdf_fixture(
+        [["x�y"]],
+        simple_encoding="WinAnsiEncoding",
+        differences={1: "notarealglyphname"},
+    )
+    assert pdf.extract_pdf_text(d5) == ["x�y"]
+    # a font with NO /Encoding keeps the documented Latin-1 path
+    d6 = pdf.encode_pdf_fixture([["plain élan"]])
+    assert pdf.extract_pdf_text(d6) == ["plain élan"]

@@ -257,3 +257,71 @@ def test_sitemap_gzip_and_index_chase(spark):
         "doc_id long, url string, sitemap_xml binary",
     )
     assert robots.sitemap_entries(bad).count() == 0
+
+
+def test_crawl_delay_group_selection(spark):
+    """RFC 9309 exclusive group selection for Crawl-delay: an exact
+    agent group (even without a delay line) blocks the * group's
+    delay; multiple delay lines take the max; junk values ignored."""
+    from occupation_wage_etl_spark.operators import robots
+
+    texts = [
+        # 0: exact group delay wins over *
+        (0, "User-agent: bot\nCrawl-delay: 2\n\n"
+            "User-agent: *\nCrawl-delay: 9\n"),
+        # 1: only * group
+        (1, "User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"),
+        # 2: exact group WITHOUT delay -> * must not leak
+        (2, "User-agent: bot\nDisallow: /p\n\n"
+            "User-agent: *\nCrawl-delay: 7\n"),
+        # 3: two delay lines in one group -> max; junk ignored
+        (3, "User-agent: bot\nCrawl-delay: 3\nCrawl-delay: 4\n"
+            "Crawl-delay: fast\n"),
+        # 4: no delay anywhere
+        (4, "User-agent: *\nDisallow: /x\n"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, robots_txt string")
+    rules = robots.robots_rules(df)
+    got = {
+        r.doc_id: r.crawl_delay
+        for r in robots.crawl_delay(rules, agent="Bot").collect()
+    }
+    assert got[0] == 2.0
+    assert got[1] == 5.0
+    assert got[2] is None      # exclusive selection
+    assert got[3] == 4.0       # max of numeric lines
+    assert got[4] is None
+
+
+def test_crawl_budget_shape(spark):
+    """Budget aggregate: allow eval x delay x eTLD+1, with the window
+    cap forcing a deferral."""
+    from occupation_wage_etl_spark.operators import robots
+
+    df = spark.createDataFrame(
+        [
+            (0, "User-agent: *\nCrawl-delay: 10\nDisallow: /no\n"),
+            (1, "User-agent: *\nDisallow: /no\n"),
+        ],
+        "doc_id long, robots_txt string",
+    )
+    rules = robots.robots_rules(df)
+    frontier = spark.createDataFrame(
+        [
+            (0, "http://a.dom.example/no/x"),
+            (0, "http://a.dom.example/ok/1"),
+            (0, "http://a.dom.example/ok/2"),
+            (1, "http://b.dom.example/ok/3"),
+        ],
+        "doc_id long, url string",
+    )
+    out = robots.crawl_budget(
+        rules, frontier, agent="bot", window_seconds=25,
+        default_delay=1.0,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.domain == "dom.example"
+    assert (r.n_hosts, r.n_urls, r.n_allowed) == (2, 4, 3)
+    assert r.delay_s == 10.0
+    assert (r.window_cap, r.n_scheduled, r.n_deferred) == (2, 2, 1)
