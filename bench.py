@@ -337,6 +337,16 @@ BENCH_QUERIES = [
     "q291_domain_rollup",
     "q292_page_meta",
     "q293_anchor_rollup",
+    "q294_url_mixed_encoding_collapse",
+    "q295_cdx_lookup_fetch",
+    "q296_crawl_budget",
+    "q297_sitemap_extensions",
+    "q298_pdf_font_encodings",
+    "q299_langid_audit",
+    "q300_cdx_build_roundtrip",
+    "q301_cdx_latest_capture",
+    "q302_feed_entries",
+    "q303_pdf_encrypted",
 ]
 
 

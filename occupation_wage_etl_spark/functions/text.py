@@ -154,13 +154,28 @@ def script_lang(col: Column) -> Column:
         lang: F.length(F.regexp_replace(col, "[^" + rx[1:], ""))
         for lang, rx in SCRIPT_RANGES.items()
     }
-    best = F.greatest(*counts.values())
-    pick = F.lit(None).cast("string")
-    for lang in reversed(sorted(SCRIPT_RANGES)):
-        pick = F.when(counts[lang] == best, F.lit(lang)).otherwise(pick)
+    # argmax via ONE struct-array max — a greatest + per-lang CASE tree
+    # would repeat every count expression ~10x and blow past the
+    # whole-stage-codegen method-size limit (observed: janino compile
+    # failure → interpreted fallback).  Struct compare is (count,
+    # rank, lang); rank is reverse-alphabetical so ties pick the
+    # alphabetically-smallest language, same rule as the stopword rung.
+    langs = sorted(SCRIPT_RANGES)
+    arr = F.array(
+        *[
+            F.struct(
+                counts[lang].alias("c"),
+                F.lit(len(langs) - 1 - i).alias("r"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    top = F.array_max(arr)
+    best = top["c"]
     pick = F.when(
-        (pick == "zh") & (counts["ja"] > 0), F.lit("ja")
-    ).otherwise(pick)
+        (top["l"] == "zh") & (counts["ja"] > 0), F.lit("ja")
+    ).otherwise(top["l"])
     return F.when(
         (nonspace > 0) & (best * 10 >= nonspace * 3), pick
     ).otherwise(F.lit(None).cast("string"))

@@ -254,11 +254,16 @@ def crawl_budget(
     Shape: the allow evaluation's bounded equi-join + struct-max, one
     hash-agg for delays, one equi-join back to the frontier, one final
     hash-agg keyed by eTLD+1 — no window, no cartesian, every shuffle
-    on a bounded key."""
+    on a bounded key.  ``rules`` feeds BOTH the allow branch and the
+    delay branch, so it is operator-cached (``_cache.cached``) — at
+    100 TB the rules table is parsed once, not once per branch."""
     from occupation_wage_etl_spark.functions.url import (
         registrable_domain,
         url_path,
     )
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    rules = cached(rules)
 
     cand = frontier.select(
         F.col(id_col),

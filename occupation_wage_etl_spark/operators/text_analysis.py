@@ -45,14 +45,21 @@ def lang_id_table(
     (ties) or a wrong same-family pick ('de la' → es), which is the
     documented cost of a deterministic stopword heuristic."""
     codes = sorted(T.LANG_STOPWORDS)
-    toks = df.select(
+    # script verdict is projected BELOW the explode (its own select),
+    # so the 9-regex scan runs once per DOC, not once per token row
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(T.tokens(F.col(text_col))).alias("t"),
+        F.col(text_col).alias("__text"),
         *(
             [T.script_lang(F.col(text_col)).alias("__script")]
             if script_rung
             else []
         ),
+    )
+    toks = base.select(
+        "id",
+        F.explode(T.tokens(F.col("__text"))).alias("t"),
+        *(["__script"] if script_rung else []),
     )
     counts = toks.groupBy("id").agg(
         *[

@@ -16472,6 +16472,146 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q302 — RSS/Atom feed entries (sources/feeds.py): the syndication
+# half of web ingest, typed long-form like q277's sitemap entries.
+# Even docs plant RSS 2.0 (item/link/guid/pubDate/description), odd
+# docs Atom (entry/link@href with the RFC 4287 alternate-or-first rule
+# — a rel="self" decoy precedes the alternate link; id/updated/
+# summary); each feed has 2 entries, all fields closed-form.
+# ---------------------------------------------------------------------------
+
+
+def q302_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import feeds
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    entry_rss = lambda k: F.concat(  # noqa: E731
+        F.lit(f"<item><title>post {k} d"), ds, F.lit("</title>"),
+        F.lit("<link>http://r"), ds, F.lit(f".example/{k}</link>"),
+        F.lit("<guid>g"), ds, F.lit(f"-{k}</guid>"),
+        F.lit(f"<pubDate>2024-03-0{k + 1}</pubDate>"),
+        F.lit(f"<description>desc {k}</description></item>"),
+    )
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>chan '), ds,
+        F.lit("</title>"), entry_rss(0), entry_rss(1),
+        F.lit("</channel></rss>"),
+    )
+    entry_atom = lambda k: F.concat(  # noqa: E731
+        F.lit(f"<entry><title>post {k} d"), ds, F.lit("</title>"),
+        F.lit('<link rel="self" href="http://x.example/self"/>'),
+        F.lit('<link rel="alternate" href="http://a'), ds,
+        F.lit(f'.example/{k}"/>'),
+        F.lit("<id>tag:a"), ds, F.lit(f",{k}</id>"),
+        F.lit(f"<updated>2024-03-0{k + 1}T00:00:00Z</updated>"),
+        F.lit(f"<summary>desc {k}</summary></entry>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>chan '),
+        ds, F.lit("</title>"), entry_atom(0), entry_atom(1),
+        F.lit("</feed>"),
+    )
+    xml = F.when(did % 2 == 0, rss).otherwise(atom)
+    return feeds.feed_entries(docs.select("doc_id", xml.alias("feed_xml")))
+
+
+Q302_SQL = """
+WITH e AS (
+  SELECT doc_id, UNNEST(range(0, 2)) AS k FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+       'chan ' || doc_id AS feed_title,
+       CAST(k AS INT) AS ordinal,
+       'post ' || k || ' d' || doc_id AS title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'http://r' || doc_id || '.example/' || k
+            ELSE 'http://a' || doc_id || '.example/' || k
+       END AS link,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'g' || doc_id || '-' || k
+            ELSE 'tag:a' || doc_id || ',' || k
+       END AS entry_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN '2024-03-0' || (k + 1)
+            ELSE '2024-03-0' || (k + 1) || 'T00:00:00Z'
+       END AS published,
+       'desc ' || k AS summary
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# q303 — ENCRYPTED PDFs (sources/pdf._decrypt_objects): the standard
+# security handler with an empty user password — the
+# owner-locked-but-readable majority of encrypted crawl PDFs.
+# Rotation by doc_id % 4: plaintext control / RC4-40 (V1,R2) /
+# RC4-128 (V2,R3) / AES-128 (V4,R4 /StdCF /AESV2 — the cipher
+# FIPS-197-known-answer-tested, per-object sAlT keys, IV-prefixed CBC
+# with RFC 2898 padding), each a REAL Algorithm-2/3/4/5 document
+# (/O from an owner password, /U verified, /ID in the trailer); Flate
+# rides on top for odd docs so decrypt→inflate composes.  Extracted
+# text must be byte-identical across all four classes — the oracle
+# states it closed-form.
+# ---------------------------------------------------------------------------
+
+
+def _synth_pdf_encrypted(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = []
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                mode = [None, "rc4-40", "rc4-128", "aes-128"][did % 4]
+                pages = [
+                    [f"doc {did} secret line {k}" for k in range(2)],
+                    [f"doc {did} page two"],
+                ]
+                out.append(
+                    pdfmod.encode_pdf_fixture(
+                        pages,
+                        compress_page=lambda p, d=did: d % 2 == 1,
+                        encrypt=mode,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q303_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents")
+    return pdfmod.pdf_text(_synth_pdf_encrypted(docs))
+
+
+Q303_SQL = """
+WITH pg AS (
+  SELECT doc_id, 1 AS page,
+         'doc ' || doc_id || ' secret line 0' || chr(10) ||
+         'doc ' || doc_id || ' secret line 1' AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'doc ' || doc_id || ' page two' FROM documents
+)
+SELECT doc_id, CAST(page AS INT) AS page,
+       CAST(length(text) AS INT) AS n_chars, text
+FROM pg
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -16774,6 +16914,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q299_langid_audit": q299_langid_audit,
     "q300_cdx_build_roundtrip": q300_cdx_build_roundtrip,
     "q301_cdx_latest_capture": q301_cdx_latest_capture,
+    "q302_feed_entries": q302_feed_entries,
+    "q303_pdf_encrypted": q303_pdf_encrypted,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -17078,4 +17220,6 @@ ORACLE_SQL: dict[str, str] = {
     "q299_langid_audit": Q299_SQL,
     "q300_cdx_build_roundtrip": Q300_SQL,
     "q301_cdx_latest_capture": Q301_SQL,
+    "q302_feed_entries": Q302_SQL,
+    "q303_pdf_encrypted": Q303_SQL,
 }

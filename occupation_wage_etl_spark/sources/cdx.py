@@ -140,6 +140,26 @@ def cdx_records(
     )
 
 
+def write_cdx_sorted(
+    cdx: DataFrame, path: str, n_files: int = 64
+) -> None:
+    """Write the index range-clustered on ``(surt_key,
+    cdx_timestamp)`` — the cc-index storage contract re-expressed as a
+    parquet layout: ``repartitionByRange`` puts each SURT range in one
+    file, ``sortWithinPartitions`` orders rows inside it, so parquet
+    footer min/max stats make a host/prefix lookup read ONE file range
+    instead of the whole index (the on-disk equivalent of the sorted
+    CDX file a ranged HTTP reader seeks into).  Read back with
+    ``spark.read.parquet(path)`` and :func:`cdx_prefix_lookup` — the
+    StartsWith predicate prunes on the same stats."""
+    (
+        cdx.repartitionByRange(n_files, "surt_key", "cdx_timestamp")
+        .sortWithinPartitions("surt_key", "cdx_timestamp")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def cdx_prefix_lookup(cdx: DataFrame, prefix: str) -> DataFrame:
     """Index rows whose SURT key starts with ``prefix`` — the
     host / host-path range query (``com,example)`` matches every page
@@ -312,13 +332,18 @@ def cdx_fetch(
     filename_col: str = "filename",
     broadcast_archives: bool = False,
 ) -> DataFrame:
-    """The ranged-GET analogue: each index row joins to its archive by
-    filename, then ``content[offset : offset+length]`` parses as ONE
-    WARC record (scan-side ``mapInPandas``).  Output: the index key
-    columns plus the fetched record's type/URI/status/digest and
-    payload text (UTF-8, replace).  Work is O(matched index rows) —
-    never a full-archive scan; set ``broadcast_archives`` when the
-    archive catalog is a small dimension."""
+    """The ranged-GET analogue, shuffle-shaped for scale: the matched
+    index rows are first GROUPED per archive (``collect_list`` of the
+    wanted extents — bounded by records-per-archive, the same cap as
+    ``parse_warc``), so each archive's bytes cross the join exactly
+    ONCE no matter how many records are fetched from it; the per-row
+    form would duplicate multi-GiB blobs once per matched row.  Then
+    each wanted ``content[offset : offset+length]`` parses as ONE WARC
+    record (scan-side ``mapInPandas``).  Output: the index key columns
+    plus the fetched record's type/URI/status/digest and payload text
+    (UTF-8, replace).  Work is O(matched index rows) — never a
+    full-archive scan; set ``broadcast_archives`` when the archive
+    catalog is a small dimension."""
     from occupation_wage_etl_spark.sources.warc import parse_warc
 
     arc = archives.select(
@@ -327,9 +352,17 @@ def cdx_fetch(
     )
     if broadcast_archives:
         arc = F.broadcast(arc)
-    joined = cdx.join(
-        arc, cdx[filename_col] == arc["__arc_filename"], "inner"
-    ).drop("__arc_filename")
+    wanted = cdx.groupBy(F.col(filename_col).alias("__fname")).agg(
+        F.collect_list(
+            F.struct(
+                "surt_key", "cdx_timestamp", "url", "status",
+                "digest", "offset", "length",
+            )
+        ).alias("__wants")
+    )
+    joined = wanted.join(
+        arc, wanted["__fname"] == arc["__arc_filename"], "inner"
+    ).select("__fname", "__wants", "__arc_bytes")
 
     schema = (
         "surt_key string, cdx_timestamp string, url string, "
@@ -348,30 +381,31 @@ def cdx_fetch(
 
         for batch in batches:
             rows = []
-            for _, r in batch.iterrows():
-                data = bytes(r["__arc_bytes"] or b"")
-                off = int(r["offset"] or 0)
-                ln = int(r["length"] or 0)
-                recs = parse_warc(data[off : off + ln], max_records=1)
-                rec = recs[0] if recs else None
-                rows.append(
-                    (
-                        r["surt_key"], r["cdx_timestamp"], r["url"],
-                        None if pd.isna(r["status"]) else int(r["status"]),
-                        r["digest"], off, ln, r["filename"],
-                        rec["warc_type"] if rec else None,
-                        rec["target_uri"] if rec else None,
-                        rec["http_status"] if rec else None,
-                        rec["payload_digest"] if rec else None,
-                        rec["payload"].decode("utf-8", "replace")
-                        if rec
-                        else None,
+            for fname, wants, payload in zip(
+                batch["__fname"], batch["__wants"], batch["__arc_bytes"]
+            ):
+                data = bytes(payload or b"")
+                for w in wants:
+                    off = int(w["offset"] or 0)
+                    ln = int(w["length"] or 0)
+                    recs = parse_warc(data[off : off + ln], max_records=1)
+                    rec = recs[0] if recs else None
+                    status = w["status"]
+                    rows.append(
+                        (
+                            w["surt_key"], w["cdx_timestamp"], w["url"],
+                            None if status is None or pd.isna(status)
+                            else int(status),
+                            w["digest"], off, ln, fname,
+                            rec["warc_type"] if rec else None,
+                            rec["target_uri"] if rec else None,
+                            rec["http_status"] if rec else None,
+                            rec["payload_digest"] if rec else None,
+                            rec["payload"].decode("utf-8", "replace")
+                            if rec
+                            else None,
+                        )
                     )
-                )
             yield pd.DataFrame(rows, columns=cols)
 
-    keep = [
-        "surt_key", "cdx_timestamp", "url", "status", "digest",
-        "offset", "length", "filename", "__arc_bytes",
-    ]
-    return joined.select(*keep).mapInPandas(_fetch, schema=schema)
+    return joined.mapInPandas(_fetch, schema=schema)

@@ -40,7 +40,14 @@ the algorithmic uniXXXX/uXXXXXX rules) — falling back to Latin-1 when
 no /Encoding is present; composite (``/Type0``) fonts decode via
 their embedded /ToUnicode CMap (see ``_parse_tounicode_cmap``), and
 without one come out garbled exactly as with every CMap-less
-extractor; encrypted documents (``/Encrypt`` in the trailer) raise;
+extractor; standard-security encryption with an EMPTY user password —
+the owner-locked-but-readable majority of encrypted crawl PDFs — is
+decrypted for RC4 V1/V2 (R2/R3) AND the V4 crypt-filter cases
+/AESV2 (AES-128-CBC — the cipher is DERIVED from FIPS 197, S-box from
+its GF(2^8) definition, and known-answer-tested) and /V2 (Algorithms
+2–5, per-object keys incl. the AES ``sAlT`` salt, §7.6);
+AESV3 (/V 5), non-empty user passwords, non-StdCF stream filters, and
+encrypted object-stream layouts raise with distinct messages;
 predefined CMap names (ordering-based, external data) raise.
 
 Reference analogue: none — the reference ETL ingests XLSX/HTML only
@@ -832,15 +839,357 @@ def _content_text(
     return "".join(parts).strip("\n")
 
 
+# --- standard security handler (§7.6.3, RC4 V1/V2) ------------------
+# The empty-user-password case — the overwhelming majority of
+# encrypted PDFs in crawls are owner-locked but READABLE.  Pure spec:
+# Algorithm 2 (file key), 3 (/O), 4/5 (/U), per-object RC4 keys
+# (§7.6.2).  AES (/V 4+, crypt filters) and non-empty user passwords
+# raise with a distinct message (documented bounds).
+
+_ENC_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _md5(b: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.md5(b).digest()
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % kl]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = ch ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _enc_file_key(
+    r: int, n: int, o: bytes, p: int, file_id: bytes,
+    password: bytes = b"",
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2: the file encryption key from the (user) password."""
+    pw = (password + _ENC_PAD)[:32]
+    h = _md5(
+        pw + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+        + (b"" if encrypt_metadata or r < 4 else b"\xff\xff\xff\xff")
+    )
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h[:n])
+    return h[:n]
+
+
+def _enc_compute_o(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    h = _md5((owner_pw + _ENC_PAD)[:32])
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h)
+    key = h[:n]
+    o = (user_pw + _ENC_PAD)[:32]
+    if r == 2:
+        return _rc4(key, o)
+    for i in range(20):
+        o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _enc_compute_u(key: bytes, r: int, file_id: bytes) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U entry (R3 padded to 32;
+    only the first 16 bytes are significant for the check)."""
+    if r == 2:
+        return _rc4(key, _ENC_PAD)
+    u = _rc4(key, _md5(_ENC_PAD + file_id))
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _enc_obj_key(key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    """§7.6.2: the per-object key (RC4, or AESV2 with the ``sAlT``
+    suffix)."""
+    h = _md5(
+        key + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
+    )
+    return h[: min(len(key) + 5, 16)]
+
+
+# --- AES-128 (FIPS 197), pure stdlib ---------------------------------
+# No table is transcribed from anywhere: the S-box is DERIVED from its
+# definition (multiplicative inverse in GF(2^8) followed by the affine
+# transform), so correctness is anchored by math + the FIPS-197
+# Appendix C known-answer test in tests/test_pdf.py — not by this
+# author's memory.  Needed for the PDF AESV2 crypt filter (§7.6.2).
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return p
+
+
+def _aes_tables():
+    inv = [0] * 256
+    for x in range(1, 256):
+        for y in range(1, 256):
+            if _gmul(x, y) == 1:
+                inv[x] = y
+                break
+    sbox = [0] * 256
+    for x in range(256):
+        b = inv[x]
+        s = 0
+        for i in range(8):
+            bit = (
+                (b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            s |= bit << i
+        sbox[x] = s
+    inv_sbox = [0] * 256
+    for x, s in enumerate(sbox):
+        inv_sbox[s] = x
+    return sbox, inv_sbox
+
+
+_AES_SBOX, _AES_INV_SBOX = _aes_tables()
+
+
+def _aes128_expand(key: bytes) -> list[list[int]]:
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_AES_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = _gmul(rcon, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum(w[r : r + 4], []) for r in range(0, 44, 4)]
+
+
+def _aes128_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [list(block[c * 4 : c * 4 + 4]) for c in range(4)]  # columns
+    def add(k):
+        for c in range(4):
+            for r in range(4):
+                s[c][r] ^= k[c * 4 + r]
+    add(rk[10])
+    for rnd in range(9, -1, -1):
+        # InvShiftRows: row r rotates RIGHT by r
+        for r in range(1, 4):
+            col = [s[c][r] for c in range(4)]
+            col = col[-r:] + col[:-r]
+            for c in range(4):
+                s[c][r] = col[c]
+        for c in range(4):
+            for r in range(4):
+                s[c][r] = _AES_INV_SBOX[s[c][r]]
+        add(rk[rnd])
+        if rnd > 0:
+            for c in range(4):
+                a0, a1, a2, a3 = s[c]
+                s[c] = [
+                    _gmul(a0, 14) ^ _gmul(a1, 11) ^ _gmul(a2, 13) ^ _gmul(a3, 9),
+                    _gmul(a0, 9) ^ _gmul(a1, 14) ^ _gmul(a2, 11) ^ _gmul(a3, 13),
+                    _gmul(a0, 13) ^ _gmul(a1, 9) ^ _gmul(a2, 14) ^ _gmul(a3, 11),
+                    _gmul(a0, 11) ^ _gmul(a1, 13) ^ _gmul(a2, 9) ^ _gmul(a3, 14),
+                ]
+    return bytes(b for c in range(4) for b in s[c])
+
+
+def _aes128_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [list(block[c * 4 : c * 4 + 4]) for c in range(4)]
+    def add(k):
+        for c in range(4):
+            for r in range(4):
+                s[c][r] ^= k[c * 4 + r]
+    add(rk[0])
+    for rnd in range(1, 11):
+        for c in range(4):
+            for r in range(4):
+                s[c][r] = _AES_SBOX[s[c][r]]
+        # ShiftRows: row r rotates LEFT by r
+        for r in range(1, 4):
+            col = [s[c][r] for c in range(4)]
+            col = col[r:] + col[:r]
+            for c in range(4):
+                s[c][r] = col[c]
+        if rnd < 10:
+            for c in range(4):
+                a0, a1, a2, a3 = s[c]
+                s[c] = [
+                    _gmul(a0, 2) ^ _gmul(a1, 3) ^ a2 ^ a3,
+                    a0 ^ _gmul(a1, 2) ^ _gmul(a2, 3) ^ a3,
+                    a0 ^ a1 ^ _gmul(a2, 2) ^ _gmul(a3, 3),
+                    _gmul(a0, 3) ^ a1 ^ a2 ^ _gmul(a3, 2),
+                ]
+        add(rk[rnd])
+    return bytes(b for c in range(4) for b in s[c])
+
+
+def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream layout: 16-byte IV prefix, CBC body, RFC 2898
+    padding (1–16 trailing bytes, each equal to the pad length)."""
+    if len(data) < 32 or len(data) % 16 != 0:
+        raise ValueError("corrupt PDF: bad AES stream length")
+    rk = _aes128_expand(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        block = data[i : i + 16]
+        plain = _aes128_decrypt_block(rk, block)
+        out += bytes(a ^ b for a, b in zip(plain, prev))
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise ValueError("corrupt PDF: bad AES padding")
+    return bytes(out[:-pad])
+
+
+def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes128_expand(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    prev = iv
+    out = bytearray(iv)
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes128_encrypt_block(rk, block)
+        out += prev
+    return bytes(out)
+
+
+def _find_trailer_dict(data: bytes) -> dict | None:
+    """The LAST classic ``trailer`` dictionary, or None (xref-stream
+    files have none)."""
+    i = data.rfind(b"trailer")
+    if i < 0:
+        return None
+    try:
+        v, _ = _parse_value(data, _skip_ws(data, i + 7))
+    except (ValueError, IndexError):
+        return None
+    return v if isinstance(v, dict) else None
+
+
+def _decrypt_objects(data: bytes, objs, trailer: dict):
+    """Verify the empty user password and RC4-decrypt every stream
+    in place (per-object keys); raises on out-of-scope handlers."""
+    enc = _resolve(objs, trailer.get("/Encrypt"))
+    if not isinstance(enc, dict):
+        raise ValueError("corrupt PDF: bad /Encrypt entry")
+    if enc.get("/Filter") != "/Standard":
+        raise ValueError("encrypted PDF unsupported (non-Standard handler)")
+    v = enc.get("/V", 0)
+    r = enc.get("/R", 2)
+    aes = False
+    if v in (1, 2) and r in (2, 3):
+        n = 5 if v == 1 else max(5, int(enc.get("/Length", 40)) // 8)
+    elif v == 4 and r == 4:
+        # crypt filters: the standard /StdCF case (§7.6.5)
+        cf = _resolve(objs, enc.get("/CF"))
+        stdcf = (
+            _resolve(objs, cf.get("/StdCF")) if isinstance(cf, dict) else None
+        )
+        cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
+        if enc.get("/StmF", "/Identity") != "/StdCF":
+            raise ValueError(
+                "encrypted PDF unsupported (non-StdCF stream filter)"
+            )
+        if cfm == "/AESV2":
+            aes, n = True, 16
+        elif cfm == "/V2":
+            n = max(5, int(enc.get("/Length", 128)) // 8)
+        else:
+            raise ValueError(
+                "encrypted PDF unsupported (crypt filter "
+                f"{cfm or 'missing'})"
+            )
+    else:
+        raise ValueError(
+            "encrypted PDF unsupported (AESV3 / revision "
+            f"{v}/{r})"
+        )
+    o = enc.get("/O")
+    u = enc.get("/U")
+    if not isinstance(o, bytes) or not isinstance(u, bytes):
+        raise ValueError("corrupt PDF: /O or /U missing")
+    ids = trailer.get("/ID")
+    file_id = (
+        ids[0]
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+        else b""
+    )
+    key = _enc_file_key(
+        r, n, o, enc.get("/P", -1), file_id,
+        encrypt_metadata=enc.get("/EncryptMetadata", True) is not False,
+    )
+    want_u = _enc_compute_u(key, r, file_id)
+    cmp_len = 32 if r == 2 else 16
+    if want_u[:cmp_len] != (u + b"\x00" * 32)[:cmp_len]:
+        raise ValueError(
+            "encrypted PDF unsupported (non-empty user password)"
+        )
+
+    def _dec(num: int, raw: bytes) -> bytes:
+        k = _enc_obj_key(key, num, aes=aes)
+        return _aes128_cbc_decrypt(k, raw) if aes else _rc4(k, raw)
+
+    return {
+        num: (val, _dec(num, raw) if raw is not None else None)
+        for num, (val, raw) in objs.items()
+    }
+
+
 def extract_pdf_text(data: bytes, max_pages: int = 64) -> list[str]:
     """Text of each page (document order), via the real parse path:
     object scan → Pages tree → /Contents resolution → Flate inflate →
-    text-operator execution.  Encrypted documents raise."""
+    text-operator execution.  RC4 standard-security encryption
+    (V1/V2, empty user password — the owner-locked-but-readable crawl
+    majority) is decrypted; AES, non-empty user passwords, and
+    encrypted object-stream layouts raise."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("corrupt PDF: missing %PDF- header")
-    if b"/Encrypt" in data[-2048:]:
-        raise ValueError("encrypted PDF unsupported (text tier)")
-    objs = _scan_objects(data)
+    trailer = _find_trailer_dict(data)
+    if trailer is not None and "/Encrypt" in trailer:
+        if b"/ObjStm" in data:
+            raise ValueError(
+                "encrypted PDF unsupported (object-stream layout)"
+            )
+        objs = _scan_objects(data)
+        objs = _decrypt_objects(data, objs, trailer)
+    elif trailer is None and b"/Encrypt" in data[-2048:]:
+        raise ValueError("encrypted PDF unsupported (xref-stream layout)")
+    else:
+        objs = _scan_objects(data)
     pages = _page_order(objs)[:max_pages]
     out: list[str] = []
     for pnum in pages:
@@ -928,6 +1277,8 @@ def encode_pdf_fixture(
     cid_font: bool = False,
     simple_encoding: str | None = None,
     differences: dict[int, str] | None = None,
+    encrypt: str | None = None,
+    owner_password: bytes = b"owner",
 ) -> bytes:
     """A VALID minimal PDF: catalog → pages tree → per-page content
     streams (Helvetica, one ``Td`` line advance per line), correct
@@ -957,7 +1308,24 @@ def encode_pdf_fixture(
     byte table — the non-ToUnicode half of real PDFs; ``differences``
     (code → glyph name) additionally wraps it in an encoding DICT with
     a /Differences array (§9.6.5.3) and routes those chars through the
-    remapped codes."""
+    remapped codes.  ``encrypt`` ('rc4-40' or 'rc4-128') writes a REAL
+    standard-security-handler document (Algorithms 2/3/4/5: /O from
+    ``owner_password``, empty user password, per-object RC4 over every
+    stream, /ID in the trailer) — any conforming reader opens it, and
+    the decoder's empty-password path round-trips it."""
+    if encrypt is not None and use_objstm:
+        raise ValueError("fixture: encrypt + use_objstm not supported")
+    if encrypt is not None and encrypt not in (
+        "rc4-40", "rc4-128", "aes-128"
+    ):
+        raise ValueError(
+            "fixture: encrypt must be rc4-40, rc4-128 or aes-128"
+        )
+    if encrypt == "aes-128" and indirect_length:
+        raise ValueError(
+            "fixture: aes-128 + indirect_length not supported "
+            "(AES changes stream sizes)"
+        )
     objects: list[bytes] = []  # bodies, object number = index+1
 
     char2code: dict[str, int] | None = None
@@ -1185,6 +1553,63 @@ def encode_pdf_fixture(
             b"/Supplement 0 >> >>"
         )
 
+    trailer_extra = ""
+    if encrypt is not None:
+        aes = encrypt == "aes-128"
+        r, n = {"rc4-40": (2, 5), "rc4-128": (3, 16), "aes-128": (4, 16)}[
+            encrypt
+        ]
+        # deterministic /ID: digest of the planted page text
+        file_id = _md5(
+            repr(pages).encode("utf-8") + encrypt.encode()
+        )
+        o_entry = _enc_compute_o(owner_password, b"", r, n)
+        key = _enc_file_key(r, n, o_entry, -4, file_id)
+        u_entry = _enc_compute_u(key, r, file_id)[:32]
+        for idx, body in enumerate(objects):
+            marker = b"\nstream\n"
+            s = body.find(marker)
+            if s < 0:
+                continue
+            head = body[: s + len(marker)]
+            tail = body[s + len(marker) :]
+            if not tail.endswith(b"\nendstream"):
+                raise ValueError("fixture: unexpected stream framing")
+            payload = tail[: -len(b"\nendstream")]
+            objkey = _enc_obj_key(key, idx + 1, aes=aes)
+            if aes:
+                iv = _md5(b"iv%d" % (idx + 1) + file_id)[:16]
+                enc_payload = _aes128_cbc_encrypt(objkey, iv, payload)
+                old = f"/Length {len(payload)}".encode()
+                new = f"/Length {len(enc_payload)}".encode()
+                if old not in head:
+                    raise ValueError("fixture: /Length rewrite failed")
+                head = head.replace(old, new, 1)
+            else:
+                enc_payload = _rc4(objkey, payload)
+            objects[idx] = head + enc_payload + b"\nendstream"
+        if aes:
+            enc_obj = (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128 /P -4 "
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_entry.hex().upper()}> "
+                f"/U <{u_entry.hex().upper()}> >>"
+            )
+        else:
+            ver = 1 if encrypt == "rc4-40" else 2
+            enc_obj = (
+                f"<< /Filter /Standard /V {ver} /R {r} "
+                f"/Length {n * 8} /P -4 "
+                f"/O <{o_entry.hex().upper()}> "
+                f"/U <{u_entry.hex().upper()}> >>"
+            )
+        objects.append(enc_obj.encode())
+        idh = file_id.hex().upper()
+        trailer_extra = (
+            f" /Encrypt {len(objects)} 0 R /ID [<{idh}> <{idh}>]"
+        )
+
     if not use_objstm:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0]
@@ -1197,7 +1622,8 @@ def encode_pdf_fixture(
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R"
+            f"{trailer_extra} >>\n"
             f"startxref\n{xref_off}\n%%EOF\n"
         ).encode()
         return bytes(out)

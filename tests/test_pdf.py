@@ -205,8 +205,14 @@ def test_scope_bounds():
     with pytest.raises(ValueError, match="header"):
         pdf.extract_pdf_text(b"GIF89a not a pdf")
     data = pdf.encode_pdf_fixture([["x"]])
+    # a stray "/Encrypt" COMMENT no longer false-positives (the trailer
+    # dict is parsed now); the document stays readable
+    assert pdf.extract_pdf_text(data + b"\n%/Encrypt\n") == ["x"]
+    # … but an xref-stream doc mentioning /Encrypt (no classic trailer
+    # to prove otherwise) still raises the conservative scope error
+    objstm = pdf.encode_pdf_fixture([["x"]], use_objstm=True)
     with pytest.raises(ValueError, match="encrypted"):
-        pdf.extract_pdf_text(data + b"\n%/Encrypt\n")
+        pdf.extract_pdf_text(objstm + b"\n%/Encrypt\n")
     # unsupported filter raises with the filter named
     bad = data.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
     with pytest.raises(ValueError, match="DCTDecode"):
@@ -358,3 +364,78 @@ def test_simple_font_encodings():
     # a font with NO /Encoding keeps the documented Latin-1 path
     d6 = pdf.encode_pdf_fixture([["plain élan"]])
     assert pdf.extract_pdf_text(d6) == ["plain élan"]
+
+
+def test_rc4_encrypted_roundtrip():
+    """Standard security handler (RC4 V1/R2 and V2/R3, empty user
+    password): real /O//U entries, per-object stream decryption."""
+    pages = [["secret line one", "café £5"], ["page two text"]]
+    for mode in ("rc4-40", "rc4-128"):
+        d = pdf.encode_pdf_fixture(
+            pages, compress_page=lambda p: p == 0, encrypt=mode
+        )
+        assert b"/Encrypt" in d
+        assert pdf.extract_pdf_text(d) == [
+            "secret line one\ncafé £5", "page two text"
+        ], mode
+    # composes with filters + simple encodings + CID fonts
+    d4 = pdf.encode_pdf_fixture(
+        [["ünïcode €t"]], encrypt="rc4-40",
+        simple_encoding="WinAnsiEncoding",
+        compress_page=lambda p: "a85flate",
+    )
+    assert pdf.extract_pdf_text(d4) == ["ünïcode €t"]
+    d5 = pdf.encode_pdf_fixture([["cid text"]], encrypt="rc4-128",
+                                cid_font=True)
+    assert pdf.extract_pdf_text(d5) == ["cid text"]
+
+
+def test_encrypted_out_of_scope_raises():
+    import pytest
+
+    pages = [["x"]]
+    # a wrong /U (equivalent to a non-empty user password) raises
+    d = pdf.encode_pdf_fixture(pages, encrypt="rc4-128")
+    bad = d.replace(b"/U <", b"/U <FF", 1)
+    with pytest.raises(ValueError, match="user password"):
+        pdf.extract_pdf_text(bad)
+    # AES /V values raise the distinct scope message
+    aes = d.replace(b"/V 2", b"/V 4", 1)
+    with pytest.raises(ValueError, match="AES"):
+        pdf.extract_pdf_text(aes)
+    # unencrypted docs keep working through the trailer parse
+    plain = pdf.encode_pdf_fixture(pages)
+    assert pdf.extract_pdf_text(plain) == ["x"]
+
+
+def test_aes128_fips197_known_answer():
+    """The AES core is anchored by the FIPS-197 Appendix C.1 vector —
+    tables are derived from the GF(2^8) definition, never transcribed."""
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = pdf._aes128_expand(key)
+    ct = pdf._aes128_encrypt_block(rk, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert pdf._aes128_decrypt_block(rk, ct) == pt
+
+
+def test_aesv2_encrypted_roundtrip():
+    """/V 4 /StdCF /AESV2: IV-prefixed CBC streams with sAlT per-object
+    keys decrypt through the same text path."""
+    pages = [["aes secret line", "café £5"], ["page two"]]
+    d = pdf.encode_pdf_fixture(
+        pages, compress_page=lambda p: p == 0, encrypt="aes-128"
+    )
+    assert b"/AESV2" in d
+    assert pdf.extract_pdf_text(d) == [
+        "aes secret line\ncafé £5", "page two"
+    ]
+    # the ToUnicode CMap stream is AES-encrypted too (CID composition)
+    d2 = pdf.encode_pdf_fixture([["cid über aes"]], encrypt="aes-128",
+                                cid_font=True)
+    assert pdf.extract_pdf_text(d2) == ["cid über aes"]
+    # AESV3 stays a distinct documented bound
+    import pytest
+    bad = d.replace(b"/V 4", b"/V 5", 1).replace(b"/R 4", b"/R 6", 1)
+    with pytest.raises(ValueError, match="AESV3"):
+        pdf.extract_pdf_text(bad)
