@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "q301_cdx_latest_capture",
     "q302_feed_entries",
     "q303_pdf_encrypted",
+    "q304_discovery_funnel",
 ]
 
 

@@ -16612,6 +16612,148 @@ FROM pg
 """
 
 
+# ---------------------------------------------------------------------------
+# q304 — the URL-DISCOVERY FUNNEL: the whole web-ingest tier composed
+# end-to-end, the q262-style proof that the pieces interoperate.
+# Per host: robots.txt (Disallow /private + a Sitemap line) → the
+# named sitemap's <urlset> (p0, p1, odd docs also /private/x) → an
+# Atom feed (f0 + p1 decorated with utm tracking, which MUST collapse
+# with the sitemap's p1 after canonicalization) → distinct canonical
+# URLs → robots allow filter (drops /private) → anti-join against a
+# CDX index of already-crawled captures (drops p0) → one hash-agg per
+# registrable domain: discovered / allowed / new-to-fetch counts.
+# Closed form per doc: discovered 3+odd, allowed 3, new 2.
+# ---------------------------------------------------------------------------
+
+
+def q304_discovery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.functions import url as U
+    from occupation_wage_etl_spark.operators import robots
+    from occupation_wage_etl_spark.operators._cache import cached
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+    from occupation_wage_etl_spark.sources import feeds
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    host = F.concat(F.lit("h"), ds, F.lit(".site"),
+                    (did % 13).cast("string"), F.lit(".example"))
+    base = F.concat(F.lit("http://"), host)
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nSitemap: "),
+        base, F.lit("/sitemap.xml\n"),
+    )
+    loc = lambda p: F.concat(  # noqa: E731
+        F.lit("<url><loc>"), base, F.lit(f"{p}</loc></url>")
+    )
+    sitemap_xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        loc("/p0"), loc("/p1"),
+        F.when(did % 2 == 1, loc("/private/x")).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    feed_xml = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'),
+        F.lit('<entry><title>a</title><link href="'), base,
+        F.lit('/f0"/><id>1</id></entry>'),
+        F.lit('<entry><title>b</title><link href="'), base,
+        F.lit('/p1?utm_source=feed"/><id>2</id></entry></feed>'),
+    )
+    corpus = docs.select(
+        "doc_id",
+        robots_txt.alias("robots_txt"),
+        base.alias("base_url"),
+        F.concat(base, F.lit("/sitemap.xml")).alias("sitemap_url"),
+        sitemap_xml.alias("sitemap_xml"),
+        feed_xml.alias("feed_xml"),
+    )
+    rules = cached(robots.robots_rules(corpus))
+    # discovery joins on the ROBOTS-DECLARED sitemap URL, not doc_id —
+    # the real contract (a robots file can name any sitemap)
+    declared = rules.filter(F.col("rule_type") == "sitemap").select(
+        F.col("doc_id").alias("host_id"), F.col("value").alias("sm_url")
+    )
+    smap = robots.sitemap_entries(corpus).select(
+        "doc_id", F.col("loc").alias("raw_url")
+    )
+    smap = declared.join(
+        corpus.select("doc_id", "sitemap_url"),
+        declared["sm_url"] == F.col("sitemap_url"),
+    ).select("host_id").join(
+        smap, F.col("host_id") == smap["doc_id"]
+    ).select("doc_id", "raw_url")
+    feed_e = feeds.feed_entries(corpus, xml_col="feed_xml").select(
+        "doc_id", F.col("link").alias("raw_url")
+    )
+    urls = smap.unionByName(feed_e).select(
+        "doc_id", U.canonicalize_url(F.col("raw_url")).alias("canon")
+    ).distinct()
+    # allow filter over the path component
+    verdicts = robots.robots_is_allowed(
+        rules,
+        urls.select("doc_id", U.url_path(F.col("canon")).alias("path")),
+    ).select("doc_id", "path", "allowed")
+    urls = urls.withColumn("path", U.url_path(F.col("canon"))).join(
+        verdicts, ["doc_id", "path"]
+    )
+    # already-crawled captures: a CDX index holding each host's /p0
+    idx_lines = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("example,site"), (did % 13).cast("string"),
+            F.lit(",h"), ds, F.lit(")/p0 20240101000000 "),
+            F.lit('{"url": null, "mime": null, "status": null, '
+                  '"digest": null, "length": null, "offset": null, '
+                  '"filename": null}'),
+        ).alias("line"),
+    )
+    crawled = cdxmod.cdx_records(idx_lines, "line").select(
+        F.col("surt_key").alias("crawled_key")
+    )
+    keyed = urls.withColumn("surt", cdxmod.surt_key(F.col("canon")))
+    fresh = keyed.join(
+        crawled, keyed["surt"] == crawled["crawled_key"], "left_anti"
+    ).select("doc_id", "canon", "allowed")
+    per_doc = (
+        urls.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_disc"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allow"),
+        )
+        .join(
+            fresh.groupBy("doc_id").agg(
+                F.sum(F.col("allowed").cast("long")).alias("n_new")
+            ),
+            "doc_id",
+        )
+    )
+    dom = F.concat(
+        F.lit("site"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example"),
+    )
+    return per_doc.groupBy(dom.alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("n_disc").alias("n_discovered"),
+        F.sum("n_allow").alias("n_allowed"),
+        F.sum("n_new").alias("n_new"),
+    )
+
+
+Q304_SQL = """
+WITH h AS (
+  SELECT doc_id, 'site' || (doc_id % 13) || '.example' AS domain,
+         3 + doc_id % 2 AS disc
+  FROM documents
+)
+SELECT domain,
+       count(*) AS n_hosts,
+       CAST(sum(disc) AS BIGINT) AS n_discovered,
+       CAST(3 * count(*) AS BIGINT) AS n_allowed,
+       CAST(2 * count(*) AS BIGINT) AS n_new
+FROM h GROUP BY domain
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -16916,6 +17058,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q301_cdx_latest_capture": q301_cdx_latest_capture,
     "q302_feed_entries": q302_feed_entries,
     "q303_pdf_encrypted": q303_pdf_encrypted,
+    "q304_discovery_funnel": q304_discovery_funnel,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -17222,4 +17365,5 @@ ORACLE_SQL: dict[str, str] = {
     "q301_cdx_latest_capture": Q301_SQL,
     "q302_feed_entries": Q302_SQL,
     "q303_pdf_encrypted": Q303_SQL,
+    "q304_discovery_funnel": Q304_SQL,
 }

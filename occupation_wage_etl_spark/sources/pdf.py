@@ -979,6 +979,9 @@ def _aes_tables():
 
 
 _AES_SBOX, _AES_INV_SBOX = _aes_tables()
+# 256-entry GF(2^8) multiplication tables for the MixColumns constants
+# — the per-byte _gmul call chain dominates otherwise
+_MUL = {m: [_gmul(x, m) for x in range(256)] for m in (2, 3, 9, 11, 13, 14)}
 
 
 def _aes128_expand(key: bytes) -> list[list[int]]:
@@ -1014,13 +1017,14 @@ def _aes128_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
                 s[c][r] = _AES_INV_SBOX[s[c][r]]
         add(rk[rnd])
         if rnd > 0:
+            m14, m11, m13, m9 = _MUL[14], _MUL[11], _MUL[13], _MUL[9]
             for c in range(4):
                 a0, a1, a2, a3 = s[c]
                 s[c] = [
-                    _gmul(a0, 14) ^ _gmul(a1, 11) ^ _gmul(a2, 13) ^ _gmul(a3, 9),
-                    _gmul(a0, 9) ^ _gmul(a1, 14) ^ _gmul(a2, 11) ^ _gmul(a3, 13),
-                    _gmul(a0, 13) ^ _gmul(a1, 9) ^ _gmul(a2, 14) ^ _gmul(a3, 11),
-                    _gmul(a0, 11) ^ _gmul(a1, 13) ^ _gmul(a2, 9) ^ _gmul(a3, 14),
+                    m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3],
+                    m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3],
+                    m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3],
+                    m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3],
                 ]
     return bytes(b for c in range(4) for b in s[c])
 
@@ -1043,13 +1047,14 @@ def _aes128_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
             for c in range(4):
                 s[c][r] = col[c]
         if rnd < 10:
+            m2, m3 = _MUL[2], _MUL[3]
             for c in range(4):
                 a0, a1, a2, a3 = s[c]
                 s[c] = [
-                    _gmul(a0, 2) ^ _gmul(a1, 3) ^ a2 ^ a3,
-                    a0 ^ _gmul(a1, 2) ^ _gmul(a2, 3) ^ a3,
-                    a0 ^ a1 ^ _gmul(a2, 2) ^ _gmul(a3, 3),
-                    _gmul(a0, 3) ^ a1 ^ a2 ^ _gmul(a3, 2),
+                    m2[a0] ^ m3[a1] ^ a2 ^ a3,
+                    a0 ^ m2[a1] ^ m3[a2] ^ a3,
+                    a0 ^ a1 ^ m2[a2] ^ m3[a3],
+                    m3[a0] ^ a1 ^ a2 ^ m2[a3],
                 ]
         add(rk[rnd])
     return bytes(b for c in range(4) for b in s[c])
