@@ -348,6 +348,10 @@ BENCH_QUERIES = [
     "q302_feed_entries",
     "q303_pdf_encrypted",
     "q304_discovery_funnel",
+    "q305_recrawl_schedule",
+    "q306_cdx_change_rate",
+    "q307_adaptive_recrawl",
+    "q308_wat_catalog",
 ]
 
 

@@ -16754,6 +16754,393 @@ FROM h GROUP BY domain
 """
 
 
+# ---------------------------------------------------------------------------
+# q305 — RECRAWL SCHEDULING (warc.recrawl_schedule): the freshness
+# half of crawl politeness.  warc_records now surfaces ETag /
+# Last-Modified / Cache-Control; the operator turns them into a
+# conditional-refetch plan per RFC 9111 — no-cache → min ttl;
+# max-age honored (clamped: class 4 plants max-age=99999999 → 30 d
+# cap); Last-Modified-only → the §4.2.2 10% heuristic (capture−LM =
+# 50 000 s → ttl 5 000); nothing → default 1 d — with
+# revalidate_with picking If-None-Match over If-Modified-Since.
+# Closed-form: all five classes stated by the oracle, timestamps
+# parsed on both engines (epoch arithmetic, no hardcoded constants).
+# ---------------------------------------------------------------------------
+
+
+def _synth_cache_warc(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    def _make(batches):
+        import pandas as pd
+
+        lm = "Mon, 01 Jan 2024 13:10:45 GMT"
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                m = did % 5
+                if m == 0:
+                    hdrs = {
+                        "ETag": f'"e{did}"',
+                        "Cache-Control": "max-age=7200",
+                    }
+                elif m == 1:
+                    hdrs = {
+                        "Cache-Control": "no-cache",
+                        "Last-Modified": lm,
+                    }
+                elif m == 2:
+                    hdrs = {"Last-Modified": lm}
+                elif m == 3:
+                    hdrs = {}
+                else:
+                    hdrs = {
+                        "ETag": f'W/"w{did}"',
+                        "Cache-Control": "public, max-age=99999999",
+                    }
+                out.append(
+                    warcmod.encode_warc_fixture(
+                        [
+                            {
+                                "type": "response",
+                                "uri": f"http://rc.example/{did}",
+                                "status": 200,
+                                "date": "2024-01-02T03:04:05Z",
+                                "payload": f"body {did}".encode(),
+                                "http_headers": hdrs,
+                            }
+                        ],
+                        gzip_records=(did % 2 == 1),
+                        warcinfo=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q305_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    rec = warcmod.warc_records(_synth_cache_warc(docs))
+    return warcmod.recrawl_schedule(rec)
+
+
+Q305_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 5 AS m,
+         epoch(TIMESTAMP '2024-01-02 03:04:05') AS cap,
+         'Mon, 01 Jan 2024 13:10:45 GMT' AS lm
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+       'http://rc.example/' || doc_id AS target_uri,
+       CASE m WHEN 0 THEN '"e' || doc_id || '"'
+              WHEN 4 THEN 'W/"w' || doc_id || '"' END AS etag,
+       CASE WHEN m IN (1, 2) THEN lm END AS last_modified,
+       CASE m WHEN 0 THEN 'max-age=7200'
+              WHEN 1 THEN 'no-cache'
+              WHEN 4 THEN 'public, max-age=99999999' END
+         AS cache_control,
+       CAST(CASE m WHEN 0 THEN 7200 WHEN 1 THEN 300
+              WHEN 2 THEN (cap - epoch(strptime(lm,
+                             '%a, %d %b %Y %H:%M:%S GMT'))) // 10
+              WHEN 3 THEN 86400 ELSE 2592000 END AS BIGINT) AS ttl_s,
+       CAST(cap + CASE m WHEN 0 THEN 7200 WHEN 1 THEN 300
+              WHEN 2 THEN (cap - epoch(strptime(lm,
+                             '%a, %d %b %Y %H:%M:%S GMT'))) // 10
+              WHEN 3 THEN 86400 ELSE 2592000 END AS BIGINT)
+         AS next_fetch_unix,
+       CASE WHEN m IN (0, 4) THEN 'etag'
+            WHEN m IN (1, 2) THEN 'last-modified'
+            ELSE 'unconditional' END AS revalidate_with
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# q306 — per-URL CHANGE RATE from the capture index
+# (cdx.cdx_change_rate): the adaptive-recrawl signal that complements
+# q305's header-driven plan — digest transitions between consecutive
+# captures measure how often a page actually changes.  Each URL plants
+# FOUR captures at 10-day spacing (entering out of order), with a
+# 3-class digest history: never changes / changes twice (A,A,B,C) /
+# changes every capture.  One key-partitioned lag window + one
+# hash-agg; est_change_interval = span/max(changes,1) stated
+# closed-form (2 592 000 / 1 296 000 / 864 000 s).
+# ---------------------------------------------------------------------------
+
+
+def q306_cdx_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _make(batches):
+        import pandas as pd
+
+        ts = [
+            "20240101000000", "20240111000000",
+            "20240121000000", "20240131000000",
+        ]
+        for batch in batches:
+            rows = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                m = did % 3
+                if m == 0:
+                    digs = [f"sha1:S{did}"] * 4
+                elif m == 1:
+                    digs = [
+                        f"sha1:A{did}", f"sha1:A{did}",
+                        f"sha1:B{did}", f"sha1:C{did}",
+                    ]
+                else:
+                    digs = [f"sha1:K{did}T{k}" for k in range(4)]
+                url = f"http://cr{did % 29}.example/pg{did}"
+                lines = [
+                    cdxmod.format_cdxj_line(
+                        url, ts[k], digest=digs[k],
+                        length=10, offset=0, filename=f"a{did}",
+                    )
+                    for k in (3, 0, 2, 1)  # out of order on purpose
+                ]
+                rows.append((did, lines))
+            yield pd.DataFrame(rows, columns=["doc_id", "lines"])
+
+    synth = docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, lines array<string>"
+    )
+    idx = cdxmod.cdx_records(
+        synth.select(F.explode("lines").alias("line")), "line"
+    )
+    return cdxmod.cdx_change_rate(idx)
+
+
+Q306_SQL = """
+SELECT 'example,cr' || (doc_id % 29) || ')/pg' || doc_id AS surt_key,
+       'http://cr' || (doc_id % 29) || '.example/pg' || doc_id AS url,
+       CAST(4 AS BIGINT) AS n_captures,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END
+            AS BIGINT) AS n_changes,
+       CAST(2592000 AS BIGINT) AS span_s,
+       CAST(864000 AS BIGINT) AS mean_interval_s,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 2592000
+            WHEN 1 THEN 1296000 ELSE 864000 END AS BIGINT)
+         AS est_change_interval_s
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q307 — ADAPTIVE RECRAWL (warc.adaptive_recrawl): the scheduler loop
+# closed — q305's header-driven ttl refined by q306's measured change
+# interval.  Explicit freshness (max-age / no-cache) stays an
+# authoritative ceiling (measurement only tightens); heuristic/default
+# rungs are replaced by the measurement in both directions.  The
+# capture history is planted CODEGEN-side (posexplode over four
+# 10-day-spaced captures, q306's 3-class digest rotation) so the whole
+# history half is zero-Python; the 5×3 class product is stated
+# closed-form by the oracle.
+# ---------------------------------------------------------------------------
+
+
+def q307_adaptive_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+    from occupation_wage_etl_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents")
+    sched = warcmod.recrawl_schedule(
+        warcmod.warc_records(_synth_cache_warc(docs))
+    )
+    ts = F.array(
+        F.lit("20240101000000"),
+        F.lit("20240111000000"),
+        F.lit("20240121000000"),
+        F.lit("20240131000000"),
+    )
+    did = F.col("doc_id").cast("string")
+    caps = docs.select("doc_id").select(
+        "doc_id", F.posexplode(ts).alias("k", "cdx_timestamp")
+    )
+    m = F.col("doc_id") % 3
+    digest = (
+        F.when(m == 0, F.concat(F.lit("sha1:S"), did))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("sha1:"),
+                F.element_at(
+                    F.array(
+                        F.lit("A"), F.lit("A"), F.lit("B"), F.lit("C")
+                    ),
+                    F.col("k") + 1,
+                ),
+                did,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("sha1:K"), did, F.lit("T"),
+                F.col("k").cast("string"),
+            )
+        )
+    )
+    idx = caps.select(
+        F.concat(F.lit("example,rc)/"), did).alias("surt_key"),
+        F.concat(F.lit("http://rc.example/"), did).alias("url"),
+        "cdx_timestamp",
+        digest.alias("digest"),
+    )
+    return warcmod.adaptive_recrawl(sched, cdxmod.cdx_change_rate(idx))
+
+
+Q307_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 5 AS m, doc_id % 3 AS c,
+         epoch(TIMESTAMP '2024-01-02 03:04:05') AS cap,
+         (epoch(TIMESTAMP '2024-01-02 03:04:05')
+          - epoch(strptime('Mon, 01 Jan 2024 13:10:45 GMT',
+                           '%a, %d %b %Y %H:%M:%S GMT'))) // 10 AS hx
+  FROM documents
+), plan AS (
+  SELECT doc_id, m, cap,
+         CASE m WHEN 0 THEN 7200 WHEN 1 THEN 300 WHEN 2 THEN hx
+                WHEN 3 THEN 86400 ELSE 2592000 END AS h,
+         CASE c WHEN 0 THEN 2592000 WHEN 1 THEN 1296000
+                ELSE 864000 END AS e,
+         m IN (0, 1, 4) AS explicit
+  FROM base
+), eff AS (
+  SELECT *, CASE WHEN explicit THEN GREATEST(300, LEAST(h, e))
+                 ELSE GREATEST(300, LEAST(2592000, e)) END AS t
+  FROM plan
+)
+SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+       'http://rc.example/' || doc_id AS target_uri,
+       CAST(h AS BIGINT) AS header_ttl_s,
+       CAST(e AS BIGINT) AS measured_interval_s,
+       CAST(t AS BIGINT) AS ttl_s,
+       CAST(cap + t AS BIGINT) AS next_fetch_unix,
+       CASE WHEN t = h THEN 'headers' ELSE 'measured' END
+         AS schedule_source,
+       CASE WHEN m IN (0, 4) THEN 'etag'
+            WHEN m IN (1, 2) THEN 'last-modified'
+            ELSE 'unconditional' END AS revalidate_with
+FROM eff
+"""
+
+
+# ---------------------------------------------------------------------------
+# q308 — WAT METADATA SIDECAR (sources/wat.py): the third leg of the
+# WARC/WAT/WET triad — metadata records whose JSON envelope carries
+# the page catalog (status, title, metas, outlinks) without the page
+# bytes.  The walk reuses the ISO 28500 record parser (half the docs
+# member-gzipped); the envelope parses JVM-side with from_json;
+# wat_outlinks posexplodes the link array into the graph tier's edge
+# view.  Absent Title (%5) / description (%7) gate NULL handling;
+# status rotates 200/404.  Catalog ⋈ edge-aggregate, one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _synth_wat(docs: DataFrame) -> DataFrame:
+    from occupation_wage_etl_spark.sources import wat as watmod
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                n = did % 4 + 1
+                links = [
+                    {
+                        "path": "A@/href",
+                        "url": f"http://l{k}.example/p{did}",
+                        "text": f"a{k}-{did}",
+                    }
+                    for k in range(n)
+                ]
+                metas = [
+                    {
+                        "name": "viewport",
+                        "content": "width=device-width",
+                    }
+                ]
+                if did % 7 != 0:
+                    metas.append(
+                        {"name": "description", "content": f"D{did}"}
+                    )
+                entry = {
+                    "uri": f"http://wat.example/{did}",
+                    "status": 200 if did % 2 == 0 else 404,
+                    "metas": metas,
+                    "links": links,
+                }
+                if did % 5 != 0:
+                    entry["title"] = f"T{did}"
+                out.append(
+                    watmod.encode_wat_fixture(
+                        [entry], gzip_records=(did % 2 == 1)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "content": out}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, content binary"
+    )
+
+
+def q308_wat_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import wat as watmod
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = watmod.wat_metadata(watmod.wat_payloads(_synth_wat(docs)))
+    edges = watmod.wat_outlinks(meta)
+    agg = edges.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("url").alias("first_link"),
+        F.max("url").alias("last_link"),
+    )
+    return meta.drop("links").join(agg, "doc_id").select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        "title",
+        "meta_description",
+        "n_links",
+        "n_edges",
+        "first_link",
+        "last_link",
+    )
+
+
+Q308_SQL = """
+SELECT doc_id,
+       'http://wat.example/' || doc_id AS target_uri,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS INT)
+         AS http_status,
+       CASE WHEN doc_id % 5 <> 0 THEN 'T' || doc_id END AS title,
+       CASE WHEN doc_id % 7 <> 0 THEN 'D' || doc_id END
+         AS meta_description,
+       CAST(doc_id % 4 + 1 AS INT) AS n_links,
+       CAST(doc_id % 4 + 1 AS BIGINT) AS n_edges,
+       'http://l0.example/p' || doc_id AS first_link,
+       'http://l' || (doc_id % 4) || '.example/p' || doc_id
+         AS last_link
+FROM documents
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -17059,6 +17446,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q302_feed_entries": q302_feed_entries,
     "q303_pdf_encrypted": q303_pdf_encrypted,
     "q304_discovery_funnel": q304_discovery_funnel,
+    "q305_recrawl_schedule": q305_recrawl_schedule,
+    "q306_cdx_change_rate": q306_cdx_change_rate,
+    "q307_adaptive_recrawl": q307_adaptive_recrawl,
+    "q308_wat_catalog": q308_wat_catalog,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -17366,4 +17757,8 @@ ORACLE_SQL: dict[str, str] = {
     "q302_feed_entries": Q302_SQL,
     "q303_pdf_encrypted": Q303_SQL,
     "q304_discovery_funnel": Q304_SQL,
+    "q305_recrawl_schedule": Q305_SQL,
+    "q306_cdx_change_rate": Q306_SQL,
+    "q307_adaptive_recrawl": Q307_SQL,
+    "q308_wat_catalog": Q308_SQL,
 }

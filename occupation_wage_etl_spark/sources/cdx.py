@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -322,6 +322,53 @@ def cdx_build(
 
     return archives.select(filename_col, bin_col).mapInPandas(
         _build, schema=schema
+    )
+
+
+def cdx_change_rate(cdx: DataFrame) -> DataFrame:
+    """Per-URL change history from the capture index — the adaptive-
+    recrawl signal (how often a page ACTUALLY changes, measured by
+    digest transitions between consecutive captures): (surt_key, url,
+    n_captures, n_changes, span_s, mean_interval_s,
+    est_change_interval_s) where ``est_change_interval_s`` =
+    span / max(changes, 1) — the naive inter-change estimate a
+    scheduler clamps into its ttl policy (pairs with
+    ``warc.recrawl_schedule``'s header-driven plan).
+
+    Shape: one key-partitioned window (lag over each URL's captures —
+    bounded by captures-per-URL, never global) + one hash-agg on
+    surt_key.  Timestamps are the index's 14-digit form."""
+    ts = F.try_to_timestamp(
+        F.col("cdx_timestamp"), F.lit("yyyyMMddHHmmss")
+    ).cast("long")
+    w = Window.partitionBy("surt_key").orderBy("cdx_timestamp")
+    seq = cdx.select(
+        "surt_key", "url", "cdx_timestamp", "digest", ts.alias("__ts")
+    ).withColumn("__prev_digest", F.lag("digest").over(w))
+    changed = F.when(
+        F.col("__prev_digest").isNotNull()
+        & (F.col("digest") != F.col("__prev_digest")),
+        1,
+    ).otherwise(0)
+    agg = seq.groupBy("surt_key").agg(
+        F.min("url").alias("url"),
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum(changed).alias("n_changes"),
+        (F.max("__ts") - F.min("__ts")).alias("span_s"),
+    )
+    intervals = F.greatest(F.col("n_captures") - 1, F.lit(1))
+    return agg.select(
+        "surt_key",
+        "url",
+        "n_captures",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        "span_s",
+        (F.col("span_s") / intervals).cast("long").alias(
+            "mean_interval_s"
+        ),
+        (
+            F.col("span_s") / F.greatest(F.col("n_changes"), F.lit(1))
+        ).cast("long").alias("est_change_interval_s"),
     )
 
 

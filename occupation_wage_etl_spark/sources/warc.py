@@ -193,14 +193,17 @@ def _decode_content(payload: bytes, encoding: str | None) -> bytes:
 
 def _parse_http_block(
     block: bytes,
-) -> tuple[int | None, str | None, bytes, str | None]:
-    """(status, content-type, payload, location) out of an HTTP message
+) -> tuple[int | None, str | None, bytes, str | None, dict[str, str]]:
+    """(status, content-type, payload, location, cache_headers) out of
+    an HTTP message
     block; chunked transfer-encoding is decoded first (the wire framing
     is outermost), then Content-Encoding (gzip/deflate) — so the
     payload that reaches the bytes→text tiers is the representation the
     server produced, not compressed garbage.  ``location`` is the raw
     Location header (redirect target, RFC 9110 §10.2.2 — routinely a
-    RELATIVE reference; resolve downstream)."""
+    RELATIVE reference; resolve downstream); ``cache_headers`` carries
+    the raw revalidation/freshness fields (etag, last-modified,
+    cache-control, expires) for the recrawl-scheduling tier."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         sep = block.find(b"\n\n")
@@ -228,7 +231,12 @@ def _parse_http_block(
     if "chunked" in hdrs.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
     payload = _decode_content(payload, hdrs.get("content-encoding"))
-    return status, ctype, payload, location
+    cache = {
+        k: hdrs[k]
+        for k in ("etag", "last-modified", "cache-control", "expires")
+        if k in hdrs
+    }
+    return status, ctype, payload, location, cache
 
 
 def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
@@ -309,11 +317,14 @@ def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
         }
         ctype = (rec["content_type"] or "").lower()
         if ctype.startswith("application/http"):
-            status, hct, payload, loc = _parse_http_block(block)
+            status, hct, payload, loc, cache = _parse_http_block(block)
             rec["http_status"] = status
             rec["http_content_type"] = hct
             rec["http_location"] = loc
             rec["payload"] = payload
+            rec["http_etag"] = cache.get("etag")
+            rec["http_last_modified"] = cache.get("last-modified")
+            rec["http_cache_control"] = cache.get("cache-control")
         records.append(rec)
     return records
 
@@ -369,13 +380,15 @@ def warc_records(
         "content_length long, payload_digest string, "
         "refers_to string, http_status int, "
         "http_content_type string, http_location string, "
-        "payload_len long"
+        "http_etag string, http_last_modified string, "
+        "http_cache_control string, payload_len long"
     )
     cols = [
         id_col, "rec_idx", "warc_type", "target_uri", "warc_date",
         "content_type", "content_length", "payload_digest",
         "refers_to", "http_status", "http_content_type",
-        "http_location", "payload_len",
+        "http_location", "http_etag", "http_last_modified",
+        "http_cache_control", "payload_len",
     ]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -393,7 +406,11 @@ def warc_records(
                             rec["content_type"], rec["content_length"],
                             rec["payload_digest"], rec["refers_to"],
                             rec["http_status"], rec["http_content_type"],
-                            rec["http_location"], len(rec["payload"]),
+                            rec["http_location"],
+                            rec.get("http_etag"),
+                            rec.get("http_last_modified"),
+                            rec.get("http_cache_control"),
+                            len(rec["payload"]),
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -585,6 +602,10 @@ def _encode_record_bytes(
             else:
                 body = payload
                 framing = b"Content-Length: %d\r\n" % len(payload)
+            extra_http = b"".join(
+                f"{k}: {v}\r\n".encode("latin-1")
+                for k, v in (spec.get("http_headers") or {}).items()
+            )
             http = (
                 (
                     f"HTTP/1.1 {spec.get('status', 200)} OK\r\n"
@@ -596,6 +617,7 @@ def _encode_record_bytes(
                     if spec.get("location")
                     else b""
                 )
+                + extra_http
                 + enc_hdr
                 + framing
                 + b"\r\n"
@@ -794,6 +816,158 @@ def warc_digest_check(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_extract, schema=schema)
+
+
+def recrawl_schedule(
+    records: DataFrame,
+    id_col: str = "doc_id",
+    default_ttl_s: int = 86400,
+    min_ttl_s: int = 300,
+    max_ttl_s: int = 30 * 86400,
+) -> DataFrame:
+    """Conditional-refetch plan per response record — the
+    crawl-scheduling half of politeness (RFC 9111 freshness):
+
+    - ``Cache-Control: no-store``/``no-cache`` → refetch at
+      ``min_ttl_s`` (but revalidation headers still apply);
+    - ``max-age=N`` → ttl = N clamped to [min, max];
+    - neither, but ``Last-Modified`` present → the RFC 9111 §4.2.2
+      heuristic: 10% of (capture time − Last-Modified), clamped;
+    - nothing → ``default_ttl_s``.
+
+    ``revalidate_with`` says how the refetch can be made conditional:
+    ``etag`` (If-None-Match — preferred), ``last-modified``
+    (If-Modified-Since), or ``unconditional``.  Output: (id, rec_idx,
+    target_uri, etag, last_modified, cache_control, ttl_s,
+    next_fetch_unix, revalidate_with).  Pure codegen projection over
+    the :func:`warc_records` catalog — zero shuffles, zero Python; at
+    100 TB this is a scan-side map feeding the q296 budget aggregate.
+    Timestamp parses use try_to_timestamp (a malformed header degrades
+    to the default rung, never failing a task)."""
+    from pyspark.sql import functions as F
+
+    cap_ts = F.try_to_timestamp(F.col("warc_date"))
+    # RFC 1123 date: Spark 3+'s parser rejects EEE on the PARSE side,
+    # so the (redundant) weekday token is stripped first
+    lm_ts = F.try_to_timestamp(
+        F.regexp_replace(
+            F.col("http_last_modified"), r"^[A-Za-z]{3},\s*", ""
+        ),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
+    )
+    cc = F.lower(F.coalesce(F.col("http_cache_control"), F.lit("")))
+    max_age = F.regexp_extract(cc, r"max-age\s*=\s*(\d+)", 1).try_cast(
+        "long"
+    )
+    heuristic = (
+        (cap_ts.cast("long") - lm_ts.cast("long")) / F.lit(10)
+    ).cast("long")
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.lit(min_ttl_s), F.least(F.lit(max_ttl_s), c)
+    )
+    ttl = (
+        F.when(
+            cc.rlike("no-store|no-cache"), F.lit(min_ttl_s).cast("long")
+        )
+        .when(max_age.isNotNull(), clamp(max_age))
+        .when(lm_ts.isNotNull(), clamp(heuristic))
+        .otherwise(F.lit(default_ttl_s).cast("long"))
+    )
+    reval = (
+        F.when(F.col("http_etag").isNotNull(), F.lit("etag"))
+        .when(
+            F.col("http_last_modified").isNotNull(),
+            F.lit("last-modified"),
+        )
+        .otherwise(F.lit("unconditional"))
+    )
+    return records.filter(F.col("warc_type") == "response").select(
+        F.col(id_col),
+        "rec_idx",
+        "target_uri",
+        F.col("http_etag").alias("etag"),
+        F.col("http_last_modified").alias("last_modified"),
+        F.col("http_cache_control").alias("cache_control"),
+        ttl.alias("ttl_s"),
+        (cap_ts.cast("long") + ttl).alias("next_fetch_unix"),
+        reval.alias("revalidate_with"),
+    )
+
+
+def adaptive_recrawl(
+    schedule: DataFrame,
+    change_rate: DataFrame,
+    min_ttl_s: int = 300,
+    max_ttl_s: int = 30 * 86400,
+) -> DataFrame:
+    """Adaptive recrawl plan: :func:`recrawl_schedule`'s header-driven
+    ttl refined by :func:`sources.cdx.cdx_change_rate`'s MEASURED
+    per-URL change interval — the scheduler loop every adaptive
+    crawler closes (Heritrix adaptive-revisit, Common Crawl's
+    recrawl-selection).
+
+    Policy (RFC 9111-consistent):
+
+    - no capture history (or a single capture) → the header plan
+      stands (``schedule_source = 'headers'``);
+    - EXPLICIT freshness (``max-age`` / ``no-cache`` / ``no-store``)
+      is an authoritative ceiling: measurement may only TIGHTEN —
+      ``ttl = clamp(least(header_ttl, measured))``;
+    - header ttl was a GUESS (the §4.2.2 heuristic or the default
+      rung): measurement replaces it in BOTH directions —
+      ``ttl = clamp(measured)`` (a stable page earns a longer
+      interval; that's the crawl-economics win at 100 TB).
+
+    Join shape: schedule is per-record scan-side; change_rate is one
+    row per URL (already aggregated) — an equi-join on the URL key,
+    both sides shuffle-partitioned by url (no broadcast assumption:
+    at 100 TB the history side is |URLs|-sized).  Everything after
+    the join is codegen."""
+    from pyspark.sql import functions as F
+
+    hist = change_rate.select(
+        F.col("url").alias("__url"),
+        F.col("n_captures").alias("hist_captures"),
+        F.col("n_changes").alias("hist_changes"),
+        "est_change_interval_s",
+    )
+    joined = schedule.join(
+        hist, schedule["target_uri"] == hist["__url"], "left"
+    )
+    measured = F.when(
+        F.col("hist_captures") >= 2, F.col("est_change_interval_s")
+    )
+    explicit = F.lower(F.coalesce(F.col("cache_control"), F.lit(""))).rlike(
+        r"no-store|no-cache|max-age\s*=\s*\d"
+    )
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.lit(min_ttl_s).cast("long"),
+        F.least(F.lit(max_ttl_s).cast("long"), c),
+    )
+    effective = (
+        F.when(measured.isNull(), F.col("ttl_s"))
+        .when(explicit, clamp(F.least(F.col("ttl_s"), measured)))
+        .otherwise(clamp(measured))
+    )
+    capture_unix = F.col("next_fetch_unix") - F.col("ttl_s")
+    id_cols = [c for c in schedule.columns if c not in (
+        "etag", "last_modified", "cache_control", "ttl_s",
+        "next_fetch_unix", "revalidate_with",
+    )]
+    return joined.select(
+        *id_cols,
+        F.col("ttl_s").alias("header_ttl_s"),
+        measured.alias("measured_interval_s"),
+        effective.alias("ttl_s"),
+        (capture_unix + effective).alias("next_fetch_unix"),
+        F.when(
+            measured.isNull() | (effective == F.col("ttl_s")),
+            F.lit("headers"),
+        )
+        .otherwise(F.lit("measured"))
+        .alias("schedule_source"),
+        "revalidate_with",
+    )
 
 
 def revisit_resolve(records: DataFrame, id_col: str = "doc_id") -> DataFrame:

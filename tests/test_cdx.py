@@ -196,3 +196,28 @@ def test_write_cdx_sorted_pushdown(spark, tmp_path):
     assert "StartsWith(surt_key" in plan, plan[:500]
     # full round trip: every row survives the layout
     assert back.count() == 32
+
+
+def test_cdx_change_rate(spark):
+    lines = []
+    ts = ["20240101000000", "20240111000000", "20240121000000"]
+    # u0: never changes; u1: changes once (at capture 3)
+    for k in (2, 0, 1):  # out of order
+        lines.append(C.format_cdxj_line(
+            "http://u0.example/a", ts[k], digest="sha1:same",
+            length=1, offset=0, filename="f"))
+        lines.append(C.format_cdxj_line(
+            "http://u1.example/b", ts[k],
+            digest="sha1:x" if k < 2 else "sha1:y",
+            length=1, offset=0, filename="f"))
+    idx = C.cdx_records(
+        spark.createDataFrame([(l,) for l in lines], "line string")
+    )
+    got = {r.surt_key: r for r in C.cdx_change_rate(idx).collect()}
+    a, b = got["example,u0)/a"], got["example,u1)/b"]
+    day = 86400
+    assert (a.n_captures, a.n_changes) == (3, 0)
+    assert a.span_s == 20 * day and a.mean_interval_s == 10 * day
+    assert a.est_change_interval_s == 20 * day  # no observed change
+    assert (b.n_captures, b.n_changes) == (3, 1)
+    assert b.est_change_interval_s == 20 * day // 1

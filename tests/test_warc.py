@@ -435,3 +435,60 @@ def test_revisit_resolve(spark):
     assert (r.doc_id, r.target_uri, r.orig_id, r.orig_uri) == (
         2, "http://r/2", 1, "http://o/1"
     )
+
+
+def test_recrawl_schedule(spark):
+    """RFC 9111 freshness plan: max-age honored + clamped, no-cache
+    floors, Last-Modified heuristic = age/10, revalidation preference
+    etag > last-modified > unconditional."""
+    from occupation_wage_etl_spark.sources import warc as W
+
+    lm = "Mon, 01 Jan 2024 13:10:45 GMT"
+    specs = [
+        (0, {"ETag": '"e0"', "Cache-Control": "max-age=7200"}),
+        (1, {"Cache-Control": "no-store", "Last-Modified": lm}),
+        (2, {"Last-Modified": lm}),
+        (3, {}),
+        (4, {"Cache-Control": "max-age=99999999", "ETag": '"x"'}),
+        (5, {"Cache-Control": "max-age=10"}),          # below floor
+        (6, {"Last-Modified": "garbage date"}),        # parse degrades
+    ]
+    rows = [
+        (
+            i,
+            W.encode_warc_fixture(
+                [{
+                    "type": "response",
+                    "uri": f"http://x/{i}",
+                    "status": 200,
+                    "date": "2024-01-02T03:04:05Z",
+                    "payload": b"b",
+                    "http_headers": h,
+                }],
+                warcinfo=False,
+            ),
+        )
+        for i, h in specs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    rec = W.warc_records(df)
+    # the catalog surfaces the cache headers
+    r0 = rec.filter("doc_id = 0").collect()[0]
+    assert r0.http_etag == '"e0"'
+    assert r0.http_cache_control == "max-age=7200"
+    got = {
+        r.doc_id: r for r in W.recrawl_schedule(rec).collect()
+    }
+    cap = got[0].next_fetch_unix - got[0].ttl_s
+    assert got[0].ttl_s == 7200 and got[0].revalidate_with == "etag"
+    assert got[1].ttl_s == 300                      # no-store floor
+    assert got[1].revalidate_with == "last-modified"
+    assert got[2].ttl_s == 5000                     # (cap - lm) / 10
+    assert got[3].ttl_s == 86400
+    assert got[3].revalidate_with == "unconditional"
+    assert got[4].ttl_s == 30 * 86400               # clamped
+    assert got[5].ttl_s == 300                      # floored
+    assert got[6].ttl_s == 86400                    # bad date -> default
+    # all captures share one date -> one epoch base
+    for r in got.values():
+        assert r.next_fetch_unix == cap + r.ttl_s
