@@ -352,6 +352,9 @@ BENCH_QUERIES = [
     "q306_cdx_change_rate",
     "q307_adaptive_recrawl",
     "q308_wat_catalog",
+    "q309_nb_quality_classifier",
+    "q310_politeness_gate",
+    "q311_nb_train_apply",
 ]
 
 

@@ -17141,6 +17141,292 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q309 — IN-ENGINE NAIVE BAYES (operators/classify.py): the
+# quality/spam-classifier training step of a curation pipeline as pure
+# DataFrame aggregates — training is ONE counting shuffle
+# (class×token), scoring is a token-keyed join + decimal-exact
+# log-sum, argmax by struct-max.  3-class planted corpus (distinct
+# content words + shared 'common'/'filler'); resubstitution must
+# recover every label with wide margins.  The oracle replays the FULL
+# train→score pipeline in SQL (12dp-rounded logs into DECIMAL sums —
+# order-independent, so both engines agree bit-exactly at 6dp).
+# ---------------------------------------------------------------------------
+
+
+def q309_nb_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from occupation_wage_etl_spark.operators import classify
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    c = (F.col("doc_id") % 3).cast("int")
+    base = F.element_at(
+        F.array(
+            F.lit("alpha alpha beta"),
+            F.lit("gamma gamma delta"),
+            F.lit("epsilon epsilon zeta"),
+        ),
+        c + 1,
+    )
+    text = F.concat(
+        base,
+        F.lit(" common"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" filler")).otherwise(
+            F.lit("")
+        ),
+    )
+    labeled = docs.select(
+        "doc_id",
+        text.alias("text"),
+        F.concat(F.lit("c"), c.cast("string")).alias("label"),
+    )
+    return classify.naive_bayes_self_score(labeled)
+
+
+Q309_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'alpha alpha beta'
+              WHEN 1 THEN 'gamma gamma delta'
+              ELSE 'epsilon epsilon zeta' END
+         || ' common'
+         || CASE WHEN doc_id % 2 = 0 THEN ' filler' ELSE '' END
+           AS text,
+         'c' || (doc_id % 3) AS label
+  FROM documents
+), toks AS (
+  SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM d
+), dt AS (
+  SELECT doc_id, label, tok, COUNT(*) AS n
+  FROM toks WHERE tok <> '' GROUP BY doc_id, label, tok
+), ct AS (
+  SELECT label AS cls, tok, SUM(n) AS cnt FROM dt GROUP BY label, tok
+), ctot AS (SELECT cls, SUM(cnt) AS t FROM ct GROUP BY cls),
+vocab AS (SELECT DISTINCT tok FROM ct),
+vs AS (SELECT COUNT(*) AS v FROM vocab),
+cls AS (SELECT label AS cls2, COUNT(*) AS n_docs FROM d GROUP BY label),
+na AS (SELECT COUNT(*) AS n_all FROM d),
+dense AS (
+  SELECT vocab.tok, cls.cls2 AS cls,
+         CAST(ROUND(LN(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE)
+                       / CAST(ctot.t + vs.v AS DOUBLE)), 12)
+              AS DECIMAL(20,12)) AS loglik
+  FROM vocab CROSS JOIN cls
+  LEFT JOIN ct ON ct.tok = vocab.tok AND ct.cls = cls.cls2
+  JOIN ctot ON ctot.cls = cls.cls2
+  CROSS JOIN vs
+), priors AS (
+  SELECT cls2 AS cls,
+         CAST(ROUND(LN(CAST(n_docs AS DOUBLE)
+                       / CAST(n_all AS DOUBLE)), 12)
+              AS DECIMAL(20,12)) AS logprior
+  FROM cls CROSS JOIN na
+), sc AS (
+  SELECT dt.doc_id, dt.label, dense.cls,
+         ROUND(CAST(SUM(CAST(dt.n AS DECIMAL(8,0)) * dense.loglik)
+                    + ANY_VALUE(priors.logprior) AS DOUBLE), 6)
+           AS score
+  FROM dt
+  JOIN dense ON dense.tok = dt.tok
+  JOIN priors ON priors.cls = dense.cls
+  GROUP BY dt.doc_id, dt.label, dense.cls
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+  FROM sc
+)
+SELECT doc_id, label AS true_label, cls AS pred_label, score
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q310 — FRONTIER POLITENESS GATE (streaming/frontier.py, batch twin):
+# per-domain earliest-polite-slot assignment, the prefix fold
+# sched_i = max(ts_i, sched_{i-1} + delay) — a codegen collect_list
+# fold (NOT a window: each row depends on the previous OUTPUT).  Four
+# requests per domain arrive every ceil(d/2) seconds with d =
+# doc_id%5+2, so every request queues behind its predecessor and the
+# closed form is sched_k = 1000 + k·d exactly; the last 20% of
+# domains are absent from the delays table and take the default.  The
+# streaming twin (applyInPandasWithState, one long of state) is
+# equivalence-tested in tests/test_frontier.py.
+# ---------------------------------------------------------------------------
+
+
+def q310_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.streaming import frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.when(
+        F.col("doc_id") % 5 == 4, F.lit(1)
+    ).otherwise(F.col("doc_id") % 5 + 2)
+    # delays table covers only doc_id%5 in 0..3; %5==4 falls back to
+    # the default_delay_s=1 rung (closed form still k·1)
+    delays = (
+        docs.filter(F.col("doc_id") % 5 != 4)
+        .select(
+            F.concat(F.lit("dom"), F.col("doc_id").cast("string"))
+            .alias("domain"),
+            (F.col("doc_id") % 5 + 2).cast("long").alias("delay_s"),
+        )
+    )
+    reqs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).select(
+        F.concat(F.lit("dom"), F.col("doc_id").cast("string"))
+        .alias("domain"),
+        (F.lit(1000) + F.col("k") * ((d + 1) / 2).cast("long"))
+        .cast("long")
+        .alias("ts"),
+        F.col("k").cast("long").alias("seq"),
+        F.concat(
+            F.lit("http://dom"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example/p"),
+            F.col("k").cast("string"),
+        ).alias("url"),
+    )
+    return frontier.politeness_gate_batch(reqs, delays)
+
+
+Q310_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN 1
+              ELSE doc_id % 5 + 2 END AS d,
+         unnest(generate_series(0, 3)) AS k
+  FROM documents
+)
+SELECT 'dom' || doc_id AS domain,
+       CAST(k AS BIGINT) AS seq,
+       'http://dom' || doc_id || '.example/p' || k AS url,
+       CAST(1000 + k * ((d + 1) // 2) AS BIGINT) AS ts,
+       CAST(1000 + k * d AS BIGINT) AS scheduled_ts,
+       CAST(k * (d - (d + 1) // 2) AS BIGINT) AS wait_s
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# q311 — NB TRAIN/APPLY SPLIT (classify.naive_bayes_score): the
+# production shape — fit on the labeled 80% (doc_id%10<8), score the
+# held-out 20% whose text carries an out-of-vocabulary token
+# ('novel', never in training): OOV occurrences take the per-class
+# smoothing default log(alpha/(t_c+alpha·V)) and are COUNTED (n_oov
+# is the model-staleness signal a curation pipeline monitors).  The
+# oracle replays the full fit→apply pipeline in SQL including the
+# OOV coalesce.
+# ---------------------------------------------------------------------------
+
+
+def q311_nb_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.operators import classify
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    c = (F.col("doc_id") % 3).cast("int")
+    base = F.element_at(
+        F.array(
+            F.lit("alpha alpha beta"),
+            F.lit("gamma gamma delta"),
+            F.lit("epsilon epsilon zeta"),
+        ),
+        c + 1,
+    )
+    train = docs.filter(F.col("doc_id") % 10 < 8).select(
+        "doc_id",
+        F.concat(
+            base,
+            F.lit(" common"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" filler")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        F.concat(F.lit("c"), c.cast("string")).alias("label"),
+    )
+    held_out = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.concat(base, F.lit(" common novel")).alias("text")
+    )
+    return classify.naive_bayes_score(train, held_out)
+
+
+Q311_SQL = """
+WITH tr AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'alpha alpha beta'
+              WHEN 1 THEN 'gamma gamma delta'
+              ELSE 'epsilon epsilon zeta' END
+         || ' common'
+         || CASE WHEN doc_id % 2 = 0 THEN ' filler' ELSE '' END
+           AS text,
+         'c' || (doc_id % 3) AS label
+  FROM documents WHERE doc_id % 10 < 8
+), ttoks AS (
+  SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM tr
+), ct AS (
+  SELECT label AS cls, tok, COUNT(*) AS cnt
+  FROM ttoks WHERE tok <> '' GROUP BY label, tok
+), ctot AS (SELECT cls, SUM(cnt) AS t FROM ct GROUP BY cls),
+vocab AS (SELECT DISTINCT tok FROM ct),
+vs AS (SELECT COUNT(*) AS v FROM vocab),
+cls AS (SELECT label AS cls2, COUNT(*) AS n_docs FROM tr GROUP BY label),
+na AS (SELECT COUNT(*) AS n_all FROM tr),
+dense AS (
+  SELECT vocab.tok, cls.cls2 AS cls,
+         CAST(ROUND(LN(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE)
+                       / CAST(ctot.t + vs.v AS DOUBLE)), 12)
+              AS DECIMAL(20,12)) AS loglik
+  FROM vocab CROSS JOIN cls
+  LEFT JOIN ct ON ct.tok = vocab.tok AND ct.cls = cls.cls2
+  JOIN ctot ON ctot.cls = cls.cls2
+  CROSS JOIN vs
+), defs AS (
+  SELECT cls, CAST(ROUND(LN(1.0 / CAST(ctot.t + vs.v AS DOUBLE)), 12)
+              AS DECIMAL(20,12)) AS oov_loglik
+  FROM ctot CROSS JOIN vs
+), priors AS (
+  SELECT cls2 AS cls,
+         CAST(ROUND(LN(CAST(n_docs AS DOUBLE)
+                       / CAST(n_all AS DOUBLE)), 12)
+              AS DECIMAL(20,12)) AS logprior
+  FROM cls CROSS JOIN na
+), sd AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'alpha alpha beta'
+              WHEN 1 THEN 'gamma gamma delta'
+              ELSE 'epsilon epsilon zeta' END
+         || ' common novel' AS text
+  FROM documents WHERE doc_id % 10 >= 8
+), stoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM sd
+), sdt AS (
+  SELECT doc_id, tok, COUNT(*) AS n
+  FROM stoks WHERE tok <> '' GROUP BY doc_id, tok
+), sc AS (
+  SELECT sdt.doc_id, p.cls,
+         ROUND(CAST(
+           SUM(CAST(sdt.n AS DECIMAL(8,0))
+               * COALESCE(dense.loglik, defs.oov_loglik))
+           + ANY_VALUE(p.logprior) AS DOUBLE), 6) AS score,
+         CAST(SUM(CASE WHEN dense.loglik IS NULL THEN sdt.n
+                       ELSE 0 END) AS BIGINT) AS n_oov
+  FROM sdt
+  CROSS JOIN priors p
+  LEFT JOIN dense ON dense.tok = sdt.tok AND dense.cls = p.cls
+  JOIN defs ON defs.cls = p.cls
+  GROUP BY sdt.doc_id, p.cls
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+  FROM sc
+)
+SELECT doc_id, cls AS pred_label, score, n_oov
+FROM ranked WHERE rn = 1
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -17450,6 +17736,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q306_cdx_change_rate": q306_cdx_change_rate,
     "q307_adaptive_recrawl": q307_adaptive_recrawl,
     "q308_wat_catalog": q308_wat_catalog,
+    "q309_nb_quality_classifier": q309_nb_quality_classifier,
+    "q310_politeness_gate": q310_politeness_gate,
+    "q311_nb_train_apply": q311_nb_train_apply,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -17761,4 +18050,7 @@ ORACLE_SQL: dict[str, str] = {
     "q306_cdx_change_rate": Q306_SQL,
     "q307_adaptive_recrawl": Q307_SQL,
     "q308_wat_catalog": Q308_SQL,
+    "q309_nb_quality_classifier": Q309_SQL,
+    "q310_politeness_gate": Q310_SQL,
+    "q311_nb_train_apply": Q311_SQL,
 }
