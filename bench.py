@@ -355,6 +355,7 @@ BENCH_QUERIES = [
     "q309_nb_quality_classifier",
     "q310_politeness_gate",
     "q311_nb_train_apply",
+    "q312_crawl_cycle",
 ]
 
 

@@ -51,6 +51,7 @@ def _nb_model(
     text_col: str,
     label_col: str,
     alpha: int,
+    doc_tok: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(dense, priors, defaults) for a multinomial NB with add-alpha
     smoothing: ``dense`` is the (tok, cls, loglik) grid over the
@@ -58,11 +59,22 @@ def _nb_model(
     (cls, logprior) rows, ``defaults`` the per-class OOV
     log-likelihood log(alpha / (t_c + alpha·V)) — what a token never
     seen in training contributes under each class.  All log values
-    12dp-rounded into DECIMAL (exact, order-independent sums)."""
-    toks = _tokens(docs, id_col, text_col, label_col)
-    cls_tok = toks.groupBy(label_col, "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    12dp-rounded into DECIMAL (exact, order-independent sums).
+
+    Pass ``doc_tok`` (per-(doc, label, token) counts with column
+    ``n``) when the caller already aggregated it: the class×token
+    model then FOLDS from that aggregate (sum of per-doc counts —
+    Spark reuses the doc_tok exchange) instead of re-tokenizing the
+    corpus a second time."""
+    if doc_tok is not None:
+        cls_tok = doc_tok.groupBy(label_col, "tok").agg(
+            F.sum("n").alias("cnt")
+        )
+    else:
+        toks = _tokens(docs, id_col, text_col, label_col)
+        cls_tok = toks.groupBy(label_col, "tok").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     cls_tot = cls_tok.groupBy(label_col).agg(F.sum("cnt").alias("t"))
     vocab = cls_tok.select("tok").distinct()
     v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
@@ -168,10 +180,12 @@ def naive_bayes_self_score(
       shuffle join — no broadcast assumption at 100 TB), one
       (doc, class) hash-agg, struct-argmax per doc.
     """
-    dense, priors, _ = _nb_model(docs, id_col, text_col, label_col, alpha)
     doc_tok = _tokens(docs, id_col, text_col, label_col).groupBy(
         id_col, label_col, "tok"
     ).agg(F.count(F.lit(1)).alias("n"))
+    dense, priors, _ = _nb_model(
+        docs, id_col, text_col, label_col, alpha, doc_tok=doc_tok
+    )
     scores = (
         doc_tok.join(dense, "tok")
         .groupBy(id_col, label_col, "cls")
@@ -206,8 +220,11 @@ def naive_bayes_score(
     (labeled), score ``score`` (unlabeled) — tokens never seen in
     training contribute the per-class OOV likelihood
     log(alpha / (t_c + alpha·V)), the same smoothing mass an unseen
-    count gets, so a scored document NEVER drops rows or fails.
-    Returns (id, pred_label, score, n_oov) — ``n_oov`` counts the
+    count gets, so a scored document NEVER drops rows or fails — a
+    document with NO tokens at all (empty/whitespace/NULL text) gets
+    the prior-only prediction (argmax class prior, score = its
+    6dp-rounded log-prior, n_oov = 0) via a left join against the
+    scored ids.  Returns (id, pred_label, score, n_oov) — ``n_oov`` counts the
     scored document's out-of-vocabulary token occurrences (the
     drift/quality signal a curation pipeline monitors: rising OOV
     means the model is stale for the incoming crawl).
@@ -252,10 +269,33 @@ def naive_bayes_score(
     best = per_cls.groupBy(id_col).agg(
         F.max(F.struct("score", "cls")).alias("__b"),
         F.max("n_oov").alias("n_oov"),
-    )
-    return best.select(
+    ).select(
         id_col,
         F.col("__b.cls").alias("pred_label"),
         F.col("__b.score").alias("score"),
         F.col("n_oov").cast("long").alias("n_oov"),
+    )
+    # prior-only fallback: 1-row broadcast scalar attach (argmax of
+    # the |C|-row priors), so token-less documents keep their row
+    prior_best = priors.agg(
+        F.max(
+            F.struct(
+                F.round(F.col("logprior").cast("double"), 6)
+                .alias("score"),
+                F.col("cls"),
+            )
+        ).alias("__p")
+    )
+    return (
+        score.select(id_col)
+        .join(best, id_col, "left")
+        .crossJoin(F.broadcast(prior_best))
+        .select(
+            id_col,
+            F.coalesce("pred_label", F.col("__p.cls")).alias(
+                "pred_label"
+            ),
+            F.coalesce("score", F.col("__p.score")).alias("score"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        )
     )

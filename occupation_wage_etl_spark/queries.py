@@ -16768,7 +16768,9 @@ FROM h GROUP BY domain
 # ---------------------------------------------------------------------------
 
 
-def _synth_cache_warc(docs: DataFrame) -> DataFrame:
+def _synth_cache_warc(
+    docs: DataFrame, multi_host: bool = False
+) -> DataFrame:
     from occupation_wage_etl_spark.sources import warc as warcmod
 
     def _make(batches):
@@ -16780,6 +16782,10 @@ def _synth_cache_warc(docs: DataFrame) -> DataFrame:
             for did in batch["doc_id"]:
                 did = int(did)
                 m = did % 5
+                host = (
+                    f"h{m}{did % 3}.example" if multi_host
+                    else "rc.example"
+                )
                 if m == 0:
                     hdrs = {
                         "ETag": f'"e{did}"',
@@ -16804,7 +16810,7 @@ def _synth_cache_warc(docs: DataFrame) -> DataFrame:
                         [
                             {
                                 "type": "response",
-                                "uri": f"http://rc.example/{did}",
+                                "uri": f"http://{host}/{did}",
                                 "status": 200,
                                 "date": "2024-01-02T03:04:05Z",
                                 "payload": f"body {did}".encode(),
@@ -17427,6 +17433,138 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q312 — CRAWL-SCHEDULING CYCLE, end to end (the q304 of the
+# scheduling tier): cache-header WARC synth → recrawl_schedule →
+# codegen CDX capture history → cdx_change_rate → adaptive_recrawl →
+# refetch requests → per-domain politeness_gate_batch.  Hosts carry
+# the (m5, m3) class pair (15 domains), so every doc in a domain
+# shares ONE effective ttl → all its refetches land at the same
+# instant → the gate's closed form is sched_k = next_fetch + (k−1)·d
+# with k = rank by doc_id and d = (m5+m3)%4+1.  One plan, five
+# operators, every number stated by the oracle.
+# ---------------------------------------------------------------------------
+
+
+def q312_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from occupation_wage_etl_spark.sources import cdx as cdxmod
+    from occupation_wage_etl_spark.sources import warc as warcmod
+    from occupation_wage_etl_spark.streaming import frontier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sched = warcmod.recrawl_schedule(
+        warcmod.warc_records(_synth_cache_warc(docs, multi_host=True))
+    )
+    did = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"),
+        (F.col("doc_id") % 5).cast("string"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example"),
+    )
+    ts_arr = F.array(
+        F.lit("20240101000000"),
+        F.lit("20240111000000"),
+        F.lit("20240121000000"),
+        F.lit("20240131000000"),
+    )
+    caps = docs.select(
+        "doc_id", F.posexplode(ts_arr).alias("k", "cdx_timestamp")
+    )
+    m = F.col("doc_id") % 3
+    digest = (
+        F.when(m == 0, F.concat(F.lit("sha1:S"), did))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("sha1:"),
+                F.element_at(
+                    F.array(
+                        F.lit("A"), F.lit("A"), F.lit("B"), F.lit("C")
+                    ),
+                    F.col("k") + 1,
+                ),
+                did,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("sha1:K"), did, F.lit("T"),
+                F.col("k").cast("string"),
+            )
+        )
+    )
+    idx = caps.select(
+        F.concat(
+            F.lit("example,h"),
+            (F.col("doc_id") % 5).cast("string"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(")/"),
+            did,
+        ).alias("surt_key"),
+        F.concat(F.lit("http://"), host, F.lit("/"), did).alias("url"),
+        "cdx_timestamp",
+        digest.alias("digest"),
+    )
+    adp = warcmod.adaptive_recrawl(sched, cdxmod.cdx_change_rate(idx))
+    reqs = adp.select(
+        F.regexp_extract("target_uri", r"^https?://([^/]+)", 1).alias(
+            "domain"
+        ),
+        F.col("doc_id").alias("seq"),
+        F.col("next_fetch_unix").alias("ts"),
+        F.col("target_uri").alias("url"),
+    )
+    delays = docs.select(
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % 5).cast("string"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example"),
+        ).alias("domain"),
+        ((F.col("doc_id") % 5 + F.col("doc_id") % 3) % 4 + 1)
+        .cast("long")
+        .alias("delay_s"),
+    ).distinct()
+    return frontier.politeness_gate_batch(reqs, delays)
+
+
+Q312_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 5 AS m, doc_id % 3 AS c,
+         epoch(TIMESTAMP '2024-01-02 03:04:05') AS cap,
+         (epoch(TIMESTAMP '2024-01-02 03:04:05')
+          - epoch(strptime('Mon, 01 Jan 2024 13:10:45 GMT',
+                           '%a, %d %b %Y %H:%M:%S GMT'))) // 10 AS hx
+  FROM documents
+), plan AS (
+  SELECT doc_id, m, c, cap,
+         CASE m WHEN 0 THEN 7200 WHEN 1 THEN 300 WHEN 2 THEN hx
+                WHEN 3 THEN 86400 ELSE 2592000 END AS h,
+         CASE c WHEN 0 THEN 2592000 WHEN 1 THEN 1296000
+                ELSE 864000 END AS e,
+         m IN (0, 1, 4) AS explicit
+  FROM base
+), eff AS (
+  SELECT *, CASE WHEN explicit THEN GREATEST(300, LEAST(h, e))
+                 ELSE GREATEST(300, LEAST(2592000, e)) END AS t
+  FROM plan
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY m, c ORDER BY doc_id) AS k
+  FROM eff
+)
+SELECT 'h' || m || c || '.example' AS domain,
+       doc_id AS seq,
+       'http://h' || m || c || '.example/' || doc_id AS url,
+       CAST(cap + t AS BIGINT) AS ts,
+       CAST(cap + t + (k - 1) * ((m + c) % 4 + 1) AS BIGINT)
+         AS scheduled_ts,
+       CAST((k - 1) * ((m + c) % 4 + 1) AS BIGINT) AS wait_s
+FROM ranked
+"""
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_parts_by_avg_price": q02_top_parts_by_avg_price,
@@ -17739,6 +17877,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q309_nb_quality_classifier": q309_nb_quality_classifier,
     "q310_politeness_gate": q310_politeness_gate,
     "q311_nb_train_apply": q311_nb_train_apply,
+    "q312_crawl_cycle": q312_crawl_cycle,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -18053,4 +18192,5 @@ ORACLE_SQL: dict[str, str] = {
     "q309_nb_quality_classifier": Q309_SQL,
     "q310_politeness_gate": Q310_SQL,
     "q311_nb_train_apply": Q311_SQL,
+    "q312_crawl_cycle": Q312_SQL,
 }

@@ -337,13 +337,22 @@ def cdx_change_rate(cdx: DataFrame) -> DataFrame:
 
     Shape: one key-partitioned window (lag over each URL's captures —
     bounded by captures-per-URL, never global) + one hash-agg on
-    surt_key.  Timestamps are the index's 14-digit form."""
+    surt_key.  Timestamps are the index's 14-digit form; captures
+    whose timestamp does not parse are EXCLUDED entirely (counting
+    them while max/min skip their NULL epoch would skew every
+    interval), and same-second captures order by digest so
+    n_changes is deterministic (and matches the streaming twin's
+    stable sort)."""
     ts = F.try_to_timestamp(
         F.col("cdx_timestamp"), F.lit("yyyyMMddHHmmss")
     ).cast("long")
-    w = Window.partitionBy("surt_key").orderBy("cdx_timestamp")
+    w = Window.partitionBy("surt_key").orderBy(
+        "cdx_timestamp", "digest"
+    )
     seq = cdx.select(
         "surt_key", "url", "cdx_timestamp", "digest", ts.alias("__ts")
+    ).filter(
+        F.col("__ts").isNotNull()
     ).withColumn("__prev_digest", F.lag("digest").over(w))
     changed = F.when(
         F.col("__prev_digest").isNotNull()

@@ -325,6 +325,7 @@ def parse_warc(data: bytes, max_records: int = 4096) -> list[dict]:
             rec["http_etag"] = cache.get("etag")
             rec["http_last_modified"] = cache.get("last-modified")
             rec["http_cache_control"] = cache.get("cache-control")
+            rec["http_expires"] = cache.get("expires")
         records.append(rec)
     return records
 
@@ -381,14 +382,15 @@ def warc_records(
         "refers_to string, http_status int, "
         "http_content_type string, http_location string, "
         "http_etag string, http_last_modified string, "
-        "http_cache_control string, payload_len long"
+        "http_cache_control string, http_expires string, "
+        "payload_len long"
     )
     cols = [
         id_col, "rec_idx", "warc_type", "target_uri", "warc_date",
         "content_type", "content_length", "payload_digest",
         "refers_to", "http_status", "http_content_type",
         "http_location", "http_etag", "http_last_modified",
-        "http_cache_control", "payload_len",
+        "http_cache_control", "http_expires", "payload_len",
     ]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -410,6 +412,7 @@ def warc_records(
                             rec.get("http_etag"),
                             rec.get("http_last_modified"),
                             rec.get("http_cache_control"),
+                            rec.get("http_expires"),
                             len(rec["payload"]),
                         )
                     )
@@ -831,9 +834,17 @@ def recrawl_schedule(
     - ``Cache-Control: no-store``/``no-cache`` → refetch at
       ``min_ttl_s`` (but revalidation headers still apply);
     - ``max-age=N`` → ttl = N clamped to [min, max];
-    - neither, but ``Last-Modified`` present → the RFC 9111 §4.2.2
-      heuristic: 10% of (capture time − Last-Modified), clamped;
-    - nothing → ``default_ttl_s``.
+    - else ``Expires`` (explicit expiration, §4.2.1 — checked BEFORE
+      any heuristic): ttl = Expires − capture time, clamped (already
+      expired → the min floor);
+    - else ``Last-Modified`` → the §4.2.2 heuristic: 10% of
+      (capture time − Last-Modified), clamped;
+    - nothing usable → ``default_ttl_s``.
+
+    The Expires and Last-Modified rungs require a parseable capture
+    time (WARC-Date): with it missing or malformed they fall through
+    to the default rung rather than letting a NULL-skipping
+    greatest/least collapse the clamp to its max bound.
 
     ``revalidate_with`` says how the refetch can be made conditional:
     ``etag`` (If-None-Match — preferred), ``last-modified``
@@ -855,10 +866,17 @@ def recrawl_schedule(
         ),
         F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
     )
+    exp_ts = F.try_to_timestamp(
+        F.regexp_replace(
+            F.col("http_expires"), r"^[A-Za-z]{3},\s*", ""
+        ),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
+    )
     cc = F.lower(F.coalesce(F.col("http_cache_control"), F.lit("")))
     max_age = F.regexp_extract(cc, r"max-age\s*=\s*(\d+)", 1).try_cast(
         "long"
     )
+    explicit_ttl = exp_ts.cast("long") - cap_ts.cast("long")
     heuristic = (
         (cap_ts.cast("long") - lm_ts.cast("long")) / F.lit(10)
     ).cast("long")
@@ -870,7 +888,13 @@ def recrawl_schedule(
             cc.rlike("no-store|no-cache"), F.lit(min_ttl_s).cast("long")
         )
         .when(max_age.isNotNull(), clamp(max_age))
-        .when(lm_ts.isNotNull(), clamp(heuristic))
+        .when(
+            exp_ts.isNotNull() & cap_ts.isNotNull(),
+            clamp(explicit_ttl),
+        )
+        .when(
+            lm_ts.isNotNull() & cap_ts.isNotNull(), clamp(heuristic)
+        )
         .otherwise(F.lit(default_ttl_s).cast("long"))
     )
     reval = (
@@ -918,6 +942,11 @@ def adaptive_recrawl(
       ``ttl = clamp(measured)`` (a stable page earns a longer
       interval; that's the crawl-economics win at 100 TB).
 
+    Explicitness is read from ``cache_control`` (the schedule row's
+    only freshness-source marker): an Expires-derived ttl without
+    Cache-Control currently adapts like a heuristic one — surface a
+    source column in ``recrawl_schedule`` before tightening that.
+
     Join shape: schedule is per-record scan-side; change_rate is one
     row per URL (already aggregated) — an equi-join on the URL key,
     both sides shuffle-partitioned by url (no broadcast assumption:
@@ -928,7 +957,6 @@ def adaptive_recrawl(
     hist = change_rate.select(
         F.col("url").alias("__url"),
         F.col("n_captures").alias("hist_captures"),
-        F.col("n_changes").alias("hist_changes"),
         "est_change_interval_s",
     )
     joined = schedule.join(

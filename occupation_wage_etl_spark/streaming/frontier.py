@@ -261,12 +261,15 @@ def streaming_change_rate(captures: DataFrame) -> DataFrame:
             state.update((url, first, last, ncap, nchg, ldig))
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            "cdx_timestamp"
+            ["cdx_timestamp", "digest"]
         )
         for u, ts14, dig in zip(
             pdf["url"], pdf["cdx_timestamp"], pdf["digest"]
         ):
-            ts = _epoch(ts14)
+            try:
+                ts = _epoch(ts14)
+            except ValueError:
+                continue  # batch twin drops unparseable captures too
             url = u if url is None else min(url, u)
             first = ts if first is None else min(first, ts)
             last = ts if last is None else max(last, ts)
@@ -275,6 +278,8 @@ def streaming_change_rate(captures: DataFrame) -> DataFrame:
             ldig = dig
             ncap += 1
         state.update((url, first, last, ncap, nchg, ldig))
+        if ncap == 0:  # every row in the batch failed to parse
+            return
         span = last - first
         intervals = max(ncap - 1, 1)
         yield pd.DataFrame(

@@ -221,3 +221,32 @@ def test_cdx_change_rate(spark):
     assert a.est_change_interval_s == 20 * day  # no observed change
     assert (b.n_captures, b.n_changes) == (3, 1)
     assert b.est_change_interval_s == 20 * day // 1
+
+
+def test_cdx_change_rate_ties_and_malformed_ts(spark):
+    """Same-second captures order by digest (deterministic n_changes);
+    captures with unparseable timestamps are excluded entirely —
+    counting them while skipping their NULL epoch would skew every
+    interval."""
+    rows = [
+        # two captures in the SAME second + one later: digest order
+        # within the tie is A then B -> transitions A->B->A = 2
+        ("k,tie)/", "http://tie/", "20240101000000", "sha1:B"),
+        ("k,tie)/", "http://tie/", "20240101000000", "sha1:A"),
+        ("k,tie)/", "http://tie/", "20240103000000", "sha1:A"),
+        # malformed timestamp row must not count anywhere
+        ("k,bad)/", "http://bad/", "20240101000000", "sha1:p"),
+        ("k,bad)/", "http://bad/", "2024010100000X", "sha1:q"),
+        ("k,bad)/", "http://bad/", "20240121000000", "sha1:p"),
+    ]
+    idx = spark.createDataFrame(
+        rows,
+        "surt_key string, url string, cdx_timestamp string, "
+        "digest string",
+    )
+    got = {r.surt_key: r for r in C.cdx_change_rate(idx).collect()}
+    t = got["k,tie)/"]
+    assert (t.n_captures, t.n_changes) == (3, 2)
+    b = got["k,bad)/"]
+    assert (b.n_captures, b.n_changes) == (2, 0)
+    assert b.span_s == 20 * 86400 and b.mean_interval_s == 20 * 86400

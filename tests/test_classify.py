@@ -87,6 +87,34 @@ def test_train_apply_split_with_oov(spark):
     assert abs(out[10].score - round(want, 6)) < 1e-9
 
 
+def test_score_keeps_tokenless_docs(spark):
+    """Empty/whitespace/NULL text must not drop the row: the scored
+    document gets the prior-only prediction (argmax class prior,
+    score = 6dp log-prior, n_oov = 0)."""
+    import math
+
+    train = _df(
+        spark,
+        [(1, "a", "c0"), (2, "a", "c0"), (3, "x", "c1")],
+    )
+    held = spark.createDataFrame(
+        [(10, ""), (11, "   "), (12, None), (13, "a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in classify.naive_bayes_score(train, held).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    for i in (10, 11, 12):
+        assert out[i].pred_label == "c0"  # majority prior 2/3
+        assert out[i].n_oov == 0
+        assert abs(
+            out[i].score - round(round(math.log(2 / 3), 12), 6)
+        ) < 1e-9
+    assert out[13].pred_label == "c0" and out[13].n_oov == 0
+
+
 def test_tie_breaks_by_label_desc(spark):
     # perfectly symmetric two-class corpus: every posterior ties, so
     # the struct-argmax must deterministically pick the max label

@@ -492,3 +492,59 @@ def test_recrawl_schedule(spark):
     # all captures share one date -> one epoch base
     for r in got.values():
         assert r.next_fetch_unix == cap + r.ttl_s
+
+
+def test_recrawl_schedule_expires_and_bad_capture_date(spark):
+    """Expires is explicit expiration (checked before the heuristic,
+    RFC 9111 §4.2.1); an unparseable WARC-Date must fall to the
+    DEFAULT rung even when Last-Modified/Expires parse (a NULL
+    capture epoch must not collapse the clamp to its max bound)."""
+    from occupation_wage_etl_spark.sources import warc as W
+
+    lm = "Mon, 01 Jan 2024 13:10:45 GMT"
+    # capture is 2024-01-02T03:04:05Z; Expires 2024-01-02T04:04:05Z
+    exp = "Tue, 02 Jan 2024 04:04:05 GMT"
+    past = "Mon, 01 Jan 2024 00:00:00 GMT"
+    specs = [
+        (0, "2024-01-02T03:04:05Z", {"Expires": exp}),
+        # Expires beats the Last-Modified heuristic when both present
+        (1, "2024-01-02T03:04:05Z", {"Expires": exp,
+                                     "Last-Modified": lm}),
+        # already expired -> min floor
+        (2, "2024-01-02T03:04:05Z", {"Expires": past}),
+        # max-age still beats Expires
+        (3, "2024-01-02T03:04:05Z", {"Expires": exp,
+                                     "Cache-Control": "max-age=9999"}),
+        # malformed WARC-Date + parseable Last-Modified -> default,
+        # NULL next_fetch (no capture epoch to anchor on)
+        (4, "not-a-date", {"Last-Modified": lm}),
+        (5, "not-a-date", {"Expires": exp}),
+    ]
+    rows = [
+        (
+            i,
+            W.encode_warc_fixture(
+                [{
+                    "type": "response",
+                    "uri": f"http://x/{i}",
+                    "status": 200,
+                    "date": d,
+                    "payload": b"b",
+                    "http_headers": h,
+                }],
+                warcinfo=False,
+            ),
+        )
+        for i, d, h in specs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r.doc_id: r
+        for r in W.recrawl_schedule(W.warc_records(df)).collect()
+    }
+    assert got[0].ttl_s == 3600
+    assert got[1].ttl_s == 3600
+    assert got[2].ttl_s == 300
+    assert got[3].ttl_s == 9999
+    assert got[4].ttl_s == 86400 and got[4].next_fetch_unix is None
+    assert got[5].ttl_s == 86400 and got[5].next_fetch_unix is None
