@@ -294,33 +294,138 @@ def quantile_sketch(
         grouped_exact_percentiles,
     )
 
+    from pyspark.sql import Window
+
+    from occupation_wage_etl_spark.operators._cache import cached
+    from occupation_wage_etl_spark.operators._conf import shuffle_partitions
+
     m = 1 << level_bits
     rows = df.filter(value_col.isNotNull()).select(
         value_col.cast("double").alias("__v"),
-        key_col.cast("string").alias("__k"),
+        (_h60(key_col.cast("string"), salt="kq:") % m == 0)
+        .cast("long")
+        .alias("__keep"),
     )
-    kept = rows.filter(_h60(F.col("__k"), salt="kq:") % m == 0)
+    # ONE histogram pass carries both tiers (guide §2.3 aggregate-
+    # before-shuffle, §2.4): per distinct value, the total count and
+    # the kept-sample count.  The previous shape ran two independent
+    # grouped_exact_percentiles pipelines — two full scans, two
+    # histogram shuffles, two range-repartitions (each with its own
+    # sampling pass), two prefix-sum window chains — to produce
+    # rank tables over what is ONE value histogram.  Everything below
+    # (both cumulative sums, both bracket lookups, the audit counts)
+    # reads one range-partitioned materialization.  Results are
+    # row-identical: the est tier's histogram is exactly the
+    # cnt_kept > 0 slice, and a cnt_kept = 0 row can never satisfy
+    # ``cum ≥ r AND cum − cnt < r``, so it self-excludes from the
+    # kept-tier bracketing.
+    n_parts = shuffle_partitions(df.sparkSession)
+    hist = rows.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__ca"),
+        F.sum("__keep").alias("__ck"),
+    )
+    parted = cached(
+        hist.repartitionByRange(n_parts, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = parted.groupBy("__pid").agg(
+        F.sum("__ca").alias("__ta"), F.sum("__ck").alias("__tk")
+    )
+    # single-group prefix over the ~n_parts-row totals table: the
+    # bounded `__pid offsets` shape the plan audit whitelists
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__ta").over(w_off), F.lit(0)).alias("__offa"),
+        F.coalesce(F.sum("__tk").over(w_off), F.lit(0)).alias("__offk"),
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cached(
+        parted.withColumn("__cina", F.sum("__ca").over(w_in))
+        .withColumn("__cink", F.sum("__ck").over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            "__v",
+            "__ca",
+            "__ck",
+            (F.col("__cina") + F.col("__offa")).alias("__cuma"),
+            (F.col("__cink") + F.col("__offk")).alias("__cumk"),
+        )
+    )
+    counts = cum.agg(
+        F.sum("__ca").alias("n_total"), F.sum("__ck").alias("n_kept")
+    )
 
-    est = grouped_exact_percentiles(
-        kept.withColumn("__g", F.lit(0)),
-        "__g",
-        "__v",
-        quantiles,
-        few_groups=True,
-    ).drop("__g")
-    exact = grouped_exact_percentiles(
-        rows.withColumn("__g", F.lit(0)),
-        "__g",
-        "__v",
-        quantiles,
-        few_groups=True,
-    ).drop("__g")
-    counts = rows.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum(
-            (_h60(F.col("__k"), salt="kq:") % m == 0).cast("long")
-        ).alias("n_kept"),
-    )
+    def _tier(n_col: str, cnt_c: str, cum_c: str) -> DataFrame:
+        """Bracket + interpolate one tier's percentiles from the shared
+        cum table — percentiles_from_histogram's exact rank semantics
+        ((n−1)·p positions, floor/ceil bracket ranks, frac==0 returns
+        lo_val) over (cnt_c, cum_c)."""
+        n = F.col(n_col)
+
+        def pos(p: float):
+            return (n - 1) * F.lit(p)
+
+        wanted = counts.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("qname"),
+                            (F.floor(pos(p)) + 1).alias("lo_rank"),
+                            (F.ceil(pos(p)) + 1).alias("hi_rank"),
+                            (pos(p) - F.floor(pos(p))).alias("frac"),
+                            (F.ceil(pos(p)) - pos(p)).alias("inv_frac"),
+                        )
+                        for name, p in quantiles.items()
+                    ]
+                )
+            ).alias("q")
+        ).select("q.*")
+        covers = (
+            lambda rank: (F.col(cum_c) >= rank)
+            & (F.col(cum_c) - F.col(cnt_c) < rank)
+        )
+        j = cum.join(
+            F.broadcast(wanted),
+            covers(F.col("lo_rank")) | covers(F.col("hi_rank")),
+        )
+        vals = j.groupBy("qname").agg(
+            F.max(
+                F.when(covers(F.col("lo_rank")), F.col("__v"))
+            ).alias("lo_val"),
+            F.max(
+                F.when(covers(F.col("hi_rank")), F.col("__v"))
+            ).alias("hi_val"),
+            F.first("frac").alias("frac"),
+            F.first("inv_frac").alias("inv_frac"),
+        )
+        interpolated = vals.select(
+            "qname",
+            F.when(F.col("frac") == 0.0, F.col("lo_val"))
+            .otherwise(
+                F.col("inv_frac") * F.col("lo_val")
+                + F.col("frac") * F.col("hi_val")
+            )
+            .alias("qval"),
+        )
+        return interpolated.groupBy().agg(
+            *[
+                F.max(
+                    F.when(F.col("qname") == name, F.col("qval"))
+                ).alias(name)
+                for name in quantiles
+            ]
+        )
+
+    est = _tier("n_kept", "__ck", "__cumk")
+    exact = _tier("n_total", "__ca", "__cuma")
 
     est_r = est.select(*[F.col(n).alias(f"__e_{n}") for n in quantiles])
     ex_r = exact.select(*[F.col(n).alias(f"__x_{n}") for n in quantiles])

@@ -2946,13 +2946,18 @@ _NEG_K = 2
 
 def q66_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs,
-        shingle_n=SHINGLE_N,
-        num_hashes=MINHASH_N,
-        bands=MINHASH_BANDS,
-        jaccard_threshold=JACCARD_T,
-    ).select("id_a", "id_b")
+    # contrastive_pairs reads the pair list three times (anchors + both
+    # orientations of the negative-leak anti-join); persist the tiny
+    # (id_a, id_b) output so the LSH funnel runs once (guide §2.4)
+    pairs = cached(
+        dedup.minhash_lsh_pairs(
+            docs,
+            shingle_n=SHINGLE_N,
+            num_hashes=MINHASH_N,
+            bands=MINHASH_BANDS,
+            jaccard_threshold=JACCARD_T,
+        ).select("id_a", "id_b")
+    )
     return decontaminate.contrastive_pairs(docs, pairs, n_negatives=_NEG_K)
 
 
@@ -13395,7 +13400,16 @@ def q262_wet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from occupation_wage_etl_spark.sources import warc as warcmod
 
     docs = _t(spark, sf_dir, "documents")
-    wet = warcmod.wet_text(_synth_wet_of_documents(docs))
+    # curate_corpus consumes its input in several branches (quality
+    # filter, lang-id join, dedup group + join-back); persist ONE
+    # pruned pass of the WET parse so the Arrow-batched WARC
+    # encode+parse chain runs once, not per branch (guide §2.4 —
+    # measured 16 Python nodes in the uncached plan).
+    wet = cached(
+        warcmod.wet_text(_synth_wet_of_documents(docs)).select(
+            "doc_id", "text"
+        )
+    )
     out = curation.curate_corpus(
         wet, min_quality=CURATE_MIN_Q, langs=("en",)
     )
@@ -14581,9 +14595,16 @@ def q279_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = multimodal.decode_image(
         _synth_png9_groups(docs), mode="real", thumb=9
     )
-    hashed = decoded.select(
+    # Both sides of the band self-join consume the fingerprints; the
+    # upstream here is the Arrow-batched PNG decode, which the uncached
+    # plan re-executes once per side (8 Python nodes measured).
+    # Persist the 16-byte (id, hash) rows instead (guide §2.4).  The
+    # cache lives HERE, not inside hash64_band_pairs: for codegen-cheap
+    # fingerprints (q22 SimHash) the self-join already shares one
+    # exchange, and forcing a persist there measured 3× slower.
+    hashed = cached(decoded.select(
         "doc_id", multimodal.dhash64(F.col("pixels"), grid=9).alias("dhash")
-    )
+    ))
     return dedup.hash64_band_pairs(
         hashed, "dhash", id_col="doc_id", max_hamming=4
     )
@@ -15982,7 +16003,11 @@ def q295_cdx_lookup_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from occupation_wage_etl_spark.sources import cdx as cdxmod
 
     docs = _t(spark, sf_dir, "documents")
-    synth = _synth_cdx_archives(docs)
+    # Both the index side (exploded lines) and the archive side
+    # (filename, content) read the same synthesized archives; persist
+    # the synth ONCE so its Python fixture pass doesn't run twice
+    # (guide §2.4).
+    synth = cached(_synth_cdx_archives(docs))
     idx = cdxmod.cdx_records(
         synth.select(F.explode("lines").alias("line")), "line"
     )
@@ -16371,7 +16396,9 @@ def q300_cdx_build_roundtrip(
     from occupation_wage_etl_spark.sources import cdx as cdxmod
 
     docs = _t(spark, sf_dir, "documents")
-    synth = _synth_cdx_archives(docs)
+    # cdx_build and cdx_fetch both scan the archives; persist the
+    # Python synth pass once (guide §2.4).
+    synth = cached(_synth_cdx_archives(docs))
     archives = synth.select("filename", "content")
     idx = cdxmod.cdx_build(archives)
     hits = cdxmod.cdx_prefix_lookup(idx, "example,h7)")
@@ -16685,17 +16712,23 @@ def q304_discovery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_e = feeds.feed_entries(corpus, xml_col="feed_xml").select(
         "doc_id", F.col("link").alias("raw_url")
     )
-    urls = smap.unionByName(feed_e).select(
-        "doc_id", U.canonicalize_url(F.col("raw_url")).alias("canon")
-    ).distinct()
+    # the discovered-URL set feeds the allow-verdict derivation, the
+    # verdict join-back, AND the freshness/count aggregates below — one
+    # persisted pass instead of re-running both XML parses per branch
+    # (guide §2.4)
+    urls = cached(
+        smap.unionByName(feed_e)
+        .select(
+            "doc_id", U.canonicalize_url(F.col("raw_url")).alias("canon")
+        )
+        .distinct()
+        .withColumn("path", U.url_path(F.col("canon")))
+    )
     # allow filter over the path component
     verdicts = robots.robots_is_allowed(
-        rules,
-        urls.select("doc_id", U.url_path(F.col("canon")).alias("path")),
+        rules, urls.select("doc_id", "path")
     ).select("doc_id", "path", "allowed")
-    urls = urls.withColumn("path", U.url_path(F.col("canon"))).join(
-        verdicts, ["doc_id", "path"]
-    )
+    urls = urls.join(verdicts, ["doc_id", "path"])
     # already-crawled captures: a CDX index holding each host's /p0
     idx_lines = docs.select(
         "doc_id",
@@ -16707,25 +16740,33 @@ def q304_discovery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   '"filename": null}'),
         ).alias("line"),
     )
+    # distinct() is value-preserving on the key-only projection and
+    # guarantees the left join below cannot fan rows out; the NULL-side
+    # flag then replays the anti-join ("fresh") membership per row, so
+    # ONE aggregate computes what previously took two aggregates + an
+    # inner join (guide §2.4: per-doc exchange count 3 → 1).  The
+    # n_fresh ≥ 1 filter reproduces the inner join's drop of docs with
+    # no fresh rows.
     crawled = cdxmod.cdx_records(idx_lines, "line").select(
         F.col("surt_key").alias("crawled_key")
-    )
+    ).distinct()
     keyed = urls.withColumn("surt", cdxmod.surt_key(F.col("canon")))
-    fresh = keyed.join(
-        crawled, keyed["surt"] == crawled["crawled_key"], "left_anti"
-    ).select("doc_id", "canon", "allowed")
+    flagged = keyed.join(
+        crawled, keyed["surt"] == crawled["crawled_key"], "left"
+    )
+    is_new = F.col("crawled_key").isNull()
     per_doc = (
-        urls.groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_disc"),
             F.sum(F.col("allowed").cast("long")).alias("n_allow"),
+            F.sum(
+                F.when(is_new, F.col("allowed").cast("long")).otherwise(0)
+            ).alias("n_new"),
+            F.sum(F.when(is_new, 1).otherwise(0)).alias("n_fresh"),
         )
-        .join(
-            fresh.groupBy("doc_id").agg(
-                F.sum(F.col("allowed").cast("long")).alias("n_new")
-            ),
-            "doc_id",
-        )
+        .filter(F.col("n_fresh") >= 1)
+        .drop("n_fresh")
     )
     dom = F.concat(
         F.lit("site"), (F.col("doc_id") % 13).cast("string"),
@@ -17110,7 +17151,13 @@ def q308_wat_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from occupation_wage_etl_spark.sources import wat as watmod
 
     docs = _t(spark, sf_dir, "documents")
-    meta = watmod.wat_metadata(watmod.wat_payloads(_synth_wat(docs)))
+    # The catalog row and the outlink aggregate both consume the parsed
+    # WAT metadata; persist it once so the two-stage Python parse
+    # (payload extract + JSON envelope walk) runs a single time
+    # (guide §2.4 — 8 Python nodes in the uncached plan).
+    meta = cached(
+        watmod.wat_metadata(watmod.wat_payloads(_synth_wat(docs)))
+    )
     edges = watmod.wat_outlinks(meta)
     agg = edges.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_edges"),

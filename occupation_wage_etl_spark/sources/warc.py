@@ -739,7 +739,15 @@ def redirect_final_url(
     of one URL)."""
     from pyspark.sql import functions as F
 
-    e = (
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    # The folded edge list feeds every hop join plus the open-chain
+    # probe (max_hops + 1 consumers).  Persist it once: without the
+    # cache each consumer re-executes the whole upstream — for WARC
+    # inputs that is the Arrow-batched archive parse, re-run per hop
+    # (guide §2.4/§5; measured 20 Python nodes in the q289 plan).
+    # Edge rows are two URL strings — tiny next to the archives.
+    e = cached(
         edges.groupBy(F.col(src_col).alias("__s"))
         .agg(F.min(F.col(dst_col)).alias("__d"))
     )
@@ -1011,23 +1019,29 @@ def revisit_resolve(records: DataFrame, id_col: str = "doc_id") -> DataFrame:
     original; one equi-join on the digest + a struct-min aggregate."""
     from pyspark.sql import functions as F
 
-    revisits = records.filter(
-        (F.col("warc_type") == "revisit")
-        & F.col("payload_digest").isNotNull()
-    ).select(
-        F.col(id_col).alias("id"), "rec_idx", "target_uri",
-        "payload_digest",
+    from occupation_wage_etl_spark.operators._cache import cached
+
+    # Both branches (revisits + originals) consume the same catalog;
+    # persist ONE pruned pass — 5 light columns, never the payloads —
+    # so the upstream parse (Arrow-batched for WARC sources) runs once
+    # instead of twice (guide §2.4 remove-recompute, §2.3 project
+    # before materializing).
+    base = cached(
+        records.filter(F.col("payload_digest").isNotNull()).select(
+            F.col(id_col).alias("id"), "rec_idx", "target_uri",
+            "payload_digest", "warc_type",
+        )
+    )
+    revisits = base.filter(F.col("warc_type") == "revisit").select(
+        "id", "rec_idx", "target_uri", "payload_digest",
     )
     originals = (
-        records.filter(
-            (F.col("warc_type") == "response")
-            & F.col("payload_digest").isNotNull()
-        )
+        base.filter(F.col("warc_type") == "response")
         .groupBy("payload_digest")
         .agg(
             F.min(
                 F.struct(
-                    F.col(id_col).alias("oid"),
+                    F.col("id").alias("oid"),
                     F.col("rec_idx").alias("oidx"),
                     F.col("target_uri").alias("ouri"),
                 )
