@@ -102,7 +102,12 @@ def connected_components(
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
-def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    deg: DataFrame | None = None,
+) -> DataFrame:
     """Per-node triangle participation over an undirected edge list —
     the clustering-coefficient numerator (cohesion of near-dup
     neighborhoods; a cluster whose nodes close many triangles is a
@@ -122,6 +127,10 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
     self-join on the low corner, and a semi-join closing the third
     edge — all equi-joins on node keys.
 
+    ``deg`` (optional): a precomputed UNFILTERED (node, d) degree table
+    over the same edge list — callers that already aggregate degrees
+    (clustering_coefficient) pass theirs so the union+groupBy runs once.
+
     Returns (node, n_triangles) for nodes in >= 1 triangle.
     """
     # persist the canonical edge list: degrees, orientation, the wedge
@@ -131,12 +140,13 @@ def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> D
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).transform(cached)
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    if deg is None:
+        deg = (
+            e0.select(F.col("u").alias("node"))
+            .unionAll(e0.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ranked = e0.join(du, "u").join(dv, "v")
@@ -543,14 +553,21 @@ def clustering_coefficient(
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).transform(cached)
-    deg = (
+    # ONE degree aggregate serves both consumers: the coefficient's
+    # denominator (filtered to degree >= 2 below) and the triangle
+    # count's degree orientation (which needs it UNFILTERED) — the
+    # previous shape ran the union+groupBy twice (guide §2.4).
+    deg_all = cached(
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .filter(F.col("degree") >= 2)
     )
-    tri = triangle_counts(e0, "u", "v")
+    deg = deg_all.filter(F.col("degree") >= 2)
+    tri = triangle_counts(
+        e0, "u", "v",
+        deg=deg_all.select("node", F.col("degree").alias("d")),
+    )
     return deg.join(tri, "node", "left").select(
         "node",
         F.col("degree").cast("long").alias("degree"),

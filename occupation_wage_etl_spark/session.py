@@ -59,6 +59,17 @@ def get_spark(
     builder = builder.master(master or f"local[{cpus}]")
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
+    # Deployment-parameterized overrides (guide §9: configs are the
+    # last-10-30% lever and deployment-specific): SPARK_GRAFT_CONF is a
+    # ';'-separated k=v list merged LAST, so a cluster run (or a bench
+    # A/B) can retune shuffle codec / join-strategy knobs without code
+    # edits.  Empty/unset = the defaults above, keeping the driver's
+    # bench directly comparable across rounds.
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            if k.strip():
+                builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
