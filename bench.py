@@ -685,18 +685,24 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
-    )
+    # stdout carries the FULL per-query dict (315 floats ≈ 10 KB, still
+    # one line) plus the core count: round 11's slowest-8 truncation cost
+    # the driver its entire per-query PERF comparison (n_common=3, five
+    # phantom "dropped_from_bench" statuses) and fed a false
+    # suspect_cpus_ignored flag.  Additions only — suite totals and the
+    # existing keys are unchanged.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": dict(
+                    sorted(timings.items(), key=lambda kv: -kv[1])
+                ),
                 "n_queries": len(timings),
-                "queries_file": "bench_out.json",
+                "cpus": cpus,
+                "queries_file": os.path.basename(out_path),
                 "sf": sf,
                 "ingest_sec": ingest_sec,
                 "total_with_ingest_sec": round(total + ingest_sec, 3),

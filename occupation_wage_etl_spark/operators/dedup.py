@@ -214,6 +214,31 @@ def semantic_dedup(
     )
 
 
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Persisted distinct-gram table ``(id, grams[, extras])`` — the
+    shared parse pass for callers that feed the SAME corpus to more
+    than one dedup funnel (guide §2.4: the tokenize+shingle pipeline is
+    the expensive part; parse once, consume everywhere).  Pass the
+    result to :func:`minhash_lsh_pairs` (``shingled=``, rename
+    ``grams`` → ``shingles``) and/or :func:`ngram_jaccard_pairs`
+    (``gram_table=``, with ``block`` in ``extra_cols``)."""
+    return cached(
+        _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                T.word_ngrams(F.col(text_col), shingle_n)
+            ).alias("grams"),
+            *[F.col(c) for c in extra_cols],
+        )
+    )
+
+
 def _minhash_tables(
     df: DataFrame,
     text_col: str,
@@ -221,6 +246,7 @@ def _minhash_tables(
     shingle_n: int,
     num_hashes: int,
     bands: int,
+    shingled: DataFrame | None = None,
 ):
     """Shared MinHash front-end: (persisted shingle table, band buckets).
 
@@ -251,16 +277,20 @@ def _minhash_tables(
     rpb = num_hashes // bands
     P = S.MINHASH_P
     perms = S.minhash_perm_params(num_hashes)
-    shingled = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                T.word_ngrams(F.col(text_col), shingle_n)
-            ).alias("shingles"),
+    if shingled is None:
+        shingled = (
+            _spread(df)
+            .select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(
+                    T.word_ngrams(F.col(text_col), shingle_n)
+                ).alias("shingles"),
+            )
+            .transform(cached)
         )
-        .transform(cached)
-    )
+    # else: caller supplies an ALREADY-PERSISTED (id, shingles) frame —
+    # e.g. a shingle_table() shared with another funnel over the same
+    # corpus; values must equal array_distinct(word_ngrams(text, n)).
     ex = shingled.select("id", F.explode("shingles").alias("s"))
     h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % P
     hs = ex.select("id", h32.alias("h"))
@@ -377,6 +407,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH, verified by
     exact shingle-set Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -389,7 +420,8 @@ def minhash_lsh_pairs(
       size; hash-partitioned joins at scale) → exact Jaccard filter.
     """
     shingled, buckets = _minhash_tables(
-        df, text_col, id_col, shingle_n, num_hashes, bands
+        df, text_col, id_col, shingle_n, num_hashes, bands,
+        shingled=shingled,
     )
     rpb = num_hashes // bands
     left = buckets.alias("l")
@@ -618,6 +650,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     brute_force: bool = False,
     prefix_filter: bool = False,
+    gram_table: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -645,16 +678,22 @@ def ngram_jaccard_pairs(
     for additional pruning.  ``brute_force=True`` keeps the O(n²)
     blocked self-join as a tiny-input verification tier.
     """
-    base = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(T.word_ngrams(F.col(text_col), ngram_n)).alias("grams"),
-            *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
+    if gram_table is not None:
+        # caller supplies an ALREADY-PERSISTED (id, grams, block) frame
+        # (see shingle_table) — one parse pass shared across funnels
+        base = gram_table.select("id", "grams", "block")
+    else:
+        base = (
+            _spread(df)
+            .select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(T.word_ngrams(F.col(text_col), ngram_n)).alias("grams"),
+                *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
+            )
         )
-    )
     if brute_force:
-        base = base.transform(cached)
+        if gram_table is None:
+            base = base.transform(cached)
         l, r = base.alias("l"), base.alias("r")
         return (
             l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")))
@@ -1112,6 +1151,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.6,
+    prefix_probe: bool = False,
 ) -> DataFrame:
     """Directional containment join: (a, b) pairs where
     ``|grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold`` — the
@@ -1120,23 +1160,94 @@ def containment_pairs(
     is the dedup tier that catches boilerplate excerpts and
     train-on-test quoting.
 
-    Lossless prefix probe (the asymmetric PPJoin bound): if a's
-    containment in ANY b reaches t, then at most ``(1-t)·|a|`` of a's
-    grams are absent from b — so among a's ``⌊(1-t)·|a|⌋ + 1`` RAREST
-    grams (global document frequency asc, gram asc) at least one is in
-    b.  Only those probe grams join the full posting index; candidates
-    are verified with the exact integer-ratio containment.
+    Default path (r12): inverted-index **count-based verification**
+    (Vernica et al., SIGMOD'10 — the :func:`ngram_jaccard_pairs`
+    shape).  Explode each doc's distinct grams to (id, n, gram),
+    self-equi-join on the gram with ``l.id < r.id``, and
+    ``groupBy(pair).count()``: the count IS ``|A∩B|`` (grams are
+    distinct per doc), and each unordered pair emits BOTH directional
+    rows (``inter/na`` and ``inter/nb``) from one join.  No per-pair
+    ``array_intersect`` — the previous probe-tier's verification
+    re-built two hash sets per candidate (and Catalyst pushed the
+    threshold into the join condition, evaluating the intersection
+    TWICE for survivors); measured at sf0.1 the verify tail was 1.9 s
+    of the query's 3.2 s for 692k candidates.  Join fan-out is
+    Σ_gram df² — same documented bound and skew story as
+    :func:`ngram_jaccard_pairs` (df=1 grams self-join to nothing; AQE
+    splits residual hot grams).
 
-    Plan shape: shingle table persisted once (probe ranking,
-    verification, and the posting index all read it), one df-count
-    aggregate, one per-doc ranking window (state = one doc's grams),
-    the probe⋈postings equi-join on the gram, and two id-joins to
-    re-attach gram sets.  Probe grams are each doc's rarest, so posting
-    buckets stay small by construction; a stop-gram cap on the index
-    side is the 100 TB belt-and-braces.
+    ``prefix_probe=True`` keeps the asymmetric-prefix candidate tier
+    for corpora with pathological stop-grams (the PPJoin bound: if a's
+    containment in any b reaches t, one of a's ``⌊(1-t)·|a|⌋ + 1``
+    RAREST grams — global df asc, gram asc — must be in b; only probe
+    grams hit the posting index, so stop-grams never fan out).  Both
+    paths return identical rows (tests pin equality).
 
     Returns (id_a, id_b, containment), id_a ≠ id_b, directional.
     """
+    if prefix_probe:
+        return _containment_pairs_probe(
+            df, text_col, id_col, shingle_n, threshold
+        )
+    # cached: the exploded gram index feeds both self-join sides (the
+    # ngram_jaccard_pairs convention — one parse+explode pass)
+    ex = cached(
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                T.word_ngrams(F.col(text_col), shingle_n)
+            ).alias("grams"),
+        )
+        .select(
+            "id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
+        )
+    )
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.n").alias("na"),
+            F.col("r.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    both = inter.select(
+        "id_a",
+        "id_b",
+        (F.col("__i").cast("double") / F.col("na").cast("double")).alias(
+            "containment"
+        ),
+    ).unionByName(
+        inter.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            (F.col("__i").cast("double") / F.col("nb").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+    return both.filter(F.col("containment") >= threshold)
+
+
+def _containment_pairs_probe(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """The asymmetric-prefix (PPJoin-bound) tier of
+    :func:`containment_pairs` — candidates from each doc's rarest
+    ``⌊(1-t)·n⌋+1`` grams probing the full posting index, verified by
+    exact ``array_intersect`` containment.  Kept for pathological
+    stop-gram corpora where the count join's Σ df² fan-out bites."""
     shingled = (
         _spread(df)
         .select(
@@ -1326,7 +1437,18 @@ def golden_records(
     own shuffle, no extra exchange under AQE).
 
     Returns (cluster, record_id, n_members, <col>_mode..., <col>_max...).
+
+    The input is consumed ``1 + len(mode_cols)`` times (base aggregate
+    + one count-argmax per mode column), so when mode columns exist the
+    NARROW projection (id, cluster, modes, maxes) is persisted once —
+    upstream is typically an entity-resolution join that must not
+    re-run per aggregate (guide §2.3 prune-then-persist, §2.4).
     """
+    if mode_cols:
+        need = list(dict.fromkeys(
+            [id_col, cluster_col, *mode_cols, *max_cols]
+        ))
+        df = cached(df.select(*need))
     cl = F.col(cluster_col).alias("cluster")
     base = df.groupBy(cl).agg(
         F.min(F.col(id_col)).alias("record_id"),

@@ -36,6 +36,49 @@ from pyspark.sql import functions as F
 from occupation_wage_etl_spark.operators._cache import cached
 from occupation_wage_etl_spark.operators._conf import shuffle_partitions
 
+# Memoized AUTO resolutions for the prefix scans' small-input flip,
+# keyed by (analyzed-plan semanticHash, max-rows conf) — the same
+# pattern (and staleness argument) as stats._FG_MEMO: the flag selects
+# between two BIT-IDENTICAL plans, so a stale hit can only pick the
+# less optimal of two correct shapes.
+_SMALL_MEMO: dict[tuple[int, int], bool] = {}
+
+
+def _resolve_small_scan(df: DataFrame) -> bool:
+    """AUTO flip for the prefix scans: True when ``df`` is small enough
+    that ONE task can sort it (row count below
+    ``spark.graft.distCumWindowMaxRows``, default 8M — the same cliff
+    constant as stats' few-groups flip), in which case the plain global
+    window beats the two-level scan's extra materialization + sampling
+    + offset stitch (measured at sf0.1: the window form is ~2× faster
+    on histogram-sized input; the two-level form wins exactly when the
+    input stops fitting one task's sort).  Mirrors
+    ``stats._resolve_few_groups``: eager by design — resolving runs one
+    COUNT job at plan-construction time, memoized per semantic plan
+    hash so repeated constructions (bench loops, retries) re-estimate
+    nothing.  Set the conf to 0 to force the two-level scan (plan
+    audits of the 100 TB shape, tests).
+    """
+    sp = df.sparkSession
+    try:
+        max_rows = int(sp.conf.get("spark.graft.distCumWindowMaxRows"))
+    except Exception:
+        max_rows = 8_000_000
+    if max_rows <= 0:
+        return False
+    try:  # classic-mode internal API; memo silently off elsewhere
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (int(h), max_rows)
+    except Exception:
+        key = None
+    if key is not None and key in _SMALL_MEMO:
+        return _SMALL_MEMO[key]
+    n = df.agg(F.count(F.lit(1)).alias("__n")).first()["__n"]
+    out = bool(n < max_rows)
+    if key is not None:
+        _SMALL_MEMO[key] = out
+    return out
+
 
 def _dist_cum_before(
     df: DataFrame,
@@ -70,10 +113,44 @@ def _dist_cum_before(
     same windows, offsets table grows by one column each) — e.g. AUC
     variants needing separate positive/negative cumulatives.  Their
     grand totals ride on the total frame as ``<name>_total``.
+
+    Small-input flip (:func:`_resolve_small_scan`): when the input fits
+    one task's sort, steps 1-3 collapse to ONE global window over the
+    cached input — same exact integer sums in the same total order
+    (bit-identical), minus the range-sampling job, the per-partition
+    totals aggregate, and the offsets stitch.  At 100 TB the resolver
+    picks the two-level scan; at histogram scale it picks the window.
     """
     sp = df.sparkSession
     n_parts = shuffle_partitions(sp)
     ws = {"__cumb": weight, **(extra_weights or {})}
+    if _resolve_small_scan(df):
+        base = df
+        for name, expr in ws.items():
+            base = base.withColumn(f"__w{name}", expr)
+        # cached: the ranked rows and the grand-total frame both read it
+        # (the two-level path persists its shuffled frame for the same
+        # reason).
+        base = cached(base)
+        w_all = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        out = base
+        for name in ws:
+            out = out.withColumn(
+                name,
+                F.coalesce(F.sum(f"__w{name}").over(w_all), F.lit(0)),
+            )
+        out = out.drop(*[f"__w{name}" for name in ws])
+        total = base.agg(
+            F.sum("__w__cumb").alias("__total"),
+            *[
+                F.sum(f"__w{name}").alias(f"{name}_total")
+                for name in ws
+                if name != "__cumb"
+            ],
+        )
+        return out, total
     parted = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
     parted = parted.withColumn("__pid", F.spark_partition_id())
     for name, expr in ws.items():
@@ -130,7 +207,24 @@ def _dist_max_before(
     Used by skyline staircases and any "best so far" readout that a
     naive ``max().over(Window.orderBy(...))`` would turn into a
     single-partition sort of the whole input.
+
+    Small-input flip (:func:`_resolve_small_scan`): below the one-task
+    sort cliff the "naive" global window IS the right plan — one
+    exchange, no sampling job, no offset stitch — and max over an empty
+    preceding frame is NULL exactly like the two-level form's
+    greatest-of-NULLs.
     """
+    if _resolve_small_scan(df):
+        w_all = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # __wmaxb: distinctive name so plan audits can recognise the
+        # resolved-small shape (see tools/plan_audit.py)
+        return (
+            df.withColumn("__wmaxb", value)
+            .withColumn(out_col, F.max("__wmaxb").over(w_all))
+            .drop("__wmaxb")
+        )
     sp = df.sparkSession
     n_parts = shuffle_partitions(sp)
     parted = (

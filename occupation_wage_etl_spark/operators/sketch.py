@@ -324,42 +324,67 @@ def quantile_sketch(
         F.count(F.lit(1)).alias("__ca"),
         F.sum("__keep").alias("__ck"),
     )
-    parted = cached(
-        hist.repartitionByRange(n_parts, F.col("__v"))
-        .withColumn("__pid", F.spark_partition_id())
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _resolve_small_scan,
     )
-    totals = parted.groupBy("__pid").agg(
-        F.sum("__ca").alias("__ta"), F.sum("__ck").alias("__tk")
-    )
-    # single-group prefix over the ~n_parts-row totals table: the
-    # bounded `__pid offsets` shape the plan audit whitelists
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.select(
-        "__pid",
-        F.coalesce(F.sum("__ta").over(w_off), F.lit(0)).alias("__offa"),
-        F.coalesce(F.sum("__tk").over(w_off), F.lit(0)).alias("__offk"),
-    )
-    w_in = (
-        Window.partitionBy("__pid")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = cached(
-        parted.withColumn("__cina", F.sum("__ca").over(w_in))
-        .withColumn("__cink", F.sum("__ck").over(w_in))
-        .join(F.broadcast(offsets), "__pid")
-        .select(
-            "__v",
-            "__ca",
-            "__ck",
-            (F.col("__cina") + F.col("__offa")).alias("__cuma"),
-            (F.col("__cink") + F.col("__offk")).alias("__cumk"),
+
+    if _resolve_small_scan(hist):
+        # histogram fits one task's sort: single global window carries
+        # both running sums — same integers as the two-level scan below
+        # (bit-identical), minus the range-sampling job + offset stitch
+        # (the r12 _dist_cum_before flip, applied to this hand-rolled
+        # dual-cum table).  __w__cumb aliases keep the plan-audit
+        # resolved-small marker.
+        w_all = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, 0
         )
-    )
+        cum = cached(
+            hist.withColumn("__w__cumb", F.col("__ca"))
+            .withColumn("__cuma", F.sum("__w__cumb").over(w_all))
+            .withColumn("__cumk", F.sum("__ck").over(w_all))
+            .select("__v", "__ca", "__ck", "__cuma", "__cumk")
+        )
+    else:
+        parted = cached(
+            hist.repartitionByRange(n_parts, F.col("__v"))
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        totals = parted.groupBy("__pid").agg(
+            F.sum("__ca").alias("__ta"), F.sum("__ck").alias("__tk")
+        )
+        # single-group prefix over the ~n_parts-row totals table: the
+        # bounded `__pid offsets` shape the plan audit whitelists
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "__pid",
+            F.coalesce(F.sum("__ta").over(w_off), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("__tk").over(w_off), F.lit(0)).alias("__offk"),
+        )
+        w_in = (
+            Window.partitionBy("__pid")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = cached(
+            parted.withColumn("__cina", F.sum("__ca").over(w_in))
+            .withColumn("__cink", F.sum("__ck").over(w_in))
+            .join(F.broadcast(offsets), "__pid")
+            .select(
+                "__v",
+                "__ca",
+                "__ck",
+                (F.col("__cina") + F.col("__offa")).alias("__cuma"),
+                (F.col("__cink") + F.col("__offk")).alias("__cumk"),
+            )
+        )
+    # coalesce: SUM over an empty histogram is NULL, but the previous
+    # COUNT-based shape (and the oracle's count(*)) return 0 on an empty
+    # events table — keep that contract.
     counts = cum.agg(
-        F.sum("__ca").alias("n_total"), F.sum("__ck").alias("n_kept")
+        F.coalesce(F.sum("__ca"), F.lit(0).cast("long")).alias("n_total"),
+        F.coalesce(F.sum("__ck"), F.lit(0).cast("long")).alias("n_kept"),
     )
 
     def _tier(n_col: str, cnt_c: str, cum_c: str) -> DataFrame:

@@ -5598,6 +5598,13 @@ WHERE a.id <> b.id
 def q124_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     langs = docs.select(F.col("doc_id").alias("id"), "lang")
+    # ONE persisted parse pass feeds BOTH funnels (guide §2.4): the
+    # MinHash funnel and the exact-Jaccard truth tier shingle the same
+    # corpus with the same n — previously each ran its own
+    # tokenize+shingle pipeline (two full documents parses).
+    shared = dedup.shingle_table(
+        docs, shingle_n=SHINGLE_N, extra_cols=("lang",)
+    )
     pred = (
         dedup.minhash_lsh_pairs(
             docs,
@@ -5605,6 +5612,9 @@ def q124_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=MINHASH_N,
             bands=MINHASH_BANDS,
             jaccard_threshold=JACCARD_T,
+            shingled=shared.select(
+                "id", F.col("grams").alias("shingles")
+            ),
         )
         .select("id_a", "id_b")
         .join(langs.select(F.col("id").alias("id_a"), F.col("lang").alias("__la")), "id_a")
@@ -5615,7 +5625,10 @@ def q124_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = (
         dedup.ngram_jaccard_pairs(
-            docs, ngram_n=SHINGLE_N, threshold=JACCARD_T, block_col="lang"
+            docs, ngram_n=SHINGLE_N, threshold=JACCARD_T, block_col="lang",
+            gram_table=shared.select(
+                "id", "grams", F.col("lang").alias("block")
+            ),
         )
         .select("id_a", "id_b")
         .withColumn("__t", F.lit(1))

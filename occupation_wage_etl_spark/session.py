@@ -61,10 +61,13 @@ def get_spark(
         builder = builder.config(k, v)
     # Deployment-parameterized overrides (guide §9: configs are the
     # last-10-30% lever and deployment-specific): SPARK_GRAFT_CONF is a
-    # ';'-separated k=v list merged LAST, so a cluster run (or a bench
-    # A/B) can retune shuffle codec / join-strategy knobs without code
-    # edits.  Empty/unset = the defaults above, keeping the driver's
-    # bench directly comparable across rounds.
+    # ';'-separated k=v list merged after ENGINE_CONF, so a cluster run
+    # (or a bench A/B) can retune shuffle codec / join-strategy knobs
+    # without code edits.  Empty/unset = the defaults above, keeping the
+    # driver's bench directly comparable across rounds.  Programmatic
+    # ``extra_conf`` is applied LAST and wins over the env: its callers
+    # (tests, plan_audit) state hard requirements (e.g. AQE off for
+    # plan-shape assertions) that env tuning must not silently break.
     for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
         if "=" in pair:
             k, _, v = pair.partition("=")
@@ -72,7 +75,19 @@ def get_spark(
                 builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    preexisting = SparkSession.getActiveSession()
+    spark = builder.getOrCreate()
+    if preexisting is not None and preexisting is spark and (
+        extra_conf or os.environ.get("SPARK_GRAFT_CONF")
+    ):
+        import warnings
+
+        warnings.warn(
+            "get_spark: returning a pre-existing SparkSession; "
+            "requested conf overrides were NOT applied",
+            stacklevel=2,
+        )
+    return spark
 
 
 def stop_spark() -> None:

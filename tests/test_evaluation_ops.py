@@ -70,25 +70,35 @@ def test_roc_auc_many_distinct_scores_distributed(spark):
 
 
 def test_evaluation_plans_have_no_data_sized_global_sort(spark):
-    # every Exchange SinglePartition in either plan must sit directly
-    # above the __pid partition-totals aggregate (<= shuffle-partitions
-    # rows, config-bounded) — never above data-sized input.
+    # THE 100 TB SHAPE (spark.graft.distCumWindowMaxRows=0 forces the
+    # two-level scan, which is what the resolver picks above the
+    # one-task-sort cliff): every Exchange SinglePartition in either
+    # plan must sit directly above the __pid partition-totals aggregate
+    # (<= shuffle-partitions rows, config-bounded) — never above
+    # data-sized input.  At test/bench scale the resolver legitimately
+    # picks the single-window form instead (r12 optimization; see
+    # test_dist_cum_before_small_flip_matches_two_level for the
+    # bit-equality proof).
     df = spark.range(1000).select(
         F.col("id").alias("doc_id"),
         (F.col("id").cast("double") / 3.0).alias("s"),
         (F.col("id") % 3 == 0).cast("int").alias("y"),
     )
-    for frame in (
-        evaluation.roc_auc(df, "s", "y"),
-        evaluation.calibration_bins(df, "s", "y", "doc_id"),
-    ):
-        plan = frame._jdf.queryExecution().executedPlan().toString()
-        lines = plan.split("\n")
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" not in line:
-                continue
-            ctx = "\n".join(lines[i + 1 : i + 4])
-            assert "__pid" in ctx, f"data-sized global exchange:\n{ctx}"
+    spark.conf.set("spark.graft.distCumWindowMaxRows", "0")
+    try:
+        for frame in (
+            evaluation.roc_auc(df, "s", "y"),
+            evaluation.calibration_bins(df, "s", "y", "doc_id"),
+        ):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            lines = plan.split("\n")
+            for i, line in enumerate(lines):
+                if "Exchange SinglePartition" not in line:
+                    continue
+                ctx = "\n".join(lines[i + 1 : i + 4])
+                assert "__pid" in ctx, f"data-sized global exchange:\n{ctx}"
+    finally:
+        spark.conf.unset("spark.graft.distCumWindowMaxRows")
 
 
 # -------------------------------------------------------------- calibration
@@ -268,6 +278,69 @@ def test_dist_max_before_matches_global_window(spark):
     )
     assert got == want
     assert got[0][1] is None  # first row has no predecessor
+
+
+def test_dist_cum_before_small_flip_matches_two_level(spark):
+    """The resolved-small global-window form and the forced two-level
+    scan must produce bit-identical cumulatives, extra-weight
+    cumulatives, and grand totals (the flip selects between two
+    equivalent plans — r12 optimization)."""
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_cum_before,
+    )
+
+    df = spark.range(700).select(
+        F.col("id").alias("k"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % 13).alias("w"),
+        (F.abs(F.hash((F.col("id") + 7).cast("string"))) % 5).alias("w2"),
+    ).repartition(7)
+
+    def run():
+        ranked, total = _dist_cum_before(
+            df, ["k"], F.col("w"), extra_weights={"__cum2": F.col("w2")}
+        )
+        rows = sorted(
+            (r["k"], r["__cumb"], r["__cum2"]) for r in ranked.collect()
+        )
+        t = total.collect()[0]
+        return rows, (t["__total"], t["__cum2_total"])
+
+    small_rows, small_total = run()  # default conf -> window form
+    spark.conf.set("spark.graft.distCumWindowMaxRows", "0")
+    try:
+        two_rows, two_total = run()  # forced two-level scan
+    finally:
+        spark.conf.unset("spark.graft.distCumWindowMaxRows")
+    assert small_rows == two_rows
+    assert small_total == two_total
+
+
+def test_dist_max_before_small_flip_matches_two_level(spark):
+    from occupation_wage_etl_spark.operators.evaluation import (
+        _dist_max_before,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % 97 - 48)
+        .cast("long")
+        .alias("v"),
+    ).repartition(5)
+
+    def run():
+        return sorted(
+            (r["k"], r["__maxb"])
+            for r in _dist_max_before(df, ["k"], F.col("v")).collect()
+        )
+
+    small = run()
+    spark.conf.set("spark.graft.distCumWindowMaxRows", "0")
+    try:
+        two = run()
+    finally:
+        spark.conf.unset("spark.graft.distCumWindowMaxRows")
+    assert small == two
+    assert small[0][1] is None
 
 
 def test_dist_max_before_null_values_skipped(spark):

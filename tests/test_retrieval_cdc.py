@@ -185,6 +185,49 @@ class TestNgramPrefixFilter:
         )
         assert a == b and len(a) > 0
 
+    def test_shared_gram_table_matches_default(self, spark, sf_tiny):
+        """A shingle_table() shared across both funnels (q124's r12
+        shape — one parse pass) must reproduce the default per-operator
+        parse exactly, for both minhash_lsh_pairs and
+        ngram_jaccard_pairs."""
+        from pyspark.sql import functions as F
+
+        from occupation_wage_etl_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+        shared = dedup.shingle_table(docs, extra_cols=("lang",))
+
+        mh_default = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.minhash_lsh_pairs(docs).collect()
+        )
+        mh_shared = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.minhash_lsh_pairs(
+                docs,
+                shingled=shared.select(
+                    "id", F.col("grams").alias("shingles")
+                ),
+            ).collect()
+        )
+        assert mh_default == mh_shared and len(mh_shared) > 0
+
+        ng_default = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(docs, block_col="lang").collect()
+        )
+        ng_shared = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs,
+                block_col="lang",
+                gram_table=shared.select(
+                    "id", "grams", F.col("lang").alias("block")
+                ),
+            ).collect()
+        )
+        assert ng_default == ng_shared and len(ng_shared) > 0
+
     def test_stop_gram_corpus(self, spark):
         """Every doc shares one universal phrase; prefixes exclude it, so
         the join fans out on rare grams only — result still exact."""

@@ -84,11 +84,18 @@ def test_best_threshold_hand_computed_with_noise(spark):
 
 
 def test_best_threshold_no_global_sort_in_plan(spark):
+    # The 100 TB shape (forced two-level scan — at test scale the r12
+    # small-input resolver legitimately picks the single-window form;
+    # its bit-equality is pinned in test_evaluation_ops).
     df = spark.range(10000).select(
         (F.col("id") % 997).cast("double").alias("s"),
         (F.col("id") % 2).alias("y"),
     )
-    plan = evaluation.best_threshold(df, "s", "y")._jdf.queryExecution() \
-        .executedPlan().toString()
+    spark.conf.set("spark.graft.distCumWindowMaxRows", "0")
+    try:
+        plan = evaluation.best_threshold(df, "s", "y")._jdf.queryExecution() \
+            .executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.graft.distCumWindowMaxRows")
     # rank machinery must be range-partitioned, never a single global sort
     assert "rangepartitioning" in plan.lower()

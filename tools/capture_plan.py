@@ -1,13 +1,14 @@
 #!/usr/bin/env python
-"""Capture `.explain("formatted")` for named queries into plans/r11/.
+"""Capture `.explain("formatted")` for named queries into plans/<round>/.
 
 Usage:
     python tools/capture_plan.py before q80_triangles q194_clustering_coeff
     python tools/capture_plan.py after  q80_triangles
 
-Writes plans/r11/<query>_<tag>.txt.  Uses $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.01 — plan SHAPE is scale-independent; the bench's
-lake layout only changes file counts, not operators).
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (round defaults
+to r12).  Uses $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01 —
+plan SHAPE is scale-independent; the bench's lake layout only changes
+file counts, not operators).
 """
 
 from __future__ import annotations
@@ -24,12 +25,19 @@ from occupation_wage_etl_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(
+            "usage: capture_plan.py <tag> <query> [<query> ...]\n"
+            "  e.g. capture_plan.py before q80_triangles",
+            file=sys.stderr,
+        )
+        return 2
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plan")

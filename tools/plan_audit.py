@@ -68,7 +68,15 @@ def _global_exchange_audit(plan: str) -> tuple[int, int, list[str]]:
       per-partition totals table of the two-level distributed prefix
       scans, bounded by spark.sql.shuffle.partitions;
     - ``local-literal``: the subtree reads only driver-side literals
-      (LocalTableScan), no parquet / RDD scan.
+      (LocalTableScan), no parquet / RDD scan;
+    - ``resolved-small``: the exchange feeds a Window over the prefix
+      scans' ``__w…`` weight columns — the SMALL-INPUT form of
+      ``evaluation._dist_cum_before`` / ``_dist_max_before``, chosen by
+      an eager row-count estimate (< spark.graft.distCumWindowMaxRows)
+      at plan-construction time; at scale the resolver flips the same
+      call site back to the two-level ``__pid``-offsets shape, so this
+      single-partition window is bounded BY MEASUREMENT, not by
+      structure.
     """
     bounded, flagged, notes = 0, 0, []
     # each tree section (main plan + any subqueries) is parsed alone so
@@ -102,8 +110,29 @@ def _global_exchange_audit(plan: str) -> tuple[int, int, list[str]]:
                     break
                 sub.append((id2, n2))
             sub_names = " ".join(n for _, n in sub)
+            # ancestor chain (nearest-first): a Window directly above
+            # summing the prefix scans' __w… weight columns marks the
+            # resolved-small shape
+            anc: list[tuple[int, str]] = []
+            d_cur = depth
+            for d2, id2, n2 in reversed(tree[:i]):
+                if d2 < d_cur:
+                    anc.append((id2, n2))
+                    d_cur = d2
+                if len(anc) >= 4:
+                    break
             verdict = None
-            if re.search(
+            if any(
+                n2 == "Window"
+                and re.search(
+                    r"__w__cumb|__wmaxb", details.get(id2, "") or ""
+                )
+                for id2, n2 in anc
+            ):
+                verdict = "resolved-small"
+            if verdict:
+                pass
+            elif re.search(
                 r"GlobalLimit|TakeOrderedAndProject|CollectLimit", sub_names
             ):
                 verdict = "limit"
@@ -204,7 +233,8 @@ def main() -> None:
         "",
         "",
         "`global 1p` = single-partition exchanges: `n ok` are bounded-input",
-        "(limit / scalar-agg merge / __pid offsets / driver literals — see",
+        "(limit / scalar-agg merge / __pid offsets / driver literals /",
+        "resolved-small prefix-scan windows — see",
         "tools/plan_audit.py:_global_exchange_audit), flagged ones appear in",
         "Review flags with their subtree.",
         "",
