@@ -714,7 +714,7 @@ def ngram_jaccard_pairs(
         F.explode("grams").alias("g"),
     ).transform(cached)
     if prefix_filter:
-        return _ngram_jaccard_prefix(base, tok, threshold)
+        return _ngram_jaccard_prefix(tok, threshold)
     pairs = (
         tok.alias("l")
         .join(
@@ -743,7 +743,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def _ngram_jaccard_prefix(base: DataFrame, tok: DataFrame, threshold: float) -> DataFrame:
+def _ngram_jaccard_prefix(tok: DataFrame, threshold: float) -> DataFrame:
     """AllPairs/PPJoin prefix-filtered tier of ``ngram_jaccard_pairs`` —
     same output, built for corpora with pathological stop-grams.
 
@@ -781,17 +781,36 @@ def _ngram_jaccard_prefix(base: DataFrame, tok: DataFrame, threshold: float) -> 
                 <= F.least(F.col("l.n"), F.col("r.n"))
             ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.n").alias("na"),
+            F.col("r.n").alias("nb"),
+        )
         .distinct()
     )
-    sets = base.select(F.col("id"), F.col("grams"))
+    # Count-based verify (r12, the q123/main-tier trick): |A∩B| = the
+    # number of (id_a, id_b, gram) co-occurrences — candidates explode
+    # by a's grams and probe b's postings, so no gram ARRAYS are ever
+    # re-attached (the previous S.jaccard verify built two hash sets
+    # per pair, and Catalyst's filter pushdown evaluated the
+    # intersection twice for survivors).  jaccard = inter/(na+nb−inter)
+    # — the same exact integer-ratio double (grams are distinct).
+    inter = (
+        cand.join(
+            tok.select(F.col("id").alias("id_a"), "g"), "id_a"
+        )
+        .join(tok.select(F.col("id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
     return (
-        cand.join(sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
-            S.jaccard(F.col("ga"), F.col("gb")).alias("jaccard"),
+            (
+                F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -1356,6 +1375,8 @@ def winnowing_pairs(
     # hashed are exactly what the SQL expression tier and the DuckDB
     # oracle hash — md5 is bit-identical across all three.
     def _select(col):  # untyped: local pandas import breaks hint resolution
+        md5 = hashlib.md5
+        int_from = int.from_bytes
         out = []
         for s in col:
             if s is None or s == "":
@@ -1366,13 +1387,24 @@ def winnowing_pairs(
             # oracle both take substr() over characters, and md5 of a
             # Spark string hashes its UTF-8 bytes — so char-slice +
             # encode is the only scheme that agrees on non-ASCII text.
+            # Per-gram cost trims (r12, guide §4.2 — this loop is one
+            # md5 per character position): ASCII text encodes ONCE and
+            # slices bytes (identical to char-slice+encode when every
+            # char is 1 byte), and the hash folds from the raw digest
+            # (int.from_bytes(digest[:4]) == int(hexdigest[:8], 16))
+            # instead of hex-string formatting + parsing.
             n_g = max(len(s) - k + 1, 1)
             h = np.empty(n_g, dtype=np.int64)
-            for i in range(n_g):
-                h[i] = int(
-                    hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:8],
-                    16,
-                )
+            if s.isascii():
+                b = s.encode("utf-8")
+                for i in range(n_g):
+                    h[i] = int_from(md5(b[i : i + k]).digest()[:4], "big")
+            else:
+                for i in range(n_g):
+                    h[i] = int_from(
+                        md5(s[i : i + k].encode("utf-8")).digest()[:4],
+                        "big",
+                    )
             if n_g <= w:
                 sel = {int(h.argmin())}
             else:
@@ -1519,6 +1551,17 @@ def repeated_tile_spans(
     tiles; sub-tile overhang is deliberately not chased — at corpus
     scale the grid loses at most ``2*(tile-1)`` boundary chars per
     span, and keeps the plan join+window shaped)."""
+    tiles = _positioned_tiles(df, text_col, id_col, tile)
+    return _spans_from_tiles(tiles, tile, min_tiles, max_df)
+
+
+def _positioned_tiles(
+    df: DataFrame, text_col: str, id_col: str, tile: int
+) -> DataFrame:
+    """(id, i, fp): the aligned md5 tile grid of
+    :func:`repeated_tile_spans` — factored out so
+    :func:`span_dedup_passes` can rebuild pass N+1's grid
+    incrementally (only cut documents re-normalize + re-hash)."""
     s = T.normalize_text(F.col(text_col))
     k = F.greatest(
         F.ceil(F.length(s) / F.lit(tile)).cast("int"), F.lit(1)
@@ -1527,9 +1570,16 @@ def repeated_tile_spans(
         F.sequence(F.lit(0), k - F.lit(1)),
         lambda i: F.md5(F.substring(s, i * F.lit(tile) + F.lit(1), tile)),
     )
-    tiles = df.select(
+    return df.select(
         F.col(id_col).alias("id"), F.posexplode(arr).alias("i", "fp")
     )
+
+
+def _spans_from_tiles(
+    tiles: DataFrame, tile: int, min_tiles: int, max_df: int
+) -> DataFrame:
+    """Maximal-span extraction over a positioned tile grid — the
+    df-cap + diagonal-islands tail of :func:`repeated_tile_spans`."""
     wdf = Window.partitionBy("fp")
     tiles = (
         tiles.withColumn("__df", F.count(F.lit(1)).over(wdf))
@@ -1678,6 +1728,15 @@ def span_dedup_passes(
         F.lit(0).cast("long").alias("__cut_total"),
         F.lit(0).cast("int").alias("__n_cuts"),
     ).withColumn("__n0", F.length("__s").cast("long"))
+    # NOTE (r12, measured and REJECTED): an incremental tile grid —
+    # carry pass N's (id, i, fp) rows for uncut docs, re-tile only the
+    # cut docs (value-identical by construction: the cut is identity
+    # elsewhere) — was implemented and benched at sf0.1: 4.03 → 5.43 s
+    # (×1.35).  Materializing the positioned tile grid (~200 rows/doc
+    # of 32-char md5s) costs more than recomputing the codegen-fused
+    # normalize+md5 inline with each pass's window+join, the same
+    # persist-vs-recompute verdict as the r11 hash64_band_pairs
+    # experiment.  The per-pass re-tile stays.
     for _ in range(max(passes, 0)):
         cur = cached(cur)
         spans = repeated_tile_spans(

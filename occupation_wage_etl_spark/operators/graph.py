@@ -169,10 +169,13 @@ def triangle_counts(
     tri = wedges.join(closing, ["x", "y"], "left_semi").select(
         F.col("a"), F.col("x").alias("b"), F.col("y").alias("c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # ONE pass over the triangle stream: explode the 3 corners inline
+    # instead of unionAll of three projections — the union re-executed
+    # the wedge join + closing semi-join once per branch (r12, measured
+    # +1.5 s of q80's 4.7 s at sf0.1).  Same corner multiset, same
+    # counts.
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
