@@ -62,7 +62,15 @@ def word_ngrams(col: Column, n: int) -> Column:
     Documents shorter than ``n`` tokens yield a single shingle of the
     whole text (so every doc has ≥1 shingle and survives MinHash).
     """
-    toks = tokens(col)
+    return word_ngrams_from_tokens(tokens(col), n)
+
+
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """:func:`word_ngrams` over an ALREADY-TOKENIZED array — for callers
+    that derive token arrays directly (e.g. planted-copy synthesis by
+    token slicing) and must not pay a join + re-normalize + re-split
+    round-trip through text.  ``toks`` must equal ``tokens(text)`` for
+    the text the grams describe."""
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), k - F.lit(1)),

@@ -483,26 +483,46 @@ def planted_minhash_recall_audit(
     orig = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    planted = (
-        orig.withColumn("tk", T.tokens(F.col("text")))
-        .withColumn(
-            "k",
-            F.element_at(
-                F.array(F.lit(20), F.lit(10), F.lit(5)),
-                (F.col("id") % 3 + 1).cast("int"),
-            ),
-        )
-        .select(
-            (F.col("id") + F.lit(plant_base)).alias("id"),
-            F.expr(
-                "array_join(slice(tk, 1, size(tk) - "
-                "CAST((size(tk) + k - 1) DIV k AS INT)), ' ')"
-            ).alias("text"),
+    # ONE tokenize pass (r12, guide §2.3/§2.4): the planted copy is a
+    # token-slice of the original, so both union branches derive from
+    # the same persisted (id, tokens) table and shingles come from
+    # word_ngrams_from_tokens — the previous shape re-joined the slice
+    # to a string and re-ran normalize+split per union branch (3×
+    # total).  Value-identical: tokens(array_join(slice(tk, 1, L),
+    # ' ')) == slice(tk, 1, L) for normalized tokens (single-space
+    # join, no whitespace inside tokens), and the L = 0 edge ([] vs
+    # ['']) collapses to the same single shingle under word_ngrams'
+    # min-one-gram clamp.
+    toks = cached(
+        _spread(orig).select(
+            "id", T.tokens(F.col("text")).alias("tk")
         )
     )
-    union = orig.unionByName(planted)
+    planted_toks = toks.withColumn(
+        "k",
+        F.element_at(
+            F.array(F.lit(20), F.lit(10), F.lit(5)),
+            (F.col("id") % 3 + 1).cast("int"),
+        ),
+    ).select(
+        (F.col("id") + F.lit(plant_base)).alias("id"),
+        F.expr(
+            "slice(tk, 1, size(tk) - "
+            "CAST((size(tk) + k - 1) DIV k AS INT))"
+        ).alias("tk"),
+    )
+    u_toks = toks.select("id", "tk").unionByName(planted_toks)
+    shingled = cached(
+        u_toks.select(
+            "id",
+            F.array_distinct(
+                T.word_ngrams_from_tokens(F.col("tk"), shingle_n)
+            ).alias("shingles"),
+        )
+    )
     shingled, buckets = _minhash_tables(
-        union, "text", "id", shingle_n, num_hashes, bands
+        orig, "text", "id", shingle_n, num_hashes, bands,
+        shingled=shingled,
     )
     rpb = num_hashes // bands
     left, right = buckets.alias("l"), buckets.alias("r")
